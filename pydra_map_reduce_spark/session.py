@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Local mode is a correctness/dev harness; configs are chosen so the same
+logical plans scale to a multi-executor cluster:
+
+- AQE on (runtime re-plan, partition coalescing, skew-join splitting) —
+  at 100 TB the static plan is always wrong somewhere.
+- shuffle.partitions sized to cores locally; on a real cluster AQE's
+  coalescing makes the initial number much less sensitive.
+- Arrow enabled for every Python<->JVM hop (pandas UDFs, toPandas).
+- Session timezone pinned to UTC so event-time semantics are identical
+  to the DuckDB oracle and to any other engine reading the same parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pydra_map_reduce_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. On a real
+    cluster the master/resource settings come from spark-submit and the
+    builder silently inherits them — only the SQL confs below matter.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        # local: ~cores. Cluster: AQE coalesces down from a higher start.
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # dims like region/nation/part are broadcast-join candidates;
+        # 32 MB leaves headroom over the 10 MB default without risking OOM
+        # on 4-8 GB executors.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    if driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        builder = builder.config(
+            "spark.driver.memory",
+            driver_memory or os.environ["SPARK_GRAFT_DRIVER_MEM"],
+        )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,108 @@
+"""Declared schemas + loaders for the fixture tables.
+
+Schemas are fixed StructTypes (SURVEY.md §1.4): asserted against the
+parquet footer at load so drift fails fast instead of silently casting.
+At 100 TB the same loader works unchanged — `spark.read.parquet` on a
+directory of files; predicate pushdown / column pruning happen in the
+scan, so callers should `.select()` early and filter with Column exprs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_L = T.LongType()
+_I = T.IntegerType()
+_D = T.DoubleType()
+_S = T.StringType()
+_TS = T.TimestampType()
+
+
+def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": _st(("r_regionkey", _I), ("r_name", _S)),
+    "nation": _st(("n_nationkey", _I), ("n_name", _S), ("n_regionkey", _I)),
+    "customer": _st(
+        ("c_custkey", _L),
+        ("c_name", _S),
+        ("c_nationkey", _I),
+        ("c_acctbal", _D),
+        ("c_mktsegment", _S),
+    ),
+    "supplier": _st(
+        ("s_suppkey", _L), ("s_name", _S), ("s_nationkey", _I), ("s_acctbal", _D)
+    ),
+    "part": _st(
+        ("p_partkey", _L),
+        ("p_name", _S),
+        ("p_brand", _S),
+        ("p_type", _S),
+        ("p_size", _I),
+        ("p_retailprice", _D),
+    ),
+    "orders": _st(
+        ("o_orderkey", _L),
+        ("o_custkey", _L),
+        ("o_orderstatus", _S),
+        ("o_totalprice", _D),
+        ("o_orderdate", _TS),
+        ("o_orderpriority", _S),
+    ),
+    "lineitem": _st(
+        ("l_orderkey", _L),
+        ("l_partkey", _L),
+        ("l_suppkey", _L),
+        ("l_linenumber", _I),
+        ("l_quantity", _D),
+        ("l_extendedprice", _D),
+        ("l_discount", _D),
+        ("l_tax", _D),
+        ("l_returnflag", _S),
+        ("l_linestatus", _S),
+        ("l_shipdate", _TS),
+    ),
+    "events": _st(
+        ("event_id", _L),
+        ("ts", _TS),
+        ("user_id", _L),
+        ("event_type", _S),
+        ("value", _D),
+        ("props", _S),
+    ),
+    "documents": _st(
+        ("doc_id", _L),
+        ("text", _S),
+        ("lang", _S),
+        ("source", _S),
+        ("n_chars", _L),
+    ),
+    "embeddings": _st(
+        ("vec_id", _L),
+        ("embedding", T.ArrayType(T.FloatType())),
+        ("label", _I),
+    ),
+}
+
+TABLES = tuple(SCHEMAS)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with its declared schema.
+
+    Passing the schema (rather than relying on footer inference) keeps
+    the analyzed plan stable across data revisions and lets Catalyst
+    prune/push down against known column types.
+    """
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for the SQL API)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
