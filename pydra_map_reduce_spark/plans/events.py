@@ -1,0 +1,161 @@
+"""Event-time analytics over the `events` table (batch). SURVEY.md §2.9.
+
+Batch event-time forms are oracle-checkable; the Structured Streaming
+variants live in plans/streaming.py (rows-only). `window()` /
+`session_window()` semantics are identical in batch and streaming, so
+these queries are the correctness anchor for the streaming ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import query
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
+
+
+@query(
+    "tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts)        AS window_start,
+           event_type,
+           count(*)                      AS n,
+           round(sum(value), 2)          AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    section="2.9 tumbling window agg",
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows (epoch-aligned, same as date_trunc)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (k * 15) MINUTE AS window_start,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events, (SELECT unnest(range(4)) AS k)
+    GROUP BY 1
+    """,
+    section="2.9 sliding window agg (1h window, 15m slide)",
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event lands in 4 overlapping windows; Spark's window()
+    expands them; the oracle reproduces the expansion with a 0..3
+    offset cross join."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "sessionization",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(sess_id AS BIGINT)     AS sess_id,
+           min(ts)                     AS sess_start,
+           max(ts)                     AS sess_end,
+           count(*)                    AS n_events,
+           round(sum(value), 2)        AS sum_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+    section="2.9 session window (gap-based sessionization, batch form)",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap>30min ⇒ new session. lag-gap-cumsum: two window passes over
+    one user_id shuffle, then a keyed agg — no iterative driver logic.
+    Comparisons use exact epoch microseconds so the boundary rule is
+    bit-identical to the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros("ts")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(prev_us.isNull() | ((us - prev_us) > _GAP_US), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn("sess_id", F.sum("new_sess").over(wrun).cast("bigint"))
+    return numbered.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.first_view, p.first_purchase,
+           CASE WHEN p.first_purchase IS NOT NULL THEN 1 ELSE 0 END AS converted
+    FROM v LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    section="2.9 funnel / per-user ordered pattern (view→purchase)",
+)
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→purchase conversion: strictly-after ordering per user.
+    Two keyed aggs + one key join — all shuffles on user_id, so at
+    scale they share a single exchange under AQE."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return v.join(p, "user_id", "left").select(
+        "user_id",
+        "first_view",
+        "first_purchase",
+        F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0).alias("converted"),
+    )

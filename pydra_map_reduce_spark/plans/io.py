@@ -1,0 +1,128 @@
+"""Non-parquet sources and sinks. SURVEY.md §2.1.
+
+Round-trip pattern: Spark writes a fixture table to CSV / JSON-lines /
+text / partitioned-parquet under /tmp, reads it back with a declared
+schema, and aggregates; the oracle aggregates the original table. A
+hash match proves the format round-trip is lossless — this tests the
+connector, not just the query.
+
+Scale notes: all writers emit one file per partition (the only
+pattern that parallelizes); `partitionBy` on the parquet sink gives
+the directory layout that enables partition pruning on re-read.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import SCHEMAS, load_table
+from .registry import query
+
+_IO_ROOT = os.path.join(tempfile.gettempdir(), "pydra_spark_io")
+
+
+def _tmp(name: str) -> str:
+    os.makedirs(_IO_ROOT, exist_ok=True)
+    return os.path.join(_IO_ROOT, name)
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    section="2.1 CSV scan (+ write): lossless round-trip",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _tmp("customer_csv")
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    back = spark.read.schema(SCHEMAS["customer"]).option("header", True).csv(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+    )
+
+
+@query(
+    "jsonl_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    section="2.1 JSON-lines scan (+ write): lossless round-trip",
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _tmp("orders_jsonl")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").json(path)
+    back = spark.read.schema(SCHEMAS["orders"]).json(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "text_scan",
+    oracle="""
+    SELECT count(*)                          AS n_lines,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+    section="2.1 text-file scan (one line per record)",
+)
+def text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → text files → spark.read.text; line/char totals
+    must survive the trip."""
+    path = _tmp("documents_text")
+    load_table(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "parquet_partitioned_sink",
+    oracle="""
+    SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus, year(o_orderdate)
+    """,
+    section="2.1 parquet sink (partitionBy) + partition-pruned re-read",
+)
+def parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes orders hive-partitioned by (status, year) and reads it
+    back — the layout that turns `WHERE yr = ...` into directory
+    pruning instead of a scan at 100 TB."""
+    path = _tmp("orders_part")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").alias("yr")
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus", "yr").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus", F.col("yr").cast("int").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "inmemory_source",
+    oracle="""
+    WITH src(k, v) AS (VALUES ('a', 1), ('a', 2), ('b', 3), ('b', 4), ('c', 5))
+    SELECT k, CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n
+    FROM src GROUP BY k
+    """,
+    section="2.1 in-memory collection source (createDataFrame)",
+)
+def inmemory_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    return df.groupBy("k").agg(
+        F.sum("v").cast("bigint").alias("sum_v"), F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,268 @@
+"""Join operators. SURVEY.md §2.3.
+
+Scale posture: dimension tables (region/nation/supplier/part at ratio
+scale) are broadcast — `F.broadcast` hints make it explicit rather than
+relying on the threshold; fact-fact joins (orders⋈lineitem) shuffle on
+the join key and AQE handles skew. No cartesian products except the
+explicitly-guarded tiny cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)                        AS n_orders,
+           round(sum(o.o_totalprice), 2)   AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    section="2.3 inner equi-join (reduce-side join)",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT)            AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2)   AS spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    section="2.3 left outer join",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with zero orders survive with n_orders=0."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n.n_name, CAST(count(s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    section="2.3 right outer join",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cu AS (SELECT c_nationkey AS k, count(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         su AS (SELECT s_nationkey AS k, count(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(cu.k, su.k)                    AS nationkey,
+           CAST(coalesce(cu.n_cust, 0) AS BIGINT)  AS n_cust,
+           CAST(coalesce(su.n_supp, 0) AS BIGINT)  AS n_supp
+    FROM cu FULL OUTER JOIN su ON cu.k = su.k
+    """,
+    section="2.3 full outer join",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregate both sides before the join — at scale this turns a
+    row-level full-outer shuffle into a tiny key-level one."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cu = c.groupBy(F.col("c_nationkey").alias("ck")).agg(F.count(F.lit(1)).alias("n_cust"))
+    su = s.groupBy(F.col("s_nationkey").alias("sk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return cu.join(su, cu.ck == su.sk, "full").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).cast("bigint").alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_supp"),
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_cust, round(avg(c.c_acctbal), 2) AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    section="2.3 broadcast (map-side / replicated) join",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer→nation→region star chain. Both dims are broadcast: the
+    fact table never shuffles for the join — the MR map-side join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    section="2.3 left semi join",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    section="2.3 left anti join",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no urgent order (203 rows at sf0.01 — non-empty
+    so the check exercises real row flow)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    section="2.3 cross / nested-loop join (guarded: dims only)",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian — only ever legal on bounded dimension tables
+    (5 × 25 here). Fact-table cross joins are a design error at scale."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "join_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('small', 0.0, 50000.0),
+               ('medium', 50000.0, 150000.0),
+               ('large', 150000.0, 1e18)
+    )
+    SELECT b.band, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+    section="2.3 theta / range join (non-equi predicate)",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join against a tiny bands table → BroadcastNestedLoop,
+    which is the right physical plan when one side is O(10) rows."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0), ("large", 150000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH ranked AS (
+        SELECT o.o_orderkey, e.ts, e.event_type,
+               row_number() OVER (PARTITION BY o.o_orderkey
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM orders o
+        JOIN events e ON e.user_id = o.o_custkey
+                     AND e.ts <= TIMESTAMP '2024-01-15 00:00:00' + INTERVAL (o.o_orderkey % 14) DAY
+    )
+    SELECT o_orderkey, ts AS last_event_ts, event_type AS last_event_type
+    FROM ranked WHERE rn = 1
+    """,
+    section="2.3 as-of join (latest event ≤ t per key)",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of: for each order (with a synthetic per-order cutoff), the
+    latest event of its customer at-or-before the cutoff. Equi-join on
+    the key bounds the shuffle; the time predicate filters in-join;
+    row_number picks the 'as of' row. At scale: partition by key,
+    sort-merge within partitions."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cutoff",
+        F.lit("2024-01-15 00:00:00").cast("timestamp")
+        + F.make_interval(days=(F.col("o_orderkey") % 14).cast("int")),
+    )
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        o.join(e, (e.user_id == o.o_custkey) & (e.ts <= o.cutoff))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            F.col("ts").alias("last_event_ts"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )

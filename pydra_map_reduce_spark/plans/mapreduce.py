@@ -1,0 +1,189 @@
+"""The map/flatMap/reduce escape hatch. SURVEY.md §2.10.
+
+A map-reduce framework's defining API is "run arbitrary Python over
+records". The Spark-native equivalents, all Arrow-batched (never
+row-at-a-time Python UDFs):
+
+- map(fn)      -> mapInPandas          (mr_map)
+- flatMap(fn)  -> mapInPandas 1->many  (mr_flatmap)
+- reduce(fn)   -> applyInPandas        (mr_reduce_by_key)
+- UDTF         -> Python UDTF          (mr_udtf_expand)
+
+Each query here intentionally computes something ALSO expressible in
+SQL so the Arrow path itself is differentially tested against the
+DuckDB oracle — the escape hatch gets real correctness rows, not just
+rows-only checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "mr_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+           CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'retail' END AS qty_class
+    FROM lineitem
+    WHERE l_orderkey < 5000
+    """,
+    section="2.10 map(fn) over rows (mapInPandas, Arrow-batched)",
+)
+def mr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row map as a pandas batch function. Arrow moves columnar
+    batches (~10k rows) across the JVM/Python boundary — the 10-100×
+    faster alternative to per-row pickled UDFs."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            net = pdf["l_extendedprice"] * (1 - pdf["l_discount"])
+            out = pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    # half-up rounding (SQL semantics); pandas .round is
+                    # banker's and would disagree on exact .xx5 values
+                    "net_price": np.floor(net * 100 + 0.5) / 100,
+                    "qty_class": (pdf["l_quantity"] >= 25).map(
+                        {True: "bulk", False: "retail"}
+                    ),
+                }
+            )
+            yield out
+
+    return li.mapInPandas(
+        fn, "l_orderkey long, l_linenumber int, net_price double, qty_class string"
+    )
+
+
+@query(
+    "mr_flatmap",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    section="2.10 flatMap(fn) (mapInPandas 1->many) — word count via the hatch",
+)
+def mr_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count with Python tokenization (flatMap) + built-in final
+    agg: the classic MR pipeline through the Arrow hatch. Python only
+    expands rows; the shuffle/combine stays JVM-side."""
+    d = load_table(spark, sf_dir, "documents").select("text")
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words = pdf["text"].str.split(" ").explode()
+            words = words[words != ""]
+            yield pd.DataFrame({"word": words})
+
+    words = d.mapInPandas(tokenize, "word string")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "mr_reduce_by_key",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4) AS weighted_avg_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    section="2.10 reduce(fn) per key (applyInPandas grouped UDAF)",
+)
+def mr_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key reducer (quantity-weighted mean) as a grouped
+    pandas function. Note the scale caveat baked into the API: each
+    key's rows must fit one worker — fine for bounded keys like
+    l_returnflag; for unbounded keys use two-stage built-in aggs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+        qty = pdf["l_quantity"]
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "weighted_avg_price": [
+                    round((qty * pdf["l_extendedprice"]).sum() / qty.sum(), 4)
+                ],
+                "n": [len(pdf)],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        reducer, "l_returnflag string, weighted_avg_price double, n long"
+    )
+
+
+@query(
+    "mr_udtf_expand",
+    oracle="""
+    SELECT doc_id,
+           CAST(idx AS INT)                      AS idx,
+           tokens[idx]                           AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         (SELECT unnest(generate_series(1, 5)) AS idx)
+    WHERE doc_id < 50 AND idx <= len(tokens)
+    """,
+    section="2.10 UDTF (one row -> many rows with declared schema)",
+)
+def mr_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding transform (first 5 tokens per doc) through the
+    Arrow batch hatch — the UDTF shape: declared output schema, 1→N."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for i, tok in enumerate(text.split(" ")[:5], start=1):
+                    rows.append((doc_id, i, tok))
+            yield pd.DataFrame(rows, columns=["doc_id", "idx", "token"])
+
+    return d.mapInPandas(expand, "doc_id long, idx int, token string")
+
+
+@query(
+    "mr_partition_map",
+    oracle=None,  # rows-only: per-partition structure is engine-internal
+    section="2.10 partition-wise map (MR mapper over a split)",
+)
+def mr_partition_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local pre-aggregation in Python (one output row per
+    partition) + JVM final merge — the explicit combiner pattern.
+    Output is the deterministic global sum; partition count varies
+    with parallelism, hence rows-only."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+
+    def partial_sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        total = 0.0
+        n = 0
+        for pdf in batches:
+            total += float(pdf["l_quantity"].sum())
+            n += len(pdf)
+        yield pd.DataFrame({"partial_qty": [total], "partial_n": [n]})
+
+    partials = li.mapInPandas(partial_sum, "partial_qty double, partial_n long")
+    return partials.agg(
+        F.round(F.sum("partial_qty"), 2).alias("total_qty"),
+        F.sum("partial_n").cast("bigint").alias("total_rows"),
+    )

@@ -1,0 +1,377 @@
+"""Relational core: scan → project/filter → aggregate → sort/limit.
+
+SURVEY.md §2.1, §2.2, §2.4, §2.6. Scale notes: every query here is a
+single scan + (at most) one keyed shuffle; filters are Column
+expressions so parquet row-group pushdown engages; aggregates run as
+partial (map-side) + final HashAggregate automatically — that IS the
+map-reduce combiner. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 2)                                        AS avg_qty,
+           round(avg(l_extendedprice), 2)                                   AS avg_price,
+           round(avg(l_discount), 2)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    section="2.4 group-by agg (flagship, TPC-H Q1 shape)",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan→filter→hash-agg→sort. The filter pushes to parquet row
+    groups; the agg is partial+final (no raw rows cross the shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 50000 AND 150000
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_orderdate IS NOT NULL
+      AND NOT (o_custkey < 10)
+    """,
+    section="2.2 filter (IN/BETWEEN/LIKE/NULL/NOT)",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate — stays a Column expr so every conjunct is a
+    candidate for parquet pushdown (check PushedFilters in explain)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(50000, 150000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_orderdate").isNotNull()
+        & ~(F.col("o_custkey") < 10)
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+@query(
+    "project_conditional",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment)                                   AS segment,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END                                  AS bal_band,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER')  AS seg_or_other,
+           CAST(trunc(c_acctbal) AS BIGINT)                      AS bal_int
+    FROM customer
+    """,
+    section="2.2 project/conditional/cast (when/coalesce/nullif)",
+)
+def project_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.col("c_acctbal").cast("bigint").alias("bal_int"),
+    )
+
+
+@query(
+    "rename_drop",
+    oracle="""
+    SELECT s_suppkey AS supplier_id, s_name AS supplier_name, s_nationkey
+    FROM supplier
+    """,
+    section="2.2 rename / drop",
+)
+def rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.withColumnRenamed("s_suppkey", "supplier_id")
+        .withColumnRenamed("s_name", "supplier_name")
+        .drop("s_acctbal")
+    )
+
+
+@query(
+    "groupby_multi_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                            AS n_orders,
+           round(sum(o_totalprice), 2)         AS sum_total,
+           round(min(o_totalprice), 2)         AS min_total,
+           round(max(o_totalprice), 2)         AS max_total,
+           round(avg(o_totalprice), 2)         AS avg_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    section="2.4 group-by sum/count/min/max/avg (+conditional agg)",
+)
+def groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        F.round(F.min("o_totalprice"), 2).alias("min_total"),
+        F.round(F.max("o_totalprice"), 2).alias("max_total"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_total"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_finished"),
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)  AS n_users,
+           count(*)                 AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    section="2.4 exact count-distinct",
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    section="2.4 distinct rows",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "global_sort",
+    oracle="""
+    SELECT p_partkey, p_name, p_size, round(p_retailprice, 2) AS price
+    FROM part
+    ORDER BY p_size DESC, p_retailprice ASC, p_partkey
+    """,
+    section="2.6 global sort (range-partitioned total order)",
+)
+def global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order sort — Spark samples ranges and range-partitions, the
+    distributed equivalent of the MR TotalOrderPartitioner."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", "p_name", "p_size", F.round("p_retailprice", 2).alias("price")
+    ).orderBy(F.col("p_size").desc(), F.col("p_retailprice").asc(), F.col("p_partkey"))
+
+
+@query(
+    "top_k",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    section="2.6 top-k by value (combiner-style TakeOrdered)",
+)
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    heaps + tiny driver merge — no global sort shuffle at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.col("total").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "limit_head",
+    oracle="SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 10",
+    section="2.6 limit / head",
+)
+def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.select("n_nationkey", "n_name").orderBy("n_nationkey").limit(10)
+
+
+@query(
+    "stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)        AS sd_qty,
+           round(var_samp(l_discount), 6)           AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    section="2.4 stddev / variance / corr",
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "collect_values",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(DISTINCT n_name)) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    section="2.4 collect_list / collect_set (group values under key)",
+)
+def collect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MR 'gather all values for a key'; array_sort for determinism."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_set("n_name")).alias("nations")
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    section="2.4 grouping sets / rollup",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    section="2.4 cube",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "pivot_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    section="2.4 pivot",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit pivot values → no extra distinct-values job at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.round(F.coalesce("O", F.lit(0.0)), 2).alias("O"),
+        F.round(F.coalesce("F", F.lit(0.0)), 2).alias("F"),
+        F.round(F.coalesce("P", F.lit(0.0)), 2).alias("P"),
+    )
+
+
+@query(
+    "median_percentile",
+    oracle="""
+    SELECT c_mktsegment,
+           round(median(c_acctbal), 2)                          AS med_bal,
+           round(quantile_cont(c_acctbal, 0.9), 2)              AS p90_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    section="2.4 percentile / median (exact)",
+)
+def median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/percentile (interpolating) — matches DuckDB
+    quantile_cont semantics. At 100 TB prefer approx_percentile; the
+    exact form is the oracle-checkable variant."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.median("c_acctbal"), 2).alias("med_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 2).alias("p90_bal"),
+    )
+
+
+@query(
+    "approx_count_distinct",
+    oracle=None,  # HLL estimate is engine-specific -> rows-only check
+    section="2.4 approx count-distinct (HLL sketch)",
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ — the 100 TB path for cardinality (exact
+    countDistinct needs a full shuffle of the key universe)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )

@@ -1,0 +1,193 @@
+"""Scalar function families. SURVEY.md §2.8.
+
+All expressions are built-in Catalyst functions (JVM-side, whole-stage
+codegen) — zero Python UDFs in this module, so every query here stays
+in one codegen span per stage at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name)                                   AS lname,
+           upper(c_mktsegment)                             AS useg,
+           trim(concat(c_name, ' '))                       AS trimmed,
+           substr(c_name, 1, 8)                            AS prefix,
+           length(c_name)                                  AS name_len,
+           regexp_extract(c_name, '([0-9]+)', 1)           AS digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g')       AS masked,
+           CASE WHEN c_name LIKE 'Customer#%' THEN 1 ELSE 0 END AS is_cust,
+           string_split(c_name, '#')[1]                    AS first_token
+    FROM customer
+    """,
+    section="2.8 string family",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.trim(F.concat(F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+        F.when(F.col("c_name").like("Customer#%"), 1).otherwise(0).alias("is_cust"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("first_token"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                     AS yr,
+           CAST(month(o_orderdate) AS INT)                    AS mo,
+           CAST(day(o_orderdate) AS INT)                      AS dy,
+           CAST(quarter(o_orderdate) AS INT)                  AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', o_orderdate,
+                          TIMESTAMP '2000-01-01') AS BIGINT)  AS days_to_y2k,
+           CAST(o_orderdate AS DATE)                          AS odate
+    FROM orders
+    """,
+    section="2.8 date/time family",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_y2k"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1)                    AS r1,
+           abs(l_discount - 0.05)                       AS adisc,
+           CAST(floor(l_quantity) AS BIGINT)            AS fq,
+           CAST(ceil(l_quantity / 7) AS BIGINT)         AS cq,
+           round(pow(l_discount, 2), 6)                 AS disc_sq,
+           round(sqrt(l_extendedprice), 4)              AS sqrt_price,
+           round(ln(l_extendedprice + 1), 4)            AS log_price,
+           round(exp(l_discount), 6)                    AS exp_disc
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+    section="2.8 math family",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("adisc"),
+        F.floor("l_quantity").alias("fq"),
+        F.ceil(F.col("l_quantity") / 7).alias("cq"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("log_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                         AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6)                 AS first_val,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS vec_max,
+           len(list_distinct([label, label + 1, label]))          AS n_distinct_demo
+    FROM embeddings
+    """,
+    section="2.8 array family (size/index/fold/distinct)",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops incl. fold (F.aggregate) — all JVM-side higher-order
+    functions, no Python in the loop."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+        F.round(F.array_max(dbl), 6).alias("vec_max"),
+        F.size(
+            F.array_distinct(F.array(F.col("label"), F.col("label") + 1, F.col("label")))
+        )
+        .cast("bigint")
+        .alias("n_distinct_demo"),
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*)                                                    AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)       AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    section="2.8 JSON extraction (events.props)",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           1::BIGINT                                         AS n_keys
+    FROM events
+    WHERE event_id < 500
+    """,
+    section="2.8 map family (from_json -> map_keys/element_at)",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props parsed into MapType; element_at/map_keys exercise the map
+    surface. Oracle states the same facts via json_extract (the fixture
+    maps always hold one key 'k')."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+    )

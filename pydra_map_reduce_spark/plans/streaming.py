@@ -1,0 +1,121 @@
+"""Structured Streaming variants. SURVEY.md §2.1 / §2.9 (rows-only).
+
+Each query replays the batch `events` parquet through a file-source
+stream (`readStream`), applies event-time logic (watermark, windows,
+session windows, stateful dedup), drains it into a memory sink with
+``processAllAvailable``, and returns the sink table. Semantics match
+the batch forms in plans/events.py (the oracle-checked anchors); these
+runs prove the same plans execute under the streaming engine.
+
+Scale notes: a file-source stream over a 100 TB directory processes
+`maxFilesPerTrigger` files per micro-batch; watermarks bound state.
+The memory sink is test-only — production sinks are kafka/parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import SCHEMAS
+from .registry import query
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The file stream source needs a DIRECTORY; expose the single
+    # events.parquet file through a symlink dir (no data copy).
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "pydra_stream_src", os.path.basename(sf_dir)
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    # ts is TIMESTAMP(NANOS) on disk (see sources.tables._events_raw):
+    # stream it as raw nanos and convert, same as the batch loader.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(SCHEMAS["_events_raw"])
+        .format("parquet")
+        .load(stream_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming DF to completion into a memory sink, return the
+    materialized result as a batch DF."""
+    name = "sink_" + uuid.uuid4().hex[:12]
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "streaming_tumbling_count",
+    oracle=None,  # rows-only: streaming engine run; batch anchor = tumbling_window
+    section="2.9 streaming tumbling window + watermark (2.1 streaming source/sink)",
+)
+def streaming_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling counts via the streaming engine."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return _drain(agg, "complete")
+
+
+@query(
+    "streaming_session_window",
+    oracle=None,  # rows-only; batch anchor = sessionization
+    section="2.9 streaming session window",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-minute gap) under the streaming engine."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+    return _drain(agg, "complete")
+
+
+@query(
+    "streaming_dedup",
+    oracle=None,  # rows-only: stateful dedup
+    section="2.9 stateful stream dedup (dropDuplicatesWithinWatermark)",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful duplicate-drop keyed on event_id within the watermark:
+    state is bounded by the watermark horizon, the 100 TB-safe form of
+    streaming dedup."""
+    dedup = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "ts")
+    )
+    out = _drain(dedup, "append")
+    # summarize so the result is small and deterministic
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )

@@ -1,0 +1,269 @@
+"""Text analysis over `documents`. SURVEY.md §2.11.
+
+Word count (the map-reduce flagship), per-language stats, TF-IDF,
+lexicon sentiment, language-ID heuristic, quality scoring, token
+counting, and document fingerprinting — all as built-in column
+expressions (explode/split/groupBy), no Python UDFs, so the hot path
+is identical at 100 TB: one scan + one keyed shuffle per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+# tiny sentiment lexicon over the fixture vocabulary
+_LEXICON = [
+    ("fast", 1.0),
+    ("slow", -1.0),
+    ("big", 0.4),
+    ("small", -0.2),
+    ("merge", 0.5),
+    ("dup", -0.6),
+]
+_LEXICON_SQL = ", ".join(f"('{w}', {s})" for w, s in _LEXICON)
+
+
+@query(
+    "word_count",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    section="2.11 word count (MR flagship)",
+)
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(split) → groupBy(word).count — partial aggregation on
+    the map side means only (word, partial_n) pairs shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           count(*)                                              AS n_docs,
+           round(avg(n_chars), 2)                                AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)     AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 2)           AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    section="2.11 text analysis: per-lang token/char stats",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(_tokens())
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(ntok), 2).alias("avg_tokens"),
+    )
+
+
+@query(
+    "tf_idf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word,
+           CAST(tf.tf AS BIGINT) AS tf,
+           round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    """,
+    section="2.11 TF-IDF / term stats",
+)
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF per (doc,term), DF per term, idf = ln(N/df). The DF side is
+    tiny (vocab-sized) → broadcast back onto TF; N is a 1-row broadcast
+    cross join, never a collect."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_tokens()).alias("word")).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "sentiment_lexicon",
+    oracle=f"""
+    WITH lex(word, score) AS (VALUES {_LEXICON_SQL}),
+         tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT tok.lang,
+           count(*)                    AS n_hits,
+           round(avg(lex.score), 4)    AS avg_sentiment
+    FROM tok JOIN lex USING (word)
+    GROUP BY tok.lang
+    """,
+    section="2.11 lexicon sentiment score",
+)
+def sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token⋈lexicon (broadcast — a lexicon is always dim-sized) then
+    per-language average polarity."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_LEXICON, "word string, score double")
+    tok = d.select("lang", F.explode(_tokens()).alias("word"))
+    return (
+        tok.join(F.broadcast(lex), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.avg("score"), 4).alias("avg_sentiment"),
+        )
+    )
+
+
+@query(
+    "lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ('the', 'a')))::DOUBLE
+               / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
+           count(*)                                                AS n_docs,
+           round(avg(stop_ratio), 4)                               AS avg_stop_ratio
+    FROM scored
+    GROUP BY lang, CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END
+    """,
+    section="2.11 language-ID (stopword n-gram heuristic)",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stopword-ratio language heuristic (the fixture
+    vocabulary is English-only, so this measures the machinery, not
+    linguistics)."""
+    d = load_table(spark, sf_dir, "documents")
+    stop_ratio = (
+        F.size(F.filter(_tokens(), lambda w: w.isin("the", "a"))).cast("double")
+        / F.size(_tokens())
+    )
+    scored = d.select(
+        "lang",
+        F.when(stop_ratio >= 0.08, "en").otherwise("other").alias("pred_lang"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    return scored.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)  AS n_tokens,
+           round((n_chars - len(string_split(text, ' ')) + 1.0)
+                 / len(string_split(text, ' ')), 4)      AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
+                 / len(string_split(text, ' ')), 4)      AS stop_ratio,
+           round(least(1.0, greatest(0.0,
+                 0.2 + 0.12 * ((n_chars - len(string_split(text, ' ')) + 1.0)
+                               / len(string_split(text, ' ')))
+                 - 0.5 * (len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
+                          / len(string_split(text, ' '))))), 4) AS quality
+    FROM documents
+    """,
+    section="2.11 quality scoring (length/stopword ratios)",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc-quality: mean token length up, stopword ratio
+    down, clipped to [0,1]. Pure column math — vectorized end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(_tokens()).cast("double")
+    avg_len = (F.col("n_chars") - ntok + 1.0) / ntok
+    stop = F.size(F.filter(_tokens(), lambda w: w.isin("the", "a"))).cast("double") / ntok
+    quality = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), 0.2 + 0.12 * avg_len - 0.5 * stop)
+    )
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop, 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@query(
+    "token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(list_aggregate([ceil(length(w) / 4.0) for w in string_split(text, ' ')],
+                               'sum') AS BIGINT)        AS n_bpe_tokens
+    FROM documents
+    """,
+    section="2.11 token counting (whitespace + BPE-ish ceil(len/4))",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens plus a BPE-proxy count (≈1 subword per 4
+    chars) — the standard pre-training corpus sizing pass."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.aggregate(
+        F.transform(_tokens(), lambda w: F.ceil(F.length(w) / 4.0)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("n_ws_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT source,
+           count(*)                                        AS n_docs,
+           count(DISTINCT md5(replace(text, ' ', '')))     AS n_fingerprints
+    FROM documents
+    GROUP BY source
+    """,
+    section="2.11 document fingerprinting (normalized content hash)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint; distinct-count
+    per source spots intra-source duplication."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace("text", " ", ""))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_fingerprints"),
+    )

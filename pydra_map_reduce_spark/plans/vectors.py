@@ -1,0 +1,165 @@
+"""Vector/embedding operators over `embeddings`. SURVEY.md §2.11.
+
+Cosine math is built from JVM-side higher-order functions
+(zip_with + aggregate) — no Python UDF, no collect. The brute-force
+forms are the oracle-checkable baselines; the LSH-bucketed form is the
+100 TB path (candidates from sign-bit buckets, exact rescore inside).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _dbl(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+    LIMIT 10
+    """,
+    section="2.11 cosine top-k similarity search (brute-force baseline)",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of the vec_id=0 query vector. The 1-row query
+    side is broadcast; orderBy+limit compiles to TakeOrdered (per-
+    partition heap), so brute force scans once with no global sort —
+    the honest baseline ANN variants are judged against."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(_dbl("embedding").alias("qv"))
+    cos = _cosine(_dbl("embedding"), F.col("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+@query(
+    "allpairs_similarity",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    section="2.11 all-pairs similarity join (threshold 0.4)",
+)
+def allpairs_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs ≥ 0.4. The oracle-checkable exact form; at
+    100 TB swap the candidate generator for the LSH buckets of
+    ann_lsh_topk (same rescore expression) — see SURVEY §2.11."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl("embedding").alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle="""
+    WITH sig AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings
+    ), q AS (SELECT emb AS qv, bucket AS qb FROM sig WHERE vec_id = 0)
+    SELECT s.vec_id,
+           round(list_cosine_similarity(s.emb, q.qv), 4) AS cos
+    FROM sig s CROSS JOIN q
+    WHERE s.bucket = q.qb AND s.vec_id <> 0
+    ORDER BY list_cosine_similarity(s.emb, q.qv) DESC, s.vec_id
+    LIMIT 5
+    """,
+    section="2.11 ANN: LSH sign-bit buckets + exact rescore",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit (hyperplane) LSH: 4-bit bucket from the signs of the
+    first 4 dims; only the query's bucket (~1/16 of data) is rescored
+    exactly. This is the scale path for similarity search — candidate
+    set shrinks 2^bits-fold while the rescore stays exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (
+            F.when(F.col("embedding").getItem(i) > 0, F.lit(1 << (3 - i))).otherwise(F.lit(0))
+            for i in range(4)
+        ),
+        F.lit(0),
+    )
+    sig = e.select("vec_id", _dbl("embedding").alias("emb"), bucket.alias("bucket"))
+    q = sig.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cos = _cosine(F.col("emb"), F.col("qv"))
+    return (
+        sig.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != 0))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(5)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label,
+           CAST(dim AS INT)      AS dim,
+           round(avg(v), 6)      AS centroid_v,
+           count(*)              AS n_vecs
+    FROM (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[]))        AS v
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+    section="2.11 label/cluster stats (per-dim centroids)",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dim) via posexplode —
+    shuffles (label, dim, partial-sum) only, never whole vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(_dbl("embedding")).alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"), F.count(F.lit(1)).alias("n_vecs"))
+    )

@@ -1,0 +1,140 @@
+"""Window functions. SURVEY.md §2.5.
+
+Each window is one shuffle on its partition key then a per-partition
+sort — identical physical shape to MR secondary sort. Keys here
+(nation, customer) have bounded per-key cardinality, so no skew path
+is needed; for skewed keys at 100 TB, pre-bucket + AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    section="2.5 ranking: row_number/rank/dense_rank/ntile",
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2)                              AS total,
+           round(lag(o_totalprice)  OVER w, 2)                 AS prev_total,
+           round(lead(o_totalprice) OVER w, 2)                 AS next_total,
+           round(first_value(o_totalprice) OVER w, 2)          AS first_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    section="2.5 analytic: lag / lead / first / last",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_total"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_total"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_total"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+    section="2.5 frame agg: running sum",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+    FROM events
+    """,
+    section="2.5 frame agg: moving window",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg3"),
+    )
+
+
+@query(
+    "pergroup_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    section="2.5 per-group top-k (MR secondary sort)",
+)
+def pergroup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. rank-filter pattern: one shuffle on
+    the group key; Spark pushes the rn<=3 limit into the sort via
+    WindowGroupLimit, so only k rows per key survive the exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )

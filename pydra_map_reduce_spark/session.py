@@ -32,14 +32,24 @@ def get_spark(
     builder silently inherits them — only the SQL confs below matter.
     """
     if cpus is None:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+        raw = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+        try:
+            cpus = int(raw) if raw else 0
+        except ValueError:
+            cpus = 0
+        cpus = cpus or os.cpu_count() or 4
     if shuffle_partitions is None:
         # local: ~cores. Cluster: AQE coalesces down from a higher start.
         shuffle_partitions = max(cpus, 8)
 
+    builder = SparkSession.builder
+    # Only force local mode when no master was supplied (spark-submit
+    # --master / $MASTER must win on a real cluster; programmatic
+    # .master() would otherwise override it).
+    if not os.environ.get("MASTER") and not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -10,6 +10,7 @@ scan, so callers should `.select()` early and filter with Column exprs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _L = T.LongType()
@@ -73,6 +74,19 @@ SCHEMAS: dict[str, T.StructType] = {
         ("value", _D),
         ("props", _S),
     ),
+    # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    # reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos
+    # (legacy.parquet.nanosAsLong) and convert to TimestampType with
+    # integer division (ns div 1000 -> µs), matching DuckDB's ns->µs
+    # truncation exactly. The public schema above stays TimestampType.
+    "_events_raw": _st(
+        ("event_id", _L),
+        ("ts", _L),
+        ("user_id", _L),
+        ("event_type", _S),
+        ("value", _D),
+        ("props", _S),
+    ),
     "documents": _st(
         ("doc_id", _L),
         ("text", _S),
@@ -87,19 +101,63 @@ SCHEMAS: dict[str, T.StructType] = {
     ),
 }
 
-TABLES = tuple(SCHEMAS)
+TABLES = tuple(n for n in SCHEMAS if not n.startswith("_"))
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _assert_schema(spark: SparkSession, path: str, name: str) -> None:
+    """Fail fast when the parquet footer drifts from the declared schema.
+
+    ``spark.read.schema(S)`` alone would silently NULL-fill missing
+    columns; comparing the inferred footer schema first makes drift an
+    immediate, descriptive error. Footer inference reads metadata only
+    (no data scan), so this is cheap even on a 100 TB directory.
+    """
+    actual = spark.read.parquet(path).schema
+    declared = SCHEMAS[name]
+
+    def norm(t: str) -> str:
+        # fixtures store naive timestamps (isAdjustedToUTC=false), which
+        # infer as timestamp_ntz; with the session pinned to UTC they are
+        # value-identical to TimestampType, so treat them as equal here.
+        return "timestamp" if t == "timestamp_ntz" else t
+
+    got = [(f.name, norm(f.dataType.simpleString())) for f in actual.fields]
+    want = [(f.name, norm(f.dataType.simpleString())) for f in declared.fields]
+    if got != want:
+        raise ValueError(
+            f"schema drift for table {name!r} at {path}:\n"
+            f"  declared: {want}\n  footer:   {got}"
+        )
+
+
+_VERIFIED: set[str] = set()
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, verify: bool = True
+) -> DataFrame:
     """Read one fixture table with its declared schema.
 
     Passing the schema (rather than relying on footer inference) keeps
     the analyzed plan stable across data revisions and lets Catalyst
-    prune/push down against known column types.
+    prune/push down against known column types. The footer is checked
+    against the declared schema once per (path, table) per process.
     """
-    if name not in SCHEMAS:
+    if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) on disk; see _events_raw above.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if verify and path not in _VERIFIED:
+            _assert_schema(spark, path, "_events_raw")
+            _VERIFIED.add(path)
+        raw = spark.read.schema(SCHEMAS["_events_raw"]).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if verify and path not in _VERIFIED:
+        _assert_schema(spark, path, name)
+        _VERIFIED.add(path)
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,76 @@
+"""Local replica of the driver's differential gate (SURVEY.md §5.2-5.4).
+
+For every registered query: run the Spark plan and the DuckDB oracle
+at sf0.01 and compare row count, sorted column names, and the full
+order-insensitive multiset of canonicalized values. Rows-only queries
+(oracle=None) are checked for successful execution and sane shape.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from pydra_map_reduce_spark.plans import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def canon_val(v):
+    """Canonicalize a cell so Spark and DuckDB values compare equal."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        # collapse ulp-level diffs that survive in-query round()
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_val(x) for x in v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if hasattr(v, "item"):  # numpy scalar
+        return canon_val(v.item())
+    return v
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_val(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+_ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", _ORACLE)
+def test_differential(name, spark, duck):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(q.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    sc, dc = canon_rows(scols, srows), canon_rows(dcols, drows)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only(name, spark):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, SF_DIR)
+    rows = sdf.collect()
+    assert rows is not None
+    assert len(sdf.columns) > 0
