@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "headline_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution uses the `noop` sink so timings measure the full distributed
+plan without driver-side materialization. The headline set covers every
+operator family: scan+agg, shuffles, broadcast joins, windows,
+event-time, text/dedup/vector ops, and the Arrow escape hatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pydra_map_reduce_spark.plans import REGISTRY  # noqa: E402
+from pydra_map_reduce_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",       # scan → filter → hash agg (Q1 shape)
+    "join_inner",            # fact⋈dim shuffle join + agg
+    "join_broadcast_dims",   # star chain, broadcast map-side join
+    "join_asof",             # key join + time predicate + window
+    "pergroup_topk",         # window rank-filter (secondary sort)
+    "window_running_sum",    # running frame agg
+    "tumbling_window",       # event-time window agg
+    "sessionization",        # lag-gap-cumsum, two window passes
+    "word_count",            # MR flagship
+    "tf_idf",                # two-level agg + broadcast join
+    "exact_dedup",           # content-hash groupBy
+    "ngram_jaccard_neardup", # inverted-index candidate join
+    "minhash_lsh_neardup",   # minhash → band join → rescore
+    "cosine_topk",           # brute-force vector top-k
+    "allpairs_similarity",   # threshold similarity join
+    "label_centroids",       # posexplode agg
+    "json_extract",          # JSON field agg
+    "mr_flatmap",            # Arrow-batched Python hatch
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="pydra-bench")
+
+    # warm the JVM/codegen path once so timings reflect steady state
+    REGISTRY["pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

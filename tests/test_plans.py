@@ -1,0 +1,82 @@
+"""Physical-plan assertions — the 100 TB posture checks (SURVEY.md §4).
+
+These lock in the *plan shape*, not just the answer: broadcast joins
+stay broadcast, filters stay pushed to the parquet scan, projections
+prune columns, and top-k never global-sorts. A regression here is a
+performance bug even when correctness still passes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pydra_map_reduce_spark.plans import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dim_joins_broadcast(spark):
+    """customer→nation→region must be two BroadcastHashJoins (the
+    fact side never shuffles for the join)."""
+    df = REGISTRY["join_broadcast_dims"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = REGISTRY["filter_predicates"].fn(spark, SF_DIR)
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan
+    # every conjunct should push: status IN, totalprice bounds, LIKE-contains
+    for frag in ["In(o_orderstatus", "GreaterThanOrEqual(o_totalprice", "StringContains(o_orderpriority"]:
+        assert frag in plan, f"missing pushed filter {frag}\n{plan}"
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not read the other lineitem columns."""
+    df = REGISTRY["pricing_summary"].fn(spark, SF_DIR)
+    plan = _formatted(df)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_partkey" not in scan and "l_suppkey" not in scan, scan
+
+
+def test_topk_uses_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-
+    partition heaps), not a global Sort + Limit."""
+    df = REGISTRY["top_k"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pergroup_topk_group_limit(spark):
+    """rank<=k filter should trigger WindowGroupLimit so only k rows
+    per key survive the exchange."""
+    df = REGISTRY["pergroup_topk"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_wordcount_partial_agg(spark):
+    """The word-count agg must be partial+final (map-side combine)."""
+    df = REGISTRY["word_count"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_lexicon_join_broadcast(spark):
+    df = REGISTRY["sentiment_lexicon"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan, plan
