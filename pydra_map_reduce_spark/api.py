@@ -1,0 +1,158 @@
+"""Pipeline — the map-reduce user API, Spark-first. SURVEY.md §2.10.
+
+A fluent, mrjob-style surface over DataFrames: ``map`` / ``flat_map``
+/ ``filter`` / ``reduce_by_key`` / ``join`` / ``sort`` / ``top_k``.
+Two tiers per operation, in strict preference order:
+
+1. **Column expressions** (the default): stay in Catalyst/codegen —
+   pushdown, pruning and partial aggregation all apply.
+2. **Python callables** (the escape hatch): Arrow-batched
+   ``mapInPandas`` / ``applyInPandas`` over pandas DataFrames — never
+   row-at-a-time pickled UDFs.
+
+The pipeline itself is lazy: every method returns a new Pipeline
+wrapping an unexecuted DataFrame, so Catalyst optimizes the whole
+chain as one plan. Nothing here collects to the driver.
+
+Example (word count, both tiers)::
+
+    # expression tier — preferred
+    Pipeline.read_parquet(spark, path).flat_map_expr(
+        F.explode(F.split("text", " ")).alias("word")
+    ).reduce_by_key(["word"], n=F.count(F.lit(1)))
+
+    # python tier — arbitrary logic
+    Pipeline.read_parquet(spark, path).flat_map(
+        lambda pdf: pd.DataFrame({"word": pdf["text"].str.split(" ").explode()}),
+        "word string",
+    ).reduce_by_key(["word"], n=F.count(F.lit(1)))
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BatchFn = Callable[[pd.DataFrame], pd.DataFrame]
+
+
+def _batched(fn: BatchFn) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fn(pdf)
+
+    return run
+
+
+class Pipeline:
+    """A lazy map-reduce pipeline over one DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # ---- sources -------------------------------------------------
+
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str) -> "Pipeline":
+        return cls(spark.read.parquet(path))
+
+    @classmethod
+    def from_rows(cls, spark: SparkSession, rows: list, schema: str) -> "Pipeline":
+        return cls(spark.createDataFrame(rows, schema))
+
+    # ---- map tier ------------------------------------------------
+
+    def select(self, *cols: str | Column) -> "Pipeline":
+        return Pipeline(self.df.select(*cols))
+
+    def with_column(self, name: str, expr: Column) -> "Pipeline":
+        return Pipeline(self.df.withColumn(name, expr))
+
+    def filter(self, predicate: Column | str) -> "Pipeline":
+        return Pipeline(self.df.filter(predicate))
+
+    def map(self, fn: BatchFn, output_schema: str) -> "Pipeline":
+        """Arbitrary per-batch transform (1 row → 1 row expected but
+        not enforced). Arrow-batched; prefer select() when the logic
+        is expressible as columns."""
+        return Pipeline(self.df.mapInPandas(_batched(fn), output_schema))
+
+    def flat_map(self, fn: BatchFn, output_schema: str) -> "Pipeline":
+        """Arbitrary 1 → many transform (same machinery as map; the
+        separate name mirrors the classic MR surface)."""
+        return Pipeline(self.df.mapInPandas(_batched(fn), output_schema))
+
+    def flat_map_expr(self, *exploded: Column) -> "Pipeline":
+        """Expression-tier flatMap: explode() columns, stays JVM-side."""
+        return Pipeline(self.df.select(*exploded))
+
+    def map_partitions(
+        self,
+        fn: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]],
+        output_schema: str,
+    ) -> "Pipeline":
+        """Partition-wise mapper (sees every batch of one partition) —
+        for partial aggregation / stateful per-split logic."""
+        return Pipeline(self.df.mapInPandas(fn, output_schema))
+
+    # ---- reduce tier ---------------------------------------------
+
+    def reduce_by_key(self, keys: list[str], **aggs: Column) -> "Pipeline":
+        """Built-in aggregation: partial (map-side combine) + final
+        automatically — this IS the MR combiner, for free."""
+        named = [expr.alias(name) for name, expr in aggs.items()]
+        return Pipeline(self.df.groupBy(*keys).agg(*named))
+
+    def reduce_by_key_py(
+        self, keys: list[str], fn: Callable[[pd.DataFrame], pd.DataFrame], output_schema: str
+    ) -> "Pipeline":
+        """Arbitrary per-key reducer via applyInPandas. Scale caveat
+        (inherent to the API): one key's rows must fit one worker —
+        use reduce_by_key for unbounded keys."""
+        return Pipeline(self.df.groupBy(*keys).applyInPandas(fn, output_schema))
+
+    def distinct(self) -> "Pipeline":
+        return Pipeline(self.df.distinct())
+
+    # ---- combine tier --------------------------------------------
+
+    def join(
+        self, other: "Pipeline | DataFrame", on: Any, how: str = "inner", *, broadcast: bool = False
+    ) -> "Pipeline":
+        right = other.df if isinstance(other, Pipeline) else other
+        if broadcast:
+            right = F.broadcast(right)
+        return Pipeline(self.df.join(right, on, how))
+
+    def union(self, other: "Pipeline | DataFrame") -> "Pipeline":
+        right = other.df if isinstance(other, Pipeline) else other
+        return Pipeline(self.df.unionByName(right))
+
+    # ---- order / take --------------------------------------------
+
+    def sort(self, *cols: str | Column) -> "Pipeline":
+        return Pipeline(self.df.orderBy(*cols))
+
+    def top_k(self, k: int, *order_cols: str | Column) -> "Pipeline":
+        """orderBy+limit → TakeOrderedAndProject (per-partition heaps,
+        no global sort shuffle)."""
+        return Pipeline(self.df.orderBy(*order_cols).limit(k))
+
+    def limit(self, n: int) -> "Pipeline":
+        return Pipeline(self.df.limit(n))
+
+    # ---- sinks ---------------------------------------------------
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    def write_parquet(self, path: str, *, partition_by: list[str] | None = None) -> None:
+        w = self.df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)

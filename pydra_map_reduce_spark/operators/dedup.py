@@ -1,0 +1,201 @@
+"""Generic deduplication operators (schema-agnostic).
+
+Design rule for 100 TB: never form all pairs. Candidates always come
+from an inverted index (shared shingle / band signature / simhash
+chunk); only candidates are rescored exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash family h_i(x) = (a_i*x + b_i) mod p over 32-bit shingle ids.
+_P = 4_294_967_311  # smallest prime > 2^32
+_A = [2 * i + 1 for i in range(1, 129)]
+_B = [i * i + 7 for i in range(1, 129)]
+
+
+def tokens(col: str | Column, sep: str = " ") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, sep)
+
+
+def shingles(col: str | Column, n: int = 3, sep: str = " ") -> Column:
+    """Distinct word n-gram shingles of a text column (empty array for
+    texts shorter than n tokens — F.sequence would otherwise count
+    backwards)."""
+    toks = tokens(col, sep)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(content_hash, keep_id, n_copies): hash-groupBy, min-id survivor.
+
+    One shuffle carrying (hash, id) only — never the payload."""
+    return (
+        df.select(F.md5(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.03
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs sharing ≥1 n-gram shingle.
+
+    The shared-shingle equi-join count IS the intersection size
+    (shingle arrays are distinct), so no per-pair array math; work is
+    Σ_bucket |bucket|², not n². Shingles join on xxhash64 ids (cheaper
+    shuffle than strings, collision-free in practice)."""
+    sh = df.select(F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("sh"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("s")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard≥threshold) via shingle→minhash→band→
+    bucket-join→exact-rescore. bands/rows tune the S-curve: 8 bands ×
+    4 rows catches J≳0.85 with high probability.
+
+    Signatures hash xxhash64(shingle) mod 2^32 through the fixed
+    (a_i·x+b_i) mod p family — deterministic across runs/engines."""
+    if n_hashes % bands:
+        raise ValueError("n_hashes must be divisible by bands")
+    rows = n_hashes // bands
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, shingle_n)).alias("s")).select(
+        "doc_id", F.pmod(F.xxhash64("s"), F.lit(2**32)).alias("tid")
+    )
+    sig_cols = [
+        F.min((F.lit(_A[i]) * F.col("tid") + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = tok.groupBy("doc_id").agg(*sig_cols)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("_", *[f"h{bi * rows + r}" for r in range(rows)]).alias("sig"),
+        )
+        for bi in range(bands)
+    ]
+    bnd = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "doc_id", "bs.band", "bs.sig"
+    )
+    a, b = bnd.alias("a"), bnd.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shsets = df.select(
+        F.col(id_col).alias("doc_id"), F.array_sort(shingles(text_col, shingle_n)).alias("ws")
+    )
+    wa, wb = shsets.alias("wa"), shsets.alias("wb")
+    inter = F.size(F.array_intersect(F.col("wa.ws"), F.col("wb.ws"))).cast("double")
+    union = F.size(F.col("wa.ws")) + F.size(F.col("wb.ws")) - inter
+    return (
+        cand.join(wa, F.col("doc_a") == F.col("wa.doc_id"))
+        .join(wb, F.col("doc_b") == F.col("wb.doc_id"))
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming≤max) via 32-bit SimHash, 4-chunk banding.
+
+    Pigeonhole: hamming ≤ 3 over 4 chunks ⇒ at least one chunk equal,
+    so the chunk-equality join finds every qualifying pair."""
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("tid", F.crc32("word"))
+    )
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright("tid", b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
+                -F.col("w")
+            )
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_cols)
+    simhash = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(32)),
+        F.lit(0).cast("bigint"),
+    )
+    sh = agg.select("doc_id", simhash.alias("simhash"))
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright("simhash", 8 * c).bitwiseAND(F.lit(255)).alias("val"),
+        )
+        for c in range(4)
+    ]
+    chunks = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("cv")
+    ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

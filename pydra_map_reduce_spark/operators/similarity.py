@@ -1,0 +1,125 @@
+"""Generic vector-similarity operators (schema-agnostic).
+
+Cosine math stays JVM-side. The flat-column trick matters: inside an
+O(n²) join, per-pair array access falls out of whole-stage codegen;
+64 primitive double columns keep it in (measured ~7× at 2M pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (bit-identical to a SQL oracle that
+    also folds left-to-right)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _flatten(df: DataFrame, id_col: str, vec_col: str, dim: int, prefix: str) -> DataFrame:
+    e = df.select(F.col(id_col).alias(f"{prefix}id"), as_double(vec_col).alias("_v"))
+    return e.select(
+        f"{prefix}id",
+        F.sqrt(dot(F.col("_v"), F.col("_v"))).alias(f"{prefix}norm"),
+        *[F.element_at("_v", i + 1).alias(f"{prefix}{i}") for i in range(dim)],
+    )
+
+
+def _flat_cosine(prefix_a: str, prefix_b: str, dim: int) -> Column:
+    terms = [F.col(f"{prefix_a}{i}") * F.col(f"{prefix_b}{i}") for i in range(dim)]
+    d = terms[0]
+    for t in terms[1:]:
+        d = d + t
+    return d / (F.col(f"{prefix_a}norm") * F.col(f"{prefix_b}norm"))
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_id: int, k: int = 10
+) -> DataFrame:
+    """Brute-force top-k neighbors of one stored vector: broadcast the
+    1-row query side; TakeOrdered per-partition heaps, no global sort."""
+    e = df.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("emb"))
+    q = e.filter(F.col("vec_id") == query_id).select(F.col("emb").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("emb"), F.col("qv")).alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+def allpairs_cosine(
+    df: DataFrame, id_col: str, vec_col: str, *, dim: int, threshold: float
+) -> DataFrame:
+    """Exact all-pairs ≥ threshold with flat-column codegen dot.
+
+    Exact baseline for thresholded similarity joins; at 100 TB feed
+    the same rescore from LSH-bucket candidates instead of the n²
+    generator."""
+    spark = df.sparkSession
+    ncores = spark.sparkContext.defaultParallelism
+    a = _flatten(df, id_col, vec_col, dim, "a").repartition(ncores)
+    b = _flatten(df, id_col, vec_col, dim, "b")
+    cos = _flat_cosine("a", "b", dim)
+    return (
+        a.join(b, F.col("aid") < F.col("bid"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= threshold)
+        .select(
+            F.col("aid").alias("id_a"),
+            F.col("bid").alias("id_b"),
+            F.round("cos_raw", 4).alias("cos"),
+        )
+    )
+
+
+def signbit_lsh_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_id: int, *, bits: int = 4, k: int = 5
+) -> DataFrame:
+    """ANN: sign-bit (hyperplane) bucket on the first `bits` dims, then
+    exact cosine rescore inside the query's bucket (~n/2^bits
+    candidates)."""
+    vec = F.col("_v")
+    bucket = sum(
+        (
+            F.when(vec.getItem(i) > 0, F.lit(1 << (bits - 1 - i))).otherwise(F.lit(0))
+            for i in range(bits)
+        ),
+        F.lit(0),
+    )
+    sig = df.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
+    ).select("vec_id", F.col("_v").alias("emb"), bucket.alias("bucket"))
+    q = sig.filter(F.col("vec_id") == query_id).select(
+        F.col("emb").alias("qv"), F.col("bucket").alias("qb")
+    )
+    return (
+        sig.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != query_id))
+        .select("vec_id", cosine(F.col("emb"), F.col("qv")).alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+def group_centroids(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
+    """Per-group per-dimension centroid via posexplode: shuffles
+    (group, dim, partial-sum), never whole vectors."""
+    return (
+        df.select(F.col(group_col).alias("label"), F.posexplode(as_double(vec_col)).alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"), F.count(F.lit(1)).alias("n_vecs"))
+    )

@@ -1,0 +1,80 @@
+"""Generic text-analysis operators (schema-agnostic)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+
+def word_count(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) — explode+groupBy with automatic map-side combine."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, word, tf, tfidf) with idf = ln(N/df).
+
+    DF is vocab-sized → broadcast; N is a 1-row broadcast cross join
+    (never a driver collect)."""
+    words = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("word")).filter(
+        F.col("word") != ""
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+def stopword_ratio(text_col: str | Column, stopwords: tuple[str, ...] = ("the", "a")) -> Column:
+    toks = tokens(text_col)
+    return F.size(F.filter(toks, lambda w: w.isin(*stopwords))).cast("double") / F.size(toks)
+
+
+def quality_features(
+    df: DataFrame, id_col: str, text_col: str, chars_col: str
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len, stop_ratio, quality∈[0,1]) —
+    pure column math, vectorized end-to-end."""
+    toks = tokens(text_col)
+    ntok = F.size(toks).cast("double")
+    avg_len = (F.col(chars_col) - ntok + 1.0) / ntok
+    stop = stopword_ratio(text_col)
+    quality = F.least(F.lit(1.0), F.greatest(F.lit(0.0), 0.2 + 0.12 * avg_len - 0.5 * stop))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop, 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def bpe_token_count(text_col: str | Column, chars_per_token: int = 4) -> Column:
+    """BPE-proxy token count: Σ ceil(len(word)/chars_per_token)."""
+    return F.aggregate(
+        F.transform(tokens(text_col), lambda w: F.ceil(F.length(w) / float(chars_per_token))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def content_fingerprint(text_col: str | Column) -> Column:
+    """Whitespace-normalized md5 content fingerprint."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.regexp_replace(c, " ", ""))

@@ -10,8 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from ..operators import sessions as sessions_ops
 from ..sources.tables import load_table
 from .registry import query
 
@@ -92,29 +92,17 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="2.9 session window (gap-based sessionization, batch form)",
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap>30min ⇒ new session. lag-gap-cumsum: two window passes over
-    one user_id shuffle, then a keyed agg — no iterative driver logic.
-    Comparisons use exact epoch microseconds so the boundary rule is
-    bit-identical to the oracle."""
+    """Gap>30min ⇒ new session, via operators.sessions.sessionize
+    (lag-gap-cumsum over one user_id shuffle; exact epoch-microsecond
+    gap rule, bit-identical to the oracle)."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    us = F.unix_micros("ts")
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
-    flagged = e.withColumn(
-        "new_sess",
-        F.when(prev_us.isNull() | ((us - prev_us) > _GAP_US), 1).otherwise(0),
-    )
-    numbered = flagged.withColumn("sess_id", F.sum("new_sess").over(wrun).cast("bigint"))
-    return numbered.groupBy("user_id", "sess_id").agg(
-        F.min("ts").alias("sess_start"),
-        F.max("ts").alias("sess_end"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+    return sessions_ops.sessionize(
+        e,
+        "user_id",
+        "ts",
+        "event_id",
+        gap_minutes=30,
+        agg_cols={"sum_value": F.round(F.sum("value"), 2)},
     )
 
 
@@ -137,25 +125,8 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="2.9 funnel / per-user ordered pattern (view→purchase)",
 )
 def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """view→purchase conversion: strictly-after ordering per user.
-    Two keyed aggs + one key join — all shuffles on user_id, so at
-    scale they share a single exchange under AQE."""
+    """view→purchase conversion via operators.sessions.funnel
+    (strictly-after ordering; all shuffles on user_id, shared
+    exchange under AQE)."""
     e = load_table(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("first_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
-    return v.join(p, "user_id", "left").select(
-        "user_id",
-        "first_view",
-        "first_purchase",
-        F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0).alias("converted"),
-    )
+    return sessions_ops.funnel(e, "user_id", "ts", "event_type", "view", "purchase")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import textops
 from ..sources.tables import load_table
 from .registry import query
 
@@ -43,13 +44,7 @@ _LEXICON_SQL = ", ".join(f"('{w}', {s})" for w, s in _LEXICON)
 def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode(split) → groupBy(word).count — partial aggregation on
     the map side means only (word, partial_n) pairs shuffle."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(_tokens()).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return textops.word_count(load_table(spark, sf_dir, "documents"), "text")
 
 
 @query(
@@ -98,21 +93,7 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF per (doc,term), DF per term, idf = ln(N/df). The DF side is
     tiny (vocab-sized) → broadcast back onto TF; N is a 1-row broadcast
     cross join, never a collect."""
-    d = load_table(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(_tokens()).alias("word")).filter(F.col("word") != "")
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        tf.join(F.broadcast(df), "word")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "word",
-            F.col("tf").cast("bigint").alias("tf"),
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
-        )
-    )
+    return textops.tf_idf(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(
@@ -204,19 +185,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic doc-quality: mean token length up, stopword ratio
     down, clipped to [0,1]. Pure column math — vectorized end-to-end."""
-    d = load_table(spark, sf_dir, "documents")
-    ntok = F.size(_tokens()).cast("double")
-    avg_len = (F.col("n_chars") - ntok + 1.0) / ntok
-    stop = F.size(F.filter(_tokens(), lambda w: w.isin("the", "a"))).cast("double") / ntok
-    quality = F.least(
-        F.lit(1.0), F.greatest(F.lit(0.0), 0.2 + 0.12 * avg_len - 0.5 * stop)
-    )
-    return d.select(
-        "doc_id",
-        F.size(_tokens()).cast("bigint").alias("n_tokens"),
-        F.round(avg_len, 4).alias("avg_token_len"),
-        F.round(stop, 4).alias("stop_ratio"),
-        F.round(quality, 4).alias("quality"),
+    return textops.quality_features(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", "n_chars"
     )
 
 
@@ -235,15 +205,10 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens plus a BPE-proxy count (≈1 subword per 4
     chars) — the standard pre-training corpus sizing pass."""
     d = load_table(spark, sf_dir, "documents")
-    bpe = F.aggregate(
-        F.transform(_tokens(), lambda w: F.ceil(F.length(w) / 4.0)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
     return d.select(
         "doc_id",
-        F.size(_tokens()).cast("bigint").alias("n_ws_tokens"),
-        bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.size(textops.tokens("text")).cast("bigint").alias("n_ws_tokens"),
+        textops.bpe_token_count("text").cast("bigint").alias("n_bpe_tokens"),
     )
 
 
@@ -262,7 +227,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-normalized md5 content fingerprint; distinct-count
     per source spots intra-source duplication."""
     d = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace("text", " ", ""))
+    fp = textops.content_fingerprint("text")
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(fp).alias("n_fingerprints"),

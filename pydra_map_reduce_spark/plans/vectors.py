@@ -1,48 +1,16 @@
-"""Vector/embedding operators over `embeddings`. SURVEY.md §2.11.
+"""Graded vector queries over `embeddings`. SURVEY.md §2.11.
 
-Cosine math is built from JVM-side higher-order functions
-(zip_with + aggregate) — no Python UDF, no collect. The brute-force
-forms are the oracle-checkable baselines; the LSH-bucketed form is the
-100 TB path (candidates from sign-bit buckets, exact rescore inside).
+Thin fixture bindings over ``pydra_map_reduce_spark.operators.similarity``;
+oracles (DuckDB list_cosine_similarity) live here.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
+from ..operators import similarity as ops
 from ..sources.tables import load_table
 from .registry import query
-
-
-def _dbl(c: str | Column) -> Column:
-    col = F.col(c) if isinstance(c, str) else c
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-
-
-def _cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
-
-
-def _dot_unrolled(a: Column, b: Column, dim: int = 64) -> Column:
-    """Dot product as a flat 64-term codegen expression.
-
-    zip_with+aggregate allocates an intermediate array per evaluated
-    pair — fatal inside an O(n²) similarity join. Unrolling keeps the
-    whole product inside one whole-stage-codegen expression with zero
-    allocation (~30× faster at 4M pairs). Summation order matches the
-    sequential fold, so values stay bit-identical to the oracle."""
-    terms = [
-        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
 
 
 @query(
@@ -59,20 +27,8 @@ def _dot_unrolled(a: Column, b: Column, dim: int = 64) -> Column:
     section="2.11 cosine top-k similarity search (brute-force baseline)",
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 neighbors of the vec_id=0 query vector. The 1-row query
-    side is broadcast; orderBy+limit compiles to TakeOrdered (per-
-    partition heap), so brute force scans once with no global sort —
-    the honest baseline ANN variants are judged against."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(_dbl("embedding").alias("qv"))
-    cos = _cosine(_dbl("embedding"), F.col("qv"))
-    return (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", cos.alias("cos_raw"))
-        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-        .limit(10)
-        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    return ops.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_id=0, k=10
     )
 
 
@@ -89,48 +45,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="2.11 all-pairs similarity join (threshold 0.4)",
 )
 def allpairs_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs ≥ 0.4. Norms are precomputed once per vector
-    (2n sqrt ops instead of 2·n² inside the join) and the per-pair dot
-    is a flat unrolled codegen expression. At 100 TB swap the
-    candidate generator for the LSH buckets of ann_lsh_topk (same
-    rescore expression) — see SURVEY §2.11."""
-    dim = 64
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _dbl("embedding").alias("emb")
-    )
-    # Flatten each vector into 64 primitive double columns: the n²
-    # inner loop then runs entirely on flat doubles in whole-stage
-    # codegen — no per-pair array materialization or element_at
-    # bounds-checking (measured 61 s → 8.5 s at sf0.1, 2M pairs).
-    e = e.select(
-        "vec_id",
-        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("norm"),
-        *[F.element_at("emb", i + 1).alias(f"x{i}") for i in range(dim)],
-    )
-    # the fixture is one parquet file -> one input partition; the
-    # streamed side of the nested-loop join sets the parallelism, so
-    # spread it across the cluster before fanning out n² work
-    ncores = spark.sparkContext.defaultParallelism
-    a = e.repartition(ncores).select(
-        F.col("vec_id").alias("id_a"),
-        F.col("norm").alias("na"),
-        *[F.col(f"x{i}").alias(f"a{i}") for i in range(dim)],
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("norm").alias("nb"),
-        *[F.col(f"x{i}").alias(f"b{i}") for i in range(dim)],
-    )
-    terms = [F.col(f"a{i}") * F.col(f"b{i}") for i in range(dim)]
-    dot = terms[0]
-    for t in terms[1:]:
-        dot = dot + t
-    cos = dot / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.4)
-        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+    return ops.allpairs_cosine(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64, threshold=0.4
     )
 
 
@@ -155,30 +71,8 @@ def allpairs_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="2.11 ANN: LSH sign-bit buckets + exact rescore",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-bit (hyperplane) LSH: 4-bit bucket from the signs of the
-    first 4 dims; only the query's bucket (~1/16 of data) is rescored
-    exactly. This is the scale path for similarity search — candidate
-    set shrinks 2^bits-fold while the rescore stays exact."""
-    e = load_table(spark, sf_dir, "embeddings")
-    bucket = sum(
-        (
-            F.when(F.col("embedding").getItem(i) > 0, F.lit(1 << (3 - i))).otherwise(F.lit(0))
-            for i in range(4)
-        ),
-        F.lit(0),
-    )
-    sig = e.select("vec_id", _dbl("embedding").alias("emb"), bucket.alias("bucket"))
-    q = sig.filter(F.col("vec_id") == 0).select(
-        F.col("emb").alias("qv"), F.col("bucket").alias("qb")
-    )
-    cos = _cosine(F.col("emb"), F.col("qv"))
-    return (
-        sig.crossJoin(F.broadcast(q))
-        .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != 0))
-        .select("vec_id", cos.alias("cos_raw"))
-        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-        .limit(5)
-        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    return ops.signbit_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_id=0, bits=4, k=5
     )
 
 
@@ -200,11 +94,4 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="2.11 label/cluster stats (per-dim centroids)",
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid, one row per (label, dim) via posexplode —
-    shuffles (label, dim, partial-sum) only, never whole vectors."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return (
-        e.select("label", F.posexplode(_dbl("embedding")).alias("pos", "v"))
-        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
-        .agg(F.round(F.avg("v"), 6).alias("centroid_v"), F.count(F.lit(1)).alias("n_vecs"))
-    )
+    return ops.group_centroids(load_table(spark, sf_dir, "embeddings"), "label", "embedding")

@@ -1,0 +1,99 @@
+"""Pipeline (map-reduce API) differential tests vs DuckDB."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pydra_map_reduce_spark.api import Pipeline
+
+from .conftest import SF_DIR
+
+
+def _check(duck, sql, df):
+    srows = sorted([tuple(r) for r in df.collect()], key=repr)
+    drows = sorted(duck.execute(sql).fetchall(), key=repr)
+    assert srows == drows, f"{srows[:3]} != {drows[:3]}"
+
+
+def test_wordcount_expr_tier(spark, duck):
+    p = (
+        Pipeline.read_parquet(spark, f"{SF_DIR}/documents.parquet")
+        .flat_map_expr(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .reduce_by_key(["word"], n=F.count(F.lit(1)))
+    )
+    _check(
+        duck,
+        """SELECT word, count(*) AS n
+           FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+           WHERE word <> '' GROUP BY word""",
+        p.to_df(),
+    )
+
+
+def test_wordcount_python_tier(spark, duck):
+    def tokenize(pdf: pd.DataFrame) -> pd.DataFrame:
+        words = pdf["text"].str.split(" ").explode()
+        return pd.DataFrame({"word": words[words != ""]})
+
+    p = (
+        Pipeline.read_parquet(spark, f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .flat_map(tokenize, "word string")
+        .reduce_by_key(["word"], n=F.count(F.lit(1)))
+    )
+    _check(
+        duck,
+        """SELECT word, count(*) AS n
+           FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+           WHERE word <> '' GROUP BY word""",
+        p.to_df(),
+    )
+
+
+def test_join_topk(spark, duck):
+    orders = Pipeline.read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    cust = Pipeline.read_parquet(spark, f"{SF_DIR}/customer.parquet")
+    p = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"), broadcast=True)
+        .reduce_by_key(["c_mktsegment"], spend=F.round(F.sum("o_totalprice"), 2))
+        .top_k(3, F.col("spend").desc())
+    )
+    _check(
+        duck,
+        """SELECT c_mktsegment, round(sum(o_totalprice),2) AS spend
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment ORDER BY spend DESC LIMIT 3""",
+        p.to_df(),
+    )
+
+
+def test_reduce_by_key_py(spark, duck):
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"]
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "wavg": [round((q * pdf["l_extendedprice"]).sum() / q.sum(), 4)],
+            }
+        )
+
+    p = (
+        Pipeline.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .reduce_by_key_py(["l_returnflag"], weighted, "l_returnflag string, wavg double")
+    )
+    _check(
+        duck,
+        """SELECT l_returnflag, round(sum(l_quantity*l_extendedprice)/sum(l_quantity),4) AS wavg
+           FROM lineitem GROUP BY l_returnflag""",
+        p.to_df(),
+    )
+
+
+def test_from_rows_union_distinct(spark):
+    a = Pipeline.from_rows(spark, [("x", 1), ("y", 2)], "k string, v int")
+    b = Pipeline.from_rows(spark, [("x", 1), ("z", 3)], "k string, v int")
+    out = a.union(b).distinct().sort("k").to_df().collect()
+    assert [tuple(r) for r in out] == [("x", 1), ("y", 2), ("z", 3)]
