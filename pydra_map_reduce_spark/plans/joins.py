@@ -266,3 +266,77 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_event_type"),
         )
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    section="2.3 skew-mitigated (salted) join — same result as plain join",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual key salting: the fact side gets a deterministic salt in
+    [0,8), the dim side is exploded across all salts, and the join key
+    becomes (key, salt) — one hot key spreads over 8 reducers. AQE's
+    skew-join split usually makes this unnecessary; the operator is
+    here for the cases AQE can't see (e.g. skew created mid-stage).
+    The oracle is the PLAIN join — salting must not change results."""
+    n_salt = 8
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt))
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        o.join(c.hint("shuffle_hash"), (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle=None,  # rows-only: result checked vs join_inner's oracle shape;
+    # the point is the PLAN (no shuffle), asserted in tests/test_plans.py
+    section="2.3 bucketed co-located join (shuffle-free fact join)",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write both sides bucketed by the join key, then join the bucketed
+    tables: Spark aligns buckets and the join runs with NO exchange —
+    the pattern that turns a recurring 100 TB fact-fact join from a
+    full shuffle into a local merge. (Bucketed tables need the table
+    catalog, hence saveAsTable with explicit paths under /tmp.)"""
+    import tempfile
+
+    base = tempfile.gettempdir()
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"bkt_{tbl}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, tbl)
+            .write.mode("overwrite")
+            .option("path", f"{base}/pydra_bucketed/{tbl}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o = spark.table("bkt_orders")
+    c = spark.table("bkt_customer")
+    # force SortMergeJoin (the small side would otherwise broadcast at
+    # test scale) — at 100 TB both sides are fact-sized and SMJ over
+    # aligned buckets IS the plan; this keeps the test honest.
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -187,3 +187,38 @@ def mr_partition_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("partial_qty"), 2).alias("total_qty"),
         F.sum("partial_n").cast("bigint").alias("total_rows"),
     )
+
+
+@query(
+    "udtf_lateral",
+    oracle="""
+    SELECT doc_id,
+           CAST(idx AS INT)  AS idx,
+           tokens[idx]       AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         (SELECT unnest(generate_series(1, 3)) AS idx)
+    WHERE doc_id < 100 AND idx <= len(tokens)
+    """,
+    section="2.10 Python UDTF (Spark 4 @udtf, LATERAL table function)",
+)
+def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Python UDTF (not mapInPandas): declared return schema,
+    registered as a table function, invoked with LATERAL per input
+    row. First 3 tokens per doc."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, token string")
+    class TokenExpand:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split(" ")[:3], start=1):
+                yield (i, tok)
+
+    spark.udtf.register("token_expand", TokenExpand)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT doc_id, t.idx, t.token
+        FROM udtf_docs_v, LATERAL token_expand(doc_id, text) t
+        """
+    )

@@ -375,3 +375,44 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
     )
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    section="2.4 grouping sets (explicit)",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (distinct from
+    rollup/cube): one shuffle, expand-based physical plan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "approx_percentile",
+    oracle=None,  # sketch-based estimate is engine-specific -> rows-only
+    section="2.4 approx percentile (the 100 TB path for quantiles)",
+)
+def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch — mergeable, single-pass, bounded
+    memory; the scale path where exact median would need a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2
+        ).alias("approx_median_price"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)), 2
+        ).alias("approx_p99_price"),
+    )

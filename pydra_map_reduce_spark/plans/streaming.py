@@ -119,3 +119,42 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_ids"),
     )
+
+
+@query(
+    "streaming_parquet_sink",
+    oracle=None,  # rows-only: file sink + checkpoint lifecycle
+    section="2.1 streaming sink (parquet + checkpoint, exactly-once files)",
+)
+def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream events through a filter into a parquet file sink with a
+    checkpoint dir (the exactly-once production pattern), then read the
+    sink back as a batch table and summarize."""
+    import shutil
+
+    out_dir = os.path.join(tempfile.gettempdir(), "pydra_stream_sink", "purchases")
+    ckpt = os.path.join(tempfile.gettempdir(), "pydra_stream_sink", "ckpt")
+    shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
+    stream = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id", "value")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -138,3 +138,33 @@ def pergroup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
     )
+
+
+@query(
+    "window_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(last_value(o_totalprice) OVER w, 2)     AS last_total,
+           round(nth_value(o_totalprice, 2) OVER w, 2)   AS second_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    section="2.5 analytic: last / nth_value (full-partition frame)",
+)
+def window_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last/nth need an explicit unbounded-following frame — the
+    default frame stops at CURRENT ROW and silently returns the
+    running last, a classic correctness trap."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_total"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_total"),
+    )

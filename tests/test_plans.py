@@ -80,3 +80,24 @@ def test_lexicon_join_broadcast(spark):
     df = REGISTRY["sentiment_lexicon"].fn(spark, SF_DIR)
     plan = _executed(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Bucketed tables joined on the bucket key must not exchange —
+    the co-located fact-join pattern for recurring joins at scale."""
+    df = REGISTRY["join_bucketed"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "SortMergeJoin" in plan, plan[:3000]
+    # everything below the SMJ (its inputs) must read aligned buckets
+    # with no exchange; the only allowed Exchange is the post-join agg
+    # ABOVE the SMJ.
+    below = plan[plan.index("SortMergeJoin") :]
+    assert "Exchange hashpartitioning" not in below, below[:3000]
+    assert "Bucketed: true" in below, below[:3000]
+
+
+def test_salted_join_spreads_key(spark):
+    """Salted join: the join keys must include the salt column."""
+    df = REGISTRY["join_salted_skew"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "salt" in plan, plan[:2000]
