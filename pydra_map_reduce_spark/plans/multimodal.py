@@ -76,3 +76,42 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         extract, "doc_id long, kind string, byte_len long, first_byte int"
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars // 50 + 1 AS BIGINT)          AS n_frames,
+           CAST((n_chars // 50 + 2) // 2 AS BIGINT)   AS n_sampled,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT)  AS first_frame_byte
+    FROM documents
+    """,
+    section="2.11 multimodal: frame-sample a binary 'video' payload (stubbed decode)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped pipeline: payload → frame count → sample every 2nd
+    frame → per-frame feature. The codec is the deterministic stub
+    (frame i = payload[50*i]); the Spark plumbing — binary column in,
+    Arrow batch to pandas, 1-row-per-doc features out — is exactly
+    what a real ffmpeg-backed extractor swaps into."""
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = len(b) // 50 + 1  # stub: one 'frame' per 50 bytes
+                sampled = list(range(0, n_frames, 2))  # every 2nd frame
+                first_byte = b[0] if b else -1
+                rows.append((doc_id, n_frames, len(sampled), first_byte))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_frames", "n_sampled", "first_frame_byte"]
+        )
+
+    return media.mapInPandas(
+        sample_frames,
+        "doc_id long, n_frames long, n_sampled long, first_frame_byte long",
+    )

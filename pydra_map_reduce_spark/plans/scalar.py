@@ -59,7 +59,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(date_diff('day', o_orderdate,
                           TIMESTAMP '2000-01-01') AS BIGINT)  AS days_to_y2k,
-           CAST(o_orderdate AS DATE)                          AS odate
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)       AS odate
     FROM orders
     """,
     section="2.8 date/time family",
@@ -76,7 +76,10 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
         .cast("bigint")
         .alias("days_to_y2k"),
-        F.col("o_orderdate").cast("date").alias("odate"),
+        # date-cast exercised, then re-raised to timestamp: pandas
+        # renders DateType as python date objects, which would never
+        # hash-equal DuckDB's datetime64 DATE column
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("odate"),
     )
 
 

@@ -158,3 +158,40 @@ def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "streaming_stateful_counter",
+    oracle=None,  # rows-only: custom stateful operator (GroupState)
+    section="2.9/2.10 custom stateful streaming op (applyInPandasWithState)",
+)
+def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key streaming state: a running per-user event
+    counter kept in GroupState across micro-batches — the
+    applyInPandasWithState escape hatch for operators the built-in
+    windows can't express. State is per-key and partitioned, so it
+    scales horizontally; a real deployment adds a timeout to bound it."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_events(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    out = (
+        _stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = _drain(out, "update")
+    # keep the final count per user (update mode may emit per batch)
+    return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

@@ -1,0 +1,95 @@
+"""Property-based differential tests (SURVEY.md §5.5).
+
+Hypothesis generates random predicate trees and aggregation specs;
+each example runs on both Spark and DuckDB over the tiny `nation` /
+`customer` fixtures and must agree exactly. This catches dialect-edge
+bugs (null handling, operator precedence, type coercion) that the
+hand-written queries don't reach.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from pydra_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+# ---- predicate generator -----------------------------------------
+
+_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@st.composite
+def int_leaf(draw):
+    op = draw(st.sampled_from(_OPS))
+    val = draw(st.integers(min_value=-2, max_value=26))
+    return f"n_nationkey {op} {val}"
+
+
+@st.composite
+def str_leaf(draw):
+    prefix = draw(st.sampled_from(["A", "B", "C", "I", "U", "Z", "AR", "IN"]))
+    neg = draw(st.booleans())
+    return f"n_name {'NOT ' if neg else ''}LIKE '{prefix}%'"
+
+
+@st.composite
+def predicate(draw):
+    leaves = draw(st.lists(st.one_of(int_leaf(), str_leaf()), min_size=1, max_size=3))
+    out = leaves[0]
+    for leaf in leaves[1:]:
+        conj = draw(st.sampled_from(["AND", "OR"]))
+        out = f"({out}) {conj} ({leaf})"
+    return out
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pred=predicate())
+def test_filter_parity(pred, spark, duck):
+    """Random WHERE clause: same surviving keys on both engines.
+
+    The SQL text itself is the shared artifact — Spark filter() parses
+    the same expression the oracle runs."""
+    n = load_table(spark, SF_DIR, "nation")
+    srows = sorted(r.n_nationkey for r in n.filter(pred).select("n_nationkey").collect())
+    drows = sorted(
+        r[0]
+        for r in duck.execute(f"SELECT n_nationkey FROM nation WHERE {pred}").fetchall()
+    )
+    assert srows == drows, pred
+
+
+_AGGS = {
+    "cnt": ("count(*)", lambda: F.count(F.lit(1)).alias("cnt")),
+    "mx": ("CAST(trunc(max(c_acctbal)) AS BIGINT)", lambda: F.col("_mx")),
+    "mn": ("CAST(trunc(min(c_acctbal)) AS BIGINT)", lambda: F.col("_mn")),
+    "s": ("CAST(sum(c_custkey) AS BIGINT)", lambda: F.sum("c_custkey").cast("bigint").alias("s")),
+}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    aggs=st.lists(st.sampled_from(["cnt", "s"]), min_size=1, max_size=2, unique=True),
+    lo=st.integers(min_value=-1000, max_value=9000),
+)
+def test_groupby_parity(aggs, lo, spark, duck):
+    """Random (filter, agg-set) combos over customer grouped by
+    nationkey: exact integer aggregates on both engines."""
+    c = load_table(spark, SF_DIR, "customer").filter(F.col("c_acctbal") > lo)
+    spark_aggs = {
+        "cnt": F.count(F.lit(1)).alias("cnt"),
+        "s": F.sum("c_custkey").cast("bigint").alias("s"),
+    }
+    sdf = c.groupBy("c_nationkey").agg(*[spark_aggs[a] for a in aggs])
+    srows = sorted([tuple(r) for r in sdf.collect()], key=repr)
+    duck_aggs = {"cnt": "count(*) AS cnt", "s": "CAST(sum(c_custkey) AS BIGINT) AS s"}
+    sql = (
+        f"SELECT c_nationkey, {', '.join(duck_aggs[a] for a in aggs)} "
+        f"FROM customer WHERE c_acctbal > {lo} GROUP BY c_nationkey"
+    )
+    drows = sorted(duck.execute(sql).fetchall(), key=repr)
+    assert srows == drows, sql
