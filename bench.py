@@ -26,6 +26,9 @@ from pydra_map_reduce_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "pricing_summary",       # scan → filter → hash agg (Q1 shape)
+    "shipping_priority",     # TPC-H Q3: 3-way join + agg + top-k
+    "local_supplier_volume", # TPC-H Q5: 6-way join
+    "returned_items",        # TPC-H Q10: 4-way join top-20
     "join_inner",            # fact⋈dim shuffle join + agg
     "join_broadcast_dims",   # star chain, broadcast map-side join
     "join_asof",             # key join + time predicate + window

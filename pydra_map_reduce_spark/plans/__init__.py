@@ -8,6 +8,7 @@ registers its queries via :func:`pydra_map_reduce_spark.plans.registry.query`.
 from __future__ import annotations
 
 from . import (  # noqa: F401  (import-for-side-effect: registry population)
+    analytics,
     dedup,
     events,
     io,

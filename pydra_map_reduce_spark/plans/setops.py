@@ -64,3 +64,35 @@ def except_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == SQL EXCEPT (distinct semantics); exceptAll would keep
     # left-side multiplicity overhangs that EXCEPT must drop.
     return c.subtract(s)
+
+
+@query(
+    "intersect_all_rows",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    section="2.7 intersect all (multiset semantics)",
+)
+def intersect_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT: each value survives min(left, right) times."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@query(
+    "except_all_rows",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    section="2.7 except all (multiset semantics)",
+)
+def except_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT: left multiplicity minus right multiplicity."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)

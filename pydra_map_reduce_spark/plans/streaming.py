@@ -195,3 +195,38 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = _drain(out, "update")
     # keep the final count per user (update mode may emit per batch)
     return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "streaming_rate_source",
+    oracle=None,  # rows-only: rate source output depends on wall clock
+    section="2.1 streaming rate source (synthetic load generator)",
+)
+def streaming_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in rate source (rows/sec load generator) driven for a
+    couple of micro-batches. Output is summarized to schema-stable
+    invariants (monotone values, positive count ⇒ flags true) because
+    absolute counts depend on wall clock."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1000)
+        .option("numPartitions", 2)
+        .load()
+    )
+    name = "rate_sink_" + uuid.uuid4().hex[:8]
+    q = rate.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        import time as _t
+
+        deadline = _t.time() + 5
+        while _t.time() < deadline and spark.table(name).count() == 0:
+            _t.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    out = spark.table(name)
+    return out.agg(
+        (F.count(F.lit(1)) > 0).alias("has_rows"),
+        (F.countDistinct("value") == F.count(F.lit(1))).alias("values_unique"),
+    )
