@@ -21,10 +21,29 @@ def tokens(col: str | Column, sep: str = " ") -> Column:
     return F.split(c, sep)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least core-count partitions before CPU-heavy
+    per-document expressions (shingling, hashing).
+
+    A small corpus arrives as one parquet file = ONE partition, so
+    everything upstream of the first shuffle runs single-threaded —
+    measured 6 s single-core vs 0.3 s spread for sf0.1 shingling. On a
+    large corpus (already ≥ cores partitions) this is a no-op."""
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < ncores:
+        return df.repartition(ncores)
+    return df
+
+
 def shingles(col: str | Column, n: int = 3, sep: str = " ") -> Column:
-    """Distinct word n-gram shingles of a text column (empty array for
-    texts shorter than n tokens — F.sequence would otherwise count
-    backwards)."""
+    """Distinct word n-gram shingle ARRAY of a text column (empty array
+    for texts shorter than n tokens — F.sequence would otherwise count
+    backwards).
+
+    NOTE: fine for one-shot projections, but do NOT use inside
+    pair-generation pipelines — transform/array_distinct lambdas are
+    CodegenFallback, so split() re-evaluates per element (O(tokens²)
+    per doc, measured 6 s for 5k docs). Use shingle_rows there."""
     toks = tokens(col, sep)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = F.transform(
@@ -36,6 +55,32 @@ def shingles(col: str | Column, n: int = 3, sep: str = " ") -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, sep: str = " "
+) -> DataFrame:
+    """(doc_id, s): one row per distinct n-gram shingle, s = xxhash64.
+
+    posexplode + window lead(n-1) — every step is whole-stage codegen
+    (no higher-order-function lambdas, which run interpreted and
+    re-split the text per element). One shuffle on doc_id for the
+    window; the downstream inverted-index join re-shuffles on s anyway,
+    so this adds no net exchange at scale."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col, sep)).alias("pos", "w"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    parts = ["w"] + [F.lead("w", k).over(wdoc) for k in range(1, n)]
+    gram = toks.select(
+        "doc_id",
+        F.concat_ws(sep, *parts).alias("shingle"),
+        F.lead("w", n - 1).over(wdoc).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return gram.select("doc_id", F.xxhash64("shingle").alias("s")).distinct()
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -61,11 +106,12 @@ def ngram_jaccard_pairs(
     (shingle arrays are distinct), so no per-pair array math; work is
     Σ_bucket |bucket|², not n². Shingles join on xxhash64 ids (cheaper
     shuffle than strings, collision-free in practice)."""
-    sh = df.select(F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("sh"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("s")
-    )
+    df = _spread(df)
+    # persist: the shingle index feeds three plan branches (both join
+    # sides + sizes); without it each branch recomputes the full
+    # tokenize→window→distinct lineage
+    ex = shingle_rows(df, id_col, text_col, n).persist()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -98,12 +144,13 @@ def minhash_lsh_pairs(
 
     Signatures hash xxhash64(shingle) mod 2^32 through the fixed
     (a_i·x+b_i) mod p family — deterministic across runs/engines."""
+    df = _spread(df)
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
     rows = n_hashes // bands
-    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, shingle_n)).alias("s")).select(
-        "doc_id", F.pmod(F.xxhash64("s"), F.lit(2**32)).alias("tid")
-    )
+    # persist: reused by signatures and by the exact rescore
+    sh_rows = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    tok = sh_rows.select("doc_id", F.pmod("s", F.lit(2**32)).alias("tid"))
     sig_cols = [
         F.min((F.lit(_A[i]) * F.col("tid") + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")
         for i in range(n_hashes)
@@ -130,9 +177,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shsets = df.select(
-        F.col(id_col).alias("doc_id"), F.array_sort(shingles(text_col, shingle_n)).alias("ws")
-    )
+    # rescore on hashed-shingle sets (same intersection modulo
+    # negligible xxhash64 collisions)
+    shsets = sh_rows.groupBy("doc_id").agg(F.array_sort(F.collect_set("s")).alias("ws"))
     wa, wb = shsets.alias("wa"), shsets.alias("wb")
     inter = F.size(F.array_intersect(F.col("wa.ws"), F.col("wb.ws"))).cast("double")
     union = F.size(F.col("wa.ws")) + F.size(F.col("wb.ws")) - inter
@@ -152,6 +199,7 @@ def simhash_pairs(
 
     Pigeonhole: hamming ≤ 3 over 4 chunks ⇒ at least one chunk equal,
     so the chunk-equality join finds every qualifying pair."""
+    df = _spread(df)
     tok = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("word"))
         .groupBy("doc_id", "word")

@@ -146,3 +146,29 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "correlated_subquery",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    section="2.2/3 correlated scalar subquery (Catalyst decorrelation)",
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their nation's average balance, written as a
+    correlated scalar subquery. Catalyst decorrelates it into an
+    aggregate + join — no per-row re-execution, so the same SQL text
+    is 100 TB-safe."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_cs_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM customer_cs_v c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_cs_v c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )

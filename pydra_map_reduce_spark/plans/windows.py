@@ -170,3 +170,31 @@ def window_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("o_totalprice").over(w), 2).alias("last_total"),
         F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_total"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2)        AS near_total
+    FROM orders
+    """,
+    section="2.5 frame agg: RANGE (value-based) frame",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames bound by VALUE distance, not row count — rows with
+    o_orderkey within 1000 of the current row's key. Distinct physical
+    path from ROWS frames (no fixed-size buffer)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-1000, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_near"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("near_total"),
+    )
