@@ -145,6 +145,10 @@ def load_table(
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The caller may hand us a session we didn't build (the driver's):
+    # pin event-time semantics to UTC so timestamp literals, date_trunc
+    # and window() agree with the DuckDB oracle regardless of host TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # ts is TIMESTAMP(NANOS) on disk; see _events_raw above.
