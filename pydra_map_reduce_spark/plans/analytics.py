@@ -172,3 +172,111 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
+
+
+@query(
+    "promo_revenue",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+           round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY year(o.o_orderdate)
+    """,
+    section="2.4 TPC-H Q14 shape: conditional agg over join (promo revenue %)",
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: ratio of conditional to total aggregate — one pass, no
+    self-join; part is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), net).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(net), 4).alias("promo_pct"))
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           round(o.o_totalprice, 2)              AS total,
+           round(sum(l.l_quantity), 2)           AS qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+    section="2.3/2.4 TPC-H Q18 shape: HAVING + IN-subquery (large-volume orders)",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: IN-subquery with HAVING — Catalyst rewrites the IN to a
+    left-semi join against the pre-aggregated order quantities."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "qty",
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP)                         AS cohort_week,
+           CAST(date_diff('week', f.cohort_week,
+                          date_trunc('week', e.ts)) AS BIGINT)      AS week_offset,
+           count(DISTINCT e.user_id)                                AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY f.cohort_week, date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+    """,
+    section="2.9/2.11 cohort retention (first-seen week × week offset)",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort grid: users bucketed by first-seen week, counted
+    distinct per week offset. Two keyed aggs + one key join, all on
+    user_id/cohort keys."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    joined = e.join(firsts, "user_id")
+    week_offset = (
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+    ).cast("bigint")
+    return (
+        joined.groupBy("cohort_week", week_offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

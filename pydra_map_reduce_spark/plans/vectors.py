@@ -7,6 +7,7 @@ oracles (DuckDB list_cosine_similarity) live here.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import similarity as ops
 from ..sources.tables import load_table
@@ -95,3 +96,35 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.group_centroids(load_table(spark, sf_dir, "embeddings"), "label", "embedding")
+
+
+@query(
+    "vector_quantize",
+    oracle="""
+    SELECT vec_id,
+           [CAST(round(x * 127.0 / mx) AS INT) for x in CAST(embedding AS DOUBLE[])] AS qvec,
+           round(mx, 6) AS scale
+    FROM (
+        SELECT vec_id, embedding,
+               greatest(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'),
+                        -list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) AS mx
+        FROM embeddings
+    )
+    """,
+    section="2.11 vector quantization (symmetric int8 per-vector scale)",
+)
+def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization: per-vector absmax scale, each dim
+    mapped to round(x·127/scale). The embedding-compression pass of a
+    training-data pipeline, in pure column expressions."""
+    from ..operators.similarity import as_double
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    mx = F.greatest(F.array_max("emb"), -F.array_min("emb"))
+    qv = F.transform("emb", lambda x: F.round(x * 127.0 / F.col("scale")).cast("int"))
+    return (
+        e.withColumn("scale", mx)
+        .select("vec_id", qv.alias("qvec"), F.round("scale", 6).alias("scale"))
+    )
