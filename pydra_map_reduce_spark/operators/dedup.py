@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # MinHash family h_i(x) = (a_i*x + b_i) mod p over 32-bit shingle ids.
 _P = 4_294_967_311  # smallest prime > 2^32
@@ -33,28 +34,6 @@ def _spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < ncores:
         return df.repartition(ncores)
     return df
-
-
-def shingles(col: str | Column, n: int = 3, sep: str = " ") -> Column:
-    """Distinct word n-gram shingle ARRAY of a text column (empty array
-    for texts shorter than n tokens — F.sequence would otherwise count
-    backwards).
-
-    NOTE: fine for one-shot projections, but do NOT use inside
-    pair-generation pipelines — transform/array_distinct lambdas are
-    CodegenFallback, so split() re-evaluates per element (O(tokens²)
-    per doc, measured 6 s for 5k docs). Use shingle_rows there."""
-    toks = tokens(col, sep)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
-    )
 
 
 def shingle_rows(
@@ -86,12 +65,13 @@ def shingle_rows(
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(content_hash, keep_id, n_copies): hash-groupBy, min-id survivor.
 
-    One shuffle carrying (hash, id) only — never the payload."""
+    One shuffle carrying (hash, id) only — never the payload. keep_id
+    keeps the caller's id dtype (string uuids work as well as longs)."""
     return (
         df.select(F.md5(text_col).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
-            F.min(id_col).cast("bigint").alias("keep_id"),
+            F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
@@ -109,8 +89,10 @@ def ngram_jaccard_pairs(
     df = _spread(df)
     # persist: the shingle index feeds three plan branches (both join
     # sides + sizes); without it each branch recomputes the full
-    # tokenize→window→distinct lineage
-    ex = shingle_rows(df, id_col, text_col, n).persist()
+    # tokenize→window→distinct lineage. MEMORY_AND_DISK entries are
+    # evictable (unified memory manager favors execution), so a
+    # long-lived session degrades to recompute, not OOM.
+    ex = shingle_rows(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -148,8 +130,9 @@ def minhash_lsh_pairs(
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
     rows = n_hashes // bands
-    # persist: reused by signatures and by the exact rescore
-    sh_rows = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    # persist: reused by signatures and by the exact rescore (same
+    # evictability note as in ngram_jaccard_pairs)
+    sh_rows = shingle_rows(df, id_col, text_col, shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
     tok = sh_rows.select("doc_id", F.pmod("s", F.lit(2**32)).alias("tid"))
     sig_cols = [
         F.min((F.lit(_A[i]) * F.col("tid") + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")

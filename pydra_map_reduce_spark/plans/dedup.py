@@ -28,7 +28,10 @@ from .registry import query
     section="2.11 exact dedup (content hash, keep-first)",
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ops.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    out = ops.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    # bigint cast is a fixture/oracle concern (min(BIGINT) parity), not
+    # part of the schema-agnostic operator contract
+    return out.withColumn("keep_id", F.col("keep_id").cast("bigint"))
 
 
 @query(

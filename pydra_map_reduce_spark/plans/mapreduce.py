@@ -116,13 +116,16 @@ def mr_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         qty = pdf["l_quantity"]
+        wavg = (qty * pdf["l_extendedprice"]).sum() / qty.sum()
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "weighted_avg_price": [
-                    round((qty * pdf["l_extendedprice"]).sum() / qty.sum(), 4)
-                ],
+                # half-up to match SQL round(); python round() is
+                # banker's and would flip exact .xxxx5 values
+                "weighted_avg_price": [math.floor(wavg * 1e4 + 0.5) / 1e4],
                 "n": [len(pdf)],
             }
         )

@@ -21,29 +21,38 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import SCHEMAS
+from ..sources.tables import SCHEMAS, convert_events_ts
 from .registry import query
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file stream source needs a DIRECTORY; expose the single
-    # events.parquet file through a symlink dir (no data copy).
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), "pydra_stream_src", os.path.basename(sf_dir)
-    )
+    # events.parquet file through a symlink dir (no data copy). The
+    # dir is keyed on the absolute sf_dir (hashed) so distinct paths
+    # with the same basename never collide; lexists + retarget handles
+    # broken/stale links from regenerated test data.
+    import hashlib
+
+    target = os.path.abspath(f"{sf_dir}/events.parquet")
+    key = hashlib.md5(target.encode()).hexdigest()[:12]
+    stream_dir = os.path.join(tempfile.gettempdir(), "pydra_stream_src", key)
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    # ts is TIMESTAMP(NANOS) on disk (see sources.tables._events_raw):
-    # stream it as raw nanos and convert, same as the batch loader.
+    if os.path.lexists(link):
+        if os.path.realpath(link) != target:
+            os.unlink(link)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
+    # ts is TIMESTAMP(NANOS) on disk: same raw-nanos conversion as the
+    # batch loader (shared helper keeps the two paths in lockstep).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(SCHEMAS["_events_raw"])
         .format("parquet")
         .load(stream_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return convert_events_ts(raw)
 
 
 def _drain(df: DataFrame, mode: str) -> DataFrame:

@@ -16,9 +16,6 @@ from ..operators import textops
 from ..sources.tables import load_table
 from .registry import query
 
-def _tokens():
-    return F.split(F.col("text"), " ")
-
 # tiny sentiment lexicon over the fixture vocabulary
 _LEXICON = [
     ("fast", 1.0),
@@ -62,7 +59,7 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    ntok = F.size(_tokens())
+    ntok = F.size(textops.tokens("text"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
@@ -114,7 +111,7 @@ def sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language average polarity."""
     d = load_table(spark, sf_dir, "documents")
     lex = spark.createDataFrame(_LEXICON, "word string, score double")
-    tok = d.select("lang", F.explode(_tokens()).alias("word"))
+    tok = d.select("lang", F.explode(textops.tokens("text")).alias("word"))
     return (
         tok.join(F.broadcast(lex), "word")
         .groupBy("lang")
@@ -150,8 +147,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     linguistics)."""
     d = load_table(spark, sf_dir, "documents")
     stop_ratio = (
-        F.size(F.filter(_tokens(), lambda w: w.isin("the", "a"))).cast("double")
-        / F.size(_tokens())
+        F.size(F.filter(textops.tokens("text"), lambda w: w.isin("the", "a"))).cast("double")
+        / F.size(textops.tokens("text"))
     )
     scored = d.select(
         "lang",

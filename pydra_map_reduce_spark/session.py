@@ -43,10 +43,20 @@ def get_spark(
         shuffle_partitions = max(cpus, 8)
 
     builder = SparkSession.builder
-    # Only force local mode when no master was supplied (spark-submit
-    # --master / $MASTER must win on a real cluster; programmatic
-    # .master() would otherwise override it).
-    if not os.environ.get("MASTER") and not os.environ.get("SPARK_MASTER"):
+    # Only force local mode when no master was supplied anywhere else:
+    # programmatic .master() overrides spark-submit, which would
+    # silently run a cluster job on the driver node. In Python client
+    # mode `--master` lives in PYSPARK_SUBMIT_ARGS (it is NOT a JVM
+    # system property before context creation — verified empirically),
+    # so check that, the loaded SparkConf, and $MASTER.
+    from pyspark import SparkConf
+
+    master_given = (
+        "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+        or SparkConf().contains("spark.master")
+        or bool(os.environ.get("MASTER"))
+    )
+    if not master_given:
         builder = builder.master(f"local[{cpus}]")
     builder = (
         builder.appName(app_name)

@@ -133,6 +133,14 @@ def _assert_schema(spark: SparkSession, path: str, name: str) -> None:
 _VERIFIED: set[str] = set()
 
 
+def convert_events_ts(raw: DataFrame) -> DataFrame:
+    """Convert events.ts from raw nanos (read via nanosAsLong) to
+    TimestampType: integer `div 1000` matches DuckDB's ns→µs
+    truncation bit-for-bit. Shared by the batch loader and the
+    streaming source so the two paths cannot drift."""
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, verify: bool = True
 ) -> DataFrame:
@@ -157,7 +165,7 @@ def load_table(
             _assert_schema(spark, path, "_events_raw")
             _VERIFIED.add(path)
         raw = spark.read.schema(SCHEMAS["_events_raw"]).parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return convert_events_ts(raw)
     if verify and path not in _VERIFIED:
         _assert_schema(spark, path, name)
         _VERIFIED.add(path)

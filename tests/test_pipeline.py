@@ -71,11 +71,15 @@ def test_join_topk(spark, duck):
 
 def test_reduce_by_key_py(spark, duck):
     def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         q = pdf["l_quantity"]
+        wavg = (q * pdf["l_extendedprice"]).sum() / q.sum()
+        # half-up to match SQL round() (python round is banker's)
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "wavg": [round((q * pdf["l_extendedprice"]).sum() / q.sum(), 4)],
+                "wavg": [math.floor(wavg * 1e4 + 0.5) / 1e4],
             }
         )
 
