@@ -230,3 +230,57 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup pairs
+    by iterative min-label propagation.
+
+    Input: (doc_a, doc_b) edges from any pair generator above. Each
+    round every node adopts the smallest cluster id among itself and
+    its neighbors; converges in O(component diameter) rounds (near-dup
+    components are tiny, so max_iter=10 is generous). Iterative joins
+    are the one shape Catalyst can't express declaratively — each
+    round persists its frontier and the loop stops early when a round
+    changes nothing (checked via a cheap count, the only driver-side
+    value)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

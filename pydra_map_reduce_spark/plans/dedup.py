@@ -97,3 +97,24 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg("hamming"), 4).alias("avg_hamming"),
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=None,  # rows-only: iterative fixpoint isn't single-statement SQL
+    section="2.11 dedup clusters (iterative connected components over near-dup pairs)",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup graph: every
+    document in a component keeps one canonical (minimum) id — the
+    final assignment step of corpus-level dedup. Summarized per
+    cluster for a stable rows-only check."""
+    pairs = ops.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+    clusters = ops.dedup_clusters(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )

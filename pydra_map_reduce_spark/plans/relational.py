@@ -416,3 +416,62 @@ def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)), 2
         ).alias("approx_p99_price"),
     )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'o_totalprice' AS col, count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT o_totalprice) AS n_distinct,
+           round(min(o_totalprice), 2) AS min_v, round(max(o_totalprice), 2) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_custkey),
+           round(min(o_custkey), 2), round(max(o_custkey), 2)
+    FROM orders
+    """,
+    section="2.4 data profiling (null/distinct/min/max per column)",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile pass (the data-quality step before any training
+    pipeline ingests a table): one scan per batch of columns, all
+    aggregates computed together."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str):
+        c = F.col(col)
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(c).cast("double"), 2).alias("min_v"),
+            F.round(F.max(c).cast("double"), 2).alias("max_v"),
+        )
+
+    return prof("o_totalprice").unionByName(prof("o_custkey"))
+
+
+@query(
+    "stratified_sample",
+    oracle=None,  # rows-only: sampling is engine-specific even when seeded
+    section="2.2 stratified sampling (sampleBy, seeded)",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling (the corpus-downsampling step of
+    data-mixture tuning): 50% of URGENT orders, 10% of the rest,
+    seed-pinned. Summarized per stratum; exact counts are
+    engine-specific, so rows-only."""
+    o = load_table(spark, sf_dir, "orders")
+    strata = o.withColumn(
+        "stratum",
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent").otherwise("other"),
+    )
+    sampled = strata.sampleBy("stratum", {"urgent": 0.5, "other": 0.1}, seed=42)
+    return sampled.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
