@@ -123,3 +123,86 @@ def group_centroids(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
         .agg(F.round(F.avg("v"), 6).alias("centroid_v"), F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    *,
+    n_clusters: int = 8,
+    lloyd_iters: int = 3,
+    n_probe: int = 2,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate nearest neighbors: k-means coarse quantizer +
+    probe-the-nearest-cells exact rescore.
+
+    Training is deterministic (seeds = the n_clusters lowest-id
+    vectors, then `lloyd_iters` Lloyd rounds); assignment and search
+    are DataFrame ops throughout — centroids live in a broadcast-sized
+    DF (n_clusters × dim), never collected. At query time only the
+    `n_probe` nearest cells (~n_probe/n_clusters of the data) are
+    rescored exactly — the inverted-file pruning that makes
+    billion-vector search tractable."""
+    e = df.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("emb"))
+
+    # deterministic seeds: the n_clusters lowest-id vectors, keyed 0..n-1
+    from pyspark.sql.window import Window
+
+    cents = (
+        e.orderBy("vec_id").limit(n_clusters)
+        .select("vec_id", F.col("emb").alias("cvec"))
+        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .select("cid", "cvec")
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        """(vec_id, emb, cid): nearest centroid by squared L2."""
+        diff = F.zip_with(F.col("emb"), F.col("cvec"), lambda a, b: (a - b) * (a - b))
+        d2 = F.aggregate(diff, F.lit(0.0), lambda s, v: s + v)
+        scored = points.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "emb", F.struct(d2.alias("d2"), F.col("cid").alias("cid")).alias("sc")
+        )
+        best = scored.groupBy("vec_id", "emb").agg(F.min("sc").alias("best"))
+        return best.select("vec_id", "emb", F.col("best.cid").alias("cid"))
+
+    for _ in range(lloyd_iters):
+        assigned = assign(e, cents)
+        cents = (
+            assigned.select("cid", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+        )
+    assigned = assign(e, cents).persist()
+
+    q = assigned.filter(F.col("vec_id") == query_id).select(
+        F.col("emb").alias("qv")
+    )
+    # n_probe nearest cells to the query vector
+    qdiff = F.zip_with(F.col("cvec"), F.col("qv"), lambda a, b: (a - b) * (a - b))
+    qd2 = F.aggregate(qdiff, F.lit(0.0), lambda s, v: s + v)
+    probe_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", qd2.alias("d2"))
+        .orderBy("d2", "cid")
+        .limit(n_probe)
+        .select("cid")
+    )
+    cos = dot(F.col("emb"), F.col("qv")) / (
+        F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "cid")
+        .filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(k)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    )

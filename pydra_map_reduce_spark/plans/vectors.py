@@ -128,3 +128,24 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("scale", mx)
         .select("vec_id", qv.alias("qvec"), F.round("scale", 6).alias("scale"))
     )
+
+
+@query(
+    "ivf_ann_topk",
+    oracle=None,  # rows-only: k-means training is iterative (not one SQL stmt)
+    section="2.11 ANN: IVF (k-means coarse quantizer + n-probe exact rescore)",
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path for similarity search: deterministic k-means
+    (8 cells, 3 Lloyd rounds), probe the 2 cells nearest the query,
+    exact cosine rescore inside them."""
+    return ops.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        query_id=0,
+        n_clusters=8,
+        lloyd_iters=3,
+        n_probe=2,
+        k=5,
+    )

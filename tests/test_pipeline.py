@@ -101,3 +101,27 @@ def test_from_rows_union_distinct(spark):
     b = Pipeline.from_rows(spark, [("x", 1), ("z", 3)], "k string, v int")
     out = a.union(b).distinct().sort("k").to_df().collect()
     assert [tuple(r) for r in out] == [("x", 1), ("y", 2), ("z", 3)]
+
+
+def test_llm_convenience_methods(spark, duck):
+    """Pipeline.dedup_exact / sessionize delegate to the operator lib."""
+    docs = Pipeline.read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    dd = docs.dedup_exact("doc_id", "text").to_df()
+    assert dd.count() == duck.execute("SELECT count(DISTINCT text) FROM documents").fetchone()[0]
+
+    # events.parquet stores nanos ts; go through the supported loader
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    sess = Pipeline(load_table(spark, SF_DIR, "events")).sessionize(
+        "user_id", "ts", "event_id", gap_minutes=30
+    )
+    n = sess.to_df().count()
+    expected = duck.execute("""
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) SELECT CAST(sum(ns) AS BIGINT) FROM flagged""").fetchone()[0]
+    assert n == expected
