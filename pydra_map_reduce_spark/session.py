@@ -29,7 +29,12 @@ def get_spark(
 
     ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. On a real
     cluster the master/resource settings come from spark-submit and the
-    builder silently inherits them — only the SQL confs below matter.
+    builder inherits them — only the SQL confs below matter.
+
+    ``driver_memory`` is a static conf: it only takes effect for the
+    FIRST session created in a process (getOrCreate silently ignores
+    it, and master, afterwards). For spark-submit deployments set it
+    via --driver-memory instead.
     """
     if cpus is None:
         raw = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
