@@ -194,3 +194,112 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_val"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
     )
+
+
+@query(
+    "string_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS title_seg,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0')     AS padded,
+           reverse(c_name)                              AS rev_name,
+           replace(c_name, 'Customer', 'Client')        AS swapped,
+           CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INT) AS lev_dist,
+           CAST(instr(c_name, '#') AS BIGINT)           AS hash_pos
+    FROM customer
+    """,
+    section="2.8 string family II (initcap/pad/reverse/replace/levenshtein/instr)",
+)
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.initcap(F.lower("c_mktsegment")).alias("title_seg"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse("c_name").alias("rev_name"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Client")).alias("swapped"),
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).alias("lev_dist"),
+        F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
+    )
+
+
+@query(
+    "date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           round(date_diff('month', TIMESTAMP '1995-01-01', o_orderdate)
+                 + CASE WHEN day(o_orderdate) >= day(TIMESTAMP '1995-01-01')
+                        THEN (day(o_orderdate) - 1) / 31.0 ELSE 0 END, 0) AS months_approx,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)  AS plus3m,
+           CAST(last_day(o_orderdate) AS DATE)                AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INT)            AS dow,
+           CAST(weekofyear(o_orderdate) AS INT)               AS woy
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    section="2.8 date family II (add_months/last_day/dayofweek/weekofyear)",
+)
+def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date batch. months_approx intentionally uses the shared
+    integer month-diff formula (Spark months_between has fractional
+    semantics DuckDB lacks, so both sides compute the same explicit
+    expression)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    month_diff = (
+        (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    ).cast("double")
+    approx = F.round(
+        month_diff
+        + F.when(
+            F.dayofmonth("o_orderdate") >= 1, (F.dayofmonth("o_orderdate") - 1) / 31.0
+        ).otherwise(0.0),
+        0,
+    )
+    return o.select(
+        "o_orderkey",
+        approx.alias("months_approx"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
+    )
+
+
+@query(
+    "array_funcs2",
+    oracle="""
+    SELECT vec_id,
+           len(list_intersect([label, label + 1, label + 2],
+                              [label + 1, label + 2, label + 3]))       AS n_inter,
+           list_sort(list_distinct([label + 2, label, label + 1, label])) AS sorted_arr,
+           [label, label + 1] || [label + 10]                           AS concatenated,
+           len(flatten([[label], [label + 1, label + 2]]))              AS flat_len,
+           round(CAST(list_aggregate(list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
+                                     'sum') AS DOUBLE), 5)              AS head_sum
+    FROM embeddings
+    """,
+    section="2.8 array family II (intersect/sort/concat/flatten/slice)",
+)
+def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    lbl = F.col("label")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(
+            F.array_intersect(
+                F.array(lbl, lbl + 1, lbl + 2), F.array(lbl + 1, lbl + 2, lbl + 3)
+            )
+        )
+        .cast("bigint")
+        .alias("n_inter"),
+        F.array_sort(F.array_distinct(F.array(lbl + 2, lbl, lbl + 1, lbl))).alias(
+            "sorted_arr"
+        ),
+        F.concat(F.array(lbl, lbl + 1), F.array(lbl + 10)).alias("concatenated"),
+        F.size(F.flatten(F.array(F.array(lbl), F.array(lbl + 1, lbl + 2))))
+        .cast("bigint")
+        .alias("flat_len"),
+        F.round(
+            F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda a, x: a + x), 5
+        ).alias("head_sum"),
+    )
