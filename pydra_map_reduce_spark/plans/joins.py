@@ -117,7 +117,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dims",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
-           count(*) AS n_cust, round(avg(c.c_acctbal), 2) AS avg_bal
+           count(*) AS n_cust, round(avg(c.c_acctbal), 6) AS avg_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -137,7 +137,12 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            # 6dp, not 2: an avg over a power-of-2 group count can land
+            # EXACTLY on a .xx5 boundary (seen at sf0.001: 33610.52/8 =
+            # 4201.315), where Spark's BigDecimal.valueOf sees "…315"→
+            # HALF_UP .32 but DuckDB rounds the raw binary double →
+            # .31. At 6dp the value passes through unchanged.
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
         )
     )
 
