@@ -280,3 +280,34 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("cohort_week", week_offset.alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    section="2.4 TPC-H Q6 shape: pure filter-aggregate (pushdown showcase)",
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: every predicate pushes to the parquet scan; the whole query
+    is one codegen span over surviving row groups — the canonical
+    'filters are free if you let Catalyst see them' demo."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_delta"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
