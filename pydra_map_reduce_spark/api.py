@@ -157,23 +157,18 @@ class Pipeline:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
 
-
-# ---- LLM-pipeline conveniences (delegate to the operator library) ----
-
-def _op_methods():
-    """Bind operator-library functions as Pipeline methods lazily (the
-    operators import pyspark.sql.window etc.; keeping the import here
-    avoids a cycle at module load)."""
-    from .operators import dedup as _dedup
-    from .operators import sessions as _sessions
-    from .operators import similarity as _similarity
+    # ---- LLM-pipeline conveniences (operator-library delegates) ----
 
     def dedup_exact(self, id_col: str, text_col: str) -> "Pipeline":
         """Exact content-hash dedup → (content_hash, keep_id, n_copies)."""
+        from .operators import dedup as _dedup
+
         return Pipeline(_dedup.exact_dedup(self.df, id_col, text_col))
 
     def near_dups(self, id_col: str, text_col: str, *, threshold: float = 0.8) -> "Pipeline":
         """MinHash+LSH near-duplicate pairs ≥ threshold."""
+        from .operators import dedup as _dedup
+
         return Pipeline(
             _dedup.minhash_lsh_pairs(self.df, id_col, text_col, threshold=threshold)
         )
@@ -182,18 +177,16 @@ def _op_methods():
         self, key_col: str, ts_col: str, order_col: str, *, gap_minutes: int = 30
     ) -> "Pipeline":
         """Gap-based sessionization → one row per (key, session)."""
+        from .operators import sessions as _sessions
+
         return Pipeline(
             _sessions.sessionize(self.df, key_col, ts_col, order_col, gap_minutes=gap_minutes)
         )
 
     def similar_topk(self, id_col: str, vec_col: str, query_id: int, k: int = 10) -> "Pipeline":
         """Brute-force cosine top-k neighbors of a stored vector."""
+        from .operators import similarity as _similarity
+
         return Pipeline(_similarity.cosine_topk(self.df, id_col, vec_col, query_id, k))
 
-    Pipeline.dedup_exact = dedup_exact
-    Pipeline.near_dups = near_dups
-    Pipeline.sessionize = sessionize
-    Pipeline.similar_topk = similar_topk
 
-
-_op_methods()

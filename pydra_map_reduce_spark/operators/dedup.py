@@ -254,7 +254,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -262,25 +262,35 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        updated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
+        # localCheckpoint (not persist): materializes AND truncates
+        # lineage — without it each round's plan nests every previous
+        # join and Catalyst planning time grows super-linearly with
+        # iteration count (observed: a 14-round chain stalls planning).
+        updated = updated.localCheckpoint(eager=True)
         changed = (
             updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
             .filter(F.col("cluster_id") != F.col("old"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = updated
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "rounds; components wider than that are split — raise max_iter",
+            stacklevel=2,
+        )
     edges.unpersist()
+    # returned labels are a localCheckpoint: materialized, lineage-free
+    # (no loop replay on reuse); blocks are GC'd with the DataFrame.
     return labels

@@ -135,7 +135,6 @@ def ivf_topk(
     lloyd_iters: int = 3,
     n_probe: int = 2,
     k: int = 5,
-    dim: int = 64,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: k-means coarse quantizer +
     probe-the-nearest-cells exact rescore.
@@ -179,6 +178,9 @@ def ivf_topk(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.transform("pm", lambda s: s["m"]).alias("cvec"))
         )
+    # stays persisted: its lineage contains the full Lloyd iteration
+    # chain; recompute-on-unpersist would replay training. Callers can
+    # df.unpersist() the result's parents once done.
     assigned = assign(e, cents).persist()
 
     q = assigned.filter(F.col("vec_id") == query_id).select(

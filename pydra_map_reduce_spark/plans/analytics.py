@@ -285,7 +285,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue_delta,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -306,7 +306,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
             "revenue_delta"
         ),
         F.count(F.lit(1)).alias("n_lines"),

@@ -437,22 +437,28 @@ def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profile pass (the data-quality step before any training
-    pipeline ingests a table): one scan per batch of columns, all
-    aggregates computed together."""
+    pipeline ingests a table): ONE scan computes every column's
+    aggregates side by side, then stack() unpivots to one row per
+    column — N profiled columns still cost a single pass at 100 TB."""
     o = load_table(spark, sf_dir, "orders")
-
-    def prof(col: str):
+    cols = ["o_totalprice", "o_custkey"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col in cols:
         c = F.col(col)
-        return o.agg(
-            F.lit(col).alias("col"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
-            F.countDistinct(c).alias("n_distinct"),
-            F.round(F.min(c).cast("double"), 2).alias("min_v"),
-            F.round(F.max(c).cast("double"), 2).alias("max_v"),
-        )
-
-    return prof("o_totalprice").unionByName(prof("o_custkey"))
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias(f"{col}__null"),
+            F.countDistinct(c).alias(f"{col}__distinct"),
+            F.round(F.min(c).cast("double"), 2).alias(f"{col}__min"),
+            F.round(F.max(c).cast("double"), 2).alias(f"{col}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__null, {col}__distinct, {col}__min, {col}__max" for col in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_null, n_distinct, min_v, max_v)",
+        "n_rows",
+    ).select("col", "n_rows", "n_null", "n_distinct", "min_v", "max_v")
 
 
 @query(

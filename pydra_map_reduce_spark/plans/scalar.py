@@ -228,8 +228,7 @@ def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            round(date_diff('month', TIMESTAMP '1995-01-01', o_orderdate)
-                 + CASE WHEN day(o_orderdate) >= day(TIMESTAMP '1995-01-01')
-                        THEN (day(o_orderdate) - 1) / 31.0 ELSE 0 END, 0) AS months_approx,
+                 + (day(o_orderdate) - 1) / 31.0, 0) AS months_approx,
            CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)  AS plus3m,
            CAST(last_day(o_orderdate) AS DATE)                AS month_end,
            CAST(dayofweek(o_orderdate) + 1 AS INT)            AS dow,
@@ -247,13 +246,7 @@ def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     month_diff = (
         (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
     ).cast("double")
-    approx = F.round(
-        month_diff
-        + F.when(
-            F.dayofmonth("o_orderdate") >= 1, (F.dayofmonth("o_orderdate") - 1) / 31.0
-        ).otherwise(0.0),
-        0,
-    )
+    approx = F.round(month_diff + (F.dayofmonth("o_orderdate") - 1) / 31.0, 0)
     return o.select(
         "o_orderkey",
         approx.alias("months_approx"),
