@@ -296,3 +296,24 @@ def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda a, x: a + x), 5
         ).alias("head_sum"),
     )
+
+
+@query(
+    "split_part_funcs",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 1)                       AS name_head,
+           split_part(c_name, '#', 2)                       AS name_tail,
+           CAST(len(string_split(c_name, '0')) - 1 AS INT)  AS n_zeros
+    FROM customer
+    """,
+    section="2.8 string family III (split_part / occurrence count)",
+)
+def split_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_tail"),
+        (F.size(F.split(F.col("c_name"), "0")) - 1).cast("int").alias("n_zeros"),
+    )

@@ -96,3 +96,35 @@ def except_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s)
+
+
+@query(
+    "union_missing_columns",
+    oracle="""
+    SELECT c_custkey AS id, c_acctbal AS bal, c_mktsegment AS segment
+    FROM customer WHERE c_acctbal > 9900
+    UNION ALL
+    SELECT s_suppkey AS id, s_acctbal AS bal, NULL AS segment
+    FROM supplier WHERE s_acctbal > 9000
+    """,
+    section="2.7 union with schema evolution (allowMissingColumns)",
+)
+def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): the suppliers side lacks
+    `segment`, which NULL-fills — the schema-evolution union used when
+    concatenating corpus shards with drifting schemas."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_suppkey").alias("id"), F.col("s_acctbal").alias("bal"))
+    )
+    return c.unionByName(s, allowMissingColumns=True)
