@@ -52,6 +52,29 @@ def allpairs_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lsh_allpairs_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    section="2.11 all-pairs similarity join, banded-LSH generator (scale path)",
+)
+def lsh_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for the thresholded similarity join: hyperplane-band
+    equi-join candidates + exact rescore — no cartesian/theta self-join
+    anywhere in the plan (asserted in tests/test_plans.py). Output is
+    identical to `allpairs_similarity` (miss prob ≤ 1.1e-7 per pair at
+    the 0.4 threshold; see operators/similarity.py for the math)."""
+    return ops.lsh_allpairs_cosine(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64, threshold=0.4
+    )
+
+
+@query(
     "ann_lsh_topk",
     oracle="""
     WITH sig AS (

@@ -96,6 +96,16 @@ def test_bucketed_join_no_shuffle(spark):
     assert "Bucketed: true" in below, below[:3000]
 
 
+def test_lsh_allpairs_no_theta_join(spark):
+    """The banded-LSH similarity join must generate candidates via an
+    equi-join — no cartesian product / nested-loop theta join anywhere
+    (the exact `allpairs_similarity` baseline keeps that role)."""
+    df = REGISTRY["lsh_allpairs_cosine"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
 def test_salted_join_spreads_key(spark):
     """Salted join: the join keys must include the salt column."""
     df = REGISTRY["join_salted_skew"].fn(spark, SF_DIR)
