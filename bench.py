@@ -3,7 +3,14 @@
 
 Prints ONE JSON line:
   {"metric": "headline_total_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "cold_total_sec": N,
+   "queries_cold": {name: sec, ...}, "sf": 0.1}
+
+`value` is the warm total (min of 2 runs per query — steady state);
+`cold_total_sec` is the first-run total (includes codegen/compile and
+cold caches). Both are recorded so round-over-round and vs-BASELINE
+comparisons are like-for-like (VERDICT r2 flagged cold/warm framing
+ambiguity).
 
 Execution uses the `noop` sink so timings measure the full distributed
 plan without driver-side materialization. The headline set covers every
@@ -61,27 +68,27 @@ def main() -> None:
         "noop"
     ).save()
 
-    timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        # min of 2 runs: first run can carry codegen/compile overhead,
-        # min is the stable steady-state figure for round-over-round
-        # comparison
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        warm[name] = round(min(runs), 3)
 
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
-                "value": total,
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold_total_sec": round(sum(cold.values()), 3),
+                "queries_cold": cold,
                 "sf": sf,
             }
         )

@@ -102,9 +102,13 @@ def ngram_jaccard_pairs(
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    # no broadcast hint on sizes: it is one row PER DOCUMENT, i.e.
+    # corpus-sized — at the module's design scale an unbounded
+    # broadcast. The candidate set is already shuffled on doc ids, so
+    # the shuffled join adds no extra exchange of the big side.
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -178,16 +182,24 @@ def minhash_lsh_pairs(
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming≤max) via 32-bit SimHash, 4-chunk banding.
+    """(doc_a, doc_b, hamming≤max) via 64-bit SimHash, 4×16-bit-chunk
+    banding.
 
     Pigeonhole: hamming ≤ 3 over 4 chunks ⇒ at least one chunk equal,
-    so the chunk-equality join finds every qualifying pair."""
+    so the chunk-equality join finds every qualifying pair. 16-bit
+    chunks give 65,536 bucket values per chunk — the bucket domain that
+    keeps chunk-equality candidates ~n²/65536 per band at corpus scale
+    (an 8-bit chunk, 256 values, stops pruning and degenerates
+    quadratically). Token ids come from xxhash64; the signature is kept
+    as the four chunk values c0..c3 (never assembled into one 64-bit
+    word — bit 63 would overflow a signed literal), with hamming =
+    Σ bit_count(cᵢ ⊕ cᵢ')."""
     df = _spread(df)
     tok = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("tid", F.crc32("word"))
+        .withColumn("tid", F.xxhash64("word"))
     )
     bit_cols = [
         F.sum(
@@ -195,26 +207,34 @@ def simhash_pairs(
                 -F.col("w")
             )
         ).alias(f"s{b}")
-        for b in range(32)
+        for b in range(64)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_cols)
-    simhash = sum(
-        (F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(32)),
-        F.lit(0).cast("bigint"),
-    )
-    sh = agg.select("doc_id", simhash.alias("simhash"))
-    chunk_structs = [
-        F.struct(
-            F.lit(c).alias("chunk"),
-            F.shiftright("simhash", 8 * c).bitwiseAND(F.lit(255)).alias("val"),
-        )
+    chunk_vals = [
+        sum(
+            (
+                F.when(F.col(f"s{16 * c + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(16)
+            ),
+            F.lit(0),
+        ).alias(f"c{c}")
         for c in range(4)
     ]
+    sh = agg.select("doc_id", *chunk_vals)
+    chunk_structs = [
+        F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("val")) for c in range(4)
+    ]
     chunks = sh.select(
-        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("cv")
-    ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+        "doc_id", "c0", "c1", "c2", "c3", F.explode(F.array(*chunk_structs)).alias("cv")
+    ).select("doc_id", "c0", "c1", "c2", "c3", "cv.chunk", "cv.val")
     a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = sum(
+        (
+            F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
+            for c in range(1, 4)
+        ),
+        F.bit_count(F.col("a.c0").bitwiseXOR(F.col("b.c0"))),
+    )
     return (
         a.join(
             b,

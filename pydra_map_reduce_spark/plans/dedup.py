@@ -85,7 +85,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simhash_neardup",
     oracle=None,  # rows-only: bit arithmetic not ANSI-SQL-practical
-    section="2.11 SimHash near-dup (32-bit, 4-chunk banding)",
+    section="2.11 SimHash near-dup (64-bit, 4x16-bit-chunk banding)",
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summarized (pair count + mean Hamming) so the rows-only check

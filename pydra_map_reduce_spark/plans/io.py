@@ -22,11 +22,15 @@ from pyspark.sql import functions as F
 from ..sources.tables import SCHEMAS, load_table
 from .registry import query
 
-_IO_ROOT = os.path.join(tempfile.gettempdir(), "pydra_spark_io")
+# Lazily-created per-process temp root: a fixed world-readable path
+# would let concurrent runs on one host clobber each other's data.
+_IO_ROOT: str | None = None
 
 
 def _tmp(name: str) -> str:
-    os.makedirs(_IO_ROOT, exist_ok=True)
+    global _IO_ROOT
+    if _IO_ROOT is None:
+        _IO_ROOT = tempfile.mkdtemp(prefix="pydra_spark_io_")
     return os.path.join(_IO_ROOT, name)
 
 

@@ -317,23 +317,27 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables: Spark aligns buckets and the join runs with NO exchange —
     the pattern that turns a recurring 100 TB fact-fact join from a
     full shuffle into a local merge. (Bucketed tables need the table
-    catalog, hence saveAsTable with explicit paths under /tmp.)"""
+    catalog, hence saveAsTable with explicit paths under a per-process
+    temp root — fixed /tmp paths + global table names would let
+    concurrent runs on one host clobber each other's data/catalog.)"""
+    import os
     import tempfile
 
-    base = tempfile.gettempdir()
+    tok = f"{os.getpid():x}"
+    base = tempfile.mkdtemp(prefix="pydra_bucketed_")
     for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
-        name = f"bkt_{tbl}"
+        name = f"bkt_{tbl}_{tok}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             load_table(spark, sf_dir, tbl)
             .write.mode("overwrite")
-            .option("path", f"{base}/pydra_bucketed/{tbl}")
+            .option("path", os.path.join(base, tbl))
             .bucketBy(8, key)
             .sortBy(key)
             .saveAsTable(name)
         )
-    o = spark.table("bkt_orders")
-    c = spark.table("bkt_customer")
+    o = spark.table(f"bkt_orders_{tok}")
+    c = spark.table(f"bkt_customer_{tok}")
     # force SortMergeJoin (the small side would otherwise broadcast at
     # test scale) — at 100 TB both sides are fact-sized and SMJ over
     # aligned buckets IS the plan; this keeps the test honest.

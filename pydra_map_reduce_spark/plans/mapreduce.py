@@ -166,6 +166,40 @@ def mr_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pandas_udf_scalar",
+    oracle="""
+    SELECT replace(lower(trim(p_type)), ' ', '_') AS type_norm,
+           count(*)                               AS n,
+           round(sum(p_retailprice), 2)           AS sum_price
+    FROM part
+    GROUP BY replace(lower(trim(p_type)), ' ', '_')
+    """,
+    section="2.10 scalar pandas_udf (vectorized per-column Arrow batches)",
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized scalar tier (SURVEY §2.10's preferred map path):
+    a @pandas_udf receives whole Arrow column batches as pd.Series —
+    10-100× faster than row-at-a-time Python UDFs. String normalization
+    keeps the differential check float-free; the final agg stays
+    JVM-side so only the normalize step crosses the boundary."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm_type(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.lower().str.replace(" ", "_", regex=False)
+
+    p = load_table(spark, sf_dir, "part").select("p_type", "p_retailprice")
+    return (
+        p.select(norm_type("p_type").alias("type_norm"), "p_retailprice")
+        .groupBy("type_norm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
     "mr_partition_map",
     oracle=None,  # rows-only: per-partition structure is engine-internal
     section="2.10 partition-wise map (MR mapper over a split)",

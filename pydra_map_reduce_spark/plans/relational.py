@@ -462,6 +462,39 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_table_approx",
+    oracle=None,  # rows-only: HLL distinct estimates are engine-specific
+    section="2.4 data profiling, approx mode (HLL distinct — the 100 TB path)",
+)
+def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_table's scale mode: approx_count_distinct replaces the
+    exact countDistinct, so the plan is ONE scan + ONE partial/final
+    agg with no Expand (exact multi-column distinct expands the input
+    N× and re-shuffles per column — the thing that hurts at 100 TB).
+    Plan shape locked in tests/test_plans.py; the exact variant stays
+    as the fixture-scale oracle anchor."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_totalprice", "o_custkey"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col in cols:
+        c = F.col(col)
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias(f"{col}__null"),
+            F.approx_count_distinct(c, 0.01).alias(f"{col}__distinct"),
+            F.round(F.min(c).cast("double"), 2).alias(f"{col}__min"),
+            F.round(F.max(c).cast("double"), 2).alias(f"{col}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__null, {col}__distinct, {col}__min, {col}__max" for col in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_null, n_distinct, min_v, max_v)",
+        "n_rows",
+    ).select("col", "n_rows", "n_null", "n_distinct", "min_v", "max_v")
+
+
+@query(
     "stratified_sample",
     oracle=None,  # rows-only: sampling is engine-specific even when seeded
     section="2.2 stratified sampling (sampleBy, seeded)",

@@ -21,7 +21,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import SCHEMAS, convert_events_ts
+from ..sources.tables import SCHEMAS, _pin_conf, convert_events_ts
 from .registry import query
 
 
@@ -46,7 +46,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(target, link)
     # ts is TIMESTAMP(NANOS) on disk: same raw-nanos conversion as the
     # batch loader (shared helper keeps the two paths in lockstep).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pin_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(SCHEMAS["_events_raw"])
         .format("parquet")
@@ -131,6 +131,72 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_late_drop",
+    oracle=None,  # rows-only: streaming watermark semantics, not one SQL stmt
+    section="2.9 watermark late-data drop, evidenced (append mode)",
+)
+def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROOF that the watermark drops late data: a two-batch synthetic
+    stream where batch 2 contains an event older than the watermark
+    established by batch 1. In `append` output mode the 10:00 window is
+    finalized under the batch-1 watermark (12:20), so the late 10:20
+    event is excluded — the sink's only row is (10:00, n=2), not n=3.
+
+    Mechanics: the file source picks up each parquet file as its own
+    micro-batch (processAllAvailable between writes); the watermark
+    used while processing batch N is computed from batch N-1's max
+    event time minus the 10-minute delay. This is the behavior the
+    batch-mode watermark queries cannot evidence (`complete` mode never
+    drops), closing the one `partial` row from round 2."""
+    root = tempfile.mkdtemp(prefix="pydra_late_")
+    src = os.path.join(root, "src")
+    schema = "ts timestamp, k string"
+
+    def write_batch(rows: list[tuple[str, str]]) -> None:
+        df = spark.createDataFrame(rows, "ts_s string, k string").select(
+            F.to_timestamp("ts_s").alias("ts"), "k"
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: two on-time events in the 10:00 window + a 12:30 event
+    # that will push the watermark to 12:20
+    write_batch(
+        [
+            ("2024-01-01 10:05:00", "a"),
+            ("2024-01-01 10:10:00", "b"),
+            ("2024-01-01 12:30:00", "c"),
+        ]
+    )
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    name = "late_sink_" + uuid.uuid4().hex[:12]
+    q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the 10:00 window (10:20 < watermark
+        # 12:20 -> must be dropped) + a fresh event keeping state open
+        write_batch(
+            [
+                ("2024-01-01 10:20:00", "late"),
+                ("2024-01-01 12:40:00", "d"),
+            ]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    # expected sink content: exactly [(10:00, 2)] — the late row is
+    # absent; a (10:00, 3) row here would mean the watermark failed.
+    return spark.table(name).orderBy("window_start")
+
+
+@query(
     "streaming_parquet_sink",
     oracle=None,  # rows-only: file sink + checkpoint lifecycle
     section="2.1 streaming sink (parquet + checkpoint, exactly-once files)",
@@ -139,11 +205,10 @@ def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream events through a filter into a parquet file sink with a
     checkpoint dir (the exactly-once production pattern), then read the
     sink back as a batch table and summarize."""
-    import shutil
-
-    out_dir = os.path.join(tempfile.gettempdir(), "pydra_stream_sink", "purchases")
-    ckpt = os.path.join(tempfile.gettempdir(), "pydra_stream_sink", "ckpt")
-    shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
+    # per-call private root: no cross-run rmtree/clobber hazard
+    root = tempfile.mkdtemp(prefix="pydra_stream_sink_")
+    out_dir = os.path.join(root, "purchases")
+    ckpt = os.path.join(root, "ckpt")
     stream = (
         _stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")

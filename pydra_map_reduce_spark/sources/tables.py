@@ -132,6 +132,33 @@ def _assert_schema(spark: SparkSession, path: str, name: str) -> None:
 
 _VERIFIED: set[str] = set()
 
+# Session confs load_table pins (documented public side effect, see
+# load_table docstring). Previous values are remembered per session the
+# first time each key is pinned so callers can undo the pins.
+_SAVED_CONFS: dict[int, dict[str, str | None]] = {}
+
+
+def _pin_conf(spark: SparkSession, key: str, value: str) -> None:
+    saved = _SAVED_CONFS.setdefault(id(spark), {})
+    if key not in saved:
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+    spark.conf.set(key, value)
+
+
+def restore_session_confs(spark: SparkSession) -> None:
+    """Undo every session-conf pin load_table applied to ``spark``
+    (restores the pre-pin values, unsetting keys that had none). Call
+    this if the session is shared with non-engine work that relies on
+    a different timezone or parquet nanos handling."""
+    for key, prev in _SAVED_CONFS.pop(id(spark), {}).items():
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
 
 def convert_events_ts(raw: DataFrame) -> DataFrame:
     """Convert events.ts from raw nanos (read via nanosAsLong) to
@@ -150,17 +177,23 @@ def load_table(
     the analyzed plan stable across data revisions and lets Catalyst
     prune/push down against known column types. The footer is checked
     against the declared schema once per (path, table) per process.
+
+    PUBLIC SIDE EFFECT: this call pins two confs on the caller's
+    session — ``spark.sql.session.timeZone=UTC`` (event-time semantics
+    must agree with the ANSI/DuckDB oracle regardless of host TZ) and,
+    for ``events``, ``spark.sql.legacy.parquet.nanosAsLong=true`` (the
+    fixture stores TIMESTAMP(NANOS)). The pins persist because Spark
+    reads confs at *execution* time — restoring them on return would
+    silently break the very DataFrames this function handed out. Prior
+    values are saved; call :func:`restore_session_confs` to undo.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # The caller may hand us a session we didn't build (the driver's):
-    # pin event-time semantics to UTC so timestamp literals, date_trunc
-    # and window() agree with the DuckDB oracle regardless of host TZ.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_conf(spark, "spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # ts is TIMESTAMP(NANOS) on disk; see _events_raw above.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _pin_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         if verify and path not in _VERIFIED:
             _assert_schema(spark, path, "_events_raw")
             _VERIFIED.add(path)

@@ -24,7 +24,9 @@ def canon_val(v):
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return None
+            # distinct sentinel: NULL-vs-NaN disagreements between the
+            # engines must FAIL, not silently compare equal to None
+            return "NaN"
         # collapse ulp-level diffs that survive in-query round()
         return round(v, 9)
     if isinstance(v, (list, tuple)):
@@ -65,6 +67,15 @@ def test_differential(name, spark, duck):
     sc, dc = canon_rows(scols, srows), canon_rows(dcols, drows)
     mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+
+
+def test_streaming_late_drop_excludes_late_row(spark):
+    """The append-mode watermark query must finalize the 10:00 window
+    WITHOUT the late 10:20 event: exactly one row, count 2 (a count of
+    3 means the watermark failed to drop the late record)."""
+    rows = REGISTRY["streaming_late_drop"].fn(spark, SF_DIR).collect()
+    got = [(r["window_start"].isoformat(), r["n"]) for r in rows]
+    assert got == [("2024-01-01T10:00:00", 2)], got
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)

@@ -106,6 +106,15 @@ def test_lsh_allpairs_no_theta_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
 
 
+def test_profile_approx_single_scan_no_expand(spark):
+    """Approx profiling must stay one scan + one agg: no Expand
+    (exact multi-column distinct) and exactly one parquet FileScan."""
+    df = REGISTRY["profile_table_approx"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "Expand" not in plan, plan[:3000]
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+
+
 def test_salted_join_spreads_key(spark):
     """Salted join: the join keys must include the salt column."""
     df = REGISTRY["join_salted_skew"].fn(spark, SF_DIR)
