@@ -100,6 +100,27 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters_star",
+    oracle=None,  # rows-only: iterative fixpoint isn't single-statement SQL
+    section="2.11 dedup clusters, large-star/small-star variant (O(log^2 n) rounds)",
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dedup_clusters (which stays the oracle of
+    record — tests assert the two agree exactly), but rounds scale
+    with log² n instead of component diameter: the variant for deep
+    near-dup chains at corpus scale."""
+    pairs = ops.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+    clusters = ops.dedup_clusters_star(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
+@query(
     "dedup_clusters",
     oracle=None,  # rows-only: iterative fixpoint isn't single-statement SQL
     section="2.11 dedup clusters (iterative connected components over near-dup pairs)",
