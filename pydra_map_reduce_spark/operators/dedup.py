@@ -37,9 +37,11 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def shingle_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, sep: str = " "
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, sep: str = " ", *, hashed: bool = True
 ) -> DataFrame:
-    """(doc_id, s): one row per distinct n-gram shingle, s = xxhash64.
+    """(doc_id, s): one row per distinct n-gram shingle, s = xxhash64
+    (or the raw shingle string with ``hashed=False`` — used by the
+    contamination screen, which joins against literal phrases).
 
     posexplode + window lead(n-1) — every step is whole-stage codegen
     (no higher-order-function lambdas, which run interpreted and
@@ -59,6 +61,8 @@ def shingle_rows(
         F.concat_ws(sep, *parts).alias("shingle"),
         F.lead("w", n - 1).over(wdoc).alias("_last"),
     ).filter(F.col("_last").isNotNull())
+    if not hashed:
+        return gram.select("doc_id", F.col("shingle").alias("s")).distinct()
     return gram.select("doc_id", F.xxhash64("shingle").alias("s")).distinct()
 
 

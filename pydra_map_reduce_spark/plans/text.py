@@ -209,6 +209,95 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# "held-out benchmark" 3-gram phrases for the contamination screen:
+# four that occur in the fixture corpus + one that cannot (inner-join
+# semantics drop phrases with zero hits on both engines identically)
+_BENCH_PHRASES = [
+    "slow hash batch",
+    "row column sort",
+    "stream table hash",
+    "window fast query",
+    "held out benchmark",
+]
+_BENCH_SQL = ", ".join(f"('{p}')" for p in _BENCH_PHRASES)
+
+
+@query(
+    "contamination_screen",
+    oracle=f"""
+    WITH bench(phrase) AS (VALUES {_BENCH_SQL}),
+    ex AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                           for i in range(1, len(tokens) - 1)]) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+        )
+    )
+    SELECT bench.phrase,
+           count(DISTINCT ex.doc_id) AS n_contaminated
+    FROM ex JOIN bench ON ex.s = bench.phrase
+    GROUP BY bench.phrase
+    """,
+    section="2.11 benchmark-contamination screen (n-gram overlap vs held-out set)",
+)
+def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: which documents contain any
+    3-gram from a held-out benchmark set. The benchmark side is always
+    dim-sized → broadcast onto the exploded shingle stream; at 100 TB
+    the scan side is one pass and the join shuffles nothing (hash of
+    the broadcast set evaluated map-side). The standard decontamination
+    pass before pre-training."""
+    from ..operators import dedup as dedup_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    shingles = dedup_ops.shingle_rows(d, "doc_id", "text", n=3, hashed=False)
+    bench = spark.createDataFrame([(p,) for p in _BENCH_PHRASES], "phrase string")
+    return (
+        shingles.join(F.broadcast(bench), shingles.s == bench.phrase)
+        .groupBy("phrase")
+        .agg(F.countDistinct("doc_id").alias("n_contaminated"))
+    )
+
+
+@query(
+    "repetition_ratio",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT)                 AS n_tokens,
+           round(max(n)::DOUBLE / sum(n), 4)      AS rep_ratio,
+           (max(n)::DOUBLE / sum(n) > 0.1)        AS is_repetitive
+    FROM tf
+    GROUP BY doc_id
+    """,
+    section="2.11 repetition-ratio quality signal (boilerplate/spam detector)",
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent-token share per document — the cheap repetition
+    heuristic corpus filters use to drop looped/boilerplate text. Two
+    keyed aggregations, both with map-side partial combine; nothing
+    leaves the JVM."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(textops.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ratio = F.max("n").cast("double") / F.sum("n")
+    return tf.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.round(ratio, 4).alias("rep_ratio"),
+        (ratio > 0.1).alias("is_repetitive"),
+    )
+
+
 @query(
     "doc_fingerprint",
     oracle="""

@@ -75,6 +75,41 @@ def lsh_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_neardup",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+    )
+    SELECT id_b                        AS dup_id,
+           CAST(min(id_a) AS BIGINT)   AS keep_id,
+           count(*)                    AS n_neighbors
+    FROM pairs
+    GROUP BY id_b
+    """,
+    section="2.11 embedding-cosine near-dup (survivor selection over LSH pairs)",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION on top of the similarity join: every vector
+    with a smaller-id neighbor above threshold is a duplicate; its
+    survivor is the minimum such neighbor (deterministic keep-first
+    rule, same as exact_dedup). Candidates come from the banded-LSH
+    generator, so the whole pipeline — generate → rescore → decide —
+    is equi-join-only and carries to corpus scale."""
+    pairs = ops.lsh_allpairs_cosine(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64, threshold=0.4
+    )
+    return pairs.groupBy(F.col("id_b").alias("dup_id")).agg(
+        F.min("id_a").cast("bigint").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_neighbors"),
+    )
+
+
+@query(
     "ann_lsh_topk",
     oracle="""
     WITH sig AS (
