@@ -272,6 +272,55 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stream_join",
+    oracle=None,  # rows-only: stream-stream join; batch anchor asserted in tests
+    section="2.9 stream-stream join (watermarked interval join, attribution)",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join — view-to-purchase attribution: each
+    purchase joined to views by the same user within the preceding 30
+    minutes. Both sides carry watermarks and the join condition bounds
+    event time, so buffered state is evictable — the only shape a
+    stream-stream join can scale with (unbounded state otherwise).
+    Summarized to (n_attributed, n_users, sum_value); a test asserts
+    the same numbers as the equivalent batch self-join."""
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+            "value",
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = _drain(joined, "append")
+    # one row per attributed (view, purchase) pair; dedupe purchases so
+    # value sums once per purchase regardless of how many views matched
+    per_buy = out.groupBy("buy_id").agg(
+        F.first("p_user").alias("p_user"), F.first("value").alias("value")
+    )
+    return per_buy.agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.countDistinct("p_user").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
     "streaming_rate_source",
     oracle=None,  # rows-only: rate source output depends on wall clock
     section="2.1 streaming rate source (synthetic load generator)",

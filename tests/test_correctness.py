@@ -78,6 +78,43 @@ def test_streaming_late_drop_excludes_late_row(spark):
     assert got == [("2024-01-01T10:00:00", 2)], got
 
 
+def test_stream_join_matches_batch_anchor(spark):
+    """The watermarked stream-stream attribution join must produce the
+    same summary as the equivalent batch self-join over events."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    stream_row = tuple(REGISTRY["streaming_stream_join"].fn(spark, SF_DIR).first())
+    e = load_table(spark, SF_DIR, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+        "value",
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    per_buy = joined.groupBy("buy_id").agg(
+        F.first("p_user").alias("p_user"), F.first("value").alias("value")
+    )
+    batch_row = tuple(
+        per_buy.agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.countDistinct("p_user").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ).first()
+    )
+    assert stream_row == batch_row and stream_row[0] > 0, (stream_row, batch_row)
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only(name, spark):
     q = REGISTRY[name]
