@@ -130,3 +130,80 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange under AQE)."""
     e = load_table(spark, sf_dir, "events")
     return sessions_ops.funnel(e, "user_id", "ts", "event_type", "view", "purchase")
+
+
+@query(
+    "behavior_profile_topk",
+    oracle="""
+    WITH big AS (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 || '->' || event_type AS transition
+        FROM events
+        QUALIFY lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NOT NULL
+    ), prof AS (
+        SELECT user_id, transition, count(*)::DOUBLE AS n
+        FROM big GROUP BY user_id, transition
+    ), norms AS (
+        SELECT user_id, sqrt(sum(n * n)) AS nrm FROM prof GROUP BY user_id
+    ), qprof AS (
+        SELECT transition, n FROM prof WHERE user_id = 0
+    ), dots AS (
+        SELECT p.user_id, sum(p.n * q.n) AS dot
+        FROM prof p JOIN qprof q USING (transition)
+        WHERE p.user_id <> 0
+        GROUP BY p.user_id
+    )
+    SELECT d.user_id,
+           round(d.dot / (nu.nrm * nq.nrm), 4) AS cos
+    FROM dots d
+    JOIN norms nu ON nu.user_id = d.user_id
+    CROSS JOIN (SELECT nrm FROM norms WHERE user_id = 0) nq
+    ORDER BY d.dot / (nu.nrm * nq.nrm) DESC, d.user_id
+    LIMIT 5
+    """,
+    section="2.11 behavior-profile similarity search (event-transition cosine top-k)",
+)
+def behavior_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-flavored similarity search (the PAPERS.md REPOSE /
+    ClusterJoin signal) expressed relationally: each user's behavior is
+    a sparse vector of event-type TRANSITIONS (bigrams in event-time
+    order); find the 5 users most cosine-similar to user 0. Sparse
+    profiles join on the transition key — no dense vectors, no n² —
+    so the same plan serves millions of users: profile build is one
+    window pass + one keyed agg; the query side is dim-sized and
+    broadcast."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    big = (
+        e.select(
+            "user_id",
+            F.concat(
+                F.lag("event_type").over(w), F.lit("->"), F.col("event_type")
+            ).alias("transition"),
+        )
+        .filter(F.col("transition").isNotNull())
+    )
+    prof = big.groupBy("user_id", "transition").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    norms = prof.groupBy("user_id").agg(F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("nrm"))
+    qprof = prof.filter(F.col("user_id") == 0).select("transition", F.col("n").alias("qn"))
+    qnorm = norms.filter(F.col("user_id") == 0).select(F.col("nrm").alias("qnrm"))
+    dots = (
+        prof.filter(F.col("user_id") != 0)
+        .join(F.broadcast(qprof), "transition")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("n") * F.col("qn")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "user_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select("user_id", (F.col("dot") / (F.col("nrm") * F.col("qnrm"))).alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), "user_id")
+        .limit(5)
+        .select("user_id", F.round("cos_raw", 4).alias("cos"))
+    )
