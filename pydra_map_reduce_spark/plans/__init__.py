@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from . import (  # noqa: F401  (import-for-side-effect: registry population)
     analytics,
+    corpus,
     dedup,
     events,
     io,

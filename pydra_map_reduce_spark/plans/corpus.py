@@ -1,0 +1,392 @@
+"""Training-corpus preparation operators over `documents`. SURVEY.md §2.11.
+
+The passes a pre-training data pipeline runs between "raw crawl" and
+"tokenized shards": PII redaction, deterministic train/val/test
+splitting, sequential shard packing, overlapping chunking, unicode
+normalization, per-source heavy-hitter terms, source mixing weights,
+and a deterministic corpus shuffle. Everything is built-in column
+expressions (one scan + at most one keyed shuffle per query) except
+the NFC normalizer, which is deliberately a vectorized pandas_udf so
+the Arrow path is differentially tested against DuckDB's native
+`nfc_normalize`.
+
+The fixture corpus is synthetic ASCII, so the PII / URL / accent
+inputs are derived deterministically from (doc_id, source) inside the
+query itself — identical synthesis in the oracle SQL — which keeps the
+redaction/normalization machinery fully differential-tested without
+mutating the read-only fixtures.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..sources.tables import load_table
+from .registry import query
+
+# Email/phone patterns kept to the syntax subset where Java regex
+# (Spark) and RE2 (DuckDB) agree: char classes, +, {m,n}, no
+# backrefs/lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+\d-\d{3}-\d{4}"
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH synth AS (
+        SELECT source,
+               text || ' contact user' || doc_id || '@example.com or +1-555-'
+                    || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS s
+        FROM documents
+    ), red AS (
+        SELECT source,
+               len(regexp_extract_all(s, '{_EMAIL_RE}'))  AS n_emails,
+               len(regexp_extract_all(s, '{_PHONE_RE}'))  AS n_phones,
+               length(regexp_replace(regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                     '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_len
+        FROM synth
+    )
+    SELECT source,
+           count(*)                          AS n_docs,
+           CAST(sum(n_emails) AS BIGINT)     AS n_emails,
+           CAST(sum(n_phones) AS BIGINT)     AS n_phones,
+           CAST(sum(redacted_len) AS BIGINT) AS redacted_chars
+    FROM red
+    GROUP BY source
+    """,
+    section="2.11 PII redaction (regex email/phone scrub)",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub — the standard pre-training redaction pass.
+
+    A deterministic email + phone is synthesized into each document
+    from its id (the fixtures are PII-free), then both are redacted and
+    counted. All regex work is JVM-side codegen (`regexp_replace` /
+    `regexp_count`); at 100 TB this is a single scan with map-side
+    partial aggregation and only (source, partials) shuffling.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(s, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        d.select(
+            "source",
+            F.regexp_count(s, F.lit(_EMAIL_RE)).alias("n_emails"),
+            F.regexp_count(s, F.lit(_PHONE_RE)).alias("n_phones"),
+            F.length(redacted).alias("redacted_len"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").cast("bigint").alias("n_emails"),
+            F.sum("n_phones").cast("bigint").alias("n_phones"),
+            F.sum("redacted_len").cast("bigint").alias("redacted_chars"),
+        )
+    )
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT n_chars,
+               CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'cb' THEN 'train'
+                    WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'e5' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split,
+           count(*)                       AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)   AS total_chars,
+           round(avg(n_chars), 2)         AS avg_chars
+    FROM tagged
+    GROUP BY split
+    """,
+    section="2.11 train/val/test split (deterministic hash assignment)",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based ~80/10/10 split: bucket on the first md5 byte of the
+    document id, compared lexicographically ('cb' ≡ byte 203 → 79.7%
+    train). Deterministic, engine-independent, and stable under corpus
+    growth — a document never changes split when new data arrives,
+    which is the property a training pipeline needs. Pure column math;
+    no shuffle beyond the 3-group aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+_SHARD_CAPACITY = 20_000  # chars per shard (fixture-scaled)
+
+
+@query(
+    "shard_pack",
+    oracle=f"""
+    WITH packed AS (
+        SELECT doc_id, n_chars,
+               CAST(floor((sum(n_chars) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_chars) / {_SHARD_CAPACITY}) AS BIGINT) AS shard_id
+        FROM documents
+    )
+    SELECT shard_id,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+           min(doc_id)                  AS first_doc,
+           max(doc_id)                  AS last_doc
+    FROM packed
+    GROUP BY shard_id
+    """,
+    section="2.11 shard packing (sequential fill to capacity)",
+)
+def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential shard assignment: running size before each doc,
+    integer-divided by capacity — how training-shard writers fill
+    fixed-size output files. This oracle-checkable form uses one
+    global-order window (single partition); the 100 TB path runs the
+    identical expression per writer partition (partitionBy(hash) →
+    window within partition), which shards each partition independently
+    with no global order. Only (shard_id, partials) shuffle for the
+    rollup."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    shard = F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / _SHARD_CAPACITY)
+    return (
+        d.select("doc_id", "n_chars", shard.alias("shard_id"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((off - 1) / {_CHUNK_STRIDE} AS BIGINT)                  AS chunk_ix,
+           CAST(length(substr(text, off, {_CHUNK_SIZE})) AS BIGINT)     AS chunk_len,
+           substr(md5(substr(text, off, {_CHUNK_SIZE})), 1, 8)          AS chunk_fp
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text), {_CHUNK_STRIDE})) AS off
+        FROM documents
+    )
+    """,
+    section="2.11 document chunking (fixed window + overlap)",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunks (200 chars, stride 150) — the
+    context-window packing pass before tokenization. `sequence` +
+    `explode` generate offsets JVM-side; substring and the md5 chunk
+    fingerprint are codegen expressions, so chunking is a single
+    narrow (no-shuffle) pass regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text"), F.lit(_CHUNK_STRIDE))
+        ).alias("off"),
+    )
+    chunk = F.substring(F.col("text"), F.col("off"), _CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        ((F.col("off") - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_ix"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.substring(F.md5(chunk), 1, 8).alias("chunk_fp"),
+    )
+
+
+@query(
+    "unicode_normalize",
+    oracle="""
+    WITH accented AS (
+        SELECT doc_id, replace(text, 'e', 'é') AS s FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(s) AS BIGINT)                 AS n_raw,
+           CAST(length(nfc_normalize(s)) AS BIGINT)  AS n_nfc,
+           (length(nfc_normalize(s)) < length(s))    AS changed
+    FROM accented
+    """,
+    section="2.11 unicode NFC normalization (vectorized pandas_udf)",
+)
+def unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization via a *scalar pandas_udf* (Arrow-batched
+    `unicodedata.normalize`), differentially checked against DuckDB's
+    native `nfc_normalize`. Decomposed accents (e + U+0301) are
+    injected deterministically since the fixture corpus is ASCII; NFC
+    recombines them to a single code point, so `length` drops by the
+    number of combining marks. Spark has no built-in normalizer — this
+    is the legitimate vectorized-UDF tier (SURVEY §2.10): one Arrow
+    round-trip, no per-row Python."""
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    d = load_table(spark, sf_dir, "documents")
+    accented = F.replace(F.col("text"), F.lit("e"), F.lit("é"))
+    return d.select(
+        "doc_id",
+        F.length(accented).cast("bigint").alias("n_raw"),
+        F.length(nfc(accented)).cast("bigint").alias("n_nfc"),
+        (F.length(nfc(accented)) < F.length(accented)).alias("changed"),
+    )
+
+
+@query(
+    "heavy_hitters",
+    oracle="""
+    WITH tf AS (
+        SELECT source, word, count(*) AS n
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY source, word
+    ), ranked AS (
+        SELECT source, word, n,
+               row_number() OVER (PARTITION BY source ORDER BY n DESC, word) AS rk
+        FROM tf
+    )
+    SELECT source, word, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+    section="2.11 per-source heavy-hitter terms (exact top-k)",
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source top-5 terms: tf agg (map-side combine) then a
+    rank-filter window. The window input is vocabulary-sized per
+    source — already reduced — so even at 100 TB the expensive token
+    stream never reaches the window; Spark pushes the rk<=5 filter
+    into WindowGroupLimit. At extreme cardinality swap the exact tf
+    for a count-min/sampled sketch feeding the same rank-filter."""
+    from pyspark.sql import Window
+
+    from ..operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(textops.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        tf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "word",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+@query(
+    "mix_weights",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT sum(n_tokens) AS total, count(*) AS n_sources FROM per_src
+    )
+    SELECT p.source, p.n_tokens,
+           round(least(1.0, (t.total / t.n_sources) / p.n_tokens), 4) AS sample_rate,
+           CAST(floor(least(1.0, (t.total / t.n_sources) / p.n_tokens)
+                      * p.n_tokens) AS BIGINT)                        AS est_tokens
+    FROM per_src p CROSS JOIN tot t
+    """,
+    section="2.11 source mixing weights (uniform-target sampling plan)",
+)
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan: per-source sampling rate that equalizes token
+    contribution toward a uniform target (capped at 1.0 — no
+    upsampling). Source-count aggregate is dim-sized; the 1-row total
+    joins back by broadcast cross join, never a collect. The rates
+    feed `sampleBy` (see `stratified_sample`) for the actual draw."""
+    from ..operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(textops.tokens("text"))).cast("bigint").alias("n_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    rate = F.least(F.lit(1.0), (F.col("total") / F.col("n_sources")) / F.col("n_tokens"))
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(rate, 4).alias("sample_rate"),
+        F.floor(rate * F.col("n_tokens")).cast("bigint").alias("est_tokens"),
+    )
+
+
+@query(
+    "corpus_shuffle",
+    oracle="""
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos
+    FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) AS pos
+        FROM documents
+    )
+    WHERE pos <= 100
+    """,
+    section="2.11 deterministic corpus shuffle (hash-order epoch permutation)",
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch shuffle as training pipelines actually do it: a
+    *deterministic* permutation by content-independent hash order
+    (md5 of the id), so every worker/restart sees the same order
+    without materializing a permutation table. Range-partitioned sort
+    at scale; the doc_id tiebreak makes it total. First 100 positions
+    returned (TakeOrdered — no full sort materialization)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        d.select("doc_id", F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= 100)
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"))
+    )
