@@ -115,6 +115,41 @@ def test_profile_approx_single_scan_no_expand(spark):
     assert plan.count("FileScan parquet") == 1, plan[:3000]
 
 
+def test_pii_redact_jvm_side_single_scan(spark):
+    """Regex redaction must stay JVM-side codegen: one parquet scan,
+    map-side partial agg, and zero Python evaluation nodes."""
+    df = REGISTRY["pii_redact"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_doc_chunks_no_shuffle(spark):
+    """Chunking is a narrow per-row pass (generate offsets + substring)
+    — there must be no Exchange in the plan at all."""
+    df = REGISTRY["doc_chunks"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "Exchange" not in plan, plan[:3000]
+
+
+def test_heavy_hitters_group_limit(spark):
+    """The rk<=5 filter must push into WindowGroupLimit so only 5 rows
+    per source survive the window exchange."""
+    df = REGISTRY["heavy_hitters"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_unicode_normalize_arrow_batched(spark):
+    """The NFC normalizer must run as a vectorized Arrow pandas_udf
+    (ArrowEvalPython), never row-at-a-time (BatchEvalPython)."""
+    df = REGISTRY["unicode_normalize"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "ArrowEvalPython" in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan, plan[:3000]
+
+
 def test_salted_join_spreads_key(spark):
     """Salted join: the join keys must include the salt column."""
     df = REGISTRY["join_salted_skew"].fn(spark, SF_DIR)
