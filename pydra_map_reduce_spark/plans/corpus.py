@@ -362,6 +362,82 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_pipeline",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, text, n_chars,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), filtered AS (
+        SELECT * FROM docs
+        WHERE n_tokens >= 20
+          AND (n_chars - n_tokens + 1.0) / n_tokens >= 3.0
+    ), survivors AS (
+        SELECT doc_id, n_chars, n_tokens
+        FROM (
+            SELECT doc_id, n_chars, n_tokens,
+                   row_number() OVER (
+                       PARTITION BY md5(replace(text, ' ', ''))
+                       ORDER BY doc_id) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    ), tagged AS (
+        SELECT n_chars, n_tokens,
+               CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'cb' THEN 'train'
+                    WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'e5' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM survivors
+    )
+    SELECT split,
+           count(*)                      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars,
+           CAST(ceil(sum(n_chars) / {_SHARD_CAPACITY}.0) AS BIGINT) AS n_shards
+    FROM tagged
+    GROUP BY split
+    """,
+    section="2.11 end-to-end corpus prep (filter -> dedup -> split -> shard sizing)",
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training prep chain as ONE lazy plan: quality
+    filter (token count + mean token length) → exact dedup (whitespace-
+    normalized md5 fingerprint, keep lowest id) → deterministic hash
+    split → per-split shard sizing. Because every stage is a column
+    expression, Catalyst optimizes the chain end-to-end: the quality
+    filter runs in the scan stage, the fingerprint window is the only
+    wide shuffle, and the final rollup shuffles 3 groups. At 100 TB
+    this is scan → one hash exchange → agg; no stage materializes."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    docs = d.select("doc_id", "text", "n_chars", n_tokens.alias("n_tokens"))
+    filtered = docs.filter(
+        (F.col("n_tokens") >= 20)
+        & ((F.col("n_chars") - F.col("n_tokens") + 1.0) / F.col("n_tokens") >= 3.0)
+    )
+    fp = F.md5(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    survivors = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars", "n_tokens")
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test")
+    return (
+        survivors.select(split.alias("split"), "n_chars", "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.ceil(F.sum("n_chars") / float(_SHARD_CAPACITY)).cast("bigint").alias("n_shards"),
+        )
+    )
+
+
+@query(
     "corpus_shuffle",
     oracle="""
     SELECT doc_id, CAST(pos AS BIGINT) AS pos
