@@ -188,6 +188,58 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_WRITERS = 8  # parallel shard-writer partitions in the scale path
+
+
+@query(
+    "shard_pack_partitioned",
+    oracle=f"""
+    WITH packed AS (
+        SELECT doc_id % {_N_WRITERS} AS writer_id, n_chars,
+               CAST(floor((sum(n_chars) OVER (PARTITION BY doc_id % {_N_WRITERS}
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_chars) / {_SHARD_CAPACITY}) AS BIGINT) AS local_shard
+        FROM documents
+    )
+    SELECT writer_id, local_shard,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS shard_chars
+    FROM packed
+    GROUP BY writer_id, local_shard
+    """,
+    section="2.11 shard packing, partitioned (the 100 TB path: no global order)",
+)
+def shard_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of `shard_pack`: documents hash to one of N
+    writer partitions (deterministic `doc_id % N` so the oracle can
+    mirror it; production would use any stable hash) and each writer
+    packs *its own* stream to capacity with a per-partition window.
+    N windows run in parallel after a single hash exchange — no global
+    order, no single-partition WindowExec — so packing throughput
+    scales with the writer count. Shard identity is (writer_id,
+    local_shard)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    writer = (F.col("doc_id") % _N_WRITERS).alias("writer_id")
+    w = (
+        Window.partitionBy("writer_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    shard = F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / _SHARD_CAPACITY)
+    return (
+        d.select(writer, "doc_id", "n_chars")
+        .select("writer_id", "n_chars", shard.alias("local_shard"))
+        .groupBy("writer_id", "local_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_chars"),
+        )
+    )
+
+
 _CHUNK_SIZE = 200
 _CHUNK_STRIDE = 150
 

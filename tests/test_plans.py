@@ -150,6 +150,15 @@ def test_unicode_normalize_arrow_batched(spark):
     assert "BatchEvalPython" not in plan, plan[:3000]
 
 
+def test_partitioned_shard_pack_parallel_window(spark):
+    """The scale-path shard packer must run its window after a hash
+    exchange on writer_id — N parallel packers, never the global
+    single-partition window of the oracle-anchor `shard_pack`."""
+    df = REGISTRY["shard_pack_partitioned"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "hashpartitioning(writer_id" in plan, plan[:3000]
+
+
 def test_salted_join_spreads_key(spark):
     """Salted join: the join keys must include the salt column."""
     df = REGISTRY["join_salted_skew"].fn(spark, SF_DIR)
