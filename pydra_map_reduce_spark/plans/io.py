@@ -116,6 +116,49 @@ def parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_partition_pruned",
+    oracle="""
+    WITH dim(yr, tag) AS (VALUES (1995, 'drop'), (1996, 'keep'), (1997, 'keep'),
+                                 (1998, 'drop'), (1999, 'drop'), (2000, 'drop'),
+                                 (2001, 'drop'))
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           count(*)                       AS n,
+           round(sum(o_totalprice), 2)    AS total
+    FROM orders JOIN dim ON year(o_orderdate) = dim.yr
+    WHERE dim.tag = 'keep'
+    GROUP BY year(o_orderdate)
+    """,
+    section="2.3 dynamic partition pruning (dim filter prunes fact directories)",
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact is stored hive-partitioned
+    by year; joining it to a *filtered* broadcast dim makes Catalyst
+    inject a `dynamicpruning` subquery into the fact scan's partition
+    filters, so only the 2 matching year directories are read at all.
+    At 100 TB this is the difference between scanning 7 years and
+    scanning 2 — scan elimination the filter alone can't express
+    because the year set comes from data, not a literal. Plan-locked
+    by tests/test_plans.py."""
+    path = _tmp("orders_dpp")
+    o = load_table(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("yr").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1995, "drop"), (1996, "keep"), (1997, "keep"), (1998, "drop"),
+         (1999, "drop"), (2000, "drop"), (2001, "drop")],
+        "yr int, tag string",
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("tag") == "keep")), "yr")
+        .groupBy(F.col("yr").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
     "inmemory_source",
     oracle="""
     WITH src(k, v) AS (VALUES ('a', 1), ('a', 2), ('b', 3), ('b', 4), ('c', 5))

@@ -159,6 +159,15 @@ def test_partitioned_shard_pack_parallel_window(spark):
     assert "hashpartitioning(writer_id" in plan, plan[:3000]
 
 
+def test_dynamic_partition_pruning(spark):
+    """The filtered-dim join over the partitioned fact must inject a
+    dynamicpruning expression into the fact scan's partition filters —
+    scan elimination driven by the dim's data, not a literal."""
+    df = REGISTRY["join_partition_pruned"].fn(spark, SF_DIR)
+    plan = _formatted(df)
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
+
+
 def test_salted_join_spreads_key(spark):
     """Salted join: the join keys must include the salt column."""
     df = REGISTRY["join_salted_skew"].fn(spark, SF_DIR)
