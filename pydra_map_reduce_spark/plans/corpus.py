@@ -20,7 +20,7 @@ mutating the read-only fixtures.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -97,14 +97,28 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hash-split thresholds on the first md5 byte (lexicographic over hex):
+# <= 'cb' (byte 203) ≈ 79.7% train, <= 'e5' (byte 229) ≈ +10.2% val,
+# remainder ≈ 10.2% test. Shared by dataset_split and corpus_pipeline —
+# one definition, f-stringed into both oracles, so the standalone split
+# and the pipeline's split cannot drift apart.
+_TRAIN_MAX = "cb"
+_VAL_MAX = "e5"
+_SPLIT_CASE_SQL = f"""CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= '{_TRAIN_MAX}' THEN 'train'
+                    WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= '{_VAL_MAX}' THEN 'val'
+                    ELSE 'test' END"""
+
+
+def _split_col() -> Column:
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return F.when(h <= _TRAIN_MAX, "train").when(h <= _VAL_MAX, "val").otherwise("test")
+
+
 @query(
     "dataset_split",
-    oracle="""
+    oracle=f"""
     WITH tagged AS (
-        SELECT n_chars,
-               CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'cb' THEN 'train'
-                    WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'e5' THEN 'val'
-                    ELSE 'test' END AS split
+        SELECT n_chars, {_SPLIT_CASE_SQL} AS split
         FROM documents
     )
     SELECT split,
@@ -124,12 +138,8 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the property a training pipeline needs. Pure column math;
     no shuffle beyond the 3-group aggregate."""
     d = load_table(spark, sf_dir, "documents")
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test")
-    )
     return (
-        d.select(split.alias("split"), "n_chars")
+        d.select(_split_col().alias("split"), "n_chars")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -254,7 +264,7 @@ _CHUNK_STRIDE = 150
     FROM (
         SELECT doc_id, text,
                unnest(generate_series(1, length(text), {_CHUNK_STRIDE})) AS off
-        FROM documents
+        FROM documents WHERE length(text) > 0
     )
     """,
     section="2.11 document chunking (fixed window + overlap)",
@@ -264,8 +274,11 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     context-window packing pass before tokenization. `sequence` +
     `explode` generate offsets JVM-side; substring and the md5 chunk
     fingerprint are codegen expressions, so chunking is a single
-    narrow (no-shuffle) pass regardless of corpus size."""
-    d = load_table(spark, sf_dir, "documents")
+    narrow (no-shuffle) pass regardless of corpus size. Empty documents
+    are filtered first: `sequence(1, 0)` raises in Spark where the
+    oracle's `generate_series(1, 0)` yields nothing — both now emit
+    zero chunks."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     chunks = d.select(
         "doc_id",
         "text",
@@ -434,10 +447,7 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM filtered
         ) WHERE rn = 1
     ), tagged AS (
-        SELECT n_chars, n_tokens,
-               CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'cb' THEN 'train'
-                    WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'e5' THEN 'val'
-                    ELSE 'test' END AS split
+        SELECT n_chars, n_tokens, {_SPLIT_CASE_SQL} AS split
         FROM survivors
     )
     SELECT split,
@@ -462,7 +472,9 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.col("text"), " "))
+    from ..operators import textops
+
+    n_tokens = F.size(textops.tokens("text"))
     docs = d.select("doc_id", "text", "n_chars", n_tokens.alias("n_tokens"))
     filtered = docs.filter(
         (F.col("n_tokens") >= 20)
@@ -475,10 +487,8 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_chars", "n_tokens")
     )
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = F.when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test")
     return (
-        survivors.select(split.alias("split"), "n_chars", "n_tokens")
+        survivors.select(_split_col().alias("split"), "n_chars", "n_tokens")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
