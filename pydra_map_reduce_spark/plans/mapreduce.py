@@ -259,3 +259,87 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_v, LATERAL token_expand(doc_id, text) t
         """
     )
+
+
+@query(
+    "pandas_udaf_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 6) AS geo_price,
+           count(*)                                AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    section="2.10 grouped-agg pandas_udf (vectorized UDAF)",
+)
+def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A vectorized UDAF: grouped-agg pandas_udf (whole group's column
+    arrives as ONE pandas Series per group over Arrow) computing the
+    geometric mean — exp(mean(ln)) keeps it oracle-expressible. The
+    missing tier between built-in aggs and applyInPandas: no pandas
+    DataFrame assembly, no Python loop per row. Scale caveat (inherent
+    to the API): one group's column must fit one worker — unbounded
+    keys belong in built-in aggs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(s: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(s.to_numpy()).mean()))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggs in one agg() ([INVALID_PANDAS_UDF_PLACEMENT]) — the count
+    # is a pandas UDF too.
+    @pandas_udf("long")
+    def n_rows(s: pd.Series) -> int:
+        return len(s)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(geomean("l_extendedprice"), 6).alias("geo_price"),
+        n_rows("l_extendedprice").alias("n"),
+    )
+
+
+@query(
+    "mr_map_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS gross_price
+    FROM lineitem
+    WHERE l_orderkey < 3000
+    """,
+    section="2.10 mapInArrow (RecordBatch-level map, zero pandas overhead)",
+)
+def mr_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lowest-overhead Python tier: mapInArrow hands pyarrow
+    RecordBatches straight to Python — no pandas conversion at all, so
+    columnar compute (pyarrow.compute) runs on the Arrow buffers
+    in place. Use when even mapInPandas' Series materialization is
+    too much; same distributed shape (narrow, per-batch) as mr_map."""
+    import pyarrow as pa
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            net = pc.multiply(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                ),
+                pc.add(pa.scalar(1.0), b.column("l_tax")),
+            )
+            # half-up rounding (SQL semantics); pc.round is half-to-even
+            gross = pc.divide(pc.floor(pc.add(pc.multiply(net, pa.scalar(100.0)), pa.scalar(0.5))), pa.scalar(100.0))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), gross],
+                names=["l_orderkey", "l_linenumber", "gross_price"],
+            )
+
+    return li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax").mapInArrow(
+        fn, "l_orderkey long, l_linenumber int, gross_price double"
+    )
