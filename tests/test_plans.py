@@ -168,6 +168,17 @@ def test_dynamic_partition_pruning(spark):
     assert "dynamicpruning" in plan.lower(), plan[:4000]
 
 
+def test_corpus_pipeline_one_scan_two_exchanges(spark):
+    """The end-to-end corpus-prep chain must stay ONE fused plan:
+    a single parquet scan, exactly two exchanges (fingerprint window +
+    final rollup), and no Python evaluation anywhere."""
+    df = REGISTRY["corpus_pipeline"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    assert plan.count("Exchange") <= 2, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
 def test_salted_join_spreads_key(spark):
     """Salted join: the join keys must include the salt column."""
     df = REGISTRY["join_salted_skew"].fn(spark, SF_DIR)
