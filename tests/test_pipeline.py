@@ -125,3 +125,20 @@ def test_llm_convenience_methods(spark, duck):
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ) SELECT CAST(sum(ns) AS BIGINT) FROM flagged""").fetchone()[0]
     assert n == expected
+
+
+def test_driver_priority_window():
+    """The driver's CORRECTNESS ledger covers the first 50 queries()
+    entries; the rotation list must stay exactly 50 unique, registered
+    names so the intended families are what the driver checks."""
+    import __spark_entry__ as entry
+
+    prio = entry._DRIVER_PRIORITY
+    assert len(prio) == 50, len(prio)
+    assert len(set(prio)) == 50, "duplicate names in _DRIVER_PRIORITY"
+    from pydra_map_reduce_spark.plans import REGISTRY
+
+    missing = [n for n in prio if n not in REGISTRY]
+    assert not missing, missing
+    # and the full queries() dict leads with exactly the priority list
+    assert list(entry.queries())[:50] == prio
