@@ -207,3 +207,100 @@ def behavior_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("user_id", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+@query(
+    "histogram",
+    oracle="""
+    SELECT CAST(least(9, floor(l_extendedprice / 10000)) AS INT) AS bin,
+           count(*)                                              AS n,
+           round(min(l_extendedprice), 2)                        AS lo,
+           round(max(l_extendedprice), 2)                        AS hi
+    FROM lineitem
+    GROUP BY least(9, floor(l_extendedprice / 10000))
+    """,
+    section="2.4 histogram (fixed-width value binning)",
+)
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bin = floor(value/width) clamped to the
+    last bucket. Pure column math + one keyed agg with map-side
+    combine — at 100 TB a histogram is exactly one scan and a 10-row
+    shuffle. (Equi-depth variants use approx_percentile boundaries
+    feeding the same binning expression.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_ = F.least(F.lit(9), F.floor(F.col("l_extendedprice") / 10000)).cast("int")
+    return (
+        li.select(bin_.alias("bin"), "l_extendedprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*)           AS n_events,
+               round(sum(value), 2) AS day_value
+        FROM events WHERE user_id < 20
+        GROUP BY user_id, date_trunc('day', ts)
+    ), grid AS (
+        SELECT u.user_id, CAST(d.day AS DATE) AS day
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u,
+             (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                            INTERVAL 1 DAY)) AS day) d
+    )
+    SELECT g.user_id, g.day,
+           CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events,
+           last_value(daily.day_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+    FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day
+    """,
+    section="2.9 time-series gap filling (dense date grid + forward fill)",
+)
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling for per-entity daily series: build the dense
+    (entity × day) grid with `sequence`+`explode` (JVM-side, no
+    driver-side date loop), left-join the sparse aggregates, zero-fill
+    counts, and forward-fill values with last(ignorenulls) over the
+    per-entity window. Grid generation is narrow; the only wide ops
+    are the daily agg and the per-entity window — both keyed on
+    user_id, so the shape holds at any entity count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+    users = ev.select("user_id").distinct()
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    grid = users.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("day_value", ignorenulls=True).over(w).alias("value_ff"),
+    )
