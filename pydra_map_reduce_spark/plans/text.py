@@ -318,3 +318,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(fp).alias("n_fingerprints"),
     )
+
+
+@query(
+    "unigram_perplexity",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), freq AS (
+        SELECT word, count(*) AS n FROM tok GROUP BY word
+    ), tot AS (
+        SELECT sum(n) AS total FROM freq
+    )
+    SELECT tok.doc_id,
+           count(*)                                               AS n_tokens,
+           round(exp(-avg(ln(freq.n / tot.total))), 2)            AS ppl
+    FROM tok JOIN freq USING (word) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+    section="2.11 unigram-LM perplexity (corpus-frequency quality signal)",
+)
+def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's own unigram LM —
+    the classic cheap quality filter (outlier docs score high).
+    p(w) = n_w / total; ppl = exp(-mean ln p). The frequency table is
+    vocab-sized → broadcast back onto the token stream; the corpus
+    total is a 1-row broadcast cross join. Two keyed aggs, zero
+    Python — at 100 TB this is two scans of the token stream (or one,
+    if the vocab table is precomputed and reused across filters)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    return (
+        tok.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.exp(-F.avg(F.log(F.col("n") / F.col("total")))), 2).alias("ppl"),
+        )
+    )
