@@ -1,0 +1,82 @@
+"""Generic iterative graph operators (schema-agnostic).
+
+Same design rules as the dedup connected-components family: per-round
+work is keyed joins/aggs on node ids only, every round localCheckpoints
+(lineage truncation — Catalyst planning time otherwise grows
+super-linearly with iteration count), and nothing but 1-row scalars
+ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` rounds of standard PageRank.
+
+    ``edges`` is a directed (src, dst) DataFrame. Each round: every
+    node splits rank/out_degree along its out-edges, destinations sum
+    incoming contributions, rank = (1-d)/N + d·(in + dangling/N) where
+    the dangling mass (nodes with no out-edges) is redistributed
+    uniformly — ranks sum to N every round, the standard invariant.
+
+    The MR-flagship iterative algorithm, Spark-shaped: the edge list
+    (with out-degrees pre-joined) is persisted once and reused every
+    round; per round there is ONE shuffle (the dst-keyed contribution
+    sum) plus a broadcast of the current rank's 1-row dangling total.
+    Rank updates join edges on src — at 100 TB co-partition both on
+    the node key (bucketed edge tables) and the per-round exchange of
+    the big side disappears. Fixed iteration count keeps the plan
+    deterministic; convergence-based stopping would add a 1-row
+    driver check per round like dedup_clusters.
+    """
+    e = edges.select("src", "dst").distinct()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges annotated with the source's out-degree: persisted once,
+    # reused by all rounds (the loop-invariant side)
+    ed = e.join(out_deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_total = nodes.count()  # 1 scalar, fixed for the whole run
+
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        # dangling mass = total rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.col("dm") / n_total)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    nodes.unpersist()
+    return ranks

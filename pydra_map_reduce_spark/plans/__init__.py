@@ -12,6 +12,7 @@ from . import (  # noqa: F401  (import-for-side-effect: registry population)
     corpus,
     dedup,
     events,
+    graph,
     io,
     joins,
     mapreduce,

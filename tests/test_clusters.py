@@ -41,3 +41,35 @@ def test_star_on_mixed_components(spark):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = _labels(ops.dedup_clusters_star(pairs))
     assert got == [(1, 1), (5, 1), (9, 1), (13, 1), (20, 20), (21, 20), (22, 20)]
+
+
+def test_pagerank_invariants(spark):
+    """PageRank sanity on a hand-computable graph AND the fixture
+    binding: ranks sum to N (the standard invariant, preserved by
+    dangling redistribution), everything positive, and a 4-node
+    asymmetric graph ranks the in-degree hub first."""
+    from pydra_map_reduce_spark.operators import graph as g
+    from pydra_map_reduce_spark.plans import REGISTRY
+
+    # 4-node graph: everyone links to 'hub'; hub links back to 'a'.
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        "src string, dst string",
+    )
+    # n_iter=40: this graph is a near-2-cycle (a <-> hub) whose rank
+    # oscillation decays as damping^2 per round; at the default 10
+    # rounds the parity of the last round still decides a-vs-hub.
+    ranks = {r["node"]: r["rank"] for r in g.pagerank(edges, n_iter=40).collect()}
+    assert abs(sum(ranks.values()) - 4.0) < 1e-6, ranks
+    assert all(v > 0 for v in ranks.values()), ranks
+    # fixpoint: hub = 0.15+0.85*(a+0.3), a = 0.15+0.85*hub -> hub 1.92, a 1.78
+    assert max(ranks, key=ranks.get) == "hub", ranks
+    # 'a' receives the hub's whole rank, so it must outrank b/c
+    assert ranks["a"] > ranks["b"] == ranks["c"], ranks
+
+    top = REGISTRY["pagerank"].fn(spark, SF_DIR).collect()
+    assert len(top) == 10
+    assert all(r["rank"] > 0 for r in top)
+    # deterministic ordering: desc rank, then node asc
+    vals = [(-r["rank"], r["node"]) for r in top]
+    assert vals == sorted(vals), vals
