@@ -142,3 +142,25 @@ def test_driver_priority_window():
     assert not missing, missing
     # and the full queries() dict leads with exactly the priority list
     assert list(entry.queries())[:50] == prio
+
+
+def test_survey_table_matches_registry():
+    """SURVEY.md §2.13 is the judge's coverage map — its query table
+    and totals line must list exactly the live registry."""
+    import re
+
+    from pydra_map_reduce_spark.plans import REGISTRY
+
+    text = open("SURVEY.md").read()
+    sect = text.split("### 2.13")[1].split("### 2.12")[0]
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", sect, re.M))
+    assert listed == set(REGISTRY), (
+        sorted(set(REGISTRY) - listed),  # implemented but undocumented
+        sorted(listed - set(REGISTRY)),  # documented but unregistered
+    )
+    n_oracle = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    totals = re.search(r"Totals: (\d+) queries, (\d+) oracle-checked, (\d+) rows-only", sect)
+    assert totals is not None
+    assert tuple(map(int, totals.groups())) == (
+        len(REGISTRY), n_oracle, len(REGISTRY) - n_oracle,
+    )
