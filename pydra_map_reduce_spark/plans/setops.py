@@ -128,3 +128,69 @@ def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("id"), F.col("s_acctbal").alias("bal"))
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ), merged AS (
+        SELECT coalesce(u.o_orderkey, b.o_orderkey)     AS okey,
+               coalesce(u.o_totalprice, b.o_totalprice) AS price,
+               (u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL) AS is_update,
+               (b.o_orderkey IS NULL)                   AS is_insert
+        FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT count(*)                                        AS n_rows,
+           CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(sum(CASE WHEN is_update THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(sum(CASE WHEN is_insert THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+    FROM merged
+    """,
+    section="2.7 upsert merge (SCD-1: update-wins full outer join)",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE/upsert pattern without a table format: full outer
+    join base-vs-updates on the key, update-wins coalesce, plus
+    updated/inserted accounting. The shuffle is keyed on o_orderkey
+    only; at 100 TB the same plan works with the base bucketed on the
+    key (no base-side exchange) — or swap in Delta/Iceberg MERGE INTO,
+    which executes this exact join under the hood. Updates here are
+    synthesized deterministically from the base (price bumps + new
+    keys) so the oracle can mirror them."""
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # additive bump: keeps the price at 2dp exactly, so no rounding —
+    # round(x*1.1, 2) would sit ON the .xx5 half-way boundary for half
+    # the rows, where Spark (shortest-decimal-repr) and DuckDB (raw
+    # binary double) round differently
+    bumped = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") + 100.0).alias("o_totalprice"))
+    )
+    fresh = (
+        base.filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.col("o_totalprice"),
+        )
+    )
+    updates = bumped.unionByName(fresh)
+    b, u = base.alias("b"), updates.alias("u")
+    merged = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full").select(
+        F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias("price"),
+        (F.col("u.o_orderkey").isNotNull() & F.col("b.o_orderkey").isNotNull()).alias("is_update"),
+        F.col("b.o_orderkey").isNull().alias("is_insert"),
+    )
+    # exact decimal sum (double-sum order across 2 engines diverges at
+    # the cent level on a ~1e9 total), cast back to double for schema
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.sum(F.when(F.col("is_update"), 1).otherwise(0)).cast("bigint").alias("n_updated"),
+        F.sum(F.when(F.col("is_insert"), 1).otherwise(0)).cast("bigint").alias("n_inserted"),
+    )

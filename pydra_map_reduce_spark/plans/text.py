@@ -360,3 +360,43 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.avg(F.log(F.col("n") / F.col("total")))), 2).alias("ppl"),
         )
     )
+
+
+@query(
+    "word_cooccurrence",
+    oracle="""
+    WITH dw AS (
+        SELECT DISTINCT doc_id, word
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+    )
+    SELECT a.word AS w1, b.word AS w2, count(*) AS n
+    FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+    GROUP BY a.word, b.word
+    ORDER BY n DESC, w1, w2
+    LIMIT 20
+    """,
+    section="2.11 word co-occurrence matrix (top pairs by shared docs)",
+)
+def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic MR 'pairs' co-occurrence job: distinct (doc, word)
+    → per-doc self-join (w1 < w2) → pair counts → top-20. The join is
+    keyed on doc_id, so work is Σ_doc |vocab(doc)|², never corpus-n².
+    At real corpus scale, band the vocabulary first (drop ultra-rare
+    and stopword-frequency terms by doc-frequency) — the standard
+    trick that keeps per-doc vocab, and hence the quadratic term,
+    bounded. Top-20 via TakeOrdered (per-partition heaps)."""
+    d = load_table(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(textops.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    a, b = dw.alias("a"), dw.alias("b")
+    return (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.word") < F.col("b.word")))
+        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(20)
+    )
