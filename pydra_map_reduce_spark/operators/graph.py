@@ -50,6 +50,12 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_total = nodes.count()  # 1 scalar, fixed for the whole run
+    # the dangling node SET (no out-edges) is loop-invariant: compute
+    # and persist it once — deriving it from out_deg inside the loop
+    # would replay the edge scan + distinct + degree agg every round
+    dangling_nodes = nodes.join(
+        out_deg, nodes.node == out_deg.src, "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
     for _ in range(n_iter):
@@ -61,7 +67,7 @@ def pagerank(
         )
         # dangling mass = total rank held by nodes with no out-edges
         dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         ranks = (
@@ -79,4 +85,5 @@ def pagerank(
         )
     ed.unpersist()
     nodes.unpersist()
+    dangling_nodes.unpersist()
     return ranks

@@ -265,7 +265,7 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_udaf_geomean",
     oracle="""
     SELECT l_returnflag,
-           round(exp(avg(ln(l_extendedprice))), 6) AS geo_price,
+           round(exp(avg(ln(l_extendedprice))), 2) AS geo_price,
            count(*)                                AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -275,7 +275,9 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A vectorized UDAF: grouped-agg pandas_udf (whole group's column
     arrives as ONE pandas Series per group over Arrow) computing the
-    geometric mean — exp(mean(ln)) keeps it oracle-expressible. The
+    geometric mean — exp(mean(ln)) keeps it oracle-expressible
+    (rounded at 2dp: exp amplifies the engines' ~1e-13 mean-of-ln
+    noise to ~1e-8 absolute, which 6dp rounding would expose). The
     missing tier between built-in aggs and applyInPandas: no pandas
     DataFrame assembly, no Python loop per row. Scale caveat (inherent
     to the API): one group's column must fit one worker — unbounded
@@ -297,7 +299,7 @@ def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(geomean("l_extendedprice"), 6).alias("geo_price"),
+        F.round(geomean("l_extendedprice"), 2).alias("geo_price"),
         n_rows("l_extendedprice").alias("n"),
     )
 

@@ -324,8 +324,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_perplexity",
     oracle="""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        FROM documents
+        SELECT doc_id, word
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
     ), freq AS (
         SELECT word, count(*) AS n FROM tok GROUP BY word
     ), tot AS (
@@ -348,7 +349,9 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python — at 100 TB this is two scans of the token stream (or one,
     if the vocab table is precomputed and reused across filters)."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("word"))
+    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     tot = freq.agg(F.sum("n").alias("total"))
     return (

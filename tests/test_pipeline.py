@@ -164,3 +164,5 @@ def test_survey_table_matches_registry():
     assert tuple(map(int, totals.groups())) == (
         len(REGISTRY), n_oracle, len(REGISTRY) - n_oracle,
     )
+    readme = re.search(r"(\d+) queries, each a thin fixture binding", open("README.md").read())
+    assert readme is not None and int(readme.group(1)) == len(REGISTRY), readme
