@@ -179,6 +179,16 @@ def test_corpus_pipeline_one_scan_two_exchanges(spark):
     assert "EvalPython" not in plan, plan[:3000]
 
 
+def test_corpus_shuffle_limit_below_window(spark):
+    """The pos<=100 filter must push below the global row_number
+    window as TakeOrderedAndProject (per-partition heaps), so the
+    single-partition window only ever receives 100 rows — without
+    this, a global window at corpus scale is a one-executor sort."""
+    df = REGISTRY["corpus_shuffle"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "TakeOrderedAndProject(limit=100" in plan, plan[:3000]
+
+
 def test_salted_join_spreads_key(spark):
     """Salted join: the join keys must include the salt column."""
     df = REGISTRY["join_salted_skew"].fn(spark, SF_DIR)
