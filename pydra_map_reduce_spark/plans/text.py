@@ -403,3 +403,57 @@ def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT word
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+    ), freq AS (
+        SELECT word, count(*) AS n FROM tok GROUP BY word
+    ), ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk FROM freq
+    ), tot AS (SELECT sum(n) AS total FROM freq)
+    SELECT ks.k,
+           round(sum(CASE WHEN rk <= ks.k THEN n ELSE 0 END) / max(tot.total), 4)
+               AS coverage
+    FROM ranked CROSS JOIN tot CROSS JOIN (VALUES (5), (10), (20)) ks(k)
+    GROUP BY ks.k
+    """,
+    section="2.11 vocabulary coverage curve (tokenizer vocab sizing)",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token coverage of the top-k vocabulary for several k — the
+    curve that sizes a tokenizer's vocab (what fraction of the stream
+    avoids <UNK>). Frequency table is vocab-sized, ranking it is a
+    dim-sized window, and the k-values are a 3-row broadcast; the only
+    corpus-scale work is the one token-count aggregation."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(textops.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = freq.select(
+        "n", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word"))).alias("rk")
+    )
+    tot = freq.agg(F.sum("n").alias("total"))
+    ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(0))
+                / F.max("total"),
+                4,
+            ).alias("coverage")
+        )
+    )
