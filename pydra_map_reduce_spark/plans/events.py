@@ -304,3 +304,42 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         F.last("day_value", ignorenulls=True).over(w).alias("value_ff"),
     )
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*)                                        AS n_outliers,
+           round(max(abs((e.value - s.mu) / s.sd)), 2)     AS max_z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sd) > 2.5
+    GROUP BY e.event_type
+    """,
+    section="2.4/2.9 anomaly detection (per-group z-score outliers)",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2.5): one pass computes
+    the group stats (map-side partial agg), which come back as a
+    broadcast join onto the stream — stats are group-count-sized, so
+    the fact side never shuffles for the join. The standard metric-
+    anomaly sweep; the same plan with a time-bucketed group key gives
+    rolling anomaly detection."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(z > 2.5)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.max(z), 2).alias("max_z"),
+        )
+    )
