@@ -327,11 +327,19 @@ def unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     accented = F.replace(F.col("text"), F.lit("e"), F.lit("é"))
-    return d.select(
+    # single nfc(...) call — deriving `changed` from the aliased n_nfc
+    # guarantees one Arrow round-trip even if Catalyst would not
+    # deduplicate two identical UDF invocations
+    lengths = d.select(
         "doc_id",
         F.length(accented).cast("bigint").alias("n_raw"),
         F.length(nfc(accented)).cast("bigint").alias("n_nfc"),
-        (F.length(nfc(accented)) < F.length(accented)).alias("changed"),
+    )
+    return lengths.select(
+        "doc_id",
+        "n_raw",
+        "n_nfc",
+        (F.col("n_nfc") < F.col("n_raw")).alias("changed"),
     )
 
 

@@ -252,8 +252,12 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), grid AS (
         SELECT u.user_id, CAST(d.day AS DATE) AS day
         FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u,
-             (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
-                                            INTERVAL 1 DAY)) AS day) d
+             (SELECT unnest(generate_series(
+                  (SELECT CAST(min(date_trunc('day', ts)) AS DATE)
+                   FROM events WHERE user_id < 20),
+                  (SELECT CAST(max(date_trunc('day', ts)) AS DATE)
+                   FROM events WHERE user_id < 20),
+                  INTERVAL 1 DAY)) AS day) d
     )
     SELECT g.user_id, g.day,
            CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events,
@@ -269,27 +273,26 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (entity × day) grid with `sequence`+`explode` (JVM-side, no
     driver-side date loop), left-join the sparse aggregates, zero-fill
     counts, and forward-fill values with last(ignorenulls) over the
-    per-entity window. Grid generation is narrow; the only wide ops
-    are the daily agg and the per-entity window — both keyed on
-    user_id, so the shape holds at any entity count."""
+    per-entity window. Grid bounds are DERIVED from the data's own
+    min/max event day (a 1-row agg, broadcast into the grid) so a
+    mis-specified literal range can never silently truncate the
+    series. Grid generation is narrow; the only wide ops are the
+    daily agg and the per-entity window — both keyed on user_id, so
+    the shape holds at any entity count."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    daily = ev.groupBy(
-        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(
+    day = F.to_date(F.date_trunc("day", "ts"))
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("day_value"),
     )
     users = ev.select("user_id").distinct()
-    days = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit("2024-01-01").cast("date"),
-                F.lit("2024-01-30").cast("date"),
-                F.expr("interval 1 day"),
-            )
-        ).alias("day")
+    days = (
+        ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+        .select(
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+        )
     )
     grid = users.crossJoin(F.broadcast(days))
     w = (
@@ -328,12 +331,17 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join onto the stream — stats are group-count-sized, so
     the fact side never shuffles for the join. The standard metric-
     anomaly sweep; the same plan with a time-bucketed group key gives
-    rolling anomaly detection."""
+    rolling anomaly detection.
+
+    try_divide guards sd = 0 (a group whose values are all equal):
+    under ANSI mode plain division would raise DIVIDE_BY_ZERO, while
+    the DuckDB oracle yields NULL — try_divide gives the same NULL,
+    which the |z| > 2.5 filter then drops on both engines."""
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
     )
-    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    z = F.abs(F.try_divide(F.col("value") - F.col("mu"), F.col("sd")))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .filter(z > 2.5)

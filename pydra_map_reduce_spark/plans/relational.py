@@ -267,17 +267,22 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_values",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(DISTINCT n_name)) AS nations
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
     FROM nation
     GROUP BY n_regionkey
     """,
     section="2.4 collect_list / collect_set (group values under key)",
 )
 def collect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MR 'gather all values for a key'; array_sort for determinism."""
+    """MR 'gather all values for a key'; array_sort for determinism.
+
+    The gathered set is serialized with array_join: the external
+    differential harness canonicalizes through pandas, which cannot
+    hash top-level ARRAY cells (tests/test_correctness.py guards the
+    whole registry against that)."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_set("n_name")).alias("nations")
+        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations")
     )
 
 

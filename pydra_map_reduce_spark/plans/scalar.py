@@ -263,8 +263,9 @@ def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(list_intersect([label, label + 1, label + 2],
                               [label + 1, label + 2, label + 3]))       AS n_inter,
-           list_sort(list_distinct([label + 2, label, label + 1, label])) AS sorted_arr,
-           [label, label + 1] || [label + 10]                           AS concatenated,
+           array_to_string(list_sort(list_distinct([label + 2, label, label + 1, label])),
+                           ',')                                         AS sorted_arr,
+           array_to_string([label, label + 1] || [label + 10], ',')     AS concatenated,
            len(flatten([[label], [label + 1, label + 2]]))              AS flat_len,
            round(CAST(list_aggregate(list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
                                      'sum') AS DOUBLE), 5)              AS head_sum
@@ -285,10 +286,22 @@ def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_inter"),
-        F.array_sort(F.array_distinct(F.array(lbl + 2, lbl, lbl + 1, lbl))).alias(
-            "sorted_arr"
-        ),
-        F.concat(F.array(lbl, lbl + 1), F.array(lbl + 10)).alias("concatenated"),
+        # serialized via array_join: the external harness's pandas
+        # canonicalizer cannot hash top-level ARRAY cells
+        F.array_join(
+            F.transform(
+                F.array_sort(F.array_distinct(F.array(lbl + 2, lbl, lbl + 1, lbl))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("sorted_arr"),
+        F.array_join(
+            F.transform(
+                F.concat(F.array(lbl, lbl + 1), F.array(lbl + 10)),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("concatenated"),
         F.size(F.flatten(F.array(F.array(lbl), F.array(lbl + 1, lbl + 2))))
         .cast("bigint")
         .alias("flat_len"),

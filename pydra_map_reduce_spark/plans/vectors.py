@@ -160,7 +160,8 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector_quantize",
     oracle="""
     SELECT vec_id,
-           [CAST(round(x * 127.0 / mx) AS INT) for x in CAST(embedding AS DOUBLE[])] AS qvec,
+           array_to_string([CAST(round(x * 127.0 / mx) AS INT)
+                            for x in CAST(embedding AS DOUBLE[])], ',') AS qvec,
            round(mx, 6) AS scale
     FROM (
         SELECT vec_id, embedding,
@@ -174,17 +175,26 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization: per-vector absmax scale, each dim
     mapped to round(x·127/scale). The embedding-compression pass of a
-    training-data pipeline, in pure column expressions."""
+    training-data pipeline, in pure column expressions. The quantized
+    vector is serialized with array_join (the external harness's pandas
+    canonicalizer cannot hash top-level ARRAY cells)."""
     from ..operators.similarity import as_double
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
     mx = F.greatest(F.array_max("emb"), -F.array_min("emb"))
-    qv = F.transform("emb", lambda x: F.round(x * 127.0 / F.col("scale")).cast("int"))
+    qv = F.transform(
+        "emb",
+        lambda x: F.round(x * 127.0 / F.col("scale")).cast("int").cast("string"),
+    )
     return (
         e.withColumn("scale", mx)
-        .select("vec_id", qv.alias("qvec"), F.round("scale", 6).alias("scale"))
+        .select(
+            "vec_id",
+            F.array_join(qv, ",").alias("qvec"),
+            F.round("scale", 6).alias("scale"),
+        )
     )
 
 

@@ -64,8 +64,11 @@ def test_pagerank_invariants(spark):
     assert all(v > 0 for v in ranks.values()), ranks
     # fixpoint: hub = 0.15+0.85*(a+0.3), a = 0.15+0.85*hub -> hub 1.92, a 1.78
     assert max(ranks, key=ranks.get) == "hub", ranks
-    # 'a' receives the hub's whole rank, so it must outrank b/c
-    assert ranks["a"] > ranks["b"] == ranks["c"], ranks
+    # 'a' receives the hub's whole rank, so it must outrank b/c;
+    # b and c are symmetric but may differ by a ulp depending on
+    # partitioning/summation order, so compare with a tolerance
+    assert ranks["a"] > ranks["b"], ranks
+    assert abs(ranks["b"] - ranks["c"]) < 1e-9, ranks
 
     top = REGISTRY["pagerank"].fn(spark, SF_DIR).collect()
     assert len(top) == 10
