@@ -21,7 +21,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import SCHEMAS, _pin_conf, convert_events_ts
+from ..sources.tables import SCHEMAS, _pin_conf, convert_events_ts, events_ts_unit
 from .registry import query
 
 
@@ -44,15 +44,23 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(target, link)
     else:
         os.symlink(target, link)
-    # ts is TIMESTAMP(NANOS) on disk: same raw-nanos conversion as the
-    # batch loader (shared helper keeps the two paths in lockstep).
-    _pin_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(SCHEMAS["_events_raw"])
+    # Footer-adaptive, in lockstep with the batch loader: ns footers
+    # take the raw-nanos + div-1000 path, µs/ms footers read directly
+    # with the public schema (shared probe keeps the two in sync).
+    _pin_conf(spark, "spark.sql.session.timeZone", "UTC")
+    if events_ts_unit(target) == "ns":
+        _pin_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(SCHEMAS["_events_raw"])
+            .format("parquet")
+            .load(stream_dir)
+        )
+        return convert_events_ts(raw)
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
         .format("parquet")
         .load(stream_dir)
     )
-    return convert_events_ts(raw)
 
 
 def _drain(df: DataFrame, mode: str) -> DataFrame:

@@ -74,11 +74,13 @@ SCHEMAS: dict[str, T.StructType] = {
         ("value", _D),
         ("props", _S),
     ),
-    # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    # reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos
-    # (legacy.parquet.nanosAsLong) and convert to TimestampType with
-    # integer division (ns div 1000 -> µs), matching DuckDB's ns->µs
-    # truncation exactly. The public schema above stays TimestampType.
+    # Some fixture generations store events.ts as TIMESTAMP(NANOS),
+    # which Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]).
+    # For those files we read ts as raw nanos (legacy.parquet.
+    # nanosAsLong) and convert to TimestampType with integer division
+    # (ns div 1000 -> µs), matching DuckDB's ns->µs truncation exactly.
+    # The loader probes the footer and picks the right path per file;
+    # µs/ms footers are read directly with the public schema above.
     "_events_raw": _st(
         ("event_id", _L),
         ("ts", _L),
@@ -102,6 +104,59 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 TABLES = tuple(n for n in SCHEMAS if not n.startswith("_"))
+
+
+def _part_file(path: str) -> str:
+    """Resolve a fixture path (single file OR directory of part files)
+    to one concrete parquet file for metadata probes."""
+    import os
+
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, p)
+            for p in os.listdir(path)
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        return parts[0]
+    return path
+
+
+def _fixture_key(path: str) -> tuple[str, float]:
+    """(resolved file, mtime) identity for a fixture at this instant.
+    Keying caches on mtime — not path alone — means a regenerated
+    fixture is re-probed instead of trusted from a stale entry."""
+    import os
+
+    f = _part_file(path)
+    return (f, os.path.getmtime(f))
+
+
+_TS_UNIT_CACHE: dict[tuple[str, float], str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Physical unit of events.ts ('ns'/'us'/'ms'/'s'), probed from the
+    parquet footer via pyarrow — metadata-only (no data scan) and
+    independent of any Spark session conf, so the probe result is the
+    same no matter what was pinned earlier. Drives the loader's branch
+    between the direct TimestampType read (µs/ms footers) and the
+    legacy nanosAsLong + div-1000 path (ns footers)."""
+    key = _fixture_key(path)
+    if key not in _TS_UNIT_CACHE:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(key[0]).field("ts").type
+        unit = getattr(t, "unit", None)
+        if unit is None:
+            raise ValueError(
+                f"events.ts at {key[0]} has parquet type {t}; expected a "
+                "timestamp (any unit). Fixture layout changed in a way the "
+                "loader does not recognize — update SCHEMAS/load_table."
+            )
+        _TS_UNIT_CACHE[key] = unit
+    return _TS_UNIT_CACHE[key]
 
 
 def _assert_schema(spark: SparkSession, path: str, name: str) -> None:
@@ -130,7 +185,9 @@ def _assert_schema(spark: SparkSession, path: str, name: str) -> None:
         )
 
 
-_VERIFIED: set[str] = set()
+# footer-verified fixtures, keyed on (file, mtime) so a regeneration
+# mid-process invalidates the cache instead of passing silently
+_VERIFIED: set[tuple[str, float]] = set()
 
 # Session confs load_table pins (documented public side effect, see
 # load_table docstring). Previous values are remembered per session the
@@ -178,30 +235,39 @@ def load_table(
     prune/push down against known column types. The footer is checked
     against the declared schema once per (path, table) per process.
 
-    PUBLIC SIDE EFFECT: this call pins two confs on the caller's
-    session — ``spark.sql.session.timeZone=UTC`` (event-time semantics
-    must agree with the ANSI/DuckDB oracle regardless of host TZ) and,
-    for ``events``, ``spark.sql.legacy.parquet.nanosAsLong=true`` (the
-    fixture stores TIMESTAMP(NANOS)). The pins persist because Spark
-    reads confs at *execution* time — restoring them on return would
-    silently break the very DataFrames this function handed out. Prior
-    values are saved; call :func:`restore_session_confs` to undo.
+    PUBLIC SIDE EFFECT: this call pins confs on the caller's session —
+    ``spark.sql.session.timeZone=UTC`` (event-time semantics must agree
+    with the ANSI/DuckDB oracle regardless of host TZ) and, only when
+    the ``events`` footer stores TIMESTAMP(NANOS),
+    ``spark.sql.legacy.parquet.nanosAsLong=true``. The pins persist
+    because Spark reads confs at *execution* time — restoring them on
+    return would silently break the very DataFrames this function
+    handed out. Prior values are saved; call
+    :func:`restore_session_confs` to undo.
+
+    The events timestamp handling is FOOTER-ADAPTIVE: the fixture has
+    shipped both TIMESTAMP(NANOS) (legacy) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) layouts, so the loader probes the footer
+    (metadata-only, cached per (file, mtime)) and branches — µs/ms
+    footers read directly with the public schema; ns footers take the
+    nanosAsLong + div-1000 path. Unknown layouts still fail fast.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _pin_conf(spark, "spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk; see _events_raw above.
+    key = _fixture_key(path)
+    if name == "events" and events_ts_unit(path) == "ns":
+        # legacy layout: ts is TIMESTAMP(NANOS) on disk; see _events_raw.
         _pin_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-        if verify and path not in _VERIFIED:
+        if verify and key not in _VERIFIED:
             _assert_schema(spark, path, "_events_raw")
-            _VERIFIED.add(path)
+            _VERIFIED.add(key)
         raw = spark.read.schema(SCHEMAS["_events_raw"]).parquet(path)
         return convert_events_ts(raw)
-    if verify and path not in _VERIFIED:
+    if verify and key not in _VERIFIED:
         _assert_schema(spark, path, name)
-        _VERIFIED.add(path)
+        _VERIFIED.add(key)
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
