@@ -54,6 +54,10 @@ HEADLINE = [
     "label_centroids",       # posexplode agg
     "json_extract",          # JSON field agg
     "mr_flatmap",            # Arrow-batched Python hatch
+    "pii_redact",            # regex-chain corpus scrub
+    "word_cooccurrence",     # windowed pair explode + agg
+    "shard_pack_partitioned",# per-writer window pack (scale path)
+    "corpus_pipeline",       # end-to-end corpus prep chain
 ]
 
 
