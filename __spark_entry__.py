@@ -43,14 +43,19 @@ _DRIVER_PRIORITY = [
     "join_partition_pruned", "merge_upsert",
     # (a) never driver-checked: UDF tier + vectors — 3
     "pandas_udaf_geomean", "mr_map_arrow", "embedding_neardup",
+    # (a2) newly oracle-backed in round 5 (previously rows-only) — 2
+    "pagerank", "stratified_sample_hash",
     # (b) events family: re-verify against the regenerated µs fixtures — 10
     "window_moving_avg", "map_funcs", "json_extract", "join_asof",
     "count_distinct", "tumbling_window", "sliding_window", "sessionization",
     "funnel", "cohort_retention",
-    # (c) r2-era regression re-checks, one per family — 16
+    # (c) r2-era regression re-checks, one per family — 14 (join_range
+    # and mr_map yielded their slots to the two newly oracle-backed
+    # queries above; their families stay represented by join_inner/
+    # broadcast/salted/asof and mr_flatmap/mr_reduce_by_key)
     "pricing_summary", "shipping_priority", "correlated_subquery",
     "forecast_revenue", "exact_dedup", "ngram_jaccard_neardup", "join_inner",
-    "join_broadcast_dims", "join_range", "join_salted_skew", "mr_map",
+    "join_broadcast_dims", "join_salted_skew",
     "mr_flatmap", "mr_reduce_by_key", "udtf_lateral", "multimodal_features",
     "csv_roundtrip",
 ]

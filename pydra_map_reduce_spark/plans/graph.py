@@ -8,10 +8,14 @@ driver-side loops over keyed joins/aggs — each round's plan is fully
 distributed, and the per-round driver sync is bounded (a fixed
 iteration count here; a 1-row convergence check in dedup_clusters).
 
-Rows-only check: a 10-round damped-PageRank fixpoint is not
-expressible in DuckDB's recursive CTEs (aggregation inside the
-recursive term); the local suite anchors the rank-sum invariant and
-ordering determinism instead (tests/test_clusters.py).
+Oracle note: DuckDB's recursive CTEs forbid aggregation inside the
+recursive term, but a FIXED iteration count needs no recursion at all —
+the oracle below UNROLLS the 10 rounds as chained CTEs (c1/r1 … c10/
+r10), each one round of contribution-sum + damped update. The graph
+(bipartite supplier↔part with both edge directions) has no dangling
+nodes — every node appears as a src — so the engine's dangling-mass
+term is exactly 0.0 and the oracle omits it. The local suite
+additionally anchors the rank-sum invariant (tests/test_clusters.py).
 """
 
 from __future__ import annotations
@@ -22,6 +26,40 @@ from pyspark.sql import functions as F
 from ..operators import graph as graph_ops
 from ..sources.tables import load_table
 from .registry import query
+
+
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as ANSI SQL (see module doc)."""
+    steps = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        steps.append(
+            f"""
+    c{k} AS (
+        SELECT e.dst, sum(r.rank / d.deg) AS in_sum
+        FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    ),
+    r{k} AS (
+        SELECT n.node, {1 - damping} + {damping} * COALESCE(c.in_sum, 0) AS rank
+        FROM nodes n LEFT JOIN c{k} c ON n.node = c.dst
+    )"""
+        )
+        prev = f"r{k}"
+    return f"""
+    WITH sp AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+        FROM lineitem
+    ),
+    edges AS (
+        SELECT src, dst FROM sp UNION SELECT dst, src FROM sp
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    r0 AS (SELECT node, 1.0 AS rank FROM nodes),{",".join(steps)}
+    SELECT node, round(rank, 6) AS rank
+    FROM (SELECT * FROM {prev} ORDER BY rank DESC, node LIMIT 10)
+    """
 
 
 def _supplier_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,7 +77,7 @@ def _supplier_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pagerank",
-    oracle=None,  # iterative damped fixpoint: not ANSI-SQL-expressible
+    oracle=_pagerank_oracle(),  # fixed iterations unrolled as chained CTEs
     section="2.11 PageRank (iterative map-reduce flagship)",
 )
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

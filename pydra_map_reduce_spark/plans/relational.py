@@ -519,3 +519,54 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
     )
+
+
+@query(
+    "stratified_sample_hash",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 'urgent' ELSE 'other' END AS stratum,
+               o_totalprice,
+               substr(md5(o_orderkey::VARCHAR), 1, 8) AS hp
+        FROM orders
+    )
+    SELECT stratum,
+           count(*) AS n_sampled,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM s
+    WHERE (stratum = 'urgent' AND hp < '80000000')
+       OR (stratum = 'other'  AND hp < '1999999a')
+    GROUP BY stratum
+    """,
+    section="2.2 stratified sampling (deterministic content-hash Bernoulli)",
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based stratified Bernoulli sampling: keep a row iff the
+    md5 of its key falls below the stratum's rate threshold (50% of
+    URGENT orders, ~10% of the rest). Unlike seeded `sampleBy` (whose
+    draws are engine-private RNG — rows-only above), the content-hash
+    predicate is a pure per-row expression: reproducible bit-for-bit
+    across engines, runs, AND repartitions — the property a training
+    pipeline needs so re-running the corpus sample yields the same
+    dataset. Rate precision: the first 8 md5 hex chars are uniform over
+    16^8, so '80000000' cuts exactly 50% of the key space and
+    '1999999a' cuts 0x1999999a/2^32 ≈ 0.1000000005. Narrow per-row
+    filter → one partial-agg shuffle; no RNG state anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    hp = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8)
+    strata = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .otherwise("other")
+        .alias("stratum"),
+        "o_totalprice",
+        hp.alias("hp"),
+    )
+    kept = strata.filter(
+        ((F.col("stratum") == "urgent") & (F.col("hp") < "80000000"))
+        | ((F.col("stratum") == "other") & (F.col("hp") < "1999999a"))
+    )
+    return kept.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
