@@ -43,8 +43,8 @@ _DRIVER_PRIORITY = [
     "join_partition_pruned", "merge_upsert",
     # (a) never driver-checked: UDF tier + vectors — 3
     "pandas_udaf_geomean", "mr_map_arrow", "embedding_neardup",
-    # (a2) newly oracle-backed in round 5 (previously rows-only) — 2
-    "pagerank", "stratified_sample_hash",
+    # (a2) newly oracle-backed in round 5 (previously rows-only family) — 3
+    "pagerank", "stratified_sample_hash", "dedup_clusters_exact",
     # (b) events family: re-verify against the regenerated µs fixtures — 10
     "window_moving_avg", "map_funcs", "json_extract", "join_asof",
     "count_distinct", "tumbling_window", "sliding_window", "sessionization",
@@ -54,7 +54,7 @@ _DRIVER_PRIORITY = [
     # queries above; their families stay represented by join_inner/
     # broadcast/salted/asof and mr_flatmap/mr_reduce_by_key)
     "pricing_summary", "shipping_priority", "correlated_subquery",
-    "forecast_revenue", "exact_dedup", "ngram_jaccard_neardup", "join_inner",
+    "exact_dedup", "ngram_jaccard_neardup", "join_inner",
     "join_broadcast_dims", "join_salted_skew",
     "mr_flatmap", "mr_reduce_by_key", "udtf_lateral", "multimodal_features",
     "csv_roundtrip",

@@ -139,3 +139,63 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "dedup_clusters_exact",
+    # Same shingle/pair CTEs as ngram_jaccard_neardup's oracle, then a
+    # recursive transitive closure: reach(a,b) saturates under UNION
+    # (distinct), and each node's component id is the minimum of its
+    # reachable set (least(a, min b)). Practical because the pair
+    # graph is EXACT (inverted-index candidates, no LSH recall < 1 —
+    # the reason the minhash-fed cluster queries above stay rows-only).
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                              for i in range(1, len(tokens) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.2
+    ), e2 AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM e2
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+    ), labels AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id, count(*) AS n_members
+    FROM labels GROUP BY cluster_id
+    """,
+    section="2.11 dedup clusters, oracle-backed (CC over the exact n-gram pair graph)",
+)
+def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-checkable form of the connected-components assign:
+    the same iterative min-label propagation operator as
+    `dedup_clusters`, but fed by the EXACT n-gram Jaccard pair graph
+    (threshold 0.2) instead of MinHash candidates. LSH recall is <1 by
+    construction, so only the exact graph gives a pair set an external
+    oracle can reproduce — this query is what certifies the iterative
+    CC operator itself against DuckDB's recursive-CTE closure."""
+    pairs = ops.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
+    ).select("doc_a", "doc_b")
+    clusters = ops.dedup_clusters(pairs)
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
