@@ -127,20 +127,36 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard≥threshold) via shingle→minhash→band→
     bucket-join→exact-rescore. bands/rows tune the S-curve: 8 bands ×
     4 rows catches J≳0.85 with high probability.
 
-    Signatures hash xxhash64(shingle) mod 2^32 through the fixed
-    (a_i·x+b_i) mod p family — deterministic across runs/engines."""
+    Signatures hash the shingle id through the fixed (a_i·x+b_i) mod p
+    family — deterministic across runs. Shingle ids come from
+    xxhash64(shingle) mod 2^32 by default (the cheap JVM hash — the
+    100 TB path), or with ``portable_hash=True`` from the first 8 hex
+    chars of md5(shingle): ~3× costlier per shingle but computable
+    IDENTICALLY by any engine with md5 (DuckDB: ('0x'||substr(md5(s),
+    1,8))::BIGINT), which makes the complete pipeline — signatures,
+    bands, candidate set, rescore — externally checkable bit-for-bit,
+    not just sanity-checked."""
     df = _spread(df)
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
     rows = n_hashes // bands
     # persist: reused by signatures and by the exact rescore (same
     # evictability note as in ngram_jaccard_pairs)
-    sh_rows = shingle_rows(df, id_col, text_col, shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
+    if portable_hash:
+        raw = shingle_rows(df, id_col, text_col, shingle_n, hashed=False)
+        sh_rows = raw.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("s"),
+        ).distinct()  # md5-prefix collisions collapse identically in any engine
+    else:
+        sh_rows = shingle_rows(df, id_col, text_col, shingle_n)
+    sh_rows = sh_rows.persist(StorageLevel.MEMORY_AND_DISK)
     tok = sh_rows.select("doc_id", F.pmod("s", F.lit(2**32)).alias("tid"))
     sig_cols = [
         F.min((F.lit(_A[i]) * F.col("tid") + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")

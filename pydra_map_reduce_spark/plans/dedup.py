@@ -66,9 +66,88 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_portable_oracle(
+    n_hashes: int = 32, bands: int = 8, p: int = 4_294_967_311, threshold: float = 0.8
+) -> str:
+    """Full MinHash+LSH pipeline as DuckDB SQL, mirroring
+    operators/dedup.py minhash_lsh_pairs(portable_hash=True) stage for
+    stage: md5-prefix shingle ids → 32 (a·x+b) mod p min-hashes → 8
+    band signatures → band-equality candidates → exact rescore on the
+    hashed shingle sets. Every stage is integer math on identical
+    inputs, so candidate sets — not just final pairs — agree."""
+    rows = n_hashes // bands
+    # hash family must match operators/dedup.py: _A[i]=2(i+1)+1, _B[i]=(i+1)²+7
+    hs = ",\n               ".join(
+        f"min(({2 * (i + 1) + 1}*s + {(i + 1) ** 2 + 7}) % {p}) AS h{i}"
+        for i in range(n_hashes)
+    )
+    band_sel = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + ") AS sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh0 AS (
+        SELECT doc_id,
+               unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                                     for i in range(1, len(tokens) - 1)])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ), sh AS (
+        SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS s FROM sh0
+    ), sigs AS (
+        SELECT doc_id,
+               {hs}
+        FROM sh GROUP BY doc_id
+    ), bnd AS (
+        {band_sel}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bnd a JOIN bnd b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= {threshold}
+    """
+
+
+@query(
+    "minhash_lsh_portable",
+    oracle=_minhash_portable_oracle(),
+    section="2.11 near-dedup: MinHash+LSH, portable-hash (oracle-backed end to end)",
+)
+def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-checkable MinHash+LSH: identical pipeline to
+    `minhash_lsh_neardup` but with md5-prefix shingle ids, which any
+    engine can reproduce — so signatures, band buckets, the candidate
+    set, AND the rescored pairs are all verified externally, closing
+    the evidence gap that kept the xxhash64 variant rows-only. The
+    xxhash64 form remains the 100 TB perf path (~3× cheaper hashing);
+    this query certifies the shared banding/rescore machinery."""
+    return ops.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.8,
+        portable_hash=True,
+    )
+
+
 @query(
     "minhash_lsh_neardup",
-    oracle=None,  # rows-only: banding internals aren't ANSI-SQL-practical
+    oracle=None,  # rows-only: xxhash64 ids aren't reproducible outside the JVM;
+    # the shared pipeline is oracle-certified via minhash_lsh_portable
     section="2.11 near-dedup: MinHash + LSH banding + exact rescore",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
