@@ -252,23 +252,31 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of: for each order (with a synthetic per-order cutoff), the
     latest event of its customer at-or-before the cutoff. Equi-join on
     the key bounds the shuffle; the time predicate filters in-join;
-    row_number picks the 'as of' row. At scale: partition by key,
-    sort-merge within partitions."""
+    then `max_by` over the (ts, event_id) struct picks the as-of row
+    as a HASH AGGREGATE — partial (map-side) combine shrinks the
+    joined relation before its shuffle and nothing is ever sorted,
+    unlike the row_number()-window form, which must materialize and
+    sort every qualifying (order, event) pair. Lexicographic struct
+    ordering reproduces the window's (ts DESC, event_id DESC) tie
+    break exactly. At scale: partition both sides by the key."""
     o = load_table(spark, sf_dir, "orders").withColumn(
         "cutoff",
         F.lit("2024-01-15 00:00:00").cast("timestamp")
         + F.make_interval(days=(F.col("o_orderkey") % 14).cast("int")),
     )
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last = F.max_by(
+        F.struct(F.col("ts"), F.col("event_type")),
+        F.struct(F.col("ts"), F.col("event_id")),
+    ).alias("m")
     return (
         o.join(e, (e.user_id == o.o_custkey) & (e.ts <= o.cutoff))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("o_orderkey")
+        .agg(last)
         .select(
             "o_orderkey",
-            F.col("ts").alias("last_event_ts"),
-            F.col("event_type").alias("last_event_type"),
+            F.col("m.ts").alias("last_event_ts"),
+            F.col("m.event_type").alias("last_event_type"),
         )
     )
 
