@@ -43,9 +43,9 @@ _DRIVER_PRIORITY = [
     "join_partition_pruned", "merge_upsert",
     # (a) never driver-checked: UDF tier + vectors — 3
     "pandas_udaf_geomean", "mr_map_arrow", "embedding_neardup",
-    # (a2) newly oracle-backed in round 5 (previously rows-only family) — 4
+    # (a2) newly oracle-backed in round 5 (previously rows-only family) — 5
     "pagerank", "stratified_sample_hash", "dedup_clusters_exact",
-    "minhash_lsh_portable",
+    "minhash_lsh_portable", "simhash_portable",
     # (b) events family: re-verify against the regenerated µs fixtures — 10
     "window_moving_avg", "map_funcs", "json_extract", "join_asof",
     "count_distinct", "tumbling_window", "sliding_window", "sessionization",
@@ -57,7 +57,7 @@ _DRIVER_PRIORITY = [
     # (ngram_jaccard_neardup's pair generator is re-verified inside
     # dedup_clusters_exact, so it yields its slot)
     "pricing_summary", "shipping_priority", "correlated_subquery",
-    "exact_dedup", "join_inner",
+    "join_inner",
     "join_broadcast_dims", "join_salted_skew",
     "mr_flatmap", "mr_reduce_by_key", "udtf_lateral", "multimodal_features",
     "csv_roundtrip",

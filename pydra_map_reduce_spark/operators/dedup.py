@@ -200,7 +200,12 @@ def minhash_lsh_pairs(
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming≤max) via 64-bit SimHash, 4×16-bit-chunk
     banding.
@@ -213,20 +218,37 @@ def simhash_pairs(
     quadratically). Token ids come from xxhash64; the signature is kept
     as the four chunk values c0..c3 (never assembled into one 64-bit
     word — bit 63 would overflow a signed literal), with hamming =
-    Σ bit_count(cᵢ ⊕ cᵢ')."""
+    Σ bit_count(cᵢ ⊕ cᵢ').
+
+    ``portable_hash=True`` draws the 64 token bits from four 4-hex-char
+    md5 slices (16 bits each) instead of xxhash64 — reproducible in any
+    engine with md5, making the full signature/banding/hamming pipeline
+    externally checkable (same rationale as minhash_lsh_pairs)."""
     df = _spread(df)
     tok = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("tid", F.xxhash64("word"))
     )
-    bit_cols = [
-        F.sum(
-            F.when(F.shiftright("tid", b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
-                -F.col("w")
+    if portable_hash:
+        for k in range(4):
+            tok = tok.withColumn(
+                f"t{k}",
+                F.conv(F.substring(F.md5("word"), 4 * k + 1, 4), 16, 10).cast("int"),
             )
-        ).alias(f"s{b}")
+
+        def _bit(b: int) -> Column:
+            k, j = divmod(b, 16)
+            return F.shiftright(f"t{k}", j).bitwiseAND(F.lit(1))
+
+    else:
+        tok = tok.withColumn("tid", F.xxhash64("word"))
+
+        def _bit(b: int) -> Column:
+            return F.shiftright("tid", b).bitwiseAND(F.lit(1))
+
+    bit_cols = [
+        F.sum(F.when(_bit(b) == 1, F.col("w")).otherwise(-F.col("w"))).alias(f"s{b}")
         for b in range(64)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_cols)

@@ -178,6 +178,79 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_portable_oracle(max_hamming: int = 3) -> str:
+    """Full SimHash pipeline as DuckDB SQL, mirroring
+    operators/dedup.py simhash_pairs(portable_hash=True) stage for
+    stage: per-(doc, word) weights with four 16-bit md5-slice hashes →
+    64 signed bit votes → 4 chunk values → chunk-equality candidates →
+    hamming rescore via bit_count(xor)."""
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN ((t{b // 16} >> {b % 16}) & 1) = 1 THEN w ELSE -w END) AS s{b}"
+        for b in range(64)
+    )
+    chunks = ",\n               ".join(
+        "("
+        + " + ".join(f"CASE WHEN s{16 * c + j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+        + f") AS c{c}"
+        for c in range(4)
+    )
+    band_sel = "\n        UNION ALL ".join(
+        f"SELECT doc_id, c0, c1, c2, c3, {c} AS chunk, c{c} AS val FROM sig"
+        for c in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, word, count(*) AS w,
+               ('0x' || substr(md5(word), 1, 4))::BIGINT AS t0,
+               ('0x' || substr(md5(word), 5, 4))::BIGINT AS t1,
+               ('0x' || substr(md5(word), 9, 4))::BIGINT AS t2,
+               ('0x' || substr(md5(word), 13, 4))::BIGINT AS t3
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY doc_id, word
+    ), votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM tok GROUP BY doc_id
+    ), sig AS (
+        SELECT doc_id,
+               {chunks}
+        FROM votes
+    ), bnd AS (
+        {band_sel}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {ham} AS hamming
+        FROM bnd a JOIN bnd b
+          ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@query(
+    "simhash_portable",
+    oracle=_simhash_portable_oracle(),
+    section="2.11 SimHash near-dup, portable-hash (oracle-backed end to end)",
+)
+def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable SimHash: identical pipeline to
+    `simhash_neardup` but with md5-slice token bits, so signatures,
+    chunk buckets, the candidate set, and per-pair hamming are all
+    reproduced by the oracle (the xxhash64 variant stays as the cheap
+    100 TB path). Emits the raw qualifying pairs, not the summary —
+    the stronger check."""
+    pairs = ops.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_hamming=3,
+        portable_hash=True,
+    )
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
 @query(
     "dedup_clusters_star",
     oracle=None,  # rows-only: iterative fixpoint isn't single-statement SQL
