@@ -71,6 +71,29 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    section="2.1 ORC scan (+ write): lossless round-trip",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar round-trip (the other Spark-native columnar format
+    besides parquet — same pushdown/pruning machinery, different
+    footer). Avro is NOT registered here: spark-avro is an external
+    module absent from this container's classpath, and the environment
+    forbids installing it — probed, not assumed."""
+    path = _tmp("lineitem_orc")
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(path)
+    back = spark.read.schema(SCHEMAS["lineitem"]).orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+    )
+
+
+@query(
     "text_scan",
     oracle="""
     SELECT count(*)                          AS n_lines,
