@@ -357,3 +357,58 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT count(*)                        AS n_items,
+           round(sum(l.l_extendedprice), 2) AS price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+    section="2.3 runtime bloom-filter pruned join (row-level runtime filtering)",
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime row-level filtering: the optimizer builds a Bloom filter
+    from the SELECTIVE side (URGENT orders) and injects a
+    `might_contain` probe into the FACT side's scan, discarding
+    non-joining lineitem rows before the shuffle — at 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    ~the matching fifth of it. The filter never changes results (false
+    positives only pass extra rows to the real join), so the oracle is
+    the plain join.
+
+    PUBLIC SIDE EFFECT (same contract as load_table's pins): Spark
+    gates injection on `applicationSideScanSizeThreshold` (default
+    10GB — correct in production, never met at fixture scale), so this
+    query pins it to 0 for the session. Blooms may then inject into
+    other shuffle joins in the same session — plan-only, results
+    unchanged. One gate is deliberately NOT pinned here: injection
+    also requires a creation side too large to broadcast, which at
+    fixture scale would mean disabling auto-broadcast session-wide —
+    too invasive for a shared session. At 100 TB that gate passes
+    naturally; tests/test_plans.py::test_bloom_filter_injection
+    demonstrates the actual `might_contain` + BloomFilterAggregate
+    rewrite on this exact join under a scoped (saved-and-restored)
+    broadcast disable.
+    """
+    from ..sources.tables import _pin_conf
+
+    _pin_conf(spark, "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    _pin_conf(
+        spark,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    # shuffle_hash hint: the filtered dim would otherwise broadcast at
+    # fixture scale and broadcast joins skip bloom injection (they
+    # already prune on the build side)
+    return li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+    )

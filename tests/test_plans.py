@@ -243,3 +243,22 @@ def test_no_undocumented_global_windows(spark):
         "undocumented global (single-partition) windows found — either "
         f"repartition the window or add a documented allowlist entry: {offenders}"
     )
+
+
+def test_bloom_filter_injection(spark):
+    """Runtime row-level filtering must inject a bloom probe into the
+    fact side of join_bloom_pruned once both gates pass. The
+    application-side scan gate is pinned by the query itself; the
+    creation-side broadcastability gate can't pass at fixture scale,
+    so it is scoped here: disable auto-broadcast, assert the rewrite,
+    restore. Results are never affected by the filter (the oracle is
+    the plain join), so this is purely a plan-shape guarantee."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["join_bloom_pruned"].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:3000]
+        assert "bloom_filter_agg" in plan.lower() or "BloomFilterAggregate" in plan, plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
