@@ -536,3 +536,59 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= 100)
         .select("doc_id", F.col("pos").cast("bigint").alias("pos"))
     )
+
+
+@query(
+    "boilerplate_ngrams",
+    # string shingles (not hashed ids) so the oracle can mirror them —
+    # same list-comprehension shingling as ngram_jaccard_neardup's
+    # oracle, widened to 5-grams
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' ' ||
+                    tokens[i+3] || ' ' || tokens[i+4]
+                    for i in range(1, len(tokens) - 3)])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ), df AS (
+        SELECT s, count(*) AS n_docs FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           round(sum(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+               AS boilerplate_score
+    FROM sh JOIN df ON sh.s = df.s
+    GROUP BY sh.doc_id
+    """,
+    section="2.11 boilerplate detection (cross-doc repeated n-gram fraction)",
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate signal: the fraction of a
+    document's distinct 5-gram shingles that also occur in ≥3 OTHER
+    documents (navigation chrome, license footers, templated spans).
+    Corpus pipelines drop or strip high-scoring docs.
+
+    Shape: one shingle pass (posexplode + window lead — shared
+    machinery with the dedup ladder), one document-frequency groupBy
+    on the shingle, one join back, one per-doc rollup. Inverted-index
+    work ∝ corpus size; never all-pairs. String shingles keep the
+    query oracle-mirrorable; the 100 TB variant would join on
+    xxhash64(shingle) ids exactly like ngram_jaccard_pairs (cheaper
+    shuffle, same counts)."""
+    from ..operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", n=5, hashed=False)
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    common = F.when(F.col("n_docs") >= 3, 1).otherwise(0)
+    return (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(common).cast("bigint").alias("n_common"),
+            F.round(F.sum(common) / F.count(F.lit(1)), 4).alias("boilerplate_score"),
+        )
+    )
