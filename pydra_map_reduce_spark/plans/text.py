@@ -457,3 +457,62 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage")
         )
     )
+
+
+@query(
+    "bigram_perplexity",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id, tokens[i] AS w1, tokens[i+1] AS w2
+        FROM (
+            SELECT doc_id, tokens,
+                   unnest(generate_series(1, len(tokens) - 1)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+        )
+    ), cnt AS (
+        SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+    ), pre AS (
+        SELECT w1, sum(n) AS np FROM cnt GROUP BY w1
+    )
+    SELECT bg.doc_id,
+           count(*)                                   AS n_bigrams,
+           round(exp(-avg(ln(cnt.n / pre.np))), 2)    AS ppl
+    FROM bg
+    JOIN cnt ON cnt.w1 = bg.w1 AND cnt.w2 = bg.w2
+    JOIN pre ON pre.w1 = bg.w1
+    GROUP BY bg.doc_id
+    """,
+    section="2.11 bigram-LM perplexity (conditional-probability quality signal)",
+)
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's own bigram LM:
+    p(w2|w1) = n(w1,w2) / n(w1·), ppl = exp(-mean ln p) over the doc's
+    adjacent pairs — the stronger sibling of `unigram_perplexity`
+    (word-order scrambles score high here but not there). Bigrams come
+    from the same posexplode + window-lead pass as the shingle
+    machinery; the model tables are plain keyed aggs. Unlike the
+    unigram vocab, the bigram table can exceed broadcast size at
+    corpus scale, so the model joins stay shuffle joins on (w1, w2) /
+    (w1) — co-partitioned with the token stream's own grouping."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "w1")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select("doc_id", "w1", F.lead("w1", 1).over(wdoc).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    pre = cnt.groupBy("w1").agg(F.sum("n").alias("np"))
+    return (
+        bg.join(cnt, ["w1", "w2"])
+        .join(pre, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(-F.avg(F.log(F.col("n") / F.col("np")))), 2).alias("ppl"),
+        )
+    )
