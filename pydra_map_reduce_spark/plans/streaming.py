@@ -361,3 +361,56 @@ def streaming_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) > 0).alias("has_rows"),
         (F.countDistinct("value") == F.count(F.lit(1))).alias("values_unique"),
     )
+
+
+@query(
+    "streaming_foreach_batch",
+    oracle=None,  # rows-only: sink lifecycle; batch anchor = filtered batch agg
+    section="2.1 streaming foreachBatch sink (idempotent per-epoch merge pattern)",
+)
+def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production escape-hatch sink: foreachBatch hands each
+    micro-batch to arbitrary DataFrame code with its epoch_id — THE
+    pattern for idempotent merges into stores the built-in sinks can't
+    target (JDBC upserts, Delta MERGE, multi-table fan-out). Here each
+    epoch appends to a parquet dir partitioned by epoch_id, so a
+    replayed epoch overwrites its own partition instead of duplicating
+    (dynamic partition overwrite = idempotence); the result is the
+    read-back summary, asserted against the batch filter in the local
+    suite. State per epoch is bounded by the micro-batch, so the
+    pattern scales with executor count like any batch write."""
+    root = tempfile.mkdtemp(prefix="pydra_feb_")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
+        )
+
+    stream = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id", "ts")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -122,3 +122,24 @@ def test_rows_only(name, spark):
     rows = sdf.collect()
     assert rows is not None
     assert len(sdf.columns) > 0
+
+
+def test_foreach_batch_matches_batch_anchor(spark):
+    """The foreachBatch parquet sink (epoch-partitioned, idempotent
+    overwrite) must land exactly the rows the batch filter selects."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    stream_row = tuple(REGISTRY["streaming_foreach_batch"].fn(spark, SF_DIR).first())
+    batch_row = tuple(
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "signup")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .first()
+    )
+    assert stream_row == batch_row and stream_row[0] > 0, (stream_row, batch_row)
