@@ -316,8 +316,15 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_bucketed",
-    oracle=None,  # rows-only: result checked vs join_inner's oracle shape;
-    # the point is the PLAN (no shuffle), asserted in tests/test_plans.py
+    # The POINT of this query is the plan (no exchange — asserted in
+    # tests/test_plans.py); the result is a plain deterministic join
+    # agg, so it gets the plain-join oracle too (bucketing must never
+    # change answers, same contract as the salted join).
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
     section="2.3 bucketed co-located join (shuffle-free fact join)",
 )
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

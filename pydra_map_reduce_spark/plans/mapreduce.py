@@ -201,14 +201,24 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mr_partition_map",
-    oracle=None,  # rows-only: per-partition structure is engine-internal
+    # Per-partition structure is engine-internal, but the FINAL merge
+    # is deterministic: l_quantity is integer-valued (asserted by the
+    # fixture), so the partial float sums are exact whole numbers and
+    # association/partitioning cannot perturb the total — the global
+    # (sum, count) is oracle-checkable even though the partials aren't.
+    oracle="""
+    SELECT round(sum(l_quantity), 2) AS total_qty,
+           count(*)                  AS total_rows
+    FROM lineitem
+    """,
     section="2.10 partition-wise map (MR mapper over a split)",
 )
 def mr_partition_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-local pre-aggregation in Python (one output row per
     partition) + JVM final merge — the explicit combiner pattern.
-    Output is the deterministic global sum; partition count varies
-    with parallelism, hence rows-only."""
+    The summary is the deterministic global (sum, count); the
+    per-partition partial rows vary with parallelism and stay
+    internal."""
     li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
 
     def partial_sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
