@@ -419,3 +419,71 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("price"),
     )
+
+
+@query(
+    "join_cbo_stats",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)                      AS n,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_7')
+    GROUP BY c.c_mktsegment
+    """,
+    section="2.3/4 cost-based optimized join (ANALYZE stats + CBO estimates)",
+)
+def join_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based optimization demonstrator: the three join inputs are
+    registered as catalog tables, `ANALYZE ... COMPUTE STATISTICS FOR
+    ALL COLUMNS` collects row counts + per-column NDV/min/max
+    histogram stats, and with `spark.sql.cbo.enabled` the optimizer
+    derives real cardinality estimates through the join tree (filter
+    selectivity from the n_name predicate, join fanout from NDVs)
+    instead of raw file sizes — the machinery that picks build sides
+    and join order on a 100 TB warehouse where guessing wrong means
+    shuffling the big side twice. Stats-driven estimation is asserted
+    in tests/test_plans.py (rowCount present in the optimized plan's
+    statistics).
+
+    PUBLIC SIDE EFFECT (load_table-pin contract): enables
+    `spark.sql.cbo.enabled` + `spark.sql.cbo.joinReorder.enabled` for
+    the session. CBO only consults catalog tables carrying ANALYZE
+    stats — the parquet-path reads every other query uses have none —
+    so the pins are inert outside this query's own tables. Results
+    are plan-independent; the oracle is the plain three-way join."""
+    import os
+    import tempfile
+
+    from ..sources.tables import _pin_conf
+
+    tok = f"{os.getpid():x}"
+    base = tempfile.mkdtemp(prefix="pydra_cbo_")
+    for tbl in ("orders", "customer", "nation"):
+        name = f"cbo_{tbl}_{tok}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, tbl)
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, tbl))
+            .saveAsTable(name)
+        )
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    _pin_conf(spark, "spark.sql.cbo.enabled", "true")
+    _pin_conf(spark, "spark.sql.cbo.joinReorder.enabled", "true")
+    o = spark.table(f"cbo_orders_{tok}")
+    c = spark.table(f"cbo_customer_{tok}")
+    n = spark.table(f"cbo_nation_{tok}").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -262,3 +262,13 @@ def test_bloom_filter_injection(spark):
         assert "bloom_filter_agg" in plan.lower() or "BloomFilterAggregate" in plan, plan[:3000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cbo_stats_estimation(spark):
+    """join_cbo_stats must produce an optimized plan whose statistics
+    carry a row-count estimate (only possible when ANALYZE column
+    stats + spark.sql.cbo.enabled are both in effect — size-only
+    estimation has sizeInBytes but no rowCount)."""
+    df = REGISTRY["join_cbo_stats"].fn(spark, SF_DIR)
+    st = df._jdf.queryExecution().optimizedPlan().stats().toString()
+    assert "rowCount" in st, st
