@@ -196,3 +196,40 @@ def inmemory_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("k").agg(
         F.sum("v").cast("bigint").alias("sum_v"), F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "scan_agg_pushdown",
+    oracle="""
+    SELECT count(*)                            AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT)     AS min_key,
+           CAST(max(l_orderkey) AS BIGINT)     AS max_key,
+           round(min(l_quantity), 2)           AS min_qty,
+           round(max(l_quantity), 2)           AS max_qty
+    FROM lineitem
+    """,
+    section="2.1/4 parquet aggregate pushdown (COUNT/MIN/MAX answered from footer stats)",
+)
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan elimination at its extreme: COUNT(*)/MIN/MAX over plain
+    numeric columns are answered from parquet FOOTER STATISTICS under
+    the V2 reader (`PushedAggregation` in the scan) — on a 100 TB
+    table this reads row-group metadata instead of data, turning a
+    full scan into thousands of footer reads. The V2 reader is scoped
+    to a `spark.newSession()` (independent SQLConf over the same
+    SparkContext), because flipping `useV1SourceList` session-wide
+    would silently change every other query's scan path (DPP and
+    bucketed reads are V1-shaped here). Timestamp min/max is NOT
+    pushable (kept out of the aggregate list on purpose).
+    tests/test_plans.py asserts the PushedAggregation plan shape."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    li = load_table(s2, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )

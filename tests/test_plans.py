@@ -272,3 +272,13 @@ def test_cbo_stats_estimation(spark):
     df = REGISTRY["join_cbo_stats"].fn(spark, SF_DIR)
     st = df._jdf.queryExecution().optimizedPlan().stats().toString()
     assert "rowCount" in st, st
+
+
+def test_scan_agg_pushdown(spark):
+    """scan_agg_pushdown must answer COUNT/MIN/MAX from parquet footer
+    statistics: the V2 scan carries a PushedAggregation clause (scoped
+    to the query's own newSession, so no other query's scan path
+    changes)."""
+    df = REGISTRY["scan_agg_pushdown"].fn(spark, SF_DIR)
+    plan = _formatted(df)
+    assert "PushedAggregation" in plan, plan[:3000]
