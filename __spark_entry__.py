@@ -27,9 +27,11 @@ from pydra_map_reduce_spark.plans import REGISTRY
 # slot): (a) the 24 oracle-backed queries never covered by any r2-r4
 # ledger, (b) the 10 events-reading queries whose old green predates
 # the fixture regeneration (ts nanos->micros) plus the three that
-# erred in r4, (c) 16 r2-era greens re-checked for regressions, chosen
-# for family spread. Everything previously green in r3/r4 moves behind
-# the window and stays covered by the local suite.
+# erred in r4, (c) the queries ADDED in round 5 (zero ledger presence
+# anywhere) plus three r2-era regression re-checks for family spread.
+# Everything previously green in r2-r4 moves behind the window and
+# stays covered by the local suite, which replays the identical
+# differential over all of them.
 _DRIVER_PRIORITY = [
     # (a) never driver-checked: corpus prep family (§2.11) — 10
     "pii_redact", "dataset_split", "shard_pack", "shard_pack_partitioned",
@@ -50,17 +52,14 @@ _DRIVER_PRIORITY = [
     "window_moving_avg", "map_funcs", "json_extract", "join_asof",
     "count_distinct", "tumbling_window", "sliding_window", "sessionization",
     "funnel", "cohort_retention",
-    # (c) r2-era regression re-checks, one per family — 14 (join_range
-    # and mr_map yielded their slots to the two newly oracle-backed
-    # queries above; their families stay represented by join_inner/
-    # broadcast/salted/asof and mr_flatmap/mr_reduce_by_key)
-    # (ngram_jaccard_neardup's pair generator is re-verified inside
-    # dedup_clusters_exact, so it yields its slot)
-    "pricing_summary", "shipping_priority", "correlated_subquery",
-    "join_inner",
-    "join_broadcast_dims", "join_salted_skew",
-    "mr_flatmap", "mr_reduce_by_key", "udtf_lateral", "multimodal_features",
-    "csv_roundtrip",
+    # (c1) round-5 additions, never in any ledger — 8
+    "orc_roundtrip", "boilerplate_ngrams", "bigram_perplexity",
+    "join_bloom_pruned", "join_cbo_stats", "scan_agg_pushdown",
+    "join_bucketed", "mr_partition_map",
+    # (c2) r2-era regression re-checks for family spread — 3 (the other
+    # r2 greens remain covered by the local differential suite and
+    # rotate back in future rounds)
+    "pricing_summary", "join_broadcast_dims", "mr_flatmap",
 ]
 
 
