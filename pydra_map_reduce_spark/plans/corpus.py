@@ -592,3 +592,68 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(common) / F.count(F.lit(1)), 4).alias("boilerplate_score"),
         )
     )
+
+
+@query(
+    "mix_apply",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT sum(n_tokens) AS total, count(*) AS n_sources FROM per_src
+    ), rates AS (
+        SELECT p.source,
+               least(1.0, (t.total / t.n_sources) / p.n_tokens) AS rate
+        FROM per_src p CROSS JOIN tot t
+    )
+    SELECT d.source,
+           count(*)                                              AS n_docs_kept,
+           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)   AS n_tokens_kept
+    FROM documents d
+    JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+          < r.rate
+    GROUP BY d.source
+    """,
+    section="2.11 mixture application (deterministic hash draw at the computed rate)",
+)
+def mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the data-mixing loop: `mix_weights` PLANS per-source
+    rates; this query APPLIES them — each document survives iff its
+    md5-fraction (first 8 hex chars / 2^32, uniform on [0,1)) falls
+    below its source's computed rate. The draw is a pure per-row
+    expression against a broadcast dim-sized rate table: reproducible
+    across engines, runs, and repartitions (no RNG state), which is
+    what makes a 100 TB mixture re-buildable bit-for-bit. Returns the
+    per-source survivor summary; downstream the same predicate gates
+    the full corpus scan."""
+    from ..operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(textops.tokens("text"))).cast("bigint").alias("n_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0), (F.col("total") / F.col("n_sources")) / F.col("n_tokens")
+        ).alias("rate"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(frac < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum(F.size(textops.tokens("text"))).cast("bigint").alias("n_tokens_kept"),
+        )
+    )
