@@ -52,14 +52,14 @@ _DRIVER_PRIORITY = [
     "window_moving_avg", "map_funcs", "json_extract", "join_asof",
     "count_distinct", "tumbling_window", "sliding_window", "sessionization",
     "funnel", "cohort_retention",
-    # (c1) round-5 additions, never in any ledger — 8
+    # (c1) round-5 additions, never in any ledger — 9
     "orc_roundtrip", "boilerplate_ngrams", "bigram_perplexity",
     "join_bloom_pruned", "join_cbo_stats", "scan_agg_pushdown",
-    "join_bucketed", "mr_partition_map",
-    # (c2) r2-era regression re-checks for family spread — 3 (the other
-    # r2 greens remain covered by the local differential suite and
-    # rotate back in future rounds)
-    "pricing_summary", "join_broadcast_dims", "mr_flatmap",
+    "join_bucketed", "mr_partition_map", "mix_apply",
+    # (c2) r2-era regression re-checks for family spread — 2 (other r2
+    # greens remain covered by the local differential suite and by the
+    # per-round bench, and rotate back in future rounds)
+    "pricing_summary", "join_broadcast_dims",
 ]
 
 
