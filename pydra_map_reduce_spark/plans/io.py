@@ -233,3 +233,84 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_quantity"), 2).alias("min_qty"),
         F.round(F.max("l_quantity"), 2).alias("max_qty"),
     )
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    section="2.1/4 small-files compaction (coalesced rewrite, data-identical)",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational fix for the small-files problem: a table
+    fragmented into 64 tiny files (one task each — pure scheduler
+    overhead at warehouse scale) is rewritten through `repartition(4)`
+    into right-sized files. Compaction must be a pure layout change,
+    so the oracle is the ORIGINAL table's aggregate — any data drift
+    through the rewrite fails the hash match. File counts before/after
+    are asserted in tests/test_plans.py (the layout half of the
+    contract). repartition, not coalesce: coalesce(4) would also
+    narrow the UPSTREAM write's parallelism, while repartition keeps
+    the read parallel and exchanges once."""
+    frag = _tmp("orders_fragmented")
+    compacted = _tmp("orders_compacted")
+    o = load_table(spark, sf_dir, "orders")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.schema(SCHEMAS["orders"]).parquet(frag).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+    back = spark.read.schema(SCHEMAS["orders"]).parquet(compacted)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                                        AS n,
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS n_missing_priority
+    FROM (
+        SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderstatus, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderstatus
+    """,
+    section="2.1/2.7 schema-evolution read (mergeSchema over heterogeneous batches)",
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-level schema evolution (the file-format sibling of
+    `union_missing_columns`): two parquet batches land in one
+    directory with different schemas — an old batch without
+    `o_orderpriority`, a new batch with it — and a single
+    `mergeSchema=true` read reconciles them, NULL-filling the missing
+    column. This is how a 100 TB table absorbs added columns without
+    rewriting history. The oracle replays the union with explicit
+    NULLs."""
+    path = _tmp("orders_evolving")
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path + "/batch=old")
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(path + "/batch=new")
+    )
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing_priority"),
+    )

@@ -282,3 +282,17 @@ def test_scan_agg_pushdown(spark):
     df = REGISTRY["scan_agg_pushdown"].fn(spark, SF_DIR)
     plan = _formatted(df)
     assert "PushedAggregation" in plan, plan[:3000]
+
+
+def test_compaction_reduces_file_count(spark):
+    """compact_small_files must actually change the layout: the
+    fragmented dir holds 64 part files, the compacted dir 4. (The
+    data-identity half of the contract is the differential oracle.)"""
+    import glob
+
+    from pydra_map_reduce_spark.plans.io import _tmp
+
+    REGISTRY["compact_small_files"].fn(spark, SF_DIR).collect()
+    n_frag = len(glob.glob(_tmp("orders_fragmented") + "/part-*"))
+    n_comp = len(glob.glob(_tmp("orders_compacted") + "/part-*"))
+    assert n_frag == 64 and n_comp == 4, (n_frag, n_comp)
