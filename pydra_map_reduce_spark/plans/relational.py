@@ -570,3 +570,36 @@ def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
     )
+
+
+@query(
+    "selective_agg_funcs",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           bool_and(o_totalprice > 0)                           AS all_positive,
+           bool_or(o_totalprice > 400000)                       AS any_high,
+           round(arg_max(o_totalprice, o_orderkey), 2)          AS last_price,
+           round(arg_min(o_totalprice, o_orderkey), 2)          AS first_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    section="2.4 selective/conditional aggregates (count_if, bool_and/or, max_by/min_by)",
+)
+def selective_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional-aggregate surface: predicate-filtered counts
+    (`count_if` ≡ ANSI FILTER), boolean reducers (`bool_and/bool_or` —
+    every/any per group), and argmax/argmin selection (`max_by/min_by`
+    ≡ DuckDB `arg_max/arg_min`). The max_by/min_by ordering key is the
+    UNIQUE o_orderkey — argmax over a non-unique key has
+    engine-defined tie-breaks and can never hash-match, the trap this
+    query's design documents. All are single-pass hash aggregates with
+    map-side partials; nothing here shuffles more than the group key."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_high"),
+        F.round(F.max_by("o_totalprice", "o_orderkey"), 2).alias("last_price"),
+        F.round(F.min_by("o_totalprice", "o_orderkey"), 2).alias("first_price"),
+    )
