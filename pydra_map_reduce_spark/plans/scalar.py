@@ -330,3 +330,68 @@ def split_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_tail"),
         (F.size(F.split(F.col("c_name"), "0")) - 1).cast("int").alias("n_zeros"),
     )
+
+
+@query(
+    "regex_funcs",
+    # Dialect note: DuckDB regexp_extract(s, re, group) matches Spark's
+    # group semantics; regexp_matches ≡ Spark rlike (unanchored search).
+    # Both engines use RE2-ish syntax for this subset — stick to
+    # character classes and quantifiers, no lookarounds.
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1)                 AS digits,
+           CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_digits,
+           regexp_matches(c_name, '[0-9]$')                      AS ends_digit,
+           regexp_replace(c_name, '[0-9]', '#', 'g')             AS masked
+    FROM customer
+    WHERE c_custkey < 200
+    """,
+    section="2.8 regex family (extract / extract_all count / rlike / replace)",
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: group extraction, match counting via
+    extract_all, anchored rlike, and global replace. All JVM codegen
+    expressions — regexes compile once per task, so this is scan-speed
+    at any scale. The one dialect trap (bit round 2): DuckDB
+    regexp_replace is first-match unless given the 'g' flag; Spark's
+    is always global — the oracle must say 'g' explicitly."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), r"([0-9]+)", 1).alias("digits"),
+        F.size(F.expr(r"regexp_extract_all(c_name, '[0-9]', 0)"))
+        .cast("int")
+        .alias("n_digits"),
+        F.col("c_name").rlike(r"[0-9]$").alias("ends_digit"),
+        F.regexp_replace(F.col("c_name"), r"[0-9]", "#").alias("masked"),
+    )
+
+
+@query(
+    "bitwise_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_linenumber)                     AS and_all,
+           bit_or(l_linenumber)                      AS or_all,
+           bit_xor(l_linenumber)                     AS xor_all,
+           CAST(sum(l_linenumber << 1) AS BIGINT)    AS sum_shifted,
+           CAST(sum(l_linenumber & 1) AS BIGINT)     AS n_odd_mask
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    section="2.8 bitwise family (bit_and/or/xor aggs, shifts, masks)",
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate + scalar surface: the reducers (bit_and/or/
+    xor — flag-intersection / flag-union / parity fingerprints) and
+    per-row shifts and masks. Everything is whole-stage codegen
+    integer math with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("and_all"),
+        F.bit_or("l_linenumber").alias("or_all"),
+        F.bit_xor("l_linenumber").alias("xor_all"),
+        F.sum(F.shiftleft("l_linenumber", 1)).cast("bigint").alias("sum_shifted"),
+        F.sum(F.col("l_linenumber").bitwiseAND(F.lit(1))).cast("bigint").alias("n_odd_mask"),
+    )
