@@ -657,3 +657,58 @@ def mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(textops.tokens("text"))).cast("bigint").alias("n_tokens_kept"),
         )
     )
+
+
+@query(
+    "length_deciles",
+    oracle="""
+    WITH cut AS (
+        SELECT quantile_cont(n_chars, 0.1) AS c1, quantile_cont(n_chars, 0.2) AS c2,
+               quantile_cont(n_chars, 0.3) AS c3, quantile_cont(n_chars, 0.4) AS c4,
+               quantile_cont(n_chars, 0.5) AS c5, quantile_cont(n_chars, 0.6) AS c6,
+               quantile_cont(n_chars, 0.7) AS c7, quantile_cont(n_chars, 0.8) AS c8,
+               quantile_cont(n_chars, 0.9) AS c9
+        FROM documents
+    )
+    SELECT CAST(1 + (n_chars > c1)::INT + (n_chars > c2)::INT + (n_chars > c3)::INT
+              + (n_chars > c4)::INT + (n_chars > c5)::INT + (n_chars > c6)::INT
+              + (n_chars > c7)::INT + (n_chars > c8)::INT + (n_chars > c9)::INT
+            AS INT)                       AS decile,
+           count(*)                       AS n_docs,
+           CAST(min(n_chars) AS BIGINT)   AS min_chars,
+           CAST(max(n_chars) AS BIGINT)   AS max_chars
+    FROM documents CROSS JOIN cut
+    GROUP BY 1
+    """,
+    section="2.11 curriculum bucketing (global decile cutoffs -> per-doc bucket assign)",
+)
+def length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution→thresholds→apply pattern for curriculum /
+    difficulty bucketing: exact decile cutoffs of document length are
+    ONE aggregate row (broadcast back — never a sort of the corpus),
+    and each document's bucket is a pure comparison expression against
+    them. At 100 TB swap the exact percentiles for
+    `approx_percentile` (same plan shape, sketch-mergeable); exact is
+    the oracle-checkable form, matching DuckDB quantile_cont
+    interpolation. Bucket index = count of exceeded cutoffs, so empty
+    deciles collapse instead of erroring on duplicate cutoffs."""
+    d = load_table(spark, sf_dir, "documents")
+    cuts = d.agg(
+        *[
+            F.percentile("n_chars", F.lit(q / 10.0)).alias(f"c{q}")
+            for q in range(1, 10)
+        ]
+    )
+    decile = sum(
+        (F.col("n_chars") > F.col(f"c{q}")).cast("int") for q in range(1, 10)
+    ) + F.lit(1)
+    return (
+        d.crossJoin(F.broadcast(cuts))
+        .withColumn("decile", decile.cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
