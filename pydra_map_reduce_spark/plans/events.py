@@ -351,3 +351,53 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 2).alias("max_z"),
         )
     )
+
+
+@query(
+    "transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ), tot AS (
+        SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           round(p.n / t.n_from, 4) AS prob
+    FROM pairs p JOIN tot t ON p.from_type = t.from_type
+    """,
+    section="2.9/2.11 event transition matrix (P(next|current), Markov behavioral model)",
+)
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current), the standard behavioral
+    model behind funnel diagnosis and synthetic-session generation.
+    One lead() window per user (shuffle on user_id — the same
+    partitioning every per-user op here reuses), then two dim-sized
+    aggs; (ts, event_id) ordering makes ties deterministic in both
+    engines. The matrix is |event_types|² rows — broadcast-sized
+    output no matter the corpus."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(tot, "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            F.round(F.col("n") / F.col("n_from"), 4).alias("prob"),
+        )
+    )
