@@ -46,6 +46,22 @@ def stopword_ratio(text_col: str | Column, stopwords: tuple[str, ...] = ("the", 
     return F.size(F.filter(toks, lambda w: w.isin(*stopwords))).cast("double") / F.size(toks)
 
 
+def round_half_up(c: Column, digits: int) -> Column:
+    """floor(x·10^d + 0.5)/10^d — engine-independent rounding.
+
+    Spark's round() goes through BigDecimal.valueOf (shortest decimal
+    repr, half-up) while DuckDB rounds the raw binary double, so a
+    ratio that lands exactly on a .xxx5 boundary (possible whenever
+    the denominator is 2^a·5^b — token counts, partition sizes) rounds
+    DIFFERENTLY in the two engines even from bit-identical inputs.
+    This form is plain float arithmetic, identical in any engine; the
+    oracle mirrors it verbatim. Surfaced by the sf0.1 sweep (round 5):
+    quality_score and window_distribution disagreed at 1-2 boundary
+    rows per 5000. Non-negative inputs only (floor ≠ half-up below 0)."""
+    scale = 10**digits
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
 def quality_features(
     df: DataFrame, id_col: str, text_col: str, chars_col: str
 ) -> DataFrame:
@@ -59,9 +75,9 @@ def quality_features(
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("bigint").alias("n_tokens"),
-        F.round(avg_len, 4).alias("avg_token_len"),
-        F.round(stop, 4).alias("stop_ratio"),
-        F.round(quality, 4).alias("quality"),
+        round_half_up(avg_len, 4).alias("avg_token_len"),
+        round_half_up(stop, 4).alias("stop_ratio"),
+        round_half_up(quality, 4).alias("quality"),
     )
 
 

@@ -163,18 +163,21 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quality_score",
+    # floor(x·1e4 + 0.5)/1e4 mirrors operators/textops.round_half_up —
+    # engine-independent rounding (plain round() diverges on .xxxx5
+    # boundaries; see that helper's docstring)
     oracle="""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT)  AS n_tokens,
-           round((n_chars - len(string_split(text, ' ')) + 1.0)
-                 / len(string_split(text, ' ')), 4)      AS avg_token_len,
-           round(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
-                 / len(string_split(text, ' ')), 4)      AS stop_ratio,
-           round(least(1.0, greatest(0.0,
+           floor((n_chars - len(string_split(text, ' ')) + 1.0)
+                 / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS avg_token_len,
+           floor(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
+                 / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS stop_ratio,
+           floor(least(1.0, greatest(0.0,
                  0.2 + 0.12 * ((n_chars - len(string_split(text, ' ')) + 1.0)
                                / len(string_split(text, ' ')))
                  - 0.5 * (len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
-                          / len(string_split(text, ' '))))), 4) AS quality
+                          / len(string_split(text, ' '))))) * 10000 + 0.5) / 10000 AS quality
     FROM documents
     """,
     section="2.11 quality scoring (length/stopword ratios)",

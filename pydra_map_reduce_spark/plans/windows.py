@@ -202,20 +202,26 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_distribution",
+    # floor-bump rounding: cume_dist = k/partition_size terminates at a
+    # .xxx5 boundary whenever the partition size is 2^a·5^b (it is at
+    # sf0.1: 3200 rows/nation), where Spark round() and DuckDB round()
+    # disagree — see operators/textops.round_half_up
     oracle="""
     SELECT c_custkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           floor(cume_dist()    OVER w * 1000000 + 0.5) / 1000000 AS cume,
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
     section="2.5 distribution: percent_rank / cume_dist",
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import round_half_up
+
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cume"),
     )
