@@ -104,6 +104,8 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    from .textops import round_half_up  # deferred: textops imports tokens from here
+
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
     # no broadcast hint on sizes: it is one row PER DOCUMENT, i.e.
@@ -114,7 +116,7 @@ def ngram_jaccard_pairs(
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard"))
     )
 
 
@@ -184,6 +186,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    from .textops import round_half_up  # deferred: circular with textops
+
     # rescore on hashed-shingle sets (same intersection modulo
     # negligible xxhash64 collisions)
     shsets = sh_rows.groupBy("doc_id").agg(F.array_sort(F.collect_set("s")).alias("ws"))
@@ -193,7 +197,7 @@ def minhash_lsh_pairs(
     return (
         cand.join(wa, F.col("doc_a") == F.col("wa.doc_id"))
         .join(wb, F.col("doc_b") == F.col("wb.doc_id"))
-        .withColumn("jaccard", F.round(inter / union, 4))
+        .withColumn("jaccard", round_half_up(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.textops import round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -178,10 +179,11 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue",
     oracle="""
     SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
-           round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+           floor(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
                                   THEN l.l_extendedprice * (1 - l.l_discount)
                                   ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+                 / sum(l.l_extendedprice * (1 - l.l_discount))
+                 * 10000 + 0.5) / 10000 AS promo_pct
     FROM lineitem l
     JOIN part p   ON l.l_partkey = p.p_partkey
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -201,7 +203,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.year("o_orderdate").alias("yr"))
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(net), 4).alias("promo_pct"))
+        .agg(round_half_up(100.0 * F.sum(promo) / F.sum(net), 4).alias("promo_pct"))
     )
 
 

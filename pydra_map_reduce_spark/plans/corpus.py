@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..operators.textops import round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -124,7 +125,7 @@ def _split_col() -> Column:
     SELECT split,
            count(*)                       AS n_docs,
            CAST(sum(n_chars) AS BIGINT)   AS total_chars,
-           round(avg(n_chars), 2)         AS avg_chars
+           floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars
     FROM tagged
     GROUP BY split
     """,
@@ -144,7 +145,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            round_half_up(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
 
@@ -403,7 +404,7 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT sum(n_tokens) AS total, count(*) AS n_sources FROM per_src
     )
     SELECT p.source, p.n_tokens,
-           round(least(1.0, (t.total / t.n_sources) / p.n_tokens), 4) AS sample_rate,
+           floor(least(1.0, (t.total / t.n_sources) / p.n_tokens) * 10000 + 0.5) / 10000 AS sample_rate,
            CAST(floor(least(1.0, (t.total / t.n_sources) / p.n_tokens)
                       * p.n_tokens) AS BIGINT)                        AS est_tokens
     FROM per_src p CROSS JOIN tot t
@@ -429,7 +430,7 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_src.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
-        F.round(rate, 4).alias("sample_rate"),
+        round_half_up(rate, 4).alias("sample_rate"),
         F.floor(rate * F.col("n_tokens")).cast("bigint").alias("est_tokens"),
     )
 
@@ -557,7 +558,7 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT sh.doc_id,
            count(*) AS n_shingles,
            CAST(sum(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
-           round(sum(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+           floor(sum(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000 + 0.5) / 10000
                AS boilerplate_score
     FROM sh JOIN df ON sh.s = df.s
     GROUP BY sh.doc_id
@@ -589,7 +590,7 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(common).cast("bigint").alias("n_common"),
-            F.round(F.sum(common) / F.count(F.lit(1)), 4).alias("boilerplate_score"),
+            round_half_up(F.sum(common) / F.count(F.lit(1)), 4).alias("boilerplate_score"),
         )
     )
 

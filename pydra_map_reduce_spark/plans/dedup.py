@@ -52,7 +52,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT i.doc_a, i.doc_b,
-           round(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+           floor(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) * 10000 + 0.5) / 10000 AS jaccard
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
@@ -113,7 +113,7 @@ def _minhash_portable_oracle(
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           round(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+           floor(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) * 10000 + 0.5) / 10000 AS jaccard
     FROM cand c
     JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
     JOIN sizes sa ON sa.doc_id = c.doc_a

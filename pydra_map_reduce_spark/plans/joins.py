@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.textops import round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -117,7 +118,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dims",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
-           count(*) AS n_cust, round(avg(c.c_acctbal), 6) AS avg_bal
+           count(*) AS n_cust, floor(avg(c.c_acctbal) * 1000000 + 0.5) / 1000000 AS avg_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -142,7 +143,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 4201.315), where Spark's BigDecimal.valueOf sees "…315"→
             # HALF_UP .32 but DuckDB rounds the raw binary double →
             # .31. At 6dp the value passes through unchanged.
-            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            round_half_up(F.avg("c_acctbal"), 6).alias("avg_bal"),
         )
     )
 

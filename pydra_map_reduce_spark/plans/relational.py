@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.textops import round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -24,9 +25,9 @@ from .registry import query
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 2)                                        AS avg_qty,
-           round(avg(l_extendedprice), 2)                                   AS avg_price,
-           round(avg(l_discount), 2)                                        AS avg_disc,
+           floor(avg(l_quantity) * 100 + 0.5) / 100                         AS avg_qty,
+           floor(avg(l_extendedprice) * 100 + 0.5) / 100                    AS avg_price,
+           floor(avg(l_discount) * 100 + 0.5) / 100                         AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -48,9 +49,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc), 2).alias("sum_disc_price"),
             F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            round_half_up(F.avg("l_quantity"), 2).alias("avg_qty"),
+            round_half_up(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            round_half_up(F.avg("l_discount"), 2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -143,7 +144,7 @@ def rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(o_totalprice), 2)         AS sum_total,
            round(min(o_totalprice), 2)         AS min_total,
            round(max(o_totalprice), 2)         AS max_total,
-           round(avg(o_totalprice), 2)         AS avg_total,
+           floor(avg(o_totalprice) * 100 + 0.5) / 100 AS avg_total,
            CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
     FROM orders
     GROUP BY o_orderpriority
@@ -157,7 +158,7 @@ def groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
         F.round(F.min("o_totalprice"), 2).alias("min_total"),
         F.round(F.max("o_totalprice"), 2).alias("max_total"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_total"),
+        round_half_up(F.avg("o_totalprice"), 2).alias("avg_total"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
         .cast("bigint")
         .alias("n_finished"),
@@ -350,8 +351,8 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "median_percentile",
     oracle="""
     SELECT c_mktsegment,
-           round(median(c_acctbal), 2)                          AS med_bal,
-           round(quantile_cont(c_acctbal, 0.9), 2)              AS p90_bal
+           floor(median(c_acctbal) * 100 + 0.5) / 100           AS med_bal,
+           floor(quantile_cont(c_acctbal, 0.9) * 100 + 0.5) / 100 AS p90_bal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -363,8 +364,8 @@ def median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact form is the oracle-checkable variant."""
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        F.round(F.median("c_acctbal"), 2).alias("med_bal"),
-        F.round(F.percentile("c_acctbal", F.lit(0.9)), 2).alias("p90_bal"),
+        round_half_up(F.median("c_acctbal"), 2).alias("med_bal"),
+        round_half_up(F.percentile("c_acctbal", F.lit(0.9)), 2).alias("p90_bal"),
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.textops import round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -156,7 +157,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*)                                                    AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)       AS avg_k
+           floor(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000 + 0.5) / 10000 AS avg_k
     FROM events
     GROUP BY event_type
     """,
@@ -168,7 +169,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).cast("bigint").alias("sum_k"),
-        F.round(F.avg(k), 4).alias("avg_k"),
+        round_half_up(F.avg(k), 4).alias("avg_k"),
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import textops
+from ..operators.textops import round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -49,9 +50,9 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*)                                              AS n_docs,
-           round(avg(n_chars), 2)                                AS avg_chars,
+           floor(avg(n_chars) * 100 + 0.5) / 100                 AS avg_chars,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT)     AS total_tokens,
-           round(avg(len(string_split(text, ' '))), 2)           AS avg_tokens
+           floor(avg(len(string_split(text, ' '))) * 100 + 0.5) / 100 AS avg_tokens
     FROM documents
     GROUP BY lang
     """,
@@ -62,9 +63,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(textops.tokens("text"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        round_half_up(F.avg("n_chars"), 2).alias("avg_chars"),
         F.sum(ntok).cast("bigint").alias("total_tokens"),
-        F.round(F.avg(ntok), 2).alias("avg_tokens"),
+        round_half_up(F.avg(ntok), 2).alias("avg_tokens"),
     )
 
 
@@ -100,7 +101,7 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
          tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
     SELECT tok.lang,
            count(*)                    AS n_hits,
-           round(avg(lex.score), 4)    AS avg_sentiment
+           floor(avg(lex.score) * 10000 + 0.5) / 10000 AS avg_sentiment
     FROM tok JOIN lex USING (word)
     GROUP BY tok.lang
     """,
@@ -117,7 +118,7 @@ def sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
-            F.round(F.avg("score"), 4).alias("avg_sentiment"),
+            round_half_up(F.avg("score"), 4).alias("avg_sentiment"),
         )
     )
 
@@ -135,7 +136,7 @@ def sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
            count(*)                                                AS n_docs,
-           round(avg(stop_ratio), 4)                               AS avg_stop_ratio
+           floor(avg(stop_ratio) * 10000 + 0.5) / 10000            AS avg_stop_ratio
     FROM scored
     GROUP BY lang, CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END
     """,
@@ -157,7 +158,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        round_half_up(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
     )
 
 
@@ -274,7 +275,7 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(sum(n) AS BIGINT)                 AS n_tokens,
-           round(max(n)::DOUBLE / sum(n), 4)      AS rep_ratio,
+           floor(max(n)::DOUBLE / sum(n) * 10000 + 0.5) / 10000 AS rep_ratio,
            (max(n)::DOUBLE / sum(n) > 0.1)        AS is_repetitive
     FROM tf
     GROUP BY doc_id
@@ -296,7 +297,7 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = F.max("n").cast("double") / F.sum("n")
     return tf.groupBy("doc_id").agg(
         F.sum("n").cast("bigint").alias("n_tokens"),
-        F.round(ratio, 4).alias("rep_ratio"),
+        round_half_up(ratio, 4).alias("rep_ratio"),
         (ratio > 0.1).alias("is_repetitive"),
     )
 
@@ -421,7 +422,7 @@ def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk FROM freq
     ), tot AS (SELECT sum(n) AS total FROM freq)
     SELECT ks.k,
-           round(sum(CASE WHEN rk <= ks.k THEN n ELSE 0 END) / max(tot.total), 4)
+           floor(sum(CASE WHEN rk <= ks.k THEN n ELSE 0 END) / max(tot.total) * 10000 + 0.5) / 10000
                AS coverage
     FROM ranked CROSS JOIN tot CROSS JOIN (VALUES (5), (10), (20)) ks(k)
     GROUP BY ks.k
@@ -453,7 +454,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ks))
         .groupBy("k")
         .agg(
-            F.round(
+            round_half_up(
                 F.sum(F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(0))
                 / F.max("total"),
                 4,
