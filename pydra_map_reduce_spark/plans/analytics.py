@@ -313,3 +313,76 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), TIMESTAMP '1998-08-02') AS recency,
+               count(*)                                                   AS frequency,
+               sum(o_totalprice)                                          AS monetary
+        FROM orders GROUP BY o_custkey
+    ), cut AS (
+        SELECT quantile_cont(recency,   0.5) AS r_med,
+               quantile_cont(frequency, 0.5) AS f_med,
+               quantile_cont(monetary,  0.5) AS m_med
+        FROM rfm
+    )
+    SELECT CASE WHEN recency <= r_med THEN 'recent' ELSE 'lapsed' END    AS r_band,
+           CASE WHEN frequency > f_med THEN 'frequent' ELSE 'rare' END   AS f_band,
+           CASE WHEN monetary > m_med THEN 'big' ELSE 'small' END        AS m_band,
+           count(*)                                                      AS n_customers,
+           CAST(sum(frequency) AS BIGINT)                                AS n_orders,
+           round(sum(monetary), 2)                                       AS revenue
+    FROM rfm CROSS JOIN cut
+    GROUP BY 1, 2, 3
+    """,
+    section="2.11 RFM segmentation (recency/frequency/monetary median split)",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic customer segmentation: per-customer recency (days since
+    last order at a fixed reference date), frequency, and monetary
+    value, each split at its population median into 8 RFM segments.
+    Same distribution→thresholds→apply shape as length_deciles: the
+    medians are ONE broadcast row (exact percentile = the
+    oracle-checkable form; approx_percentile at warehouse scale), the
+    banding is pure comparison expressions, and the final rollup is 8
+    groups. Median splits use <=/> consistently so boundary customers
+    land deterministically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-08-02").cast("timestamp"), F.max("o_orderdate")
+        ).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    cut = rfm.agg(
+        F.percentile("recency", F.lit(0.5)).alias("r_med"),
+        F.percentile("frequency", F.lit(0.5)).alias("f_med"),
+        F.percentile("monetary", F.lit(0.5)).alias("m_med"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(cut))
+        .select(
+            F.when(F.col("recency") <= F.col("r_med"), "recent")
+            .otherwise("lapsed")
+            .alias("r_band"),
+            F.when(F.col("frequency") > F.col("f_med"), "frequent")
+            .otherwise("rare")
+            .alias("f_band"),
+            F.when(F.col("monetary") > F.col("m_med"), "big")
+            .otherwise("small")
+            .alias("m_band"),
+            "frequency",
+            "monetary",
+        )
+        .groupBy("r_band", "f_band", "m_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("frequency").cast("bigint").alias("n_orders"),
+            F.round(F.sum("monetary"), 2).alias("revenue"),
+        )
+    )
