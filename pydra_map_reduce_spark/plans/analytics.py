@@ -386,3 +386,86 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("monetary"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "ab_test_zscore",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN substr(md5(user_id::VARCHAR), 1, 8) < '80000000'
+                    THEN 'A' ELSE 'B' END AS arm,
+               event_type
+        FROM events
+    ), per_arm AS (
+        SELECT arm,
+               count(*)                                              AS n_events,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+        FROM assigned GROUP BY arm
+    ), wide AS (
+        SELECT max(CASE WHEN arm = 'A' THEN n_events END)    AS na,
+               max(CASE WHEN arm = 'A' THEN n_purchases END) AS ca,
+               max(CASE WHEN arm = 'B' THEN n_events END)    AS nb,
+               max(CASE WHEN arm = 'B' THEN n_purchases END) AS cb
+        FROM per_arm
+    )
+    SELECT CAST(na AS BIGINT) AS na, CAST(ca AS BIGINT) AS ca,
+           CAST(nb AS BIGINT) AS nb, CAST(cb AS BIGINT) AS cb,
+           floor(ca::DOUBLE / na * 10000 + 0.5) / 10000 AS rate_a,
+           floor(cb::DOUBLE / nb * 10000 + 0.5) / 10000 AS rate_b,
+           round((ca::DOUBLE / na - cb::DOUBLE / nb)
+                 / nullif(sqrt((ca + cb)::DOUBLE / (na + nb)
+                        * (1 - (ca + cb)::DOUBLE / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 0), 4) AS z_score
+    FROM wide
+    """,
+    section="2.11 A/B-test analysis (hash assignment + two-proportion z)",
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis end to end: users hash deterministically
+    into arms (md5-fraction assignment — a user keeps their arm across
+    engines, runs, and data growth), per-arm purchase share over
+    events, and the pooled two-proportion z statistic. Event-level
+    proportions, not user-level conversion: at fixture scale every
+    user eventually purchases, which degenerates user conversion to
+    1.0 and the z denominator to 0 (guarded anyway via try_divide ≡
+    nullif-sqrt). Two dim-sized aggregates after one scan; z uses
+    sqrt (irrational) so plain round() is boundary-safe there, while
+    the rates use the half-up form like every integer ratio."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8) < "80000000",
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "event_type",
+    )
+    per_arm = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_events"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_purchases"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_events"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_purchases"))).alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na")
+    rb = F.col("cb").cast("double") / F.col("nb")
+    pooled = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    z = F.try_divide(
+        ra - rb,
+        F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+    )
+    return wide.select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("ca").cast("bigint").alias("ca"),
+        F.col("nb").cast("bigint").alias("nb"),
+        F.col("cb").cast("bigint").alias("cb"),
+        round_half_up(ra, 4).alias("rate_a"),
+        round_half_up(rb, 4).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )

@@ -488,3 +488,48 @@ def join_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH ranked AS (
+        SELECT o.o_orderkey, e.ts, e.event_type,
+               row_number() OVER (PARTITION BY o.o_orderkey
+                                  ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        FROM orders o
+        JOIN events e ON e.user_id = o.o_custkey
+                     AND e.ts >= TIMESTAMP '2024-01-15 00:00:00' + INTERVAL (o.o_orderkey % 14) DAY
+    )
+    SELECT o_orderkey, ts AS next_event_ts, event_type AS next_event_type
+    FROM ranked WHERE rn = 1
+    """,
+    section="2.3 as-of join, forward (earliest event ≥ t per key)",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each order's cutoff, the EARLIEST event of
+    its customer at-or-after it — the look-ahead twin of `join_asof`
+    (backward). Same plan shape: equi-join bounds the shuffle, the
+    time predicate filters in-join, and `min_by` over the
+    (ts, event_id) struct picks the row as a hash aggregate with
+    map-side partial combine (never a sort of the joined relation)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cutoff",
+        F.lit("2024-01-15 00:00:00").cast("timestamp")
+        + F.make_interval(days=(F.col("o_orderkey") % 14).cast("int")),
+    )
+    e = load_table(spark, sf_dir, "events")
+    first = F.min_by(
+        F.struct(F.col("ts"), F.col("event_type")),
+        F.struct(F.col("ts"), F.col("event_id")),
+    ).alias("m")
+    return (
+        o.join(e, (e.user_id == o.o_custkey) & (e.ts >= o.cutoff))
+        .groupBy("o_orderkey")
+        .agg(first)
+        .select(
+            "o_orderkey",
+            F.col("m.ts").alias("next_event_ts"),
+            F.col("m.event_type").alias("next_event_type"),
+        )
+    )
