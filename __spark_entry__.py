@@ -62,6 +62,14 @@ _DRIVER_PRIORITY = [
     "pricing_summary", "join_broadcast_dims",
 ]
 
+# Round-6 rotation queue (never driver-checked, added late in round 5,
+# all oracle-backed and locally verified at sf0.001/0.01/0.1):
+#   selective_agg_funcs, regex_funcs, bitwise_funcs, triangle_count,
+#   transition_matrix, compact_small_files, schema_evolution_read,
+#   length_deciles, rfm_segments, ab_test_zscore, join_asof_forward,
+#   bigram_perplexity, boilerplate_ngrams(already in), simhash_portable
+#   re-check, plus any remaining r2-era greens not yet re-verified.
+
 
 def _ordered() -> list[str]:
     missing = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
