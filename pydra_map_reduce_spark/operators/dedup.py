@@ -197,8 +197,11 @@ def minhash_lsh_pairs(
     return (
         cand.join(wa, F.col("doc_a") == F.col("wa.doc_id"))
         .join(wb, F.col("doc_b") == F.col("wb.doc_id"))
+        # threshold on the RAW ratio (the oracle's WHERE does the same);
+        # rounding is presentation only — filtering on the rounded value
+        # would keep pairs in [threshold-0.00005, threshold) the oracle drops
+        .filter(inter / union >= threshold)
         .withColumn("jaccard", round_half_up(inter / union, 4))
-        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 

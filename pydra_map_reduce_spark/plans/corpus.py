@@ -567,9 +567,12 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style boilerplate signal: the fraction of a
-    document's distinct 5-gram shingles that also occur in ≥3 OTHER
-    documents (navigation chrome, license footers, templated spans).
-    Corpus pipelines drop or strip high-scoring docs.
+    document's distinct 5-gram shingles whose corpus document
+    frequency is ≥3 — i.e. shingles appearing in at least 2 OTHER
+    documents besides this one (navigation chrome, license footers,
+    templated spans). Corpus pipelines drop or strip high-scoring
+    docs. (n_docs counts ALL containing documents, including the doc
+    itself; engine and oracle both use n_docs >= 3.)
 
     Shape: one shingle pass (posexplode + window lead — shared
     machinery with the dedup ladder), one document-frequency groupBy

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sessions as sessions_ops
+from ..operators.textops import round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -369,7 +370,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY from_type
     )
     SELECT p.from_type, p.to_type, p.n,
-           round(p.n / t.n_from, 4) AS prob
+           floor(p.n / t.n_from * 10000 + 0.5) / 10000 AS prob
     FROM pairs p JOIN tot t ON p.from_type = t.from_type
     """,
     section="2.9/2.11 event transition matrix (P(next|current), Markov behavioral model)",
@@ -398,6 +399,6 @@ def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(tot, "from_type")
         .select(
             "from_type", "to_type", "n",
-            F.round(F.col("n") / F.col("n_from"), 4).alias("prob"),
+            round_half_up(F.col("n") / F.col("n_from"), 4).alias("prob"),
         )
     )

@@ -57,8 +57,9 @@ def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
     nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
     r0 AS (SELECT node, 1.0 AS rank FROM nodes),{",".join(steps)}
-    SELECT node, round(rank, 6) AS rank
-    FROM (SELECT * FROM {prev} ORDER BY rank DESC, node LIMIT 10)
+    SELECT node, rank
+    FROM (SELECT node, floor(rank * 1000000 + 0.5) / 1000000 AS rank FROM {prev})
+    ORDER BY rank DESC, node LIMIT 10
     """
 
 
@@ -83,12 +84,21 @@ def _supplier_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 suppliers/parts by PageRank over the supplier↔part
     graph, 10 fixed rounds, damping 0.85. See operators/graph.py for
-    the per-round shuffle accounting."""
+    the per-round shuffle accounting.
+
+    The top-10 cut is made on the 6dp-ROUNDED rank with a node
+    tie-break (in both engine and oracle): float accumulation order
+    differs between Spark and DuckDB, so near-tied full-precision
+    ranks at the #10/#11 boundary could otherwise flip membership
+    between the two engines. Rounding first makes the cut
+    engine-stable; round_half_up keeps the rounding itself portable."""
+    from ..operators.textops import round_half_up
+
     ranks = graph_ops.pagerank(_supplier_part_edges(spark, sf_dir))
     return (
-        ranks.orderBy(F.col("rank").desc(), "node")
+        ranks.select("node", round_half_up(F.col("rank"), 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
         .limit(10)
-        .select("node", F.round("rank", 6).alias("rank"))
     )
 
 

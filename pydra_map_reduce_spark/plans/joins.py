@@ -454,16 +454,36 @@ def join_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the session. CBO only consults catalog tables carrying ANALYZE
     stats — the parquet-path reads every other query uses have none —
     so the pins are inert outside this query's own tables. Results
-    are plan-independent; the oracle is the plain three-way join."""
+    are plan-independent; the oracle is the plain three-way join.
+
+    Catalog/disk hygiene: the backing files live under io.py's
+    deterministic per-process temp root (overwritten, never
+    accumulated), and because the grouped result is mktsegment-sized
+    (a handful of rows) it is materialized eagerly so the cbo_*
+    catalog tables can be dropped before returning — repeated
+    invocations leave zero catalog or disk residue. (The lazy,
+    stats-carrying plan is exposed as `cbo_stats_plan` for plan-level
+    assertions.)"""
+    result, names = cbo_stats_plan(spark, sf_dir)
+    out = spark.createDataFrame(result.collect(), schema=result.schema)
+    for name in names:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return out
+
+
+def cbo_stats_plan(spark: SparkSession, sf_dir: str):
+    """Set up the ANALYZEd cbo_* catalog tables and return the LAZY
+    three-way-join DataFrame (whose optimized plan carries CBO
+    rowCount estimates) plus the table names for caller cleanup."""
     import os
-    import tempfile
 
     from ..sources.tables import _pin_conf
+    from .io import _tmp
 
     tok = f"{os.getpid():x}"
-    base = tempfile.mkdtemp(prefix="pydra_cbo_")
-    for tbl in ("orders", "customer", "nation"):
-        name = f"cbo_{tbl}_{tok}"
+    base = _tmp("cbo")
+    names = [f"cbo_{tbl}_{tok}" for tbl in ("orders", "customer", "nation")]
+    for tbl, name in zip(("orders", "customer", "nation"), names):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             load_table(spark, sf_dir, tbl)
@@ -474,12 +494,10 @@ def join_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
     _pin_conf(spark, "spark.sql.cbo.enabled", "true")
     _pin_conf(spark, "spark.sql.cbo.joinReorder.enabled", "true")
-    o = spark.table(f"cbo_orders_{tok}")
-    c = spark.table(f"cbo_customer_{tok}")
-    n = spark.table(f"cbo_nation_{tok}").filter(
-        F.col("n_name").isin("NATION_3", "NATION_7")
-    )
-    return (
+    o = spark.table(names[0])
+    c = spark.table(names[1])
+    n = spark.table(names[2]).filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    result = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(n, F.col("c_nationkey") == n.n_nationkey)
         .groupBy("c_mktsegment")
@@ -488,6 +506,7 @@ def join_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+    return result, names
 
 
 @query(

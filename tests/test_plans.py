@@ -265,13 +265,21 @@ def test_bloom_filter_injection(spark):
 
 
 def test_cbo_stats_estimation(spark):
-    """join_cbo_stats must produce an optimized plan whose statistics
-    carry a row-count estimate (only possible when ANALYZE column
-    stats + spark.sql.cbo.enabled are both in effect — size-only
-    estimation has sizeInBytes but no rowCount)."""
-    df = REGISTRY["join_cbo_stats"].fn(spark, SF_DIR)
-    st = df._jdf.queryExecution().optimizedPlan().stats().toString()
-    assert "rowCount" in st, st
+    """join_cbo_stats' underlying join must produce an optimized plan
+    whose statistics carry a row-count estimate (only possible when
+    ANALYZE column stats + spark.sql.cbo.enabled are both in effect —
+    size-only estimation has sizeInBytes but no rowCount). Uses the
+    lazy cbo_stats_plan helper: the registered query materializes
+    eagerly so it can drop its catalog tables before returning."""
+    from pydra_map_reduce_spark.plans.joins import cbo_stats_plan
+
+    df, names = cbo_stats_plan(spark, SF_DIR)
+    try:
+        st = df._jdf.queryExecution().optimizedPlan().stats().toString()
+        assert "rowCount" in st, st
+    finally:
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 def test_scan_agg_pushdown(spark):
