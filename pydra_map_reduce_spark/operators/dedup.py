@@ -120,6 +120,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.03,
+    max_df: int = 100,
+) -> DataFrame:
+    """ngram_jaccard_pairs with a document-frequency ceiling: shingles
+    appearing in more than ``max_df`` documents are dropped BEFORE the
+    inverted-index self-join, and jaccard is computed over the capped
+    shingle sets (both intersection and sizes).
+
+    Why: the uncapped operator's work is Σ_bucket |bucket|² — one
+    stop-shingle ("in the the") whose posting list spans half the
+    corpus makes a single bucket quadratic in corpus size. The cap
+    bounds every bucket at max_df rows, so self-join work is at most
+    |shingles|·max_df — linear in the index for fixed K. This is the
+    standard trick (stop-word df-pruning) in all-pairs similarity
+    literature; near-dup semantics barely change because a shingle
+    shared by thousands of documents carries no pair-discriminating
+    signal anyway. The df filter joins on the shingle id — already the
+    self-join's shuffle key, so pruning adds no extra exchange of the
+    index."""
+    df = _spread(df)
+    ex = shingle_rows(df, id_col, text_col, n)
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        ex.join(dfreq.filter(F.col("df") <= max_df), "s")
+        .select("doc_id", "s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    from .textops import round_half_up  # deferred: textops imports tokens from here
+
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

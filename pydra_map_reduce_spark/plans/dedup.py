@@ -66,15 +66,62 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_portable_oracle(
+@query(
+    "ngram_jaccard_capped",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                              for i in range(1, len(tokens) - 1)])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ), dfreq AS (
+        SELECT s, count(*) AS df FROM sh GROUP BY s
+    ), kept AS (
+        SELECT sh.doc_id, sh.s FROM sh JOIN dfreq d ON sh.s = d.s WHERE d.df <= 5
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           floor(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.03
+    """,
+    section="2.11 n-gram Jaccard near-dup with document-frequency ceiling",
+)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-hardened exact near-dup: identical to
+    `ngram_jaccard_neardup` but shingles with document frequency > 5
+    are dropped before the inverted-index self-join, bounding every
+    posting-list bucket (the uncapped operator is quadratic in one
+    bucket the moment a stop-shingle spans the corpus — see
+    operators/dedup.py ngram_jaccard_pairs_capped for the work-bound
+    argument). Jaccard is computed over the capped shingle sets in
+    both engine and oracle; max_df=5 prunes real shingles at every
+    fixture SF (sf0.01's df distribution tops out at 7)."""
+    return ops.ngram_jaccard_pairs_capped(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id", "text", n=3, threshold=0.03, max_df=5,
+    )
+
+
+def _minhash_portable_ctes(
     n_hashes: int = 32, bands: int = 8, p: int = 4_294_967_311, threshold: float = 0.8
 ) -> str:
-    """Full MinHash+LSH pipeline as DuckDB SQL, mirroring
-    operators/dedup.py minhash_lsh_pairs(portable_hash=True) stage for
-    stage: md5-prefix shingle ids → 32 (a·x+b) mod p min-hashes → 8
-    band signatures → band-equality candidates → exact rescore on the
-    hashed shingle sets. Every stage is integer math on identical
-    inputs, so candidate sets — not just final pairs — agree."""
+    """CTE body (no WITH, no final SELECT) of the full MinHash+LSH
+    pipeline as DuckDB SQL, mirroring operators/dedup.py
+    minhash_lsh_pairs(portable_hash=True) stage for stage: md5-prefix
+    shingle ids → 32 (a·x+b) mod p min-hashes → 8 band signatures →
+    band-equality candidates → exact rescore on the hashed shingle
+    sets. Every stage is integer math on identical inputs, so
+    candidate sets — not just final pairs — agree. Terminal CTE
+    ``mpairs(doc_a, doc_b, jaccard)`` holds the thresholded pairs;
+    shared by the pair query and the cluster query's closure."""
     rows = n_hashes // bands
     # hash family must match operators/dedup.py: _A[i]=2(i+1)+1, _B[i]=(i+1)²+7
     hs = ",\n               ".join(
@@ -87,8 +134,7 @@ def _minhash_portable_oracle(
         + ") AS sig FROM sigs"
         for b in range(bands)
     )
-    return f"""
-    WITH sh0 AS (
+    return f"""sh0 AS (
         SELECT doc_id,
                unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
                                      for i in range(1, len(tokens) - 1)])) AS g
@@ -111,14 +157,22 @@ def _minhash_portable_oracle(
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
-           floor(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) * 10000 + 0.5) / 10000 AS jaccard
-    FROM cand c
-    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-    JOIN sizes sa ON sa.doc_id = c.doc_a
-    JOIN sizes sb ON sb.doc_id = c.doc_b
-    WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= {threshold}
+    ), mpairs AS (
+        SELECT c.doc_a, c.doc_b,
+               floor(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) * 10000 + 0.5) / 10000 AS jaccard
+        FROM cand c
+        JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= {threshold}
+    )"""
+
+
+def _minhash_portable_oracle() -> str:
+    """Thresholded portable-minhash pairs (see _minhash_portable_ctes)."""
+    return f"""
+    WITH {_minhash_portable_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM mpairs
     """
 
 
@@ -251,18 +305,44 @@ def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+_CLOSURE_TAIL = """
+    e2 AS (
+        SELECT doc_a AS a, doc_b AS b FROM mpairs
+        UNION SELECT doc_b, doc_a FROM mpairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM e2
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+    ), labels AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id, count(*) AS n_members
+    FROM labels GROUP BY cluster_id
+    """
+
+
 @query(
     "dedup_clusters_star",
-    oracle=None,  # rows-only: iterative fixpoint isn't single-statement SQL
+    # same portable-minhash pair CTEs + recursive-CTE transitive
+    # closure as dedup_clusters: the two queries differ ONLY in which
+    # engine-side CC algorithm produced the labels, so one oracle
+    # certifies both against the identical ground truth
+    oracle="WITH RECURSIVE " + _minhash_portable_ctes() + "," + _CLOSURE_TAIL,
     section="2.11 dedup clusters, large-star/small-star variant (O(log^2 n) rounds)",
 )
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same contract as dedup_clusters (which stays the oracle of
-    record — tests assert the two agree exactly), but rounds scale
-    with log² n instead of component diameter: the variant for deep
-    near-dup chains at corpus scale."""
+    """Same contract as dedup_clusters, but rounds scale with log² n
+    instead of component diameter: the variant for deep near-dup
+    chains at corpus scale. Oracle-backed since round 6: fed by the
+    PORTABLE-hash MinHash pair graph (md5-prefix shingle ids — the
+    round-5 trick that made the pair set externally reproducible), so
+    DuckDB rebuilds the identical graph and closes it with a
+    recursive CTE; the large-star/small-star fixpoint is thereby
+    checked against exact transitive closure, not just against the
+    sibling implementation."""
     pairs = ops.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+        load_table(spark, sf_dir, "documents"),
+        "doc_id", "text", threshold=0.8, portable_hash=True,
     )
     clusters = ops.dedup_clusters_star(pairs)
     return (
@@ -274,16 +354,21 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
-    oracle=None,  # rows-only: iterative fixpoint isn't single-statement SQL
+    oracle="WITH RECURSIVE " + _minhash_portable_ctes() + "," + _CLOSURE_TAIL,
     section="2.11 dedup clusters (iterative connected components over near-dup pairs)",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash near-dup graph: every
     document in a component keeps one canonical (minimum) id — the
     final assignment step of corpus-level dedup. Summarized per
-    cluster for a stable rows-only check."""
+    cluster. Oracle-backed since round 6 via the portable-hash pair
+    graph (see dedup_clusters_star); the xxhash64-fed form this
+    replaced had no externally reproducible pair set. The iterative
+    min-label propagation is additionally certified over the exact
+    n-gram graph by dedup_clusters_exact."""
     pairs = ops.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+        load_table(spark, sf_dir, "documents"),
+        "doc_id", "text", threshold=0.8, portable_hash=True,
     )
     clusters = ops.dedup_clusters(pairs)
     return (

@@ -198,15 +198,111 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(
+    n_clusters: int = 8,
+    lloyd_iters: int = 3,
+    n_probe: int = 2,
+    k: int = 5,
+    query_id: int = 0,
+) -> str:
+    """The whole IVF pipeline as one DuckDB statement: the fixed
+    Lloyd iteration count needs no recursion, so each round unrolls as
+    an (assignment, centroid) CTE pair — the same chained-CTE trick
+    that made pagerank oracle-backed (plans/graph.py). Vectors are
+    exploded to (vec_id, pos, v) rows; assignment is argmin of the
+    per-dim squared-difference sum with a cid tie-break, mirroring the
+    engine's min-struct(d2, cid); the final rescore reuses
+    list_cosine_similarity like every other vector oracle here."""
+    steps = []
+    prev_c = "c0"
+    # engine: `for _ in range(lloyd_iters): assigned=assign(e,cents);
+    # cents=mean(assigned)` then one FINAL assign — so a{i} assigns
+    # with c{i-1}, c{i} averages a{i}, and af assigns with the last c.
+    for i in range(1, lloyd_iters + 1):
+        steps.append(
+            f"""
+    a{i} AS (
+        SELECT vec_id, cid FROM (
+            SELECT d.vec_id, d.cid,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY d.d2, d.cid) AS rn
+            FROM (SELECT p.vec_id, c.cid,
+                         sum((p.v - c.m) * (p.v - c.m)) AS d2
+                  FROM pt p JOIN {prev_c} c ON p.pos = c.pos
+                  GROUP BY p.vec_id, c.cid) d
+        ) WHERE rn = 1
+    ),
+    c{i} AS (
+        SELECT a.cid, p.pos, avg(p.v) AS m
+        FROM a{i} a JOIN pt p ON p.vec_id = a.vec_id
+        GROUP BY a.cid, p.pos
+    )"""
+        )
+        prev_c = f"c{i}"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    pt AS (
+        SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos
+        FROM e
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {n_clusters})
+    ),
+    c0 AS (
+        SELECT s.cid, p.pos, p.v AS m
+        FROM seeds s JOIN pt p ON p.vec_id = s.vec_id
+    ),{",".join(steps)},
+    af AS (
+        SELECT vec_id, cid FROM (
+            SELECT d.vec_id, d.cid,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY d.d2, d.cid) AS rn
+            FROM (SELECT p.vec_id, c.cid,
+                         sum((p.v - c.m) * (p.v - c.m)) AS d2
+                  FROM pt p JOIN {prev_c} c ON p.pos = c.pos
+                  GROUP BY p.vec_id, c.cid) d
+        ) WHERE rn = 1
+    ),
+    qpt AS (SELECT pos, v FROM pt WHERE vec_id = {query_id}),
+    probe AS (
+        SELECT cid FROM (
+            SELECT dd.cid,
+                   row_number() OVER (ORDER BY dd.d2, dd.cid) AS rn
+            FROM (SELECT c.cid, sum((c.m - q.v) * (c.m - q.v)) AS d2
+                  FROM {prev_c} c JOIN qpt q ON c.pos = q.pos
+                  GROUP BY c.cid) dd
+        ) WHERE rn <= {n_probe}
+    ),
+    qv AS (SELECT emb AS qv FROM e WHERE vec_id = {query_id})
+    SELECT vec_id, round(cos_raw, 4) AS cos FROM (
+        SELECT a.vec_id,
+               list_cosine_similarity(e.emb, q.qv) AS cos_raw
+        FROM af a
+        JOIN probe pr ON a.cid = pr.cid
+        JOIN e ON e.vec_id = a.vec_id
+        CROSS JOIN qv q
+        WHERE a.vec_id <> {query_id}
+        ORDER BY cos_raw DESC, a.vec_id
+        LIMIT {k}
+    )
+    """
+
+
 @query(
     "ivf_ann_topk",
-    oracle=None,  # rows-only: k-means training is iterative (not one SQL stmt)
+    oracle=_ivf_oracle(),  # fixed Lloyd rounds unrolled as chained CTEs
     section="2.11 ANN: IVF (k-means coarse quantizer + n-probe exact rescore)",
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path for similarity search: deterministic k-means
     (8 cells, 3 Lloyd rounds), probe the 2 cells nearest the query,
-    exact cosine rescore inside them."""
+    exact cosine rescore inside them. Oracle-backed since round 6:
+    the fixed iteration count unrolls as chained CTEs (see
+    `_ivf_oracle`), so training, assignment, probe selection, and the
+    rescored top-k are all externally verified."""
     return ops.ivf_topk(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
