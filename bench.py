@@ -48,8 +48,10 @@ HEADLINE = [
     "tf_idf",                # two-level agg + broadcast join
     "exact_dedup",           # content-hash groupBy
     "ngram_jaccard_neardup", # inverted-index candidate join
+    "ngram_jaccard_capped",  # same, df-ceiling bounded buckets (scale path)
     "minhash_lsh_neardup",   # minhash → band join → rescore
     "cosine_topk",           # brute-force vector top-k
+    "ivf_ann_topk",          # IVF ANN (k-means cells + n-probe rescore)
     "allpairs_similarity",   # threshold similarity join
     "label_centroids",       # posexplode agg
     "json_extract",          # JSON field agg
@@ -65,6 +67,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # host load BEFORE the bench contributes to it: r5's driver numbers
+    # were ~1.5× inflated by concurrent suite runs, indistinguishable
+    # from a plan regression without this context (VERDICT r5 §perf)
+    load_before = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(app_name="pydra-bench")
 
     # warm the JVM/codegen path once so timings reflect steady state
@@ -94,6 +100,8 @@ def main() -> None:
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "queries_cold": cold,
                 "sf": sf,
+                "loadavg_before": load_before,
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -124,6 +124,113 @@ def test_rows_only(name, spark):
     assert len(sdf.columns) > 0
 
 
+def test_parquet_sink_matches_batch_anchor(spark):
+    """The streaming parquet file sink must land exactly the rows the
+    batch filter selects: read-back summary == batch summary."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    stream_row = tuple(REGISTRY["streaming_parquet_sink"].fn(spark, SF_DIR).first())
+    batch_row = tuple(
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .first()
+    )
+    assert stream_row == batch_row and stream_row[0] > 0, (stream_row, batch_row)
+
+
+def test_streaming_tumbling_matches_batch_anchor(spark):
+    """Complete-mode streaming tumbling counts == batch window agg,
+    row for row."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    stream = sorted(
+        tuple(r) for r in REGISTRY["streaming_tumbling_count"].fn(spark, SF_DIR).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    )
+    assert stream == batch and len(stream) > 0, (len(stream), len(batch))
+
+
+def test_streaming_session_matches_batch_anchor(spark):
+    """Complete-mode streaming session windows == the identical
+    session_window agg run in batch mode, row for row."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    stream = sorted(
+        tuple(r) for r in REGISTRY["streaming_session_window"].fn(spark, SF_DIR).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "n_events",
+        )
+        .collect()
+    )
+    assert stream == batch and len(stream) > 0, (len(stream), len(batch))
+
+
+def test_streaming_dedup_matches_batch_anchor(spark):
+    """Watermarked stateful dedup on event_id must keep exactly the
+    batch-distinct id count (and no duplicate survivors)."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    stream_row = tuple(REGISTRY["streaming_dedup"].fn(spark, SF_DIR).first())
+    n_distinct = (
+        load_table(spark, SF_DIR, "events")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .first()["n"]
+    )
+    assert stream_row == (n_distinct, n_distinct) and n_distinct > 0, (
+        stream_row,
+        n_distinct,
+    )
+
+
+def test_streaming_stateful_counter_matches_batch_anchor(spark):
+    """GroupState per-user running counts must end at the batch
+    per-user event counts, user for user."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    stream = sorted(
+        tuple(r) for r in REGISTRY["streaming_stateful_counter"].fn(spark, SF_DIR).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert stream == batch and len(stream) > 0, (len(stream), len(batch))
+
+
 def test_foreach_batch_matches_batch_anchor(spark):
     """The foreachBatch parquet sink (epoch-partitioned, idempotent
     overwrite) must land exactly the rows the batch filter selects."""
