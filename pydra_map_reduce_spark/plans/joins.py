@@ -552,3 +552,92 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.event_type").alias("next_event_type"),
         )
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, 'MOVED_' || c_mktsegment AS segment,
+               TIMESTAMP '1998-07-01 00:00:00' AS eff
+        FROM customer WHERE c_custkey % 7 = 0
+    ), dim AS (
+        SELECT c.c_custkey, c.c_mktsegment AS segment,
+               TIMESTAMP '1995-01-01 00:00:00' AS valid_from, u.eff AS valid_to
+        FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+        UNION ALL
+        SELECT c.c_custkey, c.c_mktsegment, TIMESTAMP '1995-01-01 00:00:00', NULL
+        FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+        WHERE u.c_custkey IS NULL
+        UNION ALL
+        SELECT c_custkey, segment, eff, NULL FROM upd
+    )
+    SELECT d.segment, count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+             AND o.o_orderdate >= d.valid_from
+             AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY d.segment
+    """,
+    section="2.3 point-in-time join (fact vs SCD-2 validity intervals)",
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: each order joins the dimension row
+    that was valid AT ITS ORDER DATE — the point-in-time join every
+    warehouse runs against SCD-2 history (and the leakage-free way to
+    attach features to training examples: no row may see attributes
+    from its future). The versioned dimension is synthesized exactly
+    like merge_scd2 (every 7th customer changes segment, effective
+    1998-07-01 — mid orders-date-range so both versions receive
+    orders).
+
+    Plan shape: the join is EQUI on c_custkey with the interval
+    predicate as a residual filter, so Catalyst plans a hash join
+    keyed on the customer — never an interval nested-loop; at scale
+    the dim side (2 rows max per key) broadcasts or buckets with the
+    fact. Revenue sums as DECIMAL so both engines agree at the cent
+    (double-sum accumulation order diverges on ~1e9 totals)."""
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    upd = base.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("MOVED_"), F.col("c_mktsegment")).alias("segment"),
+        F.lit("1998-07-01 00:00:00").cast("timestamp").alias("eff"),
+    )
+    start = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    b, u = base.alias("b"), upd.alias("u")
+    joined = b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "left")
+    closed = joined.filter(F.col("u.c_custkey").isNotNull()).select(
+        F.col("b.c_custkey").alias("c_custkey"),
+        F.col("b.c_mktsegment").alias("segment"),
+        start.alias("valid_from"),
+        F.col("u.eff").alias("valid_to"),
+    )
+    kept = joined.filter(F.col("u.c_custkey").isNull()).select(
+        F.col("b.c_custkey").alias("c_custkey"),
+        F.col("b.c_mktsegment").alias("segment"),
+        start.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    opened = upd.select(
+        "c_custkey", "segment",
+        F.col("eff").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = closed.unionByName(kept).unionByName(opened)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return (
+        o.join(
+            dim,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )

@@ -194,3 +194,79 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_update"), 1).otherwise(0)).cast("bigint").alias("n_updated"),
         F.sum(F.when(F.col("is_insert"), 1).otherwise(0)).cast("bigint").alias("n_inserted"),
     )
+
+
+@query(
+    "merge_scd2",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, 'MOVED_' || c_mktsegment AS segment,
+               DATE '2024-06-01' AS eff
+        FROM customer WHERE c_custkey % 7 = 0
+    ), closed AS (
+        SELECT c.c_custkey, c.c_mktsegment AS segment,
+               DATE '2024-01-01' AS valid_from, u.eff AS valid_to,
+               FALSE AS is_current
+        FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+    ), kept AS (
+        SELECT c.c_custkey, c.c_mktsegment AS segment,
+               DATE '2024-01-01' AS valid_from, NULL::DATE AS valid_to,
+               TRUE AS is_current
+        FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+        WHERE u.c_custkey IS NULL
+    ), opened AS (
+        SELECT c_custkey, segment, eff AS valid_from,
+               NULL::DATE AS valid_to, TRUE AS is_current
+        FROM upd
+    )
+    SELECT * FROM closed
+    UNION ALL SELECT * FROM kept
+    UNION ALL SELECT * FROM opened
+    """,
+    section="2.7 SCD-2 merge (validity-interval history: close + open rows)",
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: instead of overwriting
+    (merge_upsert's SCD-1), a changed key CLOSES its current row
+    (valid_to = effective date) and OPENS a new one — the
+    full-history dimension shape every warehouse keeps for
+    point-in-time joins. Changes are synthesized deterministically
+    (every 7th customer moves segment on 2024-06-01) so the oracle
+    mirrors them.
+
+    Plan shape: ONE left join keyed on c_custkey splits the base into
+    closed/kept branches, the update set itself becomes the opened
+    branch, and the three unite — no shuffle beyond the keyed join
+    (the union is partition-local). At 100 TB the base side buckets on
+    the key exactly like merge_upsert, and the same plan is what
+    Delta/Iceberg MERGE INTO + whenMatched/whenNotMatched emits."""
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    upd = base.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("MOVED_"), F.col("c_mktsegment")).alias("segment"),
+        F.lit("2024-06-01").cast("date").alias("eff"),
+    )
+    b, u = base.alias("b"), upd.alias("u")
+    joined = b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "left")
+    closed = joined.filter(F.col("u.c_custkey").isNotNull()).select(
+        F.col("b.c_custkey").alias("c_custkey"),
+        F.col("b.c_mktsegment").alias("segment"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.col("u.eff").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    kept = joined.filter(F.col("u.c_custkey").isNull()).select(
+        F.col("b.c_custkey").alias("c_custkey"),
+        F.col("b.c_mktsegment").alias("segment"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    opened = upd.select(
+        "c_custkey",
+        "segment",
+        F.col("eff").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(kept).unionByName(opened)
