@@ -60,6 +60,42 @@ def cosine_topk(
     )
 
 
+def batch_cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, *, n_queries: int, k: int
+) -> DataFrame:
+    """Top-k neighbors for EVERY query in a batch (ids < n_queries) in
+    one pass: broadcast the query block, per-(query, candidate) cosine,
+    then a per-query window rank — the batched serving shape (one
+    scan of the corpus amortized over the whole query batch, vs one
+    corpus scan per query with repeated cosine_topk).
+
+    The corpus side partitions on vec_id and never re-shuffles: the
+    rank window partitions by query_id AFTER the broadcast fan-out, so
+    the only exchange is the corpus-sized (query_id, cos) stream into
+    the window — k·n_queries rows survive. At 100 TB swap the
+    brute-force fan-out for the IVF cell router (ivf_topk) and keep
+    this window top-k as the merge step."""
+    from pyspark.sql.window import Window
+
+    e = df.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("emb"))
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine(F.col("emb"), F.col("qv")).alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id",
+            F.round("cos_raw", 4).alias("cos"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def allpairs_cosine(
     df: DataFrame, id_col: str, vec_col: str, *, dim: int, threshold: float
 ) -> DataFrame:

@@ -604,3 +604,99 @@ def selective_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("o_totalprice", "o_orderkey"), 2).alias("last_price"),
         F.round(F.min_by("o_totalprice", "o_orderkey"), 2).alias("first_price"),
     )
+
+
+@query(
+    "winsorize_balance",
+    oracle="""
+    WITH st AS (
+        SELECT c_mktsegment,
+               quantile_cont(c_acctbal, 0.05) AS p05,
+               quantile_cont(c_acctbal, 0.95) AS p95
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment, count(*) AS n,
+           floor(avg(least(greatest(c.c_acctbal, st.p05), st.p95)) * 10000 + 0.5) / 10000
+               AS avg_winsorized,
+           CAST(sum(CASE WHEN c.c_acctbal < st.p05 OR c.c_acctbal > st.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM customer c JOIN st ON c.c_mktsegment = st.c_mktsegment
+    GROUP BY c.c_mktsegment
+    """,
+    section="2.4 winsorization (per-group percentile clip, feature hygiene)",
+)
+def winsorize_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — clamp a numeric feature to its
+    group's [p05, p95] before aggregation, the standard outlier
+    hygiene in feature pipelines. Exact percentile_cont (linear
+    interpolation, same definition in both engines) per group, joined
+    back as a broadcast (group-count-sized stats — the fact side never
+    re-shuffles for the join), then clamp + aggregate in one codegen
+    pass. avg is rounded half-up at 4dp: percentile interpolation can
+    produce exact .xxxx5 midpoints from 2dp money."""
+    from ..operators.textops import round_half_up
+
+    c = load_table(spark, sf_dir, "customer")
+    st = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.percentile("c_acctbal", F.lit(0.05)).alias("p05"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95"))
+    out_of_range = (F.col("c_acctbal") < F.col("p05")) | (
+        F.col("c_acctbal") > F.col("p95")
+    )
+    return (
+        c.join(F.broadcast(st), c.c_mktsegment == st.seg)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.avg(clamped), 4).alias("avg_winsorized"),
+            F.sum(F.when(out_of_range, 1).otherwise(0)).cast("bigint").alias("n_clipped"),
+        )
+    )
+
+
+@query(
+    "pergroup_cap_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)      AS n_kept,
+           CAST(min(rn) AS BIGINT)       AS min_rn,
+           CAST(sum(doc_id) AS BIGINT)   AS id_sum
+    FROM ranked WHERE rn <= 50
+    GROUP BY lang
+    """,
+    section="2.4/2.11 per-group cap sampling (deterministic K-per-group downsample)",
+)
+def pergroup_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each group at K rows — the domain-rebalancing downsample
+    every corpus mix applies (no language/domain may dominate the
+    batch). Selection order is md5(doc_id): content-independent,
+    deterministic across engines and runs (the same trick as
+    corpus_shuffle / stratified_sample_hash), so the kept set is
+    reproducible — never rand(). One window per group partition (the
+    same hash shuffle a later per-group op would reuse); summarized
+    per group with an id-sum so the oracle checks the exact kept SET,
+    not just counts."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.min("rn").cast("bigint").alias("min_rn"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )

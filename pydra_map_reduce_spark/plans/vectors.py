@@ -34,6 +34,36 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_batch_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(e.emb, q.qv) AS cos_raw,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_cosine_similarity(e.emb, q.qv) DESC,
+                                           e.vec_id) AS rank
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, round(cos_raw, 4) AS cos, rank
+    FROM scored WHERE rank <= 3
+    """,
+    section="2.11 batched ANN top-k (one corpus pass, per-query window rank)",
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors for each of 8 query vectors in ONE corpus
+    pass — the batched serving shape (vs cosine_topk's one-query
+    scan). See operators/similarity.py batch_cosine_topk for the
+    shuffle accounting and the IVF swap-in at scale."""
+    return ops.batch_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_queries=8, k=3,
+    )
+
+
+@query(
     "allpairs_similarity",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
