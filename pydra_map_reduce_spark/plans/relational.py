@@ -700,3 +700,117 @@ def pergroup_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_sum"),
         )
     )
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_val,
+           CAST(max(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+    section="2.4/2.11 data-quality report (exact null/distinct/range per column)",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column quality metrics — null count, distinct count,
+    min/max — the assertion layer every ingest pipeline runs before
+    training data ships. One scan computes ALL columns' metrics as a
+    single wide aggregate (count-distinct per column expands to the
+    standard expand+two-phase agg); the wide row then unpivots to the
+    (col, metrics) report via stack, so the plan reads the table once
+    regardless of column count — never one scan per column. The
+    approximate twin for ad-hoc profiling is profile_table_approx
+    (HLL sketches); THIS form is the exact gate.
+
+    min/max are reported as strings so heterogeneous column types fit
+    one report schema; doubles format via the engine-independent
+    shortest-repr (both Spark and DuckDB print 181399.41 for the same
+    bits at 2dp money)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderpriority", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+@query(
+    "incremental_agg",
+    oracle="""
+    WITH snap AS (
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+        FROM orders WHERE o_orderkey % 5 <> 0
+        GROUP BY o_orderpriority
+    ), delta AS (
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+        FROM orders WHERE o_orderkey % 5 = 0
+        GROUP BY o_orderpriority
+    )
+    SELECT coalesce(s.o_orderpriority, d.o_orderpriority) AS o_orderpriority,
+           CAST(coalesce(s.n, 0) + coalesce(d.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(s.revenue, 0) + coalesce(d.revenue, 0) AS DOUBLE) AS revenue
+    FROM snap s FULL OUTER JOIN delta d ON s.o_orderpriority = d.o_orderpriority
+    """,
+    section="2.4/2.7 incremental aggregate maintenance (snapshot + delta merge)",
+)
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: the
+    standing per-key snapshot merges with the new batch's partial
+    aggregate by ADDING counters — a key-level full outer join over
+    group-count-sized inputs — instead of re-scanning history. This is
+    how a 100 TB rollup stays fresh: work per refresh is O(delta) +
+    O(groups), never O(history). Snapshot/delta are synthesized
+    deterministically from orders (every 5th key is 'today's batch')
+    so the oracle mirrors both sides and the merged result provably
+    equals the from-scratch aggregate. Revenue accumulates as DECIMAL
+    (engine-order-independent), cast to double only for the report."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    def agg_part(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("decimal(28,2)").alias("revenue"),
+        )
+    snap = agg_part(o.filter(F.col("o_orderkey") % 5 != 0)).alias("s")
+    delta = agg_part(o.filter(F.col("o_orderkey") % 5 == 0)).alias("d")
+    merged = snap.join(
+        delta, F.col("s.o_orderpriority") == F.col("d.o_orderpriority"), "full"
+    )
+    zero = F.lit(0).cast("decimal(28,2)")
+    return merged.select(
+        F.coalesce(F.col("s.o_orderpriority"), F.col("d.o_orderpriority")).alias("o_orderpriority"),
+        (F.coalesce(F.col("s.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0)))
+            .cast("bigint").alias("n"),
+        (F.coalesce(F.col("s.revenue"), zero) + F.coalesce(F.col("d.revenue"), zero))
+            .cast("double").alias("revenue"),
+    )
