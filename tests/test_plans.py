@@ -206,13 +206,10 @@ def test_salted_join_spreads_key(spark):
 #                          (asserted by test_corpus_shuffle_limit_below_window)
 #   vocab_coverage         window input is the aggregated VOCABULARY (distinct
 #                          words), orders of magnitude smaller than the corpus
-#   ivf_ann_topk           window numbers the sampled k-means CENTROIDS
-#                          (broadcast-sized, n_clusters rows)
 _GLOBAL_WINDOW_ALLOWED = {
     "shard_pack",
     "corpus_shuffle",
     "vocab_coverage",
-    "ivf_ann_topk",
 }
 
 
