@@ -402,3 +402,75 @@ def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("n") / F.col("n_from"), 4).alias("prob"),
         )
     )
+
+
+@query(
+    "time_rollup_hierarchy",
+    oracle="""
+    WITH minute AS (
+        SELECT date_trunc('minute', ts) AS bucket_start, event_type,
+               count(*) AS n, sum(value) AS sv
+        FROM events GROUP BY 1, 2
+    ), hour AS (
+        SELECT date_trunc('hour', bucket_start) AS bucket_start, event_type,
+               CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
+        FROM minute GROUP BY 1, 2
+    ), day AS (
+        SELECT date_trunc('day', bucket_start) AS bucket_start, event_type,
+               CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
+        FROM hour GROUP BY 1, 2
+    )
+    SELECT 'minute' AS grain, bucket_start, event_type, n,
+           round(sv, 2) AS sum_value FROM minute
+    UNION ALL
+    SELECT 'hour', bucket_start, event_type, n, round(sv, 2) FROM hour
+    UNION ALL
+    SELECT 'day', bucket_start, event_type, n, round(sv, 2) FROM day
+    """,
+    section="2.9 hypertable rollup (minute→hour→day continuous-aggregate chain)",
+)
+def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup, hypertable-style: the hour grain
+    aggregates the MINUTE grain's partials and the day grain the
+    hour's — raw events are scanned exactly once, and each coarser
+    grain's input is the (monotonically smaller) previous rollup.
+    This is the continuous-aggregate maintenance shape: at 100 TB the
+    minute partials are what a streaming job upserts, and coarser
+    grains refresh from them at O(buckets), never re-reading history.
+    Counts stay exact by summing counts; sums re-aggregate partial
+    sums (distributive). Rounding happens only at the report edge —
+    partials flow unrounded so regrouping loses nothing.
+
+    The minute grain is persisted: the three report branches would
+    otherwise each recompute it from the raw scan (Spark does not
+    dedupe common subplans across a union) — with the cache the plan
+    reads parquet ONCE and every coarser grain aggregates in-memory
+    partials. MEMORY_AND_DISK entries are evictable, so a long-lived
+    session degrades to recompute, not OOM (same posture as the
+    dedup shingle index)."""
+    from pyspark.storagelevel import StorageLevel
+
+    e = load_table(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket_start").alias("bucket_start"), "event_type"
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("sv").alias("sv"))
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start"), "event_type"
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("sv").alias("sv"))
+
+    def report(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"), "bucket_start", "event_type", "n",
+            F.round("sv", 2).alias("sum_value"),
+        )
+
+    return (
+        report(minute, "minute")
+        .unionByName(report(hour, "hour"))
+        .unionByName(report(day, "day"))
+    )
