@@ -314,3 +314,66 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_missing_priority"),
     )
+
+
+def _zvalue_bits() -> int:
+    return 10
+
+
+@query(
+    "zorder_layout",
+    oracle="""
+    WITH z AS (
+        SELECT o_custkey, o_orderkey,
+               (""" + " + ".join(
+        f"(((o_custkey % 1024) >> {i}) & 1) * {1 << (2 * i)}"
+        f" + (((o_orderkey % 1024) >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(10)
+    ) + """) AS zval
+        FROM orders
+    )
+    SELECT zval >> 14                          AS zcell,
+           count(*)                            AS n,
+           CAST(min(o_custkey % 1024) AS BIGINT) AS min_cust,
+           CAST(max(o_custkey % 1024) AS BIGINT) AS max_cust,
+           CAST(min(o_orderkey % 1024) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey % 1024) AS BIGINT) AS max_key
+    FROM z GROUP BY zval >> 14
+    """,
+    section="2.1/2.6 z-order layout (bit-interleaved multi-dim clustering cells)",
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering — the data-layout optimization
+    behind multi-dimensional file skipping (Delta/Iceberg OPTIMIZE
+    ZORDER BY): interleave the bits of two columns so rows close in
+    BOTH dimensions land in the same file, giving every file bounded
+    min/max ranges on every z-ordered column and letting either
+    filter's stats prune files. Here each key is masked to 10 bits,
+    bits interleave as pure codegen integer math (20 shift-mask-add
+    terms), and the top 6 interleaved bits form the clustering cell
+    (= target file); the report is each cell's per-dimension range —
+    the skipping property itself (each of the 64 cells covers a
+    bounded ~1/8 slice of BOTH dimensions, which a 1-D sort cannot
+    do). At 100 TB this zval is the repartitionByRange key before the
+    write; the cell report is what the writer's footer stats become."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 1024).alias("a"),
+        (F.col("o_orderkey") % 1024).alias("b"),
+    )
+    zval = None
+    for i in range(_zvalue_bits()):
+        ta = F.shiftright("a", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        tb = F.shiftright("b", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        term = ta + tb
+        zval = term if zval is None else zval + term
+    return (
+        o.withColumn("zval", zval)
+        .groupBy(F.shiftright("zval", 14).alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("a").cast("bigint").alias("min_cust"),
+            F.max("a").cast("bigint").alias("max_cust"),
+            F.min("b").cast("bigint").alias("min_key"),
+            F.max("b").cast("bigint").alias("max_key"),
+        )
+    )
