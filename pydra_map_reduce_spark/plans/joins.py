@@ -641,3 +641,79 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS a_key, o_orderdate AS a_start,
+               o_orderdate + INTERVAL (o_orderkey % 4 + 1) DAY AS a_end
+        FROM orders WHERE o_orderkey % 50 = 0
+    ), b AS (
+        SELECT o_orderkey AS b_key, o_orderdate AS b_start,
+               o_orderdate + INTERVAL (o_orderkey % 6 + 1) DAY AS b_end
+        FROM orders WHERE o_orderkey % 50 = 25
+    )
+    SELECT a.a_key, b.b_key,
+           CAST(date_diff('day',
+                          greatest(a.a_start, b.b_start),
+                          least(a.a_end, b.b_end)) + 1 AS BIGINT) AS overlap_days
+    FROM a JOIN b
+      ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+    """,
+    section="2.3 interval overlap join (day-bucketed equi-join, no theta self-join)",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join — the temporal/genomic shape
+    (which promo windows overlapped which campaign windows) that a
+    naive plan writes as a THETA join (a.start <= b.end AND b.start
+    <= a.end → nested loop, n·m at scale). Here both sides explode
+    into their covered DAY buckets (bounded: intervals are ≤ 7 days
+    by construction, so fan-out ≤ 7×) and the join is EQUI on the
+    bucket day; bucket-duplicate pairs collapse with distinct, and
+    the exact overlap length recomputes from the interval endpoints.
+    Work is Σ interval-days keyed on the calendar day — the standard
+    binning technique for interval joins at warehouse scale (pick the
+    bucket grain ≈ median interval length; outsize intervals split
+    across buckets like any other row). Both interval sets synthesize
+    deterministically from orders so the oracle mirrors them with the
+    plain theta join — same pairs, opposite plan."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    def side(mod_rem: int, span_mod: int, prefix: str) -> DataFrame:
+        return o.filter(F.col("o_orderkey") % 50 == mod_rem).select(
+            F.col("o_orderkey").alias(f"{prefix}_key"),
+            F.col("o_orderdate").alias(f"{prefix}_start"),
+            (
+                F.col("o_orderdate")
+                + F.make_interval(days=(F.col("o_orderkey") % span_mod + 1).cast("int"))
+            ).alias(f"{prefix}_end"),
+        )
+
+    a, b = side(0, 4, "a"), side(25, 6, "b")
+    day = lambda c: F.to_date(c)
+    a_days = a.withColumn(
+        "day", F.explode(F.sequence(day(F.col("a_start")), day(F.col("a_end"))))
+    )
+    b_days = b.withColumn(
+        "day", F.explode(F.sequence(day(F.col("b_start")), day(F.col("b_end"))))
+    )
+    pairs = (
+        a_days.join(b_days, "day")
+        .filter(
+            (F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("a_key", "b_key", "a_start", "a_end", "b_start", "b_end")
+        .distinct()
+    )
+    overlap = (
+        F.datediff(
+            F.least(F.col("a_end"), F.col("b_end")).cast("date"),
+            F.greatest(F.col("a_start"), F.col("b_start")).cast("date"),
+        )
+        + 1
+    )
+    return pairs.select(
+        "a_key", "b_key", overlap.cast("bigint").alias("overlap_days")
+    )
