@@ -57,6 +57,17 @@ _DRIVER_PRIORITY = [
 ]
 
 
+# Round-7 rotation queue (never driver-checked, added after the r6
+# window was frozen; all oracle-backed and locally verified at
+# sf0.001/0.01/0.1):
+#   merge_scd2, join_point_in_time, ann_batch_topk, winsorize_balance,
+#   pergroup_cap_sample, data_quality_report, incremental_agg,
+#   time_rollup_hierarchy, zorder_layout, join_interval_overlap,
+# plus the stalest remaining greens (r3/r4-era: allpairs_similarity,
+# ann_lsh_topk, array/date/string function families, window family) so
+# every query's newest driver evidence keeps cycling forward.
+
+
 def _ordered() -> list[str]:
     missing = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
     assert not missing, f"priority list names unknown queries: {missing}"
