@@ -225,3 +225,59 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
         round_half_up(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "window_time_range_avg",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           floor(CAST(sum(cents) OVER w AS DOUBLE) * 100.0
+                 / CAST(count(*) OVER w AS DOUBLE) + 0.5) / 10000 AS avg_last_hour
+    FROM c
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    section="2.5 frame agg: time-interval RANGE frame (trailing 1h per row)",
+)
+def window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour rolling stats per row — the time-series frame
+    (RANGE over an interval, not a row count): each event sees the
+    count/avg of its type's events in the 60 minutes up to and
+    including itself. Spark's rangeBetween needs a numeric ordering
+    key, so ts becomes epoch MICROSECONDS (the exact unit — no
+    truncation) and the frame is ±3.6e9 µs; the oracle mirrors with
+    epoch_us and the same literal bound, making frame membership
+    integer-exact in both engines. One shuffle on event_type — same
+    partitioning every per-type op reuses.
+
+    The average is computed INTEGER-EXACTLY: 2dp values become cent
+    bigints, the window sums cents (exact), and the 4dp-rounded
+    average is floor(cents·100/n + 0.5)/1e4 — one IEEE division of
+    exact integers, bit-identical in any engine. Floating window
+    sums are NOT usable here: every row is a frame result, frame
+    counts hit powers of two constantly, and engine-specific
+    accumulation order (sliding vs segment-tree) flipped 514 rows at
+    sf0.1 around exact .xxxx5 midpoints before this form."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    n = F.count(F.lit(1)).over(w)
+    csum = F.sum(cents).over(w)
+    return e.select(
+        "event_id",
+        "event_type",
+        n.cast("bigint").alias("n_last_hour"),
+        (
+            F.floor(csum.cast("double") * 100.0 / n.cast("double") + 0.5) / 10000
+        ).alias("avg_last_hour"),
+    )
