@@ -21,7 +21,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import SCHEMAS, _pin_conf, convert_events_ts, events_ts_unit
+from ..sources.tables import SCHEMAS, _pin_conf, convert_events_ts, events_ts_unit, load_table
 from .registry import query
 
 
@@ -414,3 +414,35 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_ids"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "streaming_static_join",
+    oracle=None,  # rows-only: streaming engine run; batch anchor asserted in tests
+    section="2.9 stream-static join (broadcast dim enrichment of a stream)",
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the most common production enrichment:
+    each micro-batch of events joins a STATIC dimension (customer)
+    that is simply a batch DataFrame on the stream side's executor
+    plan. No watermark needed (the static side never changes
+    mid-query) and no state store: Spark plans it as a per-batch
+    broadcast hash join, so the stream never shuffles for the join —
+    exactly the batch broadcast-dim posture carried into streaming.
+    Summarized per market segment; the local suite asserts equality
+    with the identical batch join (see
+    test_streaming_static_join_matches_batch_anchor)."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return _drain(joined, "complete")

@@ -250,3 +250,25 @@ def test_foreach_batch_matches_batch_anchor(spark):
         .first()
     )
     assert stream_row == batch_row and stream_row[0] > 0, (stream_row, batch_row)
+
+
+def test_streaming_static_join_matches_batch_anchor(spark):
+    """The stream-static broadcast enrichment must equal the identical
+    batch join, segment for segment."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    stream = sorted(
+        tuple(r) for r in REGISTRY["streaming_static_join"].fn(spark, SF_DIR).collect()
+    )
+    e = load_table(spark, SF_DIR, "events").filter(F.col("event_type") == "purchase")
+    dim = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    batch = sorted(
+        tuple(r)
+        for r in e.join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    )
+    assert stream == batch and len(stream) > 0, (len(stream), len(batch))
