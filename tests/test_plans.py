@@ -301,3 +301,56 @@ def test_compaction_reduces_file_count(spark):
     n_frag = len(glob.glob(_tmp("orders_fragmented") + "/part-*"))
     n_comp = len(glob.glob(_tmp("orders_compacted") + "/part-*"))
     assert n_frag == 64 and n_comp == 4, (n_frag, n_comp)
+
+
+def test_point_in_time_join_no_nested_loop(spark):
+    """The SCD-2 point-in-time join must plan as a hash join on the
+    equi key with the interval predicate as residual — never an
+    interval nested-loop."""
+    df = REGISTRY["join_point_in_time"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    """The day-bucketed interval overlap join must be an equi-join on
+    the bucket day (that is its whole point) — no theta/nested-loop."""
+    df = REGISTRY["join_interval_overlap"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_data_quality_report_single_scan(spark):
+    """All per-column metrics must come from ONE table scan (wide agg
+    + stack), never one scan per column."""
+    df = REGISTRY["data_quality_report"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+
+
+def test_time_rollup_reuses_minute_grain(spark):
+    """The hour/day grains must read the persisted minute grain
+    (InMemoryTableScan), not recompute it from parquet per branch."""
+    df = REGISTRY["time_rollup_hierarchy"].fn(spark, SF_DIR)
+    df.count()  # materialize the cache
+    plan = _executed(df)
+    assert plan.count("InMemoryTableScan") >= 3, plan[:3000]
+
+
+def test_zorder_layout_pure_codegen(spark):
+    """Bit interleaving must stay whole-stage-codegen integer math —
+    no Python evaluation anywhere."""
+    df = REGISTRY["zorder_layout"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_ivf_assignment_arrow_batched(spark):
+    """The k-means assignment must run as an Arrow-batched pandas_udf
+    (ArrowEvalPython), never row-at-a-time (BatchEvalPython)."""
+    df = REGISTRY["ivf_ann_topk"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "ArrowEvalPython" in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan, plan[:3000]
