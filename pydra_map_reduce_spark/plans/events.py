@@ -474,3 +474,66 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(report(hour, "hour"))
         .unionByName(report(day, "day"))
     )
+
+
+@query(
+    "anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN d.adev > 3 * t.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           round(max(d.med), 4) AS med,
+           round(max(t.mad), 4) AS mad
+    FROM dev d JOIN mad t ON d.event_type = t.event_type
+    GROUP BY d.event_type
+    """,
+    section="2.4/2.9 robust anomaly detection (median absolute deviation)",
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier sweep: flag values whose absolute deviation from
+    the group MEDIAN exceeds 3× the median absolute deviation — the
+    heavy-tail-safe twin of anomaly_zscore (one extreme value drags a
+    mean/stddev but not a median/MAD). Two grouped exact percentiles
+    (each a keyed agg; group stats broadcast back, so the fact side
+    never re-shuffles), then a codegen compare + rollup.
+
+    Portability: every step is SINGLE-OP deterministic — percentile
+    interpolation is lo + frac·(hi−lo) in both engines on identical
+    doubles, and the outlier test |x−med| > 3·mad is one subtract,
+    one multiply, one compare of identical doubles — so even exact
+    decimal ties (dev == 3·mad, possible with 2dp money) resolve
+    identically in both engines; no accumulation-order noise exists
+    anywhere. med/mad terminate at 3 decimals (midpoint averages of
+    2dp values), so 4dp rounding sits on-grid, never at a boundary."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+                .cast("bigint").alias("n_outliers"),
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+        )
+    )
