@@ -270,3 +270,60 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed.unionByName(kept).unionByName(opened)
+
+
+@query(
+    "cdc_latest_wins",
+    oracle="""
+    WITH log AS (
+        SELECT o_orderkey AS okey, v.version,
+               o_totalprice + v.version * 10.0 AS price
+        FROM orders,
+             LATERAL (SELECT unnest(generate_series(0, o_orderkey % 3)) AS version) v
+    ), latest AS (
+        SELECT okey,
+               max(version) AS version,
+               arg_max(price, version) AS price
+        FROM log GROUP BY okey
+    )
+    SELECT count(*) AS n_keys,
+           CAST(sum(version + 1) AS BIGINT) AS n_log_rows,
+           CAST(sum(CASE WHEN version > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multiversion,
+           CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS latest_total
+    FROM latest
+    """,
+    section="2.4/2.7 CDC log compaction (latest-record-wins per key)",
+)
+def cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture compaction: a key's log rows collapse to
+    the HIGHEST-version record — the snapshot-from-changelog step of
+    every CDC ingest (Debezium → warehouse). The log is synthesized
+    deterministically (each order key carries 1–3 versions, each
+    bumping the price) so the oracle mirrors it with generate_series.
+
+    Plan shape: ONE hash aggregate keyed on the CDC key using
+    max/max_by with map-side partial combine — never the
+    window-row_number-rn=1 form, which sorts every group; at 100 TB
+    the max_by aggregate is the difference between a shuffle of
+    partial maxima and a full sort of the changelog. The version
+    tie-break is total (versions are distinct ints per key), so
+    max_by is deterministic."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    log = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.explode(F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))).alias(
+            "version"
+        ),
+        "o_totalprice",
+    ).withColumn("price", F.col("o_totalprice") + F.col("version") * 10.0)
+    latest = log.groupBy("okey").agg(
+        F.max("version").alias("version"),
+        F.max_by("price", "version").alias("price"),
+    )
+    return latest.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("version") + 1).cast("bigint").alias("n_log_rows"),
+        F.sum(F.when(F.col("version") > 0, 1).otherwise(0)).cast("bigint").alias("n_multiversion"),
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("latest_total"),
+    )
