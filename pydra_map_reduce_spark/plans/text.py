@@ -520,3 +520,91 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.avg(F.log(F.col("n") / F.col("np")))), 2).alias("ppl"),
         )
     )
+
+
+@query(
+    "bm25_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM tok WHERE word <> '' GROUP BY doc_id, word
+    ), lens AS (
+        SELECT doc_id, count(*) AS len FROM tok WHERE word <> '' GROUP BY doc_id
+    ), stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(len) AS DOUBLE) / count(*) AS avglen
+        FROM lens
+    ), dfr AS (
+        SELECT word, count(*) AS df FROM tf GROUP BY word
+    ), qterms AS (
+        SELECT word, df FROM dfr ORDER BY df, word LIMIT 3
+    )
+    SELECT tf.doc_id,
+           round(sum(
+               ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / s.avglen))
+           ), 4) AS bm25
+    FROM tf
+    JOIN qterms q ON tf.word = q.word
+    JOIN lens ON lens.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    ORDER BY sum(
+               ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / s.avglen))
+           ) DESC, tf.doc_id
+    LIMIT 10
+    """,
+    section="2.11 BM25 retrieval top-k (Okapi scoring, data-driven query terms)",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 document retrieval (k1=1.2, b=0.75): score every
+    document against a query and return the top 10. The query is
+    DATA-DRIVEN — the 3 rarest terms in the corpus (lowest df,
+    alphabetical tie-break) — so the query survives fixture
+    regeneration and the oracle derives the identical terms.
+
+    Plan shape: term stats (df) and the query set are vocab-sized →
+    broadcast; doc lengths join on doc_id (the same shuffle the tf
+    agg just produced); the corpus constant (N, avglen) is a 1-row
+    broadcast cross join, with avglen computed as exact-int
+    sum(len)/count — one IEEE division, engine-identical. Scoring is
+    pure codegen arithmetic; per-doc sums span ≤3 query terms, so
+    accumulation noise is 1 ulp and the 4dp-rounded irrational
+    scores sit nowhere near boundaries. The top-10 cut orders by raw
+    score with a doc_id tie-break (TakeOrdered heaps, no global
+    sort)."""
+    from ..operators.textops import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avglen"),
+    )
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    qterms = dfr.orderBy("df", "word").limit(3)
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    score_term = (
+        idf * F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avglen")))
+    )
+    return (
+        tf.join(F.broadcast(qterms.select("word", "df")), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(score_term).alias("raw"))
+        .orderBy(F.col("raw").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("raw", 4).alias("bm25"))
+    )
