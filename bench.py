@@ -60,6 +60,9 @@ HEADLINE = [
     "word_cooccurrence",     # windowed pair explode + agg
     "shard_pack_partitioned",# per-writer window pack (scale path)
     "corpus_pipeline",       # end-to-end corpus prep chain
+    "join_point_in_time",    # SCD-2 temporal lookup (equi + residual interval)
+    "time_rollup_hierarchy", # multi-grain rollup chain (cached minute grain)
+    "bm25_topk",             # text retrieval scoring (broadcast stats)
 ]
 
 
