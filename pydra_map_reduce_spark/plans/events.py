@@ -537,3 +537,74 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mad"), 4).alias("mad"),
         )
     )
+
+
+@query(
+    "trend_regression",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ), sums AS (
+        SELECT event_type,
+               count(*)                   AS n,
+               CAST(sum(x) AS BIGINT)     AS sx,
+               CAST(sum(y) AS BIGINT)     AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 10000 + 0.5) / 10000
+               AS slope_cents_per_day,
+           floor((CAST(sy AS DOUBLE) / n
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * (CAST(sx AS DOUBLE) / n)) * 100 + 0.5) / 100
+               AS intercept_cents
+    FROM sums
+    """,
+    section="2.4 per-group trend regression (OLS slope from integer-exact sums)",
+)
+def trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: is each event type's
+    value drifting over time? slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    over (day index, cents) — both INTEGERS, so every sum is an exact
+    bigint (magnitudes bounded: Σxy ≲ 1e13 at sf0.1, far under 2^63)
+    and the slope is ONE IEEE division of exact integers:
+    bit-identical in any engine, per the same discipline as
+    window_time_range_avg. The built-in regr_slope aggregates double
+    partials whose accumulation order is engine-specific — that form
+    is not externally checkable; this one is. One hash aggregate per
+    group with map-side partials; group count is dim-sized."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast(
+        "bigint"
+    )
+    y = F.round(F.col("value") * 100).cast("bigint")
+    sums = (
+        e.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = F.col("sy").cast("double") / F.col("n") - slope * (
+        F.col("sx").cast("double") / F.col("n")
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        (F.floor(slope * 10000 + F.lit(0.5)) / 10000).alias("slope_cents_per_day"),
+        (F.floor(intercept * 100 + F.lit(0.5)) / 100).alias("intercept_cents"),
+    )
