@@ -716,3 +716,39 @@ def length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+@query(
+    "jsonl_export",
+    oracle="""
+    SELECT doc_id,
+           to_json(struct_pack(
+               doc_id := doc_id,
+               lang := lang,
+               source := source,
+               n_chars := n_chars,
+               n_tokens := len(string_split(text, ' '))
+           )) AS record
+    FROM documents
+    """,
+    section="2.1/2.11 JSONL export (training-record serialization)",
+)
+def jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-record export shape: each document serializes to
+    one compact JSON object (the line of a JSONL shard). to_json over
+    a struct is pure codegen — a narrow, shuffle-free pass that
+    parallelizes with the writer count; at 100 TB this select feeds
+    `.write.text()` partitioned by the shard key. Fields are
+    restricted to ints/strings ON PURPOSE: integer and string JSON
+    serialization is byte-identical across engines (verified), while
+    float formatting is not — floats would go through a decimal-string
+    cast first."""
+    d = load_table(spark, sf_dir, "documents")
+    rec = F.struct(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return d.select("doc_id", F.to_json(rec).alias("record"))
