@@ -608,3 +608,73 @@ def trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(slope * 10000 + F.lit(0.5)) / 10000).alias("slope_cents_per_day"),
         (F.floor(intercept * 100 + F.lit(0.5)) / 100).alias("intercept_cents"),
     )
+
+
+@query(
+    "funnel_3step",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS first_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.first_view
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+           CAST(1 + (c.user_id IS NOT NULL)::INT
+                  + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    section="2.9 multi-step funnel (view→click→purchase, strict ordering)",
+)
+def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step conversion funnel with STRICT event ordering: the
+    first click must follow the user's first view, and the first
+    purchase must follow that click — the sequential-pattern query
+    behind product funnels (the 2-step form is `funnel`). Each stage
+    is a keyed min-aggregate filtered against the previous stage's
+    anchor; every join and agg keys on user_id, so ONE hash exchange
+    partitioning serves the whole chain (AQE reuses it), and stage
+    results are user-count-sized. stage ∈ {1,2,3} = furthest step
+    reached."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "first_view", "first_click", "first_purchase",
+            (
+                F.lit(1)
+                + F.col("first_click").isNotNull().cast("int")
+                + F.col("first_purchase").isNotNull().cast("int")
+            ).cast("bigint").alias("stage"),
+        )
+    )
