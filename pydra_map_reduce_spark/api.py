@@ -189,4 +189,36 @@ class Pipeline:
 
         return Pipeline(_similarity.cosine_topk(self.df, id_col, vec_col, query_id, k))
 
+    def near_dups_capped(
+        self, id_col: str, text_col: str, *, threshold: float = 0.03, max_df: int = 100
+    ) -> "Pipeline":
+        """Exact n-gram Jaccard pairs with a document-frequency ceiling
+        (drop shingles in > max_df docs before the index self-join) —
+        the corpus-scale form with bounded posting-list buckets."""
+        from .operators import dedup as _dedup
 
+        return Pipeline(
+            _dedup.ngram_jaccard_pairs_capped(
+                self.df, id_col, text_col, threshold=threshold, max_df=max_df
+            )
+        )
+
+    def cluster_dups(self, doc_a: str = "doc_a", doc_b: str = "doc_b") -> "Pipeline":
+        """Connected components over a near-dup pair frame →
+        (doc_id, cluster_id = component minimum)."""
+        from .operators import dedup as _dedup
+
+        return Pipeline(_dedup.dedup_clusters(self.df.select(doc_a, doc_b)))
+
+    def similar_topk_batch(
+        self, id_col: str, vec_col: str, *, n_queries: int, k: int = 5
+    ) -> "Pipeline":
+        """Top-k neighbors for every query id < n_queries in one
+        corpus pass (broadcast query block + per-query window rank)."""
+        from .operators import similarity as _similarity
+
+        return Pipeline(
+            _similarity.batch_cosine_topk(
+                self.df, id_col, vec_col, n_queries=n_queries, k=k
+            )
+        )

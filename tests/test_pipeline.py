@@ -166,3 +166,31 @@ def test_survey_table_matches_registry():
     )
     readme = re.search(r"(\d+) queries, each a thin fixture binding", open("README.md").read())
     assert readme is not None and int(readme.group(1)) == len(REGISTRY), readme
+
+
+def test_round6_convenience_methods(spark):
+    """The capped near-dup, cluster, and batch-ANN delegates must
+    chain like any other Pipeline stage and match their operators."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.api import Pipeline
+
+    docs = Pipeline.read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    pairs = docs.near_dups_capped("doc_id", "text", threshold=0.03, max_df=5)
+    got = pairs.to_df()
+    assert got.columns == ["doc_a", "doc_b", "jaccard"]
+    n_pairs = got.count()
+    assert n_pairs > 0
+
+    clusters = pairs.cluster_dups().to_df()
+    assert set(clusters.columns) == {"doc_id", "cluster_id"}
+    assert clusters.count() > 0
+    # every clustered doc's cluster_id is the component minimum
+    bad = clusters.filter(F.col("cluster_id") > F.col("doc_id")).count()
+    assert bad == 0
+
+    emb = Pipeline.read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    topk = emb.similar_topk_batch("vec_id", "embedding", n_queries=4, k=3).to_df()
+    rows = topk.collect()
+    assert len(rows) == 12  # 4 queries × 3 neighbors
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
