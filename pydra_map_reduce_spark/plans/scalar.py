@@ -396,3 +396,65 @@ def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.shiftleft("l_linenumber", 1)).cast("bigint").alias("sum_shifted"),
         F.sum(F.col("l_linenumber").bitwiseAND(F.lit(1))).cast("bigint").alias("n_odd_mask"),
     )
+
+
+@query(
+    "nested_line_stats",
+    oracle="""
+    WITH nested AS (
+        SELECT l_orderkey,
+               list_sort(list(struct_pack(
+                   ln := l_linenumber,
+                   qty := CAST(l_quantity AS BIGINT),
+                   cents := CAST(round(l_extendedprice * 100) AS BIGINT)
+               ))) AS lines
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(lines) AS INT)                             AS n_lines,
+           CAST(list_sum(list_transform(lines, x -> x.qty)) AS BIGINT)
+                                                               AS total_qty,
+           CAST(list_sum(list_transform(lines, x -> x.cents)) AS DOUBLE) / 100
+                                                               AS total_price,
+           len(list_filter(lines, x -> x.qty >= 45)) > 0       AS has_bulk_line,
+           lines[1].ln                                         AS first_line
+    FROM nested
+    """,
+    section="2.8/2.2 nested record-array processing (collect struct array + HOFs)",
+)
+def nested_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data surface: each order's line items collect into an
+    ARRAY OF STRUCTS (the shape denormalized/nested parquet arrives
+    in), and all per-order stats compute from the nested column with
+    higher-order functions — transform, filter, element access —
+    WITHOUT re-exploding. sort_array on struct arrays orders
+    lexicographically by field position (l_linenumber first) in both
+    engines, making array order deterministic; quantities and cent
+    prices are bigints, so the HOF sums are integer-exact. One
+    shuffle (the collect_list groupBy); everything after is a narrow
+    codegen pass — the point at scale is that nested processing adds
+    ZERO exchanges once the records are grouped."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rec = F.struct(
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(rec)).alias("lines")
+    )
+    qty = F.transform("lines", lambda x: x.getField("qty"))
+    cents = F.transform("lines", lambda x: x.getField("cents"))
+    return nested.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.aggregate(qty, F.lit(0).cast("bigint"), lambda s, v: s + v).alias("total_qty"),
+        (
+            F.aggregate(cents, F.lit(0).cast("bigint"), lambda s, v: s + v).cast("double")
+            / 100
+        ).alias("total_price"),
+        (F.size(F.filter("lines", lambda x: x.getField("qty") >= 45)) > 0).alias(
+            "has_bulk_line"
+        ),
+        F.element_at("lines", 1).getField("ln").alias("first_line"),
+    )
