@@ -63,6 +63,8 @@ _DRIVER_PRIORITY = [
 #   merge_scd2, join_point_in_time, ann_batch_topk, winsorize_balance,
 #   pergroup_cap_sample, data_quality_report, incremental_agg,
 #   time_rollup_hierarchy, zorder_layout, join_interval_overlap,
+#   ewma_smooth, attribution_last_touch, weighted_sample,
+#   chunk_dedup_ratio,
 # plus the stalest remaining greens (r3/r4-era: allpairs_similarity,
 # ann_lsh_topk, array/date/string function families, window family) so
 # every query's newest driver evidence keeps cycling forward.

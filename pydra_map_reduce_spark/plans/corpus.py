@@ -752,3 +752,112 @@ def jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
     return d.select("doc_id", F.to_json(rec).alias("record"))
+
+
+@query(
+    "weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars,
+           floor(pri * 100000000 + 0.5) / 100000000 AS priority
+    FROM (
+        SELECT doc_id, n_chars,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0)
+                   / n_chars AS pri
+        FROM documents
+    )
+    ORDER BY pri, doc_id
+    LIMIT 20
+    """,
+    section="2.11 weighted sampling (sequential Poisson, deterministic)",
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sampling without replacement via
+    sequential Poisson sampling (Ohlsson 1998): each doc draws a
+    deterministic uniform u from its id hash (first 8 md5 hex chars /
+    2^32) and competes with priority u / weight; the k smallest
+    priorities form an approximate probability-proportional-to-size
+    sample. Weight = n_chars, so long documents are favored — the
+    standard token-budget-aware corpus subsample. Fully deterministic
+    (restart-safe, no RNG state), one narrow pass + TakeOrdered —
+    no shuffle at all, any scale. u is an exact dyadic rational and
+    the division is IEEE-exact, so the top-k cut is bit-identical
+    across engines; the reported priority is rounded half-up at 8dp
+    for the hash only."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    pri = u / F.col("n_chars")
+    from ..operators.textops import round_half_up as _rhu
+
+    return (
+        d.select("doc_id", "n_chars", pri.alias("pri"))
+        .orderBy("pri", "doc_id")
+        .limit(20)
+        .select("doc_id", "n_chars", _rhu(F.col("pri"), 8).alias("priority"))
+    )
+
+
+_DDC_SIZE = 100  # chunk_dedup_ratio: non-overlapping 100-char windows
+
+
+@query(
+    "chunk_dedup_ratio",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id, md5(substr(text, off, {_DDC_SIZE})) AS fp
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text), {_DDC_SIZE})) AS off
+            FROM documents WHERE length(text) > 0
+        )
+    ), freq AS (
+        SELECT fp, count(*) AS n_occ FROM chunks GROUP BY fp
+    )
+    SELECT c.doc_id,
+           count(*)                                              AS n_chunks,
+           CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           floor(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)
+                 * 10000 + 0.5) / 10000                          AS dup_ratio
+    FROM chunks c JOIN freq f ON c.fp = f.fp
+    GROUP BY c.doc_id
+    """,
+    section="2.11 partial-duplicate detection (chunk-level dedup rate)",
+)
+def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplicate detection: split every document into
+    non-overlapping 100-char chunks, fingerprint each (md5), and
+    report per-document how many of its chunks occur 2+ times
+    anywhere in the corpus — the span-level dedup signal that
+    document-level exact/minhash dedup misses (boilerplate headers,
+    quoted passages, mirrored sections). Chunking is the same narrow
+    sequence+explode pass as `doc_chunks`; the frequency table is one
+    fp-keyed agg; crediting back is an equi-join on fp (agg-sized
+    build side, never all-pairs). All three steps are keyed shuffles
+    that scale linearly; at 100 TB this is exactly the suffix-chunk
+    dedup pass in large-corpus pipelines."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"), F.lit(_DDC_SIZE))).alias("off"),
+        "text",
+    ).select(
+        "doc_id",
+        F.md5(F.substring(F.col("text"), F.col("off"), _DDC_SIZE)).alias("fp"),
+    )
+    freq = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
+    from ..operators.textops import round_half_up as _rhu
+
+    dup = (F.col("n_occ") >= 2).cast("int")
+    return (
+        chunks.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).cast("bigint").alias("n_dup"),
+            _rhu(F.sum(dup) * F.lit(1.0) / F.count(F.lit(1)), 4).alias("dup_ratio"),
+        )
+    )

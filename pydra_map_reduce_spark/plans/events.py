@@ -678,3 +678,102 @@ def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("stage"),
         )
     )
+
+
+_EWMA_TERMS = 10  # truncated-horizon EWMA: 0.5^10 < 0.1% residual weight
+
+
+@query(
+    "ewma_smooth",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT user_id, event_id,
+               {" ,".join(f"lag(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v{k}" for k in range(_EWMA_TERMS))}
+        FROM events
+    )
+    SELECT user_id, event_id,
+           floor((({" + ".join(f"coalesce(v{k} * {0.5 ** k!r}, 0.0)" for k in range(_EWMA_TERMS))})
+                  / ({" + ".join(f"(CASE WHEN v{k} IS NOT NULL THEN {0.5 ** k!r} ELSE 0.0 END)" for k in range(_EWMA_TERMS))}))
+                 * 10000 + 0.5) / 10000 AS ewma
+    FROM lagged
+    """,
+    section="2.9 time-series EWMA smoothing (truncated closed form)",
+)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of `value`
+    (alpha=0.5), computed in the truncated closed form: the recursive
+    s_t = a*x_t + (1-a)*s_{t-1} unrolled to its 10 dominant terms
+    (residual weight 0.5^10 < 0.1%), renormalized over the weights
+    actually present near the series head. One window over ONE
+    user_id shuffle, every term a codegen lag — no recursion, no UDF,
+    no iteration, so it scales like any other window agg. The weights
+    0.5^k are exactly representable doubles and both engines fold the
+    sum left-to-right in the same order, so the division is
+    bit-identical; rounding is portable half-up."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w) for k in range(_EWMA_TERMS)]
+    num = None
+    den = None
+    for k, v in enumerate(lags):
+        t = F.coalesce(v * F.lit(0.5**k), F.lit(0.0))
+        d = F.when(v.isNotNull(), F.lit(0.5**k)).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return e.select(
+        "user_id", "event_id", round_half_up(num / den, 4).alias("ewma")
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH touched AS (
+        SELECT event_type, value, ts,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        FROM events
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+           count(*)                    AS n_purchases,
+           round(sum(value), 2)        AS revenue
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(channel, 'direct')
+    """,
+    section="2.9/2.11 last-touch attribution (carry-forward window)",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase credits
+    the user's most recent preceding non-purchase event (purchases
+    with no prior touch fall into 'direct'), then revenue rolls up by
+    channel. The carry-forward is `last(..., ignorenulls=True)` over
+    an UNBOUNDED..1-PRECEDING frame — one user_id shuffle, then a
+    tiny keyed agg; the frame excludes the current row so a purchase
+    never attributes to itself. Same shape Spark uses for
+    forward-fill, so it scales as a plain window."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("channel", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce("channel", F.lit("direct")).alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
