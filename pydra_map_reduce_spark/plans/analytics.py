@@ -469,3 +469,47 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(rb, 4).alias("rate_b"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+@query(
+    "pareto_frontier",
+    oracle="""
+    WITH m AS (
+        SELECT p_partkey, p_size, p_retailprice,
+               max(p_retailprice) OVER (ORDER BY p_size
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_smaller,
+               max(p_retailprice) OVER (PARTITION BY p_size)          AS best_same
+        FROM part
+    )
+    SELECT p_partkey, p_size, round(p_retailprice, 2) AS p_retailprice
+    FROM m
+    WHERE p_retailprice = best_same
+      AND (best_smaller IS NULL OR p_retailprice > best_smaller)
+    """,
+    section="2.6/2.11 Pareto frontier (2-D skyline via range-frame window)",
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts not dominated on (smaller p_size, higher
+    p_retailprice). The classic O(n log n) sweep expressed as two
+    windows — `best_smaller` = max price over the RANGE frame of
+    strictly smaller sizes catches cross-size dominance,
+    `best_same` = per-size max catches same-size dominance; a row
+    survives iff it beats both (ties on BOTH axes are mutually
+    non-dominating and all kept). One range-partitionable sort, no
+    self-join — the naive EXISTS anti-join would be O(n²)."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    w_smaller = Window.orderBy("p_size").rangeBetween(Window.unboundedPreceding, -1)
+    w_same = Window.partitionBy("p_size")
+    m = p.select(
+        "p_partkey",
+        "p_size",
+        "p_retailprice",
+        F.max("p_retailprice").over(w_smaller).alias("best_smaller"),
+        F.max("p_retailprice").over(w_same).alias("best_same"),
+    )
+    return m.filter(
+        (F.col("p_retailprice") == F.col("best_same"))
+        & (F.col("best_smaller").isNull() | (F.col("p_retailprice") > F.col("best_smaller")))
+    ).select("p_partkey", "p_size", F.round("p_retailprice", 2).alias("p_retailprice"))

@@ -777,3 +777,49 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH contrib AS (
+        SELECT DISTINCT user_id,
+               unnest(generate_series(CAST(ts AS DATE), CAST(ts AS DATE) + 6,
+                                      INTERVAL 1 DAY)) AS day
+        FROM events
+    ), real_days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT CAST(c.day AS DATE) AS day, count(DISTINCT c.user_id) AS wau
+    FROM contrib c JOIN real_days r ON CAST(c.day AS DATE) = r.day
+    GROUP BY CAST(c.day AS DATE)
+    """,
+    section="2.9 rolling 7-day active users (windowed distinct count)",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct-user count (WAU per day): an event on
+    day d makes its user active on days d..d+6, so each (user, day)
+    pair is EXPANDED to its 7 contribution days (sequence+explode,
+    narrow) and the rolling distinct becomes a plain per-day
+    count(DISTINCT) — turning an unsupported distinct-over-range-
+    frame window into two keyed aggs. Days beyond the observed range
+    are dropped via a semi-join against the tiny distinct-day dim
+    (broadcast). Scales linearly: blow-up factor is exactly 7 and
+    every stage is partial-aggregated."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("day"),
+        )
+    )
+    real = e.select(F.to_date("ts").alias("day")).distinct()
+    return (
+        days.join(F.broadcast(real), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )

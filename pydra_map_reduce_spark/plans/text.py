@@ -608,3 +608,101 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", F.round("raw", 4).alias("bm25"))
     )
+
+
+@query(
+    "token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), tf AS (
+        SELECT source, w, count(*) AS n FROM tok GROUP BY source, w
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT)                      AS n_tokens,
+           count(*)                                    AS n_types,
+           floor((ln(sum(n)) - sum(n * ln(n)) / sum(n)) * 10000 + 0.5) / 10000
+                                                       AS entropy
+    FROM tf GROUP BY source
+    """,
+    section="2.11 corpus diversity: per-source token Shannon entropy",
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the unigram distribution (nats)
+    — the standard corpus-diversity / degeneracy signal (a source
+    whose entropy collapses is template spam). Uses the one-pass
+    identity H = ln(N) - Σ n·ln(n) / N so a single (source, token)
+    count agg plus one per-source agg suffices: two keyed shuffles,
+    both partial-aggregated map-side, no joins. Rounded half-up at
+    4dp — the ulp-level noise from engine-order float summation is
+    far below that."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        round_half_up(
+            F.log(F.sum("n")) - F.sum(F.col("n") * F.log("n")) / F.sum("n"), 4
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), tf AS (
+        SELECT source, w, count(*) AS n FROM tok GROUP BY source, w
+    ), ranked AS (
+        SELECT source,
+               ln(row_number() OVER (PARTITION BY source ORDER BY n DESC, w)) AS x,
+               ln(n) AS y
+        FROM tf
+    )
+    SELECT source,
+           count(*) AS n_types,
+           floor((sum(x*y) - sum(x) * sum(y) / count(*))
+                 / (sum(x*x) - sum(x) * sum(x) / count(*))
+                 * 10000 + 0.5) / 10000 AS slope
+    FROM ranked GROUP BY source
+    """,
+    section="2.11 Zipf-law fit: per-source log-log rank-frequency slope",
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent per source: OLS slope of ln(freq) on ln(rank)
+    over the token frequency table. Natural text sits near -1;
+    machine-generated or deduplicate-worthy corpora drift toward 0
+    (flat) or below -2 (degenerate) — a cheap corpus-health
+    fingerprint. rank is a per-source window (ties broken on the
+    token so both engines rank identically); the slope is the
+    closed-form OLS from the four running sums, so after the
+    frequency agg this is one window + one agg — all keyed on
+    source, no joins, no iteration."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "w")
+    ranked = tf.select(
+        "source",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log("n").alias("y"),
+    )
+    k = F.count(F.lit(1))
+    slope = (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / k) / (
+        F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / k
+    )
+    return ranked.groupBy("source").agg(
+        k.alias("n_types"), round_half_up(slope, 4).alias("slope")
+    )
