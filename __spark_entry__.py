@@ -65,7 +65,8 @@ _DRIVER_PRIORITY = [
 #   time_rollup_hierarchy, zorder_layout, join_interval_overlap,
 #   ewma_smooth, attribution_last_touch, weighted_sample,
 #   chunk_dedup_ratio, token_entropy, zipf_slope, rolling_active_users,
-#   pareto_frontier,
+#   pareto_frontier, ks_drift, psi_drift, chi2_independence,
+#   gini_concentration,
 # plus the stalest remaining greens (r3/r4-era: allpairs_similarity,
 # ann_lsh_topk, array/date/string function families, window family) so
 # every query's newest driver evidence keeps cycling forward.

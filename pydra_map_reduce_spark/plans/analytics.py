@@ -513,3 +513,240 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") == F.col("best_same"))
         & (F.col("best_smaller").isNull() | (F.col("p_retailprice") > F.col("best_smaller")))
     ).select("p_partkey", "p_size", F.round("p_retailprice", 2).alias("p_retailprice"))
+
+
+@query(
+    "ks_drift",
+    oracle="""
+    WITH vals AS (
+        SELECT n_chars AS v, count(*) AS cnt_v FROM documents GROUP BY n_chars
+    ), pv AS (
+        SELECT source, n_chars AS v, count(*) AS cnt_sv
+        FROM documents GROUP BY source, n_chars
+    ), tot AS (
+        SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ), grid AS (
+        SELECT t.source, t.n_s, vals.v, vals.cnt_v, coalesce(pv.cnt_sv, 0) AS cnt_sv,
+               (SELECT count(*) FROM documents) AS n_all
+        FROM tot t CROSS JOIN vals
+        LEFT JOIN pv ON pv.source = t.source AND pv.v = vals.v
+    ), cum AS (
+        SELECT source, n_s, n_all,
+               sum(cnt_sv) OVER (PARTITION BY source ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+               sum(cnt_v)  OVER (PARTITION BY source ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+        FROM grid
+    )
+    SELECT source,
+           CAST(max(n_s) AS BIGINT) AS n_s,
+           floor(max(abs(cum_s * 1.0 / n_s
+                         - (cum_all - cum_s) * 1.0 / (n_all - n_s)))
+                 * 1000000 + 0.5) / 1000000 AS ks
+    FROM cum GROUP BY source
+    """,
+    section="2.11 distribution drift: per-source two-sample KS statistic",
+)
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Kolmogorov–Smirnov drift screen: for every source,
+    the two-sample KS statistic between its n_chars distribution and
+    the rest of the corpus — the standard ingest gate for 'did this
+    source's length profile shift'. Works on the ECDF over the
+    DISTINCT-VALUE grid (sources × observed values), not raw rows, so
+    the windows are keyed by source and bounded by the value domain —
+    no global row sort, no single-partition window, linear at any
+    corpus size. Integer cumulative counts divide to bit-identical
+    doubles in both engines; the max is over the same set, rounded
+    half-up at 6dp."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    vals = d.groupBy(F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("cnt_v"))
+    pv = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt_sv")
+    )
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_all = d.agg(F.count(F.lit(1)).alias("n_all"))
+    grid = (
+        tot.crossJoin(F.broadcast(vals))
+        .join(pv, ["source", "v"], "left")
+        .withColumn("cnt_sv", F.coalesce("cnt_sv", F.lit(0)))
+        .crossJoin(F.broadcast(n_all))
+    )
+    w = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "source",
+        "n_s",
+        "n_all",
+        F.sum("cnt_sv").over(w).alias("cum_s"),
+        F.sum("cnt_v").over(w).alias("cum_all"),
+    )
+    dev = F.abs(
+        F.col("cum_s") * F.lit(1.0) / F.col("n_s")
+        - (F.col("cum_all") - F.col("cum_s")) * F.lit(1.0) / (F.col("n_all") - F.col("n_s"))
+    )
+    return cum.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_s"),
+        round_half_up(F.max(dev), 6).alias("ks"),
+    )
+
+
+_PSI_BIN = 50  # n_chars bin width for the PSI screen
+
+
+@query(
+    "psi_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT source, CAST(floor(n_chars / {_PSI_BIN}) AS BIGINT) AS b
+        FROM documents
+    ), bins AS (
+        SELECT b, count(*) AS cnt_b FROM binned GROUP BY b
+    ), pb AS (
+        SELECT source, b, count(*) AS cnt_sb FROM binned GROUP BY source, b
+    ), tot AS (
+        SELECT source, count(*) AS n_s FROM binned GROUP BY source
+    ), grid AS (
+        SELECT t.source, t.n_s, bins.b, bins.cnt_b, coalesce(pb.cnt_sb, 0) AS cnt_sb,
+               (SELECT count(*) FROM documents) AS n_all,
+               (SELECT count(*) FROM bins)      AS k
+        FROM tot t CROSS JOIN bins
+        LEFT JOIN pb ON pb.source = t.source AND pb.b = bins.b
+    )
+    SELECT source,
+           CAST(max(k) AS BIGINT) AS n_bins,
+           floor(sum(((cnt_sb + 0.5) / (n_s + 0.5 * k)
+                      - (cnt_b - cnt_sb + 0.5) / (n_all - n_s + 0.5 * k))
+                     * ln(((cnt_sb + 0.5) / (n_s + 0.5 * k))
+                          / ((cnt_b - cnt_sb + 0.5) / (n_all - n_s + 0.5 * k))))
+                 * 10000 + 0.5) / 10000 AS psi
+    FROM grid GROUP BY source
+    """,
+    section="2.11 distribution drift: per-source PSI over length bins",
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index screen: each source's binned length
+    distribution (width-50 bins) against the rest of the corpus, with
+    +0.5 Laplace smoothing so empty bins stay finite. PSI > 0.25 is
+    the conventional 'distribution shifted' alarm. Same bounded-grid
+    shape as ks_drift (sources × bins), all keyed aggregations —
+    nothing global but two scalar counts, both broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select("source", F.floor(F.col("n_chars") / _PSI_BIN).cast("bigint").alias("b"))
+    bins = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_b"))
+    pb = binned.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cnt_sb"))
+    tot = binned.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    scalars = binned.agg(F.count(F.lit(1)).alias("n_all")).crossJoin(
+        bins.agg(F.count(F.lit(1)).alias("k"))
+    )
+    grid = (
+        tot.crossJoin(F.broadcast(bins))
+        .join(pb, ["source", "b"], "left")
+        .withColumn("cnt_sb", F.coalesce("cnt_sb", F.lit(0)))
+        .crossJoin(F.broadcast(scalars))
+    )
+    p_s = (F.col("cnt_sb") + 0.5) / (F.col("n_s") + 0.5 * F.col("k"))
+    p_r = (F.col("cnt_b") - F.col("cnt_sb") + 0.5) / (
+        F.col("n_all") - F.col("n_s") + 0.5 * F.col("k")
+    )
+    return grid.groupBy("source").agg(
+        F.max("k").cast("bigint").alias("n_bins"),
+        round_half_up(F.sum((p_s - p_r) * F.log(p_s / p_r)), 4).alias("psi"),
+    )
+
+
+@query(
+    "chi2_independence",
+    oracle="""
+    WITH o AS (
+        SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+    ), rt AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+    ct AS (SELECT source, count(*) AS n_c FROM documents GROUP BY source),
+    grid AS (
+        SELECT rt.lang, ct.source, rt.n_l, ct.n_c, coalesce(o.n, 0) AS n,
+               (SELECT count(*) FROM documents) AS n_all
+        FROM rt CROSS JOIN ct
+        LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source
+    )
+    SELECT CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+           floor(sum(pow(n - n_l * 1.0 * n_c / n_all, 2) / (n_l * 1.0 * n_c / n_all))
+                 * 10000 + 0.5) / 10000 AS chi2
+    FROM grid
+    """,
+    section="2.4/2.11 chi-square independence test (lang × source)",
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence of language vs source over the
+    full contingency grid (absent cells included at observed=0 — they
+    still carry expected mass). Marginals are two tiny keyed aggs
+    cross-joined broadcast; the statistic is one global sum. The
+    classic 'is language mix uniform across sources' health check."""
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    rt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    ct = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_c"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(o, ["lang", "source"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("n_all"))))
+    )
+    e = F.col("n_l") * F.lit(1.0) * F.col("n_c") / F.col("n_all")
+    return grid.agg(
+        ((F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        round_half_up(F.sum(F.pow(F.col("n") - e, 2) / e), 4).alias("chi2"),
+    )
+
+
+@query(
+    "gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey, c.c_custkey, sum(o.o_totalprice) AS revenue
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    ), ranked AS (
+        SELECT c_nationkey, revenue,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY revenue, c_custkey) AS i
+        FROM rev
+    )
+    SELECT c_nationkey,
+           count(*) AS n_cust,
+           floor((2.0 * sum(i * revenue) / (count(*) * sum(revenue))
+                  - (count(*) + 1.0) / count(*)) * 10000 + 0.5) / 10000 AS gini
+    FROM ranked GROUP BY c_nationkey
+    """,
+    section="2.11 revenue concentration: per-nation Gini coefficient",
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer order revenue — the
+    concentration/inequality measure behind 'is this market
+    whale-dominated'. Uses the rank identity
+    G = 2·Σ i·x_i / (n·Σx) − (n+1)/n on revenue sorted ascending
+    (custkey tie-break makes the rank total), so after the keyed
+    revenue agg it is one nation-partitioned window + one agg — no
+    O(n²) pairwise |x_i − x_j|, no global sort."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("revenue", "c_custkey")
+    ranked = rev.select("c_nationkey", "revenue", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    gini = (
+        F.lit(2.0) * F.sum(F.col("i") * F.col("revenue")) / (n * F.sum("revenue"))
+        - (n + F.lit(1.0)) / n
+    )
+    return ranked.groupBy("c_nationkey").agg(
+        n.alias("n_cust"), round_half_up(gini, 4).alias("gini")
+    )
