@@ -490,29 +490,34 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline: parts not dominated on (smaller p_size, higher
-    p_retailprice). The classic O(n log n) sweep expressed as two
-    windows — `best_smaller` = max price over the RANGE frame of
-    strictly smaller sizes catches cross-size dominance,
-    `best_same` = per-size max catches same-size dominance; a row
-    survives iff it beats both (ties on BOTH axes are mutually
-    non-dominating and all kept). One range-partitionable sort, no
-    self-join — the naive EXISTS anti-join would be O(n²)."""
+    p_retailprice). Dominance thresholds depend only on the per-size
+    maxima, so the sweep runs over the DISTINCT-SIZE aggregate:
+    `best_same` = keyed max per size, `best_smaller` = running max
+    over the size-domain table (bounded by the size domain — ~50 rows
+    at ANY corpus scale, so the ordered window is constant-cost, not
+    a global row sort). The thresholds broadcast back onto parts and
+    a row survives iff it beats both (ties on BOTH axes are mutually
+    non-dominating and all kept). No self-join — the naive EXISTS
+    anti-join would be O(n²)."""
     from pyspark.sql import Window
 
     p = load_table(spark, sf_dir, "part")
-    w_smaller = Window.orderBy("p_size").rangeBetween(Window.unboundedPreceding, -1)
-    w_same = Window.partitionBy("p_size")
-    m = p.select(
-        "p_partkey",
-        "p_size",
-        "p_retailprice",
-        F.max("p_retailprice").over(w_smaller).alias("best_smaller"),
-        F.max("p_retailprice").over(w_same).alias("best_same"),
+    sizes = p.groupBy("p_size").agg(F.max("p_retailprice").alias("best_same"))
+    w_smaller = Window.orderBy("p_size").rowsBetween(Window.unboundedPreceding, -1)
+    thresholds = sizes.select(
+        "p_size", "best_same", F.max("best_same").over(w_smaller).alias("best_smaller")
     )
-    return m.filter(
-        (F.col("p_retailprice") == F.col("best_same"))
-        & (F.col("best_smaller").isNull() | (F.col("p_retailprice") > F.col("best_smaller")))
-    ).select("p_partkey", "p_size", F.round("p_retailprice", 2).alias("p_retailprice"))
+    return (
+        p.join(F.broadcast(thresholds), "p_size")
+        .filter(
+            (F.col("p_retailprice") == F.col("best_same"))
+            & (
+                F.col("best_smaller").isNull()
+                | (F.col("p_retailprice") > F.col("best_smaller"))
+            )
+        )
+        .select("p_partkey", "p_size", F.round("p_retailprice", 2).alias("p_retailprice"))
+    )
 
 
 @query(

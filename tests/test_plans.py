@@ -210,6 +210,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "shard_pack",
     "corpus_shuffle",
     "vocab_coverage",
+    # domain-bounded: running max over the DISTINCT p_size aggregate
+    # (~50 rows at any corpus scale), not over base rows
+    "pareto_frontier",
 }
 
 
@@ -354,3 +357,54 @@ def test_ivf_assignment_arrow_batched(spark):
     plan = _executed(df)
     assert "ArrowEvalPython" in plan, plan[:3000]
     assert "BatchEvalPython" not in plan, plan[:3000]
+
+
+def test_ks_drift_grid_broadcasts(spark):
+    """ks_drift's value grid and scalar count must broadcast (the
+    only SortMergeJoin-eligible join is the per-source/value left
+    join, which stays keyed); no cartesian product anywhere."""
+    df = REGISTRY["ks_drift"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan  # tiny grid + 1-row scalar only
+
+
+def test_rolling_active_users_no_range_join(spark):
+    """The rolling distinct is the 7-day EXPANSION + keyed agg form —
+    no nested-loop range join, no cartesian; the real-days semi-join
+    broadcasts."""
+    df = REGISTRY["rolling_active_users"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pareto_frontier_window_on_aggregate(spark):
+    """The skyline's ordered window must run over the distinct-size
+    aggregate (domain-bounded), NOT over base part rows: a HashAggregate
+    must sit below the Window, and thresholds broadcast back."""
+    df = REGISTRY["pareto_frontier"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan, plan
+    win_at = plan.index("Window")
+    assert "HashAggregate" in plan[win_at:], plan  # agg feeds the window
+
+
+def test_chunk_dedup_ratio_keyed_join(spark):
+    """Chunk-frequency credit-back is an equi-join on fp — never a
+    nested loop; chunking itself is narrow (Generate under the scan,
+    no exchange before the first aggregate)."""
+    df = REGISTRY["chunk_dedup_ratio"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_ewma_is_single_window_pass(spark):
+    """All 10 EWMA lag terms must fold into ONE window operator over
+    one user_id exchange — not 10 stacked windows."""
+    df = REGISTRY["ewma_smooth"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange") <= 2, plan  # one hash partition + AQE read
