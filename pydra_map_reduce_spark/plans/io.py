@@ -377,3 +377,32 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("b").cast("bigint").alias("max_key"),
         )
     )
+
+
+@query(
+    "python_datasource_scan",
+    oracle="""
+    SELECT CAST(i % 4 AS BIGINT)                              AS bucket,
+           count(*)                                           AS n,
+           CAST(sum((i * 2654435761) % 4294967296) AS BIGINT) AS sum_val
+    FROM range(1000) t(i)
+    GROUP BY i % 4
+    """,
+    section="2.1 custom Python DataSource (pyspark.sql.datasource)",
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a user-defined Python DataSource
+    (sources/synth.py): `partitions()` declares 8 parallel splits, so
+    the custom source scales out exactly like a file scan — this is
+    the §2.1 pluggable-source surface on Spark 4's official API, not
+    an RDD shim. Rows are a deterministic Knuth-hash function of the
+    id, which the oracle reproduces from `range()` — so even a
+    CUSTOM source is differential-checked, not rows-only."""
+    from ..sources.synth import register
+
+    register(spark)
+    df = spark.read.format("pydra_synth").option("rows", 1000).option("parts", 8).load()
+    return df.groupBy((F.col("id") % 4).cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+    )
