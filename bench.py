@@ -63,6 +63,9 @@ HEADLINE = [
     "join_point_in_time",    # SCD-2 temporal lookup (equi + residual interval)
     "time_rollup_hierarchy", # multi-grain rollup chain (cached minute grain)
     "bm25_topk",             # text retrieval scoring (broadcast stats)
+    "token_entropy",         # corpus diversity (two-level token agg)
+    "ks_drift",              # per-source ECDF drift over the value grid
+    "chunk_dedup_ratio",     # span-level dedup (chunk fp join)
 ]
 
 

@@ -222,3 +222,28 @@ class Pipeline:
                 self.df, id_col, vec_col, n_queries=n_queries, k=k
             )
         )
+
+    def drift_ks(self, group_col: str, value_col: str) -> "Pipeline":
+        """Per-group two-sample KS drift screen of value_col against
+        the rest of the table (ECDF over the distinct-value grid —
+        no global row sort)."""
+        from .operators import quality as _quality
+
+        return Pipeline(_quality.ks_drift(self.df, group_col, value_col))
+
+    def token_entropy(self, group_col: str, text_col: str) -> "Pipeline":
+        """Per-group Shannon entropy of the token unigram
+        distribution — the corpus-diversity signal."""
+        from .operators import quality as _quality
+
+        return Pipeline(_quality.token_entropy(self.df, group_col, text_col))
+
+    def weighted_sample(
+        self, id_col: str, weight_col: str, k: int
+    ) -> "Pipeline":
+        """Deterministic weighted sample without replacement
+        (sequential Poisson: hash-uniform priority / weight, k
+        smallest win)."""
+        from .operators import quality as _quality
+
+        return Pipeline(_quality.weighted_sample(self.df, id_col, weight_col, k))

@@ -1,0 +1,100 @@
+"""Data-quality / corpus-science operators, parameterized.
+
+SURVEY.md §2.11: the drift screens, diversity metrics, and weighted
+sampling used by large-scale training-data pipelines. The graded
+fixture bindings live in plans/analytics.py, plans/text.py, and
+plans/corpus.py; this module holds the generic forms the Pipeline API
+exposes so users can run them on their own tables/columns.
+
+Scale posture (shared by all three):
+- ks_drift / token_entropy never sort base rows — windows run over the
+  bounded (group × distinct-value) grid or per-group aggregates only.
+- weighted_sample is one narrow pass + TakeOrdered (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import round_half_up
+
+
+def ks_drift(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group two-sample KS statistic of ``value_col`` against the
+    rest of the table (group vs complement), via ECDFs over the
+    distinct-value grid. Returns (group_col, n_s, ks)."""
+    vals = df.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("cnt_v"))
+    pv = df.groupBy(group_col, F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt_sv")
+    )
+    tot = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_s"))
+    n_all = df.agg(F.count(F.lit(1)).alias("n_all"))
+    grid = (
+        tot.crossJoin(F.broadcast(vals))
+        .join(pv, [group_col, "v"], "left")
+        .withColumn("cnt_sv", F.coalesce("cnt_sv", F.lit(0)))
+        .crossJoin(F.broadcast(n_all))
+    )
+    w = Window.partitionBy(group_col).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        group_col,
+        "n_s",
+        "n_all",
+        F.sum("cnt_sv").over(w).alias("cum_s"),
+        F.sum("cnt_v").over(w).alias("cum_all"),
+    )
+    dev = F.abs(
+        F.col("cum_s") * F.lit(1.0) / F.col("n_s")
+        - (F.col("cum_all") - F.col("cum_s"))
+        * F.lit(1.0)
+        / (F.col("n_all") - F.col("n_s"))
+    )
+    return cum.groupBy(group_col).agg(
+        F.max("n_s").cast("bigint").alias("n_s"),
+        round_half_up(F.max(dev), 6).alias("ks"),
+    )
+
+
+def token_entropy(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group Shannon entropy (nats) of the whitespace-token
+    unigram distribution, via H = ln(N) - Σ n·ln(n)/N. Returns
+    (group_col, n_tokens, n_types, entropy)."""
+    tf = (
+        df.select(group_col, F.explode(F.split(text_col, " ")).alias("w"))
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tf.groupBy(group_col).agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        round_half_up(
+            F.log(F.sum("n")) - F.sum(F.col("n") * F.log("n")) / F.sum("n"), 4
+        ).alias("entropy"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str | Column, k: int
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows without
+    replacement (sequential Poisson sampling, Ohlsson 1998): priority
+    = hash-uniform(id) / weight, keep the k smallest. Returns the
+    input columns + ``priority`` (rounded half-up, 8dp)."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    pri = u / weight
+    return (
+        df.withColumn("pri", pri)
+        .orderBy("pri", id_col)
+        .limit(k)
+        .withColumn("priority", round_half_up(F.col("pri"), 8))
+        .drop("pri")
+    )

@@ -562,40 +562,12 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global row sort, no single-partition window, linear at any
     corpus size. Integer cumulative counts divide to bit-identical
     doubles in both engines; the max is over the same set, rounded
-    half-up at 6dp."""
-    from pyspark.sql import Window
+    half-up at 6dp. Generic form: operators/quality.ks_drift (exposed
+    on the Pipeline API as .drift_ks)."""
+    from ..operators import quality
 
     d = load_table(spark, sf_dir, "documents")
-    vals = d.groupBy(F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("cnt_v"))
-    pv = d.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt_sv")
-    )
-    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    n_all = d.agg(F.count(F.lit(1)).alias("n_all"))
-    grid = (
-        tot.crossJoin(F.broadcast(vals))
-        .join(pv, ["source", "v"], "left")
-        .withColumn("cnt_sv", F.coalesce("cnt_sv", F.lit(0)))
-        .crossJoin(F.broadcast(n_all))
-    )
-    w = Window.partitionBy("source").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = grid.select(
-        "source",
-        "n_s",
-        "n_all",
-        F.sum("cnt_sv").over(w).alias("cum_s"),
-        F.sum("cnt_v").over(w).alias("cum_all"),
-    )
-    dev = F.abs(
-        F.col("cum_s") * F.lit(1.0) / F.col("n_s")
-        - (F.col("cum_all") - F.col("cum_s")) * F.lit(1.0) / (F.col("n_all") - F.col("n_s"))
-    )
-    return cum.groupBy("source").agg(
-        F.max("n_s").cast("bigint").alias("n_s"),
-        round_half_up(F.max(dev), 6).alias("ks"),
-    )
+    return quality.ks_drift(d, "source", "n_chars")
 
 
 _PSI_BIN = 50  # n_chars bin width for the PSI screen

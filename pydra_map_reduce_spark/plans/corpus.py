@@ -782,23 +782,12 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle at all, any scale. u is an exact dyadic rational and
     the division is IEEE-exact, so the top-k cut is bit-identical
     across engines; the reported priority is rounded half-up at 8dp
-    for the hash only."""
-    d = load_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
-    pri = u / F.col("n_chars")
-    from ..operators.textops import round_half_up as _rhu
+    for the hash only. Generic form: operators/quality.weighted_sample
+    (exposed on the Pipeline API)."""
+    from ..operators import quality
 
-    return (
-        d.select("doc_id", "n_chars", pri.alias("pri"))
-        .orderBy("pri", "doc_id")
-        .limit(20)
-        .select("doc_id", "n_chars", _rhu(F.col("pri"), 8).alias("priority"))
-    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quality.weighted_sample(d, "doc_id", "n_chars", 20)
 
 
 _DDC_SIZE = 100  # chunk_dedup_ratio: non-overlapping 100-char windows

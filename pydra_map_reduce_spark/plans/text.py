@@ -636,20 +636,12 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     count agg plus one per-source agg suffices: two keyed shuffles,
     both partial-aggregated map-side, no joins. Rounded half-up at
     4dp — the ulp-level noise from engine-order float summation is
-    far below that."""
+    far below that. Generic form: operators/quality.token_entropy
+    (exposed on the Pipeline API)."""
+    from ..operators import quality
+
     d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("source", F.explode(F.split("text", " ")).alias("w"))
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return tf.groupBy("source").agg(
-        F.sum("n").cast("bigint").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_types"),
-        round_half_up(
-            F.log(F.sum("n")) - F.sum(F.col("n") * F.log("n")) / F.sum("n"), 4
-        ).alias("entropy"),
-    )
+    return quality.token_entropy(d, "source", "text")
 
 
 @query(

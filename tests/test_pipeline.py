@@ -194,3 +194,24 @@ def test_round6_convenience_methods(spark):
     rows = topk.collect()
     assert len(rows) == 12  # 4 queries × 3 neighbors
     assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+
+
+def test_quality_pipeline_methods(spark):
+    """The drift/entropy/weighted-sample delegates must chain like any
+    other Pipeline stage and agree with their registry twins."""
+    from pydra_map_reduce_spark.api import Pipeline
+    from pydra_map_reduce_spark.plans import REGISTRY
+
+    docs = Pipeline.read_parquet(spark, f"{SF_DIR}/documents.parquet")
+
+    ks = docs.drift_ks("source", "n_chars").to_df()
+    assert set(ks.columns) == {"source", "n_s", "ks"}
+    twin = REGISTRY["ks_drift"].fn(spark, SF_DIR)
+    assert sorted(map(tuple, ks.collect())) == sorted(map(tuple, twin.collect()))
+
+    ent = docs.token_entropy("source", "text").to_df()
+    assert ent.count() == 20 and "entropy" in ent.columns
+
+    samp = docs.weighted_sample("doc_id", "n_chars", 5).to_df()
+    rows = samp.collect()
+    assert len(rows) == 5 and "priority" in samp.columns
