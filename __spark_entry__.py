@@ -67,7 +67,7 @@ _DRIVER_PRIORITY = [
 #   chunk_dedup_ratio, token_entropy, zipf_slope, rolling_active_users,
 #   pareto_frontier, ks_drift, psi_drift, chi2_independence,
 #   gini_concentration, variant_extract, python_datasource_scan,
-#   mr_grouped_arrow, udtf_polymorphic,
+#   mr_grouped_arrow, udtf_polymorphic, fuzzy_blocked_join,
 # plus the stalest remaining greens (r3/r4-era: allpairs_similarity,
 # ann_lsh_topk, array/date/string function families, window family) so
 # every query's newest driver evidence keeps cycling forward.
