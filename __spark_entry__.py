@@ -68,6 +68,11 @@ _DRIVER_PRIORITY = [
 #   pareto_frontier, ks_drift, psi_drift, chi2_independence,
 #   gini_concentration, variant_extract, python_datasource_scan,
 #   mr_grouped_arrow, udtf_polymorphic, fuzzy_blocked_join,
+#   min_cost_supplier, order_priority_check, volume_shipping,
+#   market_share, product_type_profit, important_balance,
+#   shipmode_priority, customer_distribution, top_supplier,
+#   supplier_part_variety, small_quantity_revenue, bracket_revenue,
+#   dominant_suppliers, waiting_suppliers, idle_customers,
 # plus the stalest remaining greens (r3/r4-era: allpairs_similarity,
 # ann_lsh_topk, array/date/string function families, window family) so
 # every query's newest driver evidence keeps cycling forward.

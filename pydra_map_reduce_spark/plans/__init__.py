@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from . import (  # noqa: F401  (import-for-side-effect: registry population)
     analytics,
+    analytics2,
     corpus,
     dedup,
     events,

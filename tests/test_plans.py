@@ -408,3 +408,55 @@ def test_ewma_is_single_window_pass(spark):
     plan = _executed(df)
     assert plan.count("Window") == 1, plan
     assert plan.count("Exchange") <= 2, plan  # one hash partition + AQE read
+
+
+def test_waiting_suppliers_hash_joins_only(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must lower to LeftSemi/LeftAnti
+    HASH joins on l_orderkey (inequalities as residual conditions) —
+    a nested-loop here is quadratic per order at corpus scale."""
+    df = REGISTRY["waiting_suppliers"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
+
+
+def test_bracket_revenue_brand_pushdown(spark):
+    """Q19's disjunction must not block pushdown: the part scan sees
+    the brand IN-set (per-side residue of the OR), and the join stays
+    a broadcast hash join on partkey."""
+    df = REGISTRY["bracket_revenue"].fn(spark, SF_DIR)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan, plan[:4000]
+    scan_part = plan[plan.index("part.parquet") :][:2000] if "part.parquet" in plan else plan
+    assert "Brand#12" in scan_part, scan_part[:2000]
+
+
+def test_small_quantity_threshold_computed_once(spark):
+    """Q17's correlated avg must decorrelate: the per-part threshold
+    aggregate runs ONCE (≤2 lineitem scans total: main + threshold),
+    never per outer row."""
+    df = REGISTRY["small_quantity_revenue"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("FileScan parquet") <= 3, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_customer_distribution_preserves_outer(spark):
+    """Q13's zero-order customers must survive: the plan keeps a
+    LeftOuter join (an inner join would silently drop the c_count=0
+    bucket)."""
+    df = REGISTRY["customer_distribution"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "LeftOuter" in plan, plan[:3000]
+
+
+def test_min_cost_supplier_argmin_decorrelated(spark):
+    """Q2's correlated min must be a keyed aggregate + join-back —
+    no nested loop, supplier/nation/region broadcast."""
+    df = REGISTRY["min_cost_supplier"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
