@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
 #   shipmode_priority, customer_distribution, top_supplier,
 #   supplier_part_variety, small_quantity_revenue, bracket_revenue,
 #   dominant_suppliers, waiting_suppliers, idle_customers,
+#   auc_score, calibration_bins, knn_classify, gopher_rules,
 # plus the stalest remaining greens (r3/r4-era: allpairs_similarity,
 # ann_lsh_topk, array/date/string function families, window family) so
 # every query's newest driver evidence keeps cycling forward.

@@ -17,6 +17,7 @@ from . import (  # noqa: F401  (import-for-side-effect: registry population)
     io,
     joins,
     mapreduce,
+    mleval,
     multimodal,
     relational,
     scalar,

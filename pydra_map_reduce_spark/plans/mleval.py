@@ -1,0 +1,279 @@
+"""Model/data evaluation queries: AUC, calibration, k-NN voting,
+Gopher-style document quality rules. SURVEY.md §2.11.
+
+The evaluation half of a training-data pipeline: once a quality score
+or classifier exists, these are the queries that say whether it works
+(ranking power, calibration), serve it (k-NN label transfer), and
+gate documents on the published rule-based filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.textops import round_half_up
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "auc_score",
+    oracle="""
+    WITH vals AS (
+        SELECT value AS v, count(*) AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM events GROUP BY value
+    ), ranked AS (
+        SELECT v, n, p,
+               coalesce(sum(n) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_less
+        FROM vals
+    )
+    SELECT CAST(sum(p) AS BIGINT)     AS n_pos,
+           CAST(sum(n - p) AS BIGINT) AS n_neg,
+           floor((sum(p * (2 * cum_less + n + 1)) - sum(p) * (sum(p) + 1))
+                 * 1.0 / (2 * sum(p) * sum(n - p)) * 1000000 + 0.5)
+           / 1000000 AS auc
+    FROM ranked
+    """,
+    section="2.11 ROC AUC via rank-sum (Mann-Whitney, tie-averaged)",
+)
+def auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of `value` as a purchase predictor, via the
+    Mann-Whitney identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with
+    tie-averaged ranks. Runs on the DISTINCT-VALUE grid, not raw
+    rows (the ks_drift trick): per-value counts shuffle once, the
+    rank window is bounded by the value domain, and ranks come from
+    cumulative counts — no global row sort at any corpus size.
+    Everything stays integer (2·avg_rank = 2·cum_less + n + 1) until
+    the single final division, so both engines divide identical
+    BIGINTs — exact to the last bit before the 6dp rounding."""
+    e = load_table(spark, sf_dir, "events")
+    vals = e.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn("cum_less", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    n_pos = F.sum("p")
+    n_neg = F.sum(F.col("n") - F.col("p"))
+    rank2_sum = F.sum(F.col("p") * (2 * F.col("cum_less") + F.col("n") + 1))
+    return ranked.agg(
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        round_half_up(
+            (rank2_sum - n_pos * (n_pos + 1)) * 1.0 / (2 * n_pos * n_neg), 6
+        ).alias("auc"),
+    )
+
+
+_CAL_BIN = 50.0  # value-bin width for the calibration table
+
+
+@query(
+    "calibration_bins",
+    oracle=f"""
+    SELECT least(CAST(floor(value / {_CAL_BIN}) AS BIGINT), 9) AS bin,
+           count(*) AS n,
+           floor(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 * 1.0 / count(*) * 10000 + 0.5) / 10000 AS purchase_rate,
+           floor(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*)
+                 * 10000 + 0.5) / 10000 AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    section="2.11 calibration / reliability table (binned score vs outcome rate)",
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram data: bucket the score (`value`, width-50
+    bins, top bucket clamped) and compare each bucket's empirical
+    purchase rate to its average score. One scan, one keyed agg into
+    ≤10 groups. Rates are integer ratios (half-up rounded); the score
+    average sums fixed-point cents so summation order can't move the
+    4th decimal."""
+    e = load_table(spark, sf_dir, "events")
+    purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        e.groupBy(
+            F.least(
+                F.floor(F.col("value") / _CAL_BIN).cast("bigint"), F.lit(9)
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.sum(purchase) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "purchase_rate"
+            ),
+            round_half_up(F.sum(cents) / 100.0 / F.count(F.lit(1)), 4).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+@query(
+    "knn_classify",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS true_label, emb AS qv
+          FROM e WHERE vec_id < 16),
+    scored AS (
+        SELECT q.query_id, q.true_label, e.label,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_cosine_similarity(e.emb, q.qv) DESC,
+                                           e.vec_id) AS rank
+        FROM e CROSS JOIN q
+        WHERE e.vec_id >= 16
+    ),
+    votes AS (
+        SELECT query_id, true_label, label, count(*) AS n_votes
+        FROM scored WHERE rank <= 5
+        GROUP BY query_id, true_label, label
+    ),
+    best AS (
+        SELECT query_id, true_label, label AS pred_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, label) AS vr
+        FROM votes
+    )
+    SELECT query_id, true_label, pred_label,
+           CAST(pred_label = true_label AS BOOLEAN) AS correct
+    FROM best WHERE vr = 1
+    """,
+    section="2.11 k-NN classification (cosine top-5 majority vote)",
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label transfer by embedding neighborhood: the 16 held-out
+    query vectors get the majority label of their 5 nearest corpus
+    neighbors (tie → smaller label, deterministic). Same
+    one-corpus-pass shape as ann_batch_topk — query block broadcast,
+    per-query window rank — plus a vote aggregate that touches only
+    k·n_queries rows. At 100 TB the brute fan-out swaps for the IVF
+    router exactly as in ann_batch_topk; the vote layer is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    scored = (
+        e.filter(F.col("vec_id") >= 16)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "true_label",
+            "label",
+            "vec_id",
+            (dot / (norm(F.col("emb")) * norm(F.col("qv")))).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    votes = scored.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    vw = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+@query(
+    "gopher_rules",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               string_split_regex(trim(text), '\\s+') AS ws,
+               len(string_split_regex(trim(text), '\\s+')) AS n_words,
+               len(regexp_replace(text, '\\s', '', 'g')) AS n_alpha
+        FROM documents
+    ),
+    flags AS (
+        SELECT source,
+               CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS ok_nwords,
+               CASE WHEN n_alpha * 1.0 / n_words >= 3
+                     AND n_alpha * 1.0 / n_words <= 10 THEN 1 ELSE 0 END AS ok_meanlen,
+               CASE WHEN list_max(list_transform(ws, x -> len(x))) <= 15
+                    THEN 1 ELSE 0 END AS ok_maxlen,
+               CASE WHEN (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END) >= 2
+                    THEN 1 ELSE 0 END AS ok_stop
+        FROM toks
+    )
+    SELECT source,
+           count(*)                                               AS n_docs,
+           CAST(sum(ok_nwords) AS BIGINT)                         AS pass_nwords,
+           CAST(sum(ok_meanlen) AS BIGINT)                        AS pass_meanlen,
+           CAST(sum(ok_maxlen) AS BIGINT)                         AS pass_maxlen,
+           CAST(sum(ok_stop) AS BIGINT)                           AS pass_stop,
+           CAST(sum(ok_nwords * ok_meanlen * ok_maxlen * ok_stop)
+                AS BIGINT)                                        AS pass_all
+    FROM flags GROUP BY source
+    """,
+    section="2.11 Gopher-style rule filter (length/word-shape/stopword gates)",
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document gate in the style of the published Gopher
+    quality filters (Rae et al. 2021, public): word-count bounds,
+    mean-word-length band [3,10], max-word-length cap, and a ≥2
+    distinct-stopwords requirement; reported per source as per-rule
+    and all-rules pass counts. Everything is split/length/contains —
+    whole-stage codegen, one scan, one keyed agg; the mean-length
+    band compares an exact integer ratio, so the [3,10] cut is
+    engine-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    toks = d.select(
+        "source",
+        ws.alias("ws"),
+        F.size(ws).alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).alias("n_alpha"),
+    )
+    mean_len = F.col("n_alpha") * 1.0 / F.col("n_words")
+    stop_hits = sum(
+        F.when(F.array_contains(F.col("ws"), s), 1).otherwise(0)
+        for s in ("the", "a", "of", "and", "to")
+    )
+    flags = toks.select(
+        "source",
+        F.when(F.col("n_words").between(20, 100000), 1).otherwise(0).alias("ok_nwords"),
+        F.when((mean_len >= 3) & (mean_len <= 10), 1).otherwise(0).alias("ok_meanlen"),
+        F.when(
+            F.array_max(F.transform(F.col("ws"), F.length)) <= 15, 1
+        ).otherwise(0).alias("ok_maxlen"),
+        F.when(stop_hits >= 2, 1).otherwise(0).alias("ok_stop"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok_nwords").cast("bigint").alias("pass_nwords"),
+        F.sum("ok_meanlen").cast("bigint").alias("pass_meanlen"),
+        F.sum("ok_maxlen").cast("bigint").alias("pass_maxlen"),
+        F.sum("ok_stop").cast("bigint").alias("pass_stop"),
+        F.sum(
+            F.col("ok_nwords") * F.col("ok_meanlen") * F.col("ok_maxlen") * F.col("ok_stop")
+        )
+        .cast("bigint")
+        .alias("pass_all"),
+    )
