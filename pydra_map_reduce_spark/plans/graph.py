@@ -152,3 +152,79 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(F.broadcast(tri))
+
+
+def _bfs_oracle(n_rounds: int = 3) -> str:
+    """Unrolled fixed-round BFS as chained CTEs (same trick as the
+    PageRank oracle: a fixed iteration count needs no recursion)."""
+    steps = []
+    prev = "d0"
+    for k in range(1, n_rounds + 1):
+        steps.append(
+            f"""
+    f{k} AS (
+        SELECT e.dst AS node, {k} AS dist
+        FROM edges e JOIN {prev} d ON e.src = d.node
+    ),
+    d{k} AS (
+        SELECT node, min(dist) AS dist
+        FROM (SELECT * FROM {prev} UNION ALL SELECT * FROM f{k})
+        GROUP BY node
+    )"""
+        )
+        prev = f"d{k}"
+    return f"""
+    WITH sp AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+        FROM lineitem
+    ),
+    edges AS (
+        SELECT src, dst FROM sp UNION SELECT dst, src FROM sp
+    ),
+    d0 AS (SELECT 's1' AS node, 0 AS dist),{",".join(steps)}
+    SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes,
+           min(node) AS first_node, max(node) AS last_node
+    FROM {prev} GROUP BY dist
+    """
+
+
+@query(
+    "bfs_hops",
+    oracle=_bfs_oracle(),
+    section="2.11 BFS shortest hops (fixed-round frontier expansion)",
+)
+def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the supplier↔part graph, 3 fixed
+    rounds from node 's1': each round joins the reached set to the
+    edge list and keeps the min distance per node — the Pregel
+    frontier-expansion shape, every round a keyed join + keyed min,
+    nothing driver-side but the loop counter. Output is the per-level
+    histogram with min/max node anchors (per-node dist is checked
+    implicitly: a single wrong dist moves a node across levels and
+    breaks the count AND the anchors). The reached set carries the
+    explicit broadcast hint: it is bounded by the node domain while
+    the edge list is corpus-sized, so the edge side must always be
+    the streamed probe side — without the hint, Catalyst's size
+    estimate of the edge AGGREGATE can fall under the 32 MB
+    threshold and broadcast a million-row hash relation per round
+    (observed OOM at sf0.1 in a 1 GB driver). Rounds reuse the
+    persisted edge list."""
+    edges = _supplier_part_edges(spark, sf_dir).persist()
+    dist = spark.createDataFrame([("s1", 0)], "node string, dist int")
+    for k in range(1, 4):
+        frontier = (
+            F.broadcast(dist).join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), F.lit(k).alias("dist"))
+        )
+        dist = dist.unionByName(frontier).groupBy("node").agg(
+            F.min("dist").alias("dist")
+        )
+    out = (
+        dist.groupBy(F.col("dist").cast("bigint").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("first_node"),
+            F.max("node").alias("last_node"),
+        )
+    )
+    return out

@@ -758,3 +758,34 @@ def fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("dist"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (SELECT nullif(c_nationkey, 13) AS c_key, c_custkey FROM customer),
+    n AS (SELECT nullif(n_nationkey, 13) AS n_key, n_name FROM nation)
+    SELECT n.n_name, count(c.c_custkey) AS n_customers
+    FROM c JOIN n ON c.c_key IS NOT DISTINCT FROM n.n_key
+    GROUP BY n.n_name
+    """,
+    section="2.3 null-safe equi-join (<=> / IS NOT DISTINCT FROM)",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join semantics: nationkey 13 is NULLed on BOTH sides
+    and the join uses `<=>`, so the NULL keys still pair up (a plain
+    `=` would silently drop them — the classic dim-with-unknown-bucket
+    trap). Spark keeps `<=>` as a hash-join key (EqualNullSafe is
+    sargable), so this is still a broadcast hash join, not a filter
+    after a cross product."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(13)).alias("c_key"), "c_custkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(13)).alias("n_key"), "n_name"
+    )
+    return (
+        c.join(F.broadcast(n), c.c_key.eqNullSafe(n.n_key))
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )

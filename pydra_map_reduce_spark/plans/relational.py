@@ -814,3 +814,40 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("s.revenue"), zero) + F.coalesce(F.col("d.revenue"), zero))
             .cast("double").alias("revenue"),
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2)      AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(count(*) AS DOUBLE)       AS n_lines
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_lines', n_lines FROM wide
+    """,
+    section="2.4/2.7 unpivot / melt (wide metrics to long form)",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of pivot: a wide per-flag metric row melts to
+    (flag, metric, value) long form via DataFrame.unpivot — the
+    relational UNPIVOT operator, lowered by Spark to a no-shuffle
+    Expand over the aggregated (3-row) input. Long form is what a
+    generic metrics sink or drift monitor consumes; the melt itself
+    must never be hand-written as N self-UNIONs over the FACT table
+    (N extra scans) — aggregate first, melt the tiny result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_lines"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_lines"], "metric", "value"
+    )
