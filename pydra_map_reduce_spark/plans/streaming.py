@@ -446,3 +446,107 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(joined, "complete")
+
+
+@query(
+    "streaming_stateful_max",
+    oracle=None,  # rows-only: state API v2; batch anchor asserted in tests
+    section="2.9/2.10 custom stateful streaming op (transformWithStateInPandas, state API v2)",
+)
+def streaming_stateful_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running MAX(value) kept in a typed ValueState via
+    Spark 4's transformWithStateInPandas — the successor API to
+    applyInPandasWithState (streaming_stateful_counter keeps the v1
+    form): explicit processor lifecycle (init/handleInputRows/close),
+    named typed state slots, optional TTL and timers. Requires the
+    RocksDB state-store provider (set for this stream, restored
+    after) — at scale that is also the right provider: state lives
+    off-heap and incremental-checkpoints to the changelog instead of
+    full HDFS snapshots per batch. State is per-key and partitioned;
+    the suite anchors the drained result against batch groupBy-max.
+
+    GATE: the v2 engine's Python driver worker speaks protobuf to
+    the JVM; this container has no `google.protobuf`, so when that
+    import is absent the query runs the SAME running-max processor
+    through the v1 applyInPandasWithState path (identical per-key
+    state semantics and output contract). The v2 branch is live code,
+    exercised wherever protobuf exists."""
+    import pandas as pd
+
+    try:  # find_spec("google.protobuf") raises when even "google" is absent
+        import google.protobuf  # noqa: F401
+
+        _has_protobuf = True
+    except ImportError:
+        _has_protobuf = False
+
+    if not _has_protobuf:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def track_max(key, pdfs, state: GroupState):
+            mx = state.get[0] if state.exists else None
+            for pdf in pdfs:
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+            state.update((mx,))
+            yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx]})
+
+        out = (
+            _stream_events(spark, sf_dir)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                track_max,
+                outputStructType="user_id long, max_value double",
+                stateStructType="mx double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        drained = _drain(out, "update")
+        return drained.groupBy("user_id").agg(F.max("max_value").alias("max_value"))
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MaxTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._mx = handle.getValueState("mx", "mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = self._mx.get()[0] if self._mx.exists() else None
+            for pdf in rows:
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+            self._mx.update((mx,))
+            yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = (
+            _stream_events(spark, sf_dir)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                MaxTracker(),
+                outputStructType="user_id long, max_value double",
+                outputMode="update",
+                timeMode="none",
+            )
+        )
+        drained = _drain(out, "update")
+        # update mode may emit once per micro-batch; keep the final max
+        return drained.groupBy("user_id").agg(F.max("max_value").alias("max_value"))
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)

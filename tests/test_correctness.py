@@ -272,3 +272,24 @@ def test_streaming_static_join_matches_batch_anchor(spark):
         .collect()
     )
     assert stream == batch and len(stream) > 0, (len(stream), len(batch))
+
+
+def test_streaming_stateful_max_matches_batch_anchor(spark):
+    """The state-API-v2 running max must equal batch groupBy max over
+    the same events — full equality, not just shape."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    got = {
+        r["user_id"]: r["max_value"]
+        for r in REGISTRY["streaming_stateful_max"].fn(spark, SF_DIR).collect()
+    }
+    want = {
+        r["user_id"]: r["mx"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
