@@ -851,3 +851,105 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "n_lines"], "metric", "value"
     )
+
+
+_PB_W = 25.0  # bin width for the deterministic binned-percentile sketch
+
+
+@query(
+    "percentile_binned",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(floor(value / {_PB_W}) AS BIGINT) AS bin, count(*) AS n
+        FROM events GROUP BY bin
+    ),
+    c AS (
+        SELECT bin, n,
+               sum(n) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below,
+               (SELECT count(*) FROM events) AS total
+        FROM b
+    ),
+    hit AS (
+        SELECT bin, n, coalesce(below, 0) AS below, total,
+               CAST(floor((total + 1) * 0.5 + 0.5) AS BIGINT)  AS t50,
+               CAST(floor((total + 1) * 0.95 + 0.5) AS BIGINT) AS t95
+        FROM c
+    )
+    SELECT
+      floor((SELECT min(bin * {_PB_W} + {_PB_W} * (t50 - below) / n) FROM hit
+             WHERE t50 > below AND t50 <= below + n) * 10000 + 0.5) / 10000 AS p50,
+      floor((SELECT min(bin * {_PB_W} + {_PB_W} * (t95 - below) / n) FROM hit
+             WHERE t95 > below AND t95 <= below + n) * 10000 + 0.5) / 10000 AS p95,
+      (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_bins
+    """,
+    section="2.4 percentile via fixed-width bins (deterministic single-pass sketch)",
+)
+def percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path made oracle-checkable: one pass bins
+    the value column (width 25), the cumulative bin table (bounded by
+    the value domain — ~20 rows here, never corpus-sized) locates the
+    target rank, and the estimate interpolates linearly inside the
+    hit bin. Unlike approx_percentile's engine-private t-digest, this
+    sketch is a DETERMINISTIC function of the bin histogram, so DuckDB
+    reproduces it bit-for-bit: same scalability class (single scan +
+    tiny ordered state), differential-checkable. Rank math stays
+    integer until the one interpolation division."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy(
+        F.floor(F.col("value") / _PB_W).cast("bigint").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    total = e.agg(F.count(F.lit(1)).alias("total"))
+    c = (
+        b.withColumn("below", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+    )
+    aggs = []
+    for q, col in [(0.5, "p50"), (0.95, "p95")]:
+        t = F.floor((F.col("total") + 1) * q + 0.5).cast("bigint")
+        est = F.when(
+            (t > F.col("below")) & (t <= F.col("below") + F.col("n")),
+            F.col("bin") * _PB_W + _PB_W * (t - F.col("below")) / F.col("n"),
+        )
+        aggs.append(round_half_up(F.min(est), 4).alias(col))
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_bins"))
+    return c.agg(*aggs)
+
+
+@query(
+    "table_checksum",
+    oracle="""
+    SELECT CAST(sum(CAST(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+             || '|' || o_orderstatus || '|' || o_orderpriority), 1, 8)) AS BIGINT))
+           AS BIGINT) AS checksum,
+           count(*) AS n_rows
+    FROM orders
+    """,
+    section="2.4 order-independent table checksum (data-integrity fingerprint)",
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint for cross-system data validation: per-row
+    md5 over a canonical field serialization, first 8 hex digits as an
+    integer, SUMMED — addition commutes, so the checksum is identical
+    under any partitioning, ordering, or engine (the property that
+    makes it usable as a copy/migration gate at 100 TB: one number per
+    table, one scan, map-side partial sums). md5 (not xxhash64/hash)
+    keeps it portable beyond the JVM — the same tradeoff as
+    minhash_lsh_portable vs its perf twin."""
+    o = load_table(spark, sf_dir, "orders")
+    row_ser = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row_ser), 1, 8), 16, 10).cast("bigint")
+    return o.agg(
+        F.sum(h).cast("bigint").alias("checksum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
