@@ -66,6 +66,10 @@ HEADLINE = [
     "token_entropy",         # corpus diversity (two-level token agg)
     "ks_drift",              # per-source ECDF drift over the value grid
     "chunk_dedup_ratio",     # span-level dedup (chunk fp join)
+    "waiting_suppliers",     # TPC-H Q21: semi+anti double correlation
+    "customer_distribution", # TPC-H Q13: outer join + double agg
+    "auc_score",             # rank-sum AUC over the value grid
+    "gopher_rules",          # rule-based corpus gate (split/contains codegen)
 ]
 
 
