@@ -467,3 +467,74 @@ def test_min_cost_supplier_argmin_decorrelated(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_order_priority_check_semi_join(spark):
+    """Q4's EXISTS must lower to a LeftSemi hash join (stops at first
+    matching lineitem — no row blow-up from multi-line orders)."""
+    df = REGISTRY["order_priority_check"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_volume_shipping_dims_broadcast(spark):
+    """Q7's supplier dim and both nation roles must broadcast — only
+    the fact-side joins (lineitem-orders-customer) may shuffle."""
+    df = REGISTRY["volume_shipping"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+
+
+def test_idle_customers_anti_join(spark):
+    """Q22's NOT EXISTS must be a LeftAnti hash join against the
+    date-filtered orders; the scalar-avg threshold broadcasts."""
+    df = REGISTRY["idle_customers"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_top_supplier_revenue_view_bounded_scans(spark):
+    """Q15's revenue view feeds both the max and the filter — at most
+    two lineitem scans (view + scalar max), never one per comparison."""
+    df = REGISTRY["top_supplier"].fn(spark, SF_DIR)
+    plan = _formatted(df)
+    assert plan.count("lineitem.parquet") <= 2, plan[:3000]
+
+
+def test_auc_score_single_scan_jvm_side(spark):
+    """The rank-sum AUC must stay one events scan, no Python eval —
+    the grid aggregation and window are all codegen."""
+    df = REGISTRY["auc_score"].fn(spark, SF_DIR)
+    plan = _formatted(df)
+    assert plan.count("events.parquet") == 1, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_gopher_rules_single_scan_jvm_side(spark):
+    """The rule gate is split/contains/length expressions — one
+    documents scan, keyed agg, zero Python evaluation nodes."""
+    df = REGISTRY["gopher_rules"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_knn_classify_group_limit_vote(spark):
+    """The k-NN vote must keep only k rows per query via the rank
+    filter (WindowGroupLimit) before the vote aggregate, and stay
+    JVM-side end to end."""
+    df = REGISTRY["knn_classify"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_table_checksum_partial_aggregation(spark):
+    """The checksum must map-side combine: two HashAggregate phases
+    around one exchange, one scan."""
+    df = REGISTRY["table_checksum"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
