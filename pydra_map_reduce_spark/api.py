@@ -247,3 +247,26 @@ class Pipeline:
         from .operators import quality as _quality
 
         return Pipeline(_quality.weighted_sample(self.df, id_col, weight_col, k))
+
+    def auc(self, score_col: str, label_col: str) -> "Pipeline":
+        """One-row ROC AUC of score_col against the 0/1 label_col
+        (Mann-Whitney rank-sum over the distinct-score grid — no
+        global row sort, integer-exact until the final division)."""
+        from .operators import quality as _quality
+
+        return Pipeline(_quality.auc(self.df, score_col, label_col))
+
+    def classify_knn(
+        self, id_col: str, vec_col: str, label_col: str, *, n_queries: int, k: int = 5
+    ) -> "Pipeline":
+        """k-NN label transfer: ids < n_queries are held-out queries,
+        each voted on by its k nearest corpus neighbors by cosine
+        (tie → smaller label). One corpus pass; swap in the IVF
+        router for the fan-out at scale."""
+        from .operators import similarity as _similarity
+
+        return Pipeline(
+            _similarity.knn_classify(
+                self.df, id_col, vec_col, label_col, n_queries=n_queries, k=k
+            )
+        )

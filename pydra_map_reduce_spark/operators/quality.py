@@ -98,3 +98,30 @@ def weighted_sample(
         .withColumn("priority", round_half_up(F.col("pri"), 8))
         .drop("pri")
     )
+
+
+def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """ROC AUC of ``score_col`` as a predictor of the 0/1 integer
+    ``label_col``, via the Mann-Whitney rank-sum identity with
+    tie-averaged ranks. Returns one row (n_pos, n_neg, auc@6dp).
+
+    Runs on the DISTINCT-score grid: per-score (count, positives)
+    shuffle once, ranks derive from cumulative counts over the grid
+    (bounded by the score domain, never corpus-sized), and the whole
+    computation stays integer until the single final division — so
+    the result is independent of partitioning and engine."""
+    vals = df.groupBy(F.col(score_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(label_col).alias("p")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn("cum_less", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    n_pos = F.sum("p")
+    n_neg = F.sum(F.col("n") - F.col("p"))
+    rank2_sum = F.sum(F.col("p") * (2 * F.col("cum_less") + F.col("n") + 1))
+    return ranked.agg(
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        round_half_up(
+            (rank2_sum - n_pos * (n_pos + 1)) * 1.0 / (2 * n_pos * n_neg), 6
+        ).alias("auc"),
+    )

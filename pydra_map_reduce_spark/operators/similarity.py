@@ -364,3 +364,64 @@ def ivf_topk(
         .limit(k)
         .select("vec_id", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+def knn_classify(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    n_queries: int,
+    k: int,
+) -> DataFrame:
+    """k-NN label transfer: rows with id < ``n_queries`` are held-out
+    queries; each receives the majority label of its k nearest corpus
+    neighbors by cosine (vote tie → smaller label, deterministic).
+    Returns (query_id, true_label, pred_label, correct).
+
+    Same one-corpus-pass shape as batch_cosine_topk — query block
+    broadcast, per-query window rank (WindowGroupLimit keeps k rows
+    per query) — plus a vote aggregate over k·n_queries rows. At
+    100 TB swap the brute fan-out for the IVF cell router and keep
+    the vote layer unchanged."""
+    from pyspark.sql.window import Window
+
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        as_double(vec_col).alias("emb"),
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    scored = (
+        e.filter(F.col("vec_id") >= n_queries)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "true_label",
+            "label",
+            "vec_id",
+            cosine(F.col("emb"), F.col("qv")).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    votes = scored.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    vw = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )

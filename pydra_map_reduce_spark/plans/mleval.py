@@ -48,24 +48,15 @@ def auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative counts — no global row sort at any corpus size.
     Everything stays integer (2·avg_rank = 2·cum_less + n + 1) until
     the single final division, so both engines divide identical
-    BIGINTs — exact to the last bit before the 6dp rounding."""
-    e = load_table(spark, sf_dir, "events")
-    vals = e.groupBy(F.col("value").alias("v")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    BIGINTs — exact to the last bit before the 6dp rounding. Generic
+    form: operators/quality.auc (Pipeline API: .auc)."""
+    from ..operators import quality
+
+    e = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = vals.withColumn("cum_less", F.coalesce(F.sum("n").over(w), F.lit(0)))
-    n_pos = F.sum("p")
-    n_neg = F.sum(F.col("n") - F.col("p"))
-    rank2_sum = F.sum(F.col("p") * (2 * F.col("cum_less") + F.col("n") + 1))
-    return ranked.agg(
-        n_pos.cast("bigint").alias("n_pos"),
-        n_neg.cast("bigint").alias("n_neg"),
-        round_half_up(
-            (rank2_sum - n_pos * (n_pos + 1)) * 1.0 / (2 * n_pos * n_neg), 6
-        ).alias("auc"),
-    )
+    return quality.auc(e, "value", "is_purchase")
 
 
 _CAL_BIN = 50.0  # value-bin width for the calibration table
@@ -152,48 +143,18 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-corpus-pass shape as ann_batch_topk — query block broadcast,
     per-query window rank — plus a vote aggregate that touches only
     k·n_queries rows. At 100 TB the brute fan-out swaps for the IVF
-    router exactly as in ann_batch_topk; the vote layer is unchanged."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    q = e.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("true_label"),
-        F.col("emb").alias("qv"),
-    )
-    dot = F.aggregate(
-        F.zip_with("emb", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
-    scored = (
-        e.filter(F.col("vec_id") >= 16)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "query_id",
-            "true_label",
-            "label",
-            "vec_id",
-            (dot / (norm(F.col("emb")) * norm(F.col("qv")))).alias("cos_raw"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-    )
-    votes = scored.groupBy("query_id", "true_label", "label").agg(
-        F.count(F.lit(1)).alias("n_votes")
-    )
-    vw = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "label")
-    return (
-        votes.withColumn("vr", F.row_number().over(vw))
-        .filter(F.col("vr") == 1)
-        .select(
-            "query_id",
-            "true_label",
-            F.col("label").alias("pred_label"),
-            (F.col("label") == F.col("true_label")).alias("correct"),
-        )
+    router exactly as in ann_batch_topk; the vote layer is unchanged.
+    Generic form: operators/similarity.knn_classify (Pipeline API:
+    .classify_knn)."""
+    from ..operators import similarity
+
+    return similarity.knn_classify(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        n_queries=16,
+        k=5,
     )
 
 

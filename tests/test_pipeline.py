@@ -215,3 +215,35 @@ def test_quality_pipeline_methods(spark):
     samp = docs.weighted_sample("doc_id", "n_chars", 5).to_df()
     rows = samp.collect()
     assert len(rows) == 5 and "priority" in samp.columns
+
+
+def test_pipeline_auc_bounds(spark):
+    """Pipeline.auc returns one row with AUC in [0,1] and the right
+    positive/negative split."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.api import Pipeline
+
+    events = Pipeline.read_parquet(spark, f"{SF_DIR}/events.parquet")
+    row = (
+        events.with_column(
+            "is_purchase", F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .auc("value", "is_purchase")
+        .to_df()
+        .collect()[0]
+    )
+    assert 0.0 <= row["auc"] <= 1.0
+    assert row["n_pos"] > 0 and row["n_neg"] > 0
+
+
+def test_pipeline_classify_knn_contract(spark):
+    """Pipeline.classify_knn yields exactly one prediction per query
+    with labels drawn from the corpus label set."""
+    from pydra_map_reduce_spark.api import Pipeline
+
+    emb = Pipeline.read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    rows = emb.classify_knn("vec_id", "embedding", "label", n_queries=8, k=3).to_df().collect()
+    assert len(rows) == 8
+    assert {r["query_id"] for r in rows} == set(range(8))
+    assert all(0 <= r["pred_label"] <= 9 for r in rows)
