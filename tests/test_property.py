@@ -93,3 +93,44 @@ def test_groupby_parity(aggs, lo, spark, duck):
     )
     drows = sorted(duck.execute(sql).fetchall(), key=repr)
     assert srows == drows, sql
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1), parts=st.integers(min_value=1, max_value=12))
+def test_table_checksum_partition_invariant(seed, parts, spark):
+    """The order-independent checksum must be identical under any
+    repartitioning/shuffling of the input — the property that makes
+    it usable as a cross-system migration gate."""
+    from pydra_map_reduce_spark.plans import REGISTRY
+
+    base = REGISTRY["table_checksum"].fn(spark, SF_DIR).collect()[0]
+
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders").repartition(parts, F.pmod(F.hash(F.col("o_orderkey") + seed), F.lit(parts)))
+    row_ser = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row_ser), 1, 8), 16, 10).cast("bigint")
+    got = o.agg(F.sum(h).cast("bigint").alias("checksum")).collect()[0]["checksum"]
+    assert got == base["checksum"]
+
+
+def test_auc_perfect_and_inverted_predictor(spark):
+    """AUC sanity: a score equal to the label scores 1.0; the negated
+    score scores 0.0; a constant scores 0.5 (all-tied ranks)."""
+    from pydra_map_reduce_spark.operators.quality import auc
+
+    df = spark.createDataFrame(
+        [(float(i), 1 if i >= 50 else 0) for i in range(100)], "score double, label int"
+    )
+    assert auc(df, "score", "label").collect()[0]["auc"] == 1.0
+    neg = df.select((-F.col("score")).alias("score"), "label")
+    assert auc(neg, "score", "label").collect()[0]["auc"] == 0.0
+    const = df.select(F.lit(1.0).alias("score"), "label")
+    assert const.transform(lambda d: d).count() == 100
+    assert auc(const, "score", "label").collect()[0]["auc"] == 0.5
