@@ -406,3 +406,45 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("val").cast("bigint").alias("sum_val"),
     )
+
+
+@query(
+    "jsonl_quarantine",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)  AS n_corrupt,
+           CAST(sum(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           round(sum(CASE WHEN o_orderkey % 10 <> 0 THEN o_totalprice END), 2)   AS good_total
+    FROM orders
+    """,
+    section="2.1 corrupt-record quarantine (PERMISSIVE JSON parse + bad-row routing)",
+)
+def jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion robustness: a JSONL feed where every 10th record is
+    truncated mid-object (deterministic corruption keyed on
+    o_orderkey so the oracle can reproduce the split from the clean
+    table). The read uses PERMISSIVE mode with a _corrupt_record
+    column — malformed rows land in the quarantine column with all
+    data fields null instead of failing the job or being silently
+    dropped (FAILFAST/DROPMALFORMED, the two wrong defaults at
+    100 TB: one poison record should cost one quarantined row, not
+    the pipeline). Output: quarantine count, good count, good-row
+    total."""
+    path = _tmp("orders_quarantine_src")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    line = F.to_json(F.struct("o_orderkey", "o_totalprice"))
+    mangled = F.when(
+        F.col("o_orderkey") % 10 == 0, F.substring(line, 1, 10)
+    ).otherwise(line)
+    o.select(mangled.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("o_orderkey long, o_totalprice double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.round(F.sum(F.when(~bad, F.col("o_totalprice"))), 2).alias("good_total"),
+    )
