@@ -238,3 +238,44 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pass_all"),
     )
+
+
+_FH_DIM = 16  # feature-hashing dimensionality
+
+
+@query(
+    "feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT source,
+           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_FH_DIM} AS bucket,
+           count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_distinct
+    FROM toks
+    GROUP BY source, bucket
+    """,
+    section="2.11 feature hashing (fixed-dim hashed bag-of-words encoder)",
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens map to a FIXED {_FH_DIM}-bucket
+    feature space via a hash, so the encoder needs no vocabulary
+    table — the property that makes it the 100 TB feature encoder
+    (a one-hot encoder's vocab is corpus-sized state that must be
+    built, broadcast, and versioned; the hash needs none of that,
+    trading controlled collisions). md5-derived buckets keep the
+    assignment engine-portable (same tradeoff as
+    minhash_lsh_portable); per-(source, bucket) token totals and
+    distinct counts are the collision diagnostic."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.col("text"), " ")).alias("tok")
+    toks = d.select("source", tok)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % _FH_DIM
+    ).alias("bucket")
+    return toks.groupBy("source", bucket).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct"),
+    )
