@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.textops import round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -287,8 +288,6 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
         "l_quantity"
     ) * F.col("p_retailprice") / 10.0
-    from ..operators.textops import round_half_up
-
     return (
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
@@ -307,12 +306,12 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "important_balance",
     oracle="""
     WITH nb AS (
-        SELECT s_nationkey, sum(s_acctbal) AS bal FROM supplier
+        SELECT s_nationkey, round(sum(s_acctbal), 2) AS bal FROM supplier
         GROUP BY s_nationkey
     )
-    SELECT s_nationkey, round(bal, 2) AS bal
+    SELECT s_nationkey, bal
     FROM nb
-    WHERE bal > (SELECT sum(s_acctbal) * 0.04 FROM supplier)
+    WHERE bal > (SELECT round(sum(s_acctbal) * 0.04, 2) FROM supplier)
     """,
     section="2.4 TPC-H Q11 shape: group HAVING scalar-fraction threshold",
 )

@@ -208,7 +208,11 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate of the edge AGGREGATE can fall under the 32 MB
     threshold and broadcast a million-row hash relation per round
     (observed OOM at sf0.1 in a 1 GB driver). Rounds reuse the
-    persisted edge list."""
+    persisted edge list; the result is localCheckpointed (cutting the
+    lineage back to the small reached set, the pagerank pattern) so
+    the edge cache can be RELEASED before returning — without the
+    unpersist, every invocation pins another corpus-sized edge copy
+    in executor storage for the life of the session."""
     edges = _supplier_part_edges(spark, sf_dir).persist()
     dist = spark.createDataFrame([("s1", 0)], "node string, dist int")
     for k in range(1, 4):
@@ -226,5 +230,7 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("node").alias("first_node"),
             F.max("node").alias("last_node"),
         )
+        .localCheckpoint(eager=True)
     )
+    edges.unpersist()
     return out

@@ -9,7 +9,7 @@ gate documents on the published rule-based filters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.textops import round_half_up
@@ -259,7 +259,7 @@ _FH_DIM = 16  # feature-hashing dimensionality
     section="2.11 feature hashing (fixed-dim hashed bag-of-words encoder)",
 )
 def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hashing trick: tokens map to a FIXED {_FH_DIM}-bucket
+    """The hashing trick: tokens map to a FIXED 16-bucket (_FH_DIM)
     feature space via a hash, so the encoder needs no vocabulary
     table — the property that makes it the 100 TB feature encoder
     (a one-hot encoder's vocab is corpus-sized state that must be

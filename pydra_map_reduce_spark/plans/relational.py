@@ -925,7 +925,7 @@ def percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(sum(CAST(('0x' || substr(md5(
              CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
              || '|' || o_orderstatus || '|' || o_orderpriority), 1, 8)) AS BIGINT))
-           AS BIGINT) AS checksum,
+           AS DECIMAL(38,0)) AS checksum,
            count(*) AS n_rows
     FROM orders
     """,
@@ -939,7 +939,12 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes it usable as a copy/migration gate at 100 TB: one number per
     table, one scan, map-side partial sums). md5 (not xxhash64/hash)
     keeps it portable beyond the JVM — the same tradeoff as
-    minhash_lsh_portable vs its perf twin."""
+    minhash_lsh_portable vs its perf twin. The sum accumulates in
+    DECIMAL(38,0), not BIGINT: per-row prefixes average ~2^31, so an
+    int64 sum would wrap silently past ~4e9 rows — exactly the scale
+    the gate exists for — while 38-digit decimal holds ~1e12 rows x
+    2^32 with 15 digits of headroom and DuckDB's HUGEINT casts to the
+    same type."""
     o = load_table(spark, sf_dir, "orders")
     row_ser = F.concat_ws(
         "|",
@@ -948,8 +953,8 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus"),
         F.col("o_orderpriority"),
     )
-    h = F.conv(F.substring(F.md5(row_ser), 1, 8), 16, 10).cast("bigint")
+    h = F.conv(F.substring(F.md5(row_ser), 1, 8), 16, 10).cast("decimal(20,0)")
     return o.agg(
-        F.sum(h).cast("bigint").alias("checksum"),
+        F.sum(h).cast("decimal(38,0)").alias("checksum"),
         F.count(F.lit(1)).alias("n_rows"),
     )

@@ -115,8 +115,8 @@ def test_table_checksum_partition_invariant(seed, parts, spark):
         F.col("o_orderstatus"),
         F.col("o_orderpriority"),
     )
-    h = F.conv(F.substring(F.md5(row_ser), 1, 8), 16, 10).cast("bigint")
-    got = o.agg(F.sum(h).cast("bigint").alias("checksum")).collect()[0]["checksum"]
+    h = F.conv(F.substring(F.md5(row_ser), 1, 8), 16, 10).cast("decimal(20,0)")
+    got = o.agg(F.sum(h).cast("decimal(38,0)").alias("checksum")).collect()[0]["checksum"]
     assert got == base["checksum"]
 
 
@@ -132,5 +132,4 @@ def test_auc_perfect_and_inverted_predictor(spark):
     neg = df.select((-F.col("score")).alias("score"), "label")
     assert auc(neg, "score", "label").collect()[0]["auc"] == 0.0
     const = df.select(F.lit(1.0).alias("score"), "label")
-    assert const.transform(lambda d: d).count() == 100
     assert auc(const, "score", "label").collect()[0]["auc"] == 0.5
