@@ -117,11 +117,19 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     ranked = vals.withColumn("cum_less", F.coalesce(F.sum("n").over(w), F.lit(0)))
     n_pos = F.sum("p")
     n_neg = F.sum(F.col("n") - F.col("p"))
-    rank2_sum = F.sum(F.col("p") * (2 * F.col("cum_less") + F.col("n") + 1))
+    # per-value rank terms reach ~n_pos·2N ≈ N² — far past int64 at
+    # corpus scale — so the sums widen to DECIMAL(38,0) (DuckDB's
+    # integer sums widen to HUGEINT on their own); the single final
+    # division drops to double identically in both engines.
+    rank2_sum = F.sum(
+        (F.col("p") * (2 * F.col("cum_less") + F.col("n") + 1)).cast("decimal(38,0)")
+    )
+    n_pos_d = n_pos.cast("decimal(38,0)")
     return ranked.agg(
         n_pos.cast("bigint").alias("n_pos"),
         n_neg.cast("bigint").alias("n_neg"),
         round_half_up(
-            (rank2_sum - n_pos * (n_pos + 1)) * 1.0 / (2 * n_pos * n_neg), 6
+            (rank2_sum - n_pos_d * (n_pos_d + 1)) * 1.0 / (2 * n_pos_d * n_neg.cast("decimal(38,0)")),
+            6,
         ).alias("auc"),
     )
