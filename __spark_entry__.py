@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
 #   auc_score, calibration_bins, knn_classify, gopher_rules,
 #   bfs_hops, unpivot_melt, join_null_safe, percentile_binned,
 #   table_checksum, jsonl_quarantine, feature_hashing,
+#   waiting_suppliers_agg,
 # plus the stalest remaining greens (r3/r4-era: allpairs_similarity,
 # ann_lsh_topk, array/date/string function families, window family) so
 # every query's newest driver evidence keeps cycling forward.

@@ -707,3 +707,73 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "waiting_suppliers_agg",
+    oracle="""
+    WITH joined AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    stats AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+        FROM joined GROUP BY l_orderkey
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM joined j
+    JOIN stats t ON t.l_orderkey = j.l_orderkey
+    JOIN supplier s ON s.s_suppkey = j.l_suppkey
+    WHERE j.late = 1 AND t.n_supp >= 2 AND t.n_late_supp = 1
+    GROUP BY s.s_name
+    """,
+    section="2.3 TPC-H Q21, aggregate formulation (scale path: one lineitem pass)",
+)
+def waiting_suppliers_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of waiting_suppliers, same output contract.
+    The EXISTS/NOT-EXISTS pair re-probes the full lineitem twice
+    (three lineitem shuffles at corpus scale); this form folds both
+    correlations into ONE per-order aggregate — n_supp ≥ 2 replaces
+    the EXISTS, n_late_supp = 1 (with the probe line itself late)
+    replaces the NOT EXISTS — so lineitem crosses the wire once for
+    the join and once keyed by order for the stats. Same twin
+    pattern as lsh_allpairs_cosine vs allpairs_similarity: the
+    canonical shape stays registered as the semantics anchor, the
+    aggregate form is what you run at 100 TB."""
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).cast("int").alias("late"),
+        )
+        .persist()
+    )
+    stats = joined.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    out = (
+        joined.filter(F.col("late") == 1)
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .localCheckpoint(eager=True)
+    )
+    joined.unpersist()
+    return out

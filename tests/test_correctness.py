@@ -293,3 +293,15 @@ def test_streaming_stateful_max_matches_batch_anchor(spark):
         .collect()
     }
     assert got == want
+
+
+def test_waiting_suppliers_twins_agree(spark):
+    """The Q21 aggregate formulation must reproduce the EXISTS/NOT-
+    EXISTS form's output exactly (same twin contract as the LSH pair)."""
+    a = sorted(
+        tuple(r) for r in REGISTRY["waiting_suppliers"].fn(spark, SF_DIR).collect()
+    )
+    b = sorted(
+        tuple(r) for r in REGISTRY["waiting_suppliers_agg"].fn(spark, SF_DIR).collect()
+    )
+    assert a == b
