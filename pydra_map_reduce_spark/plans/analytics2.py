@@ -777,3 +777,97 @@ def waiting_suppliers_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined.unpersist()
     return out
+
+
+@query(
+    "yoy_growth",
+    oracle="""
+    WITH m AS (
+        SELECT c.c_nationkey,
+               CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS mon,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, date_trunc('month', o.o_orderdate)
+    )
+    SELECT c_nationkey, mon, revenue,
+           round(100.0 * (revenue - lag(revenue, 12) OVER w)
+                 / lag(revenue, 12) OVER w, 2) AS yoy_pct
+    FROM m
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY mon)
+    """,
+    section="2.5 year-over-year growth (lag-12 window over monthly rollup)",
+)
+def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47-style period-over-period comparison: monthly revenue
+    per customer nation with the lag-12 window delta. The window runs
+    over the MONTHLY AGGREGATE (nation × month — dimension-bounded),
+    never base rows, and the ratio divides the already-2dp-rounded
+    revenues so both engines divide identical doubles. NULL yoy for
+    the first year of each nation is part of the contract (lag
+    beyond the frame), not a missing-data bug."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    m = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy(
+            "c_nationkey", F.date_trunc("month", "o_orderdate").alias("mon")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("mon")
+    prev = F.lag("revenue", 12).over(w)
+    return m.select(
+        "c_nationkey",
+        "mon",
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 2).alias("yoy_pct"),
+    )
+
+
+@query(
+    "revenue_share",
+    oracle="""
+    WITH r AS (
+        SELECT c.c_nationkey, round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey
+    )
+    SELECT c_nationkey, revenue,
+           floor(100.0 * revenue / sum(revenue) OVER () * 10000 + 0.5)
+           / 10000 AS share_pct,
+           rank() OVER (ORDER BY revenue DESC, c_nationkey) AS rnk
+    FROM r
+    """,
+    section="2.5 share-of-total (unpartitioned window sum over the aggregate)",
+)
+def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total with an unpartitioned window — the shape is
+    safe ONLY because the window runs over the nation-level aggregate
+    (25 rows at any corpus scale), never base rows; the same query
+    over raw orders would be a one-executor sort. The share divides
+    2dp-rounded revenues (identical doubles in both engines) and
+    rounds half-up; the rank carries a nationkey tie-break so
+    near-tied revenues cannot reorder between engines."""
+    from ..operators.textops import round_half_up as rhu
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    r = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return r.select(
+        "c_nationkey",
+        "revenue",
+        rhu(
+            100.0 * F.col("revenue") / F.sum("revenue").over(Window.partitionBy()), 4
+        ).alias("share_pct"),
+        F.rank()
+        .over(Window.orderBy(F.col("revenue").desc(), "c_nationkey"))
+        .cast("bigint")
+        .alias("rnk"),
+    )

@@ -220,6 +220,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # domain-bounded: cumulative bin counts over the fixed-width bin
     # table (~value_range/width rows at any corpus scale)
     "percentile_binned",
+    # domain-bounded: share-of-total + rank over the NATION aggregate
+    # (25 rows at any corpus scale), never base rows
+    "revenue_share",
 }
 
 
