@@ -823,3 +823,84 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "attribution_linear",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cycle
+        FROM events
+    ),
+    touches AS (
+        SELECT user_id, cycle, event_type AS channel, count(*) OVER w AS n_touch
+        FROM seq WHERE event_type <> 'purchase'
+        WINDOW w AS (PARTITION BY user_id, cycle)
+    ),
+    purchases AS (
+        SELECT user_id, cycle, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM seq WHERE event_type = 'purchase'
+    ),
+    credited AS (
+        SELECT t.channel,
+               (p.cents * 10000) // t.n_touch AS micro
+        FROM purchases p JOIN touches t
+          ON t.user_id = p.user_id AND t.cycle = p.cycle
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           floor(sum(micro) / 1000000.0 * 100 + 0.5) / 100 AS credit
+    FROM credited
+    GROUP BY channel
+    """,
+    section="2.9/2.11 linear attribution (equal credit across the purchase cycle)",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution, the companion
+    to attribution_last_touch: each purchase's value splits equally
+    over every touch in its purchase cycle (the events since the
+    user's previous purchase). Cycles come from a running purchase
+    count — one user_id shuffle; the credit join is keyed by
+    (user, cycle). Credits are integer MICRO-CENTS with floor
+    division (cents·10⁴ // n_touch) so per-channel sums are exact
+    integers in both engines — a float value/n credit would sum in
+    engine-dependent order and flip the rounded cent."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wseq = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.withColumn(
+        "cycle",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(wseq),
+            F.lit(0),
+        ),
+    )
+    touches = (
+        seq.filter(F.col("event_type") != "purchase")
+        .withColumn(
+            "n_touch", F.count(F.lit(1)).over(Window.partitionBy("user_id", "cycle"))
+        )
+        .select("user_id", "cycle", F.col("event_type").alias("channel"), "n_touch")
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", "cycle", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    credited = purchases.join(touches, ["user_id", "cycle"]).select(
+        "channel",
+        # SQL `div` = exact integer floor division (a double `/` then
+        # cast could round up across the integer boundary for ratios
+        # within an ulp of an integer)
+        F.expr("(cents * 10000) div n_touch").alias("micro"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        round_half_up(F.sum("micro") / 1000000.0, 2).alias("credit"),
+    )

@@ -451,3 +451,53 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.lateralJoin(split_cols(F.col("text").outer(), lit(3))).select(
         "doc_id", "tok0", "tok1", "tok2"
     )
+
+
+_RB_CAP = 1000.0  # clamp ceiling for the running balance
+
+
+@query(
+    "running_balance_capped",
+    oracle=None,  # rows-only: non-associative recurrence; numpy anchor in suite
+    section="2.10 per-key capped running balance (applyInPandas recurrence)",
+)
+def running_balance_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory-style clamped cumulative sum: per user, in event-time
+    order, balance ← clamp(balance + delta, 0, CAP) where view/click
+    deposit `value` and every other event withdraws it. The clamp
+    makes the recurrence NON-associative — no window frame or prefix
+    trick can express it (unlike ewma_smooth's linear closed form) —
+    so this is the genuine case (b) escape hatch: applyInPandas runs
+    one vectorized numpy pass per user after the keyed shuffle.
+    State is one float per key, partitioned by user — horizontally
+    scalable; the Python cost is one Arrow batch per group, not
+    per-row overhead. Output keeps only each user's final balance
+    and event count (bounded: one row per user). The suite anchors
+    the full recurrence against an independent driver-side numpy
+    replay (rows-only query: the oracle cannot express the clamp)."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        deposit = pdf["event_type"].isin(["view", "click"])
+        delta = pdf["value"].where(deposit, -pdf["value"]).to_numpy()
+        bal = 0.0
+        for d in delta:  # tight numpy-scalar loop over ONE group
+            bal = min(max(bal + d, 0.0), _RB_CAP)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "final_balance": [round(bal, 2)],
+            }
+        )
+
+    return (
+        e.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            replay, "user_id long, n_events long, final_balance double"
+        )
+    )

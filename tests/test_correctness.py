@@ -305,3 +305,35 @@ def test_waiting_suppliers_twins_agree(spark):
         tuple(r) for r in REGISTRY["waiting_suppliers_agg"].fn(spark, SF_DIR).collect()
     )
     assert a == b
+
+
+def test_running_balance_capped_matches_numpy_anchor(spark):
+    """The applyInPandas recurrence must equal an independent
+    driver-side replay of the same clamped cumsum over the raw
+    events — full equality per user."""
+    from pydra_map_reduce_spark.plans.mapreduce import _RB_CAP
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    got = {
+        r["user_id"]: (r["n_events"], r["final_balance"])
+        for r in REGISTRY["running_balance_capped"].fn(spark, SF_DIR).collect()
+    }
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r)
+    want = {}
+    for uid, evs in per_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        bal = 0.0
+        for r in evs:
+            d = r["value"] if r["event_type"] in ("view", "click") else -r["value"]
+            bal = min(max(bal + d, 0.0), _RB_CAP)
+        want[uid] = (len(evs), round(bal, 2))
+    assert got == want
