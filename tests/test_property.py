@@ -133,3 +133,35 @@ def test_auc_perfect_and_inverted_predictor(spark):
     assert auc(neg, "score", "label").collect()[0]["auc"] == 0.0
     const = df.select(F.lit(1.0).alias("score"), "label")
     assert auc(const, "score", "label").collect()[0]["auc"] == 0.5
+
+
+@st.composite
+def window_frame_expr(draw):
+    a = draw(st.integers(min_value=0, max_value=5))
+    b = draw(st.integers(min_value=0, max_value=5))
+    agg = draw(
+        st.sampled_from(["sum(c_acctbal)", "count(*)", "min(c_acctbal)", "max(c_acctbal)"])
+    )
+    over = (
+        f"{agg} OVER (PARTITION BY c_nationkey ORDER BY c_custkey "
+        f"ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING)"
+    )
+    # round OUTSIDE the OVER: `round(sum(x),2) OVER (...)` parses as a
+    # windowed round() — not a window aggregate — and Spark rejects it
+    return over if agg == "count(*)" else f"round({over}, 2)"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(expr=window_frame_expr())
+def test_window_frame_parity(expr, spark, duck):
+    """Random ROWS-frame window aggregates: the same SQL text must
+    produce identical per-row results on both engines (frame
+    boundary semantics, peer handling, empty-frame nulls)."""
+    c = load_table(spark, SF_DIR, "customer")
+    c.createOrReplaceTempView("customer_wf_v")
+    sql = f"SELECT c_custkey, {expr} AS w FROM {{t}}"
+    srows = sorted(
+        (r["c_custkey"], r["w"]) for r in spark.sql(sql.format(t="customer_wf_v")).collect()
+    )
+    drows = sorted(duck.execute(sql.format(t="customer")).fetchall())
+    assert srows == drows
