@@ -165,3 +165,39 @@ def test_window_frame_parity(expr, spark, duck):
     )
     drows = sorted(duck.execute(sql.format(t="customer")).fetchall())
     assert srows == drows
+
+
+@st.composite
+def join_spec(draw):
+    jt = draw(st.sampled_from(["INNER", "LEFT", "RIGHT", "FULL", "SEMI", "ANTI"]))
+    lo = draw(st.integers(min_value=-2, max_value=30))
+    hi = draw(st.integers(min_value=-2, max_value=30))
+    return jt, min(lo, hi), max(lo, hi)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(spec=join_spec())
+def test_join_type_parity(spec, spark, duck):
+    """Random join type over a range-filtered dim: identical surviving
+    key multisets on both engines (null extension for outer forms,
+    existence semantics for semi/anti)."""
+    jt, lo, hi = spec
+    c = load_table(spark, SF_DIR, "customer")
+    n = load_table(spark, SF_DIR, "nation")
+    c.createOrReplaceTempView("customer_jp_v")
+    n.createOrReplaceTempView("nation_jp_v")
+    proj = (
+        "n.n_nationkey AS k"
+        if jt in ("SEMI", "ANTI")
+        else "n.n_nationkey AS k, c.c_custkey AS ck"
+    )
+    sql = (
+        f"SELECT {proj} FROM {{nat}} n {jt} JOIN "
+        f"(SELECT * FROM {{cust}} WHERE c_nationkey BETWEEN {lo} AND {hi}) c "
+        f"ON n.n_nationkey = c.c_nationkey"
+    )
+    srows = sorted(
+        tuple(r) for r in spark.sql(sql.format(nat="nation_jp_v", cust="customer_jp_v")).collect()
+    )
+    drows = sorted(tuple(r) for r in duck.execute(sql.format(nat="nation", cust="customer")).fetchall())
+    assert srows == drows
