@@ -448,3 +448,47 @@ def jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~bad, 1).otherwise(0)).cast("bigint").alias("n_good"),
         F.round(F.sum(F.when(~bad, F.col("o_totalprice"))), 2).alias("good_total"),
     )
+
+
+@query(
+    "observed_metrics",
+    oracle=None,  # rows-only: driver-side Observation; anchored vs direct agg in suite
+    section="2.1/2.4 pipeline instrumentation (df.observe metrics, zero extra scan)",
+)
+def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's observe() API: named metrics ride ALONG an existing
+    job — the row count, quantity total, and ship-date bounds here
+    are collected by accumulator while the filter-aggregate runs, NOT
+    by a second scan (the standard way production pipelines emit
+    volume/freshness metrics without doubling IO; at 100 TB a
+    dedicated metrics pass is a full extra read). The query executes
+    the observed plan to a noop sink, then surfaces the observation
+    as a one-row DataFrame; the suite anchors it against a direct
+    aggregation of the same table."""
+    from pyspark.sql import Observation
+
+    obs = Observation("lineitem_metrics")
+    li = load_table(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_cents"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    # the observed metrics populate when the plan executes; drive it
+    # through the same noop sink bench.py uses (full plan, no collect)
+    li.filter(F.col("l_quantity") > 25).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    ).write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["qty_cents"],
+                m["min_ship"],
+                m["max_ship"],
+            )
+        ],
+        "n_rows long, qty_cents long, min_ship timestamp, max_ship timestamp",
+    )

@@ -337,3 +337,24 @@ def test_running_balance_capped_matches_numpy_anchor(spark):
             bal = min(max(bal + d, 0.0), _RB_CAP)
         want[uid] = (len(evs), round(bal, 2))
     assert got == want
+
+
+def test_observed_metrics_match_direct_agg(spark):
+    """The observe()-collected metrics must equal a direct aggregation
+    over the same table — the accumulator path loses nothing."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    got = REGISTRY["observed_metrics"].fn(spark, SF_DIR).collect()[0]
+    want = (
+        load_table(spark, SF_DIR, "lineitem")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_cents"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)
