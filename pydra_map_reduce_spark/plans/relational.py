@@ -958,3 +958,109 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(h).cast("decimal(38,0)").alias("checksum"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "weighted_median",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, round(l_extendedprice, 2) AS v,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+        FROM lineitem GROUP BY l_returnflag, round(l_extendedprice, 2)
+    ),
+    c AS (
+        SELECT l_returnflag, v, wt,
+               coalesce(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+               sum(wt) OVER (PARTITION BY l_returnflag) AS total
+        FROM g
+    )
+    SELECT l_returnflag,
+           min(v)                       AS w_median,
+           CAST(max(total) AS BIGINT)   AS total_weight
+    FROM c
+    WHERE below * 2 < total AND (below + wt) * 2 >= total
+    GROUP BY l_returnflag
+    """,
+    section="2.4 weighted median (cumulative-weight grid, no global sort)",
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    statistic mixing plans need (an unweighted median over repeated
+    rows would require materializing weight-many copies). Same
+    bounded-grid shape as percentile_binned/auc_score: per-(group,
+    value) weights aggregate once, the cumulative window runs over
+    the DISTINCT-value grid keyed by group, and the median is the
+    first value whose cumulative weight crosses half the total —
+    integer weight arithmetic end to end, so the crossing row is
+    engine-exact. min(v) collapses the (unique) crossing row per
+    group."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        "l_returnflag", F.round("l_extendedprice", 2).alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("wt"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "l_returnflag",
+        "v",
+        "wt",
+        F.coalesce(F.sum("wt").over(w), F.lit(0)).alias("below"),
+        F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("total"),
+    )
+    return (
+        c.filter(
+            (F.col("below") * 2 < F.col("total"))
+            & ((F.col("below") + F.col("wt")) * 2 >= F.col("total"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("w_median"),
+            F.max("total").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "basket_pairs",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS p_a, b.l_partkey AS p_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p_a, p_b, count(*) AS support
+    FROM pairs
+    GROUP BY p_a, p_b
+    HAVING count(*) >= 3
+    """,
+    section="2.4/2.11 market-basket pair mining (co-order support counting)",
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining at the pair level (the first Apriori
+    layer): part pairs co-occurring in ≥3 orders. Pairs generate via
+    the canonical-orientation self-join on the order key (p_a < p_b,
+    each pair once) — work is Σ per-order lines², bounded by basket
+    size, never corpus²; the support count is one keyed aggregation.
+    At 100 TB add a frequent-items prefilter (drop parts below
+    minimum item support before pairing — Apriori's monotonicity)
+    to shrink the join input."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p_a"), F.col("b.l_partkey").alias("p_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
