@@ -458,7 +458,27 @@ _RB_CAP = 1000.0  # clamp ceiling for the running balance
 
 @query(
     "running_balance_capped",
-    oracle=None,  # rows-only: non-associative recurrence; numpy anchor in suite
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               CASE WHEN event_type IN ('view', 'click') THEN value
+                    ELSE -value END AS delta,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ),
+    rec AS (
+        SELECT user_id, rn, n, least(greatest(delta, 0.0), 1000.0) AS bal
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.rn, b.n,
+               least(greatest(r.bal + b.delta, 0.0), 1000.0)
+        FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(bal, 2) AS final_balance
+    FROM rec WHERE rn = n
+    """,
     section="2.10 per-key capped running balance (applyInPandas recurrence)",
 )
 def running_balance_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,9 +492,14 @@ def running_balance_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is one float per key, partitioned by user — horizontally
     scalable; the Python cost is one Arrow batch per group, not
     per-row overhead. Output keeps only each user's final balance
-    and event count (bounded: one row per user). The suite anchors
-    the full recurrence against an independent driver-side numpy
-    replay (rows-only query: the oracle cannot express the clamp)."""
+    and event count (bounded: one row per user). The oracle replays
+    the identical recurrence as a DuckDB RECURSIVE CTE stepping
+    rn → rn+1 per user — both engines execute the same IEEE add/clamp
+    sequence in the same per-user order, so the final doubles are
+    bit-identical (the recursion-depth trick that oracle-backed
+    dedup_clusters_exact; pagerank unrolls instead because its round
+    count is fixed). The suite additionally anchors against an
+    independent driver-side numpy replay."""
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events")
