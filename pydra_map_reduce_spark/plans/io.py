@@ -452,7 +452,13 @@ def jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "observed_metrics",
-    oracle=None,  # rows-only: driver-side Observation; anchored vs direct agg in suite
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
     section="2.1/2.4 pipeline instrumentation (df.observe metrics, zero extra scan)",
 )
 def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,8 +469,10 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume/freshness metrics without doubling IO; at 100 TB a
     dedicated metrics pass is a full extra read). The query executes
     the observed plan to a noop sink, then surfaces the observation
-    as a one-row DataFrame; the suite anchors it against a direct
-    aggregation of the same table."""
+    as a one-row DataFrame. The metrics are deterministic aggregates
+    of the observed table, so the accumulator path is fully
+    oracle-checkable — the DuckDB oracle recomputes them directly
+    (and the suite keeps an in-Spark direct-agg anchor)."""
     from pyspark.sql import Observation
 
     obs = Observation("lineitem_metrics")
