@@ -270,3 +270,16 @@ class Pipeline:
                 self.df, id_col, vec_col, label_col, n_queries=n_queries, k=k
             )
         )
+
+    def running_balance(
+        self, key_col: str, order_cols: list, delta_col, *, cap: float
+    ) -> "Pipeline":
+        """Per-key clamped cumulative sum (non-associative recurrence:
+        one vectorized applyInPandas pass per key, one row per key
+        out). delta_col is a Column expression for the per-row
+        delta."""
+        from .operators import quality as _quality
+
+        return Pipeline(
+            _quality.running_balance(self.df, key_col, order_cols, delta_col, cap=cap)
+        )

@@ -133,3 +133,40 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+def running_balance(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    delta_col: Column,
+    *,
+    cap: float,
+) -> DataFrame:
+    """Per-key clamped cumulative sum: in ``order_cols`` order,
+    balance ← clamp(balance + delta, 0, cap). The clamp makes the
+    recurrence NON-associative — no window frame or prefix closed
+    form exists — so this is the genuine applyInPandas case: one
+    vectorized pass per key after the keyed shuffle, one float of
+    state per key, output bounded to one row per key
+    (key, n_events, final_balance)."""
+    import pandas as pd
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        bal = 0.0
+        for d in pdf["_delta"].to_numpy():
+            bal = min(max(bal + d, 0.0), cap)
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_events": [len(pdf)],
+                "final_balance": [round(bal, 2)],
+            }
+        )
+
+    return (
+        df.select(key_col, *order_cols, delta_col.alias("_delta"))
+        .groupBy(key_col)
+        .applyInPandas(replay, f"{key_col} long, n_events long, final_balance double")
+    )

@@ -500,29 +500,11 @@ def running_balance_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_clusters_exact; pagerank unrolls instead because its round
     count is fixed). The suite additionally anchors against an
     independent driver-side numpy replay."""
-    import pandas as pd
+    from ..operators import quality
 
     e = load_table(spark, sf_dir, "events")
-
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        deposit = pdf["event_type"].isin(["view", "click"])
-        delta = pdf["value"].where(deposit, -pdf["value"]).to_numpy()
-        bal = 0.0
-        for d in delta:  # tight numpy-scalar loop over ONE group
-            bal = min(max(bal + d, 0.0), _RB_CAP)
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "final_balance": [round(bal, 2)],
-            }
-        )
-
-    return (
-        e.select("user_id", "event_id", "ts", "event_type", "value")
-        .groupBy("user_id")
-        .applyInPandas(
-            replay, "user_id long, n_events long, final_balance double"
-        )
+    deposit = F.col("event_type").isin("view", "click")
+    delta = F.when(deposit, F.col("value")).otherwise(-F.col("value"))
+    return quality.running_balance(
+        e, "user_id", ["ts", "event_id"], delta, cap=_RB_CAP
     )

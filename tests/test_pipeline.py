@@ -247,3 +247,21 @@ def test_pipeline_classify_knn_contract(spark):
     assert len(rows) == 8
     assert {r["query_id"] for r in rows} == set(range(8))
     assert all(0 <= r["pred_label"] <= 9 for r in rows)
+
+
+def test_pipeline_running_balance_bounds(spark):
+    """Pipeline.running_balance stays within [0, cap] and emits one
+    row per key."""
+    from pydra_map_reduce_spark.api import Pipeline
+
+    events = Pipeline.read_parquet(spark, f"{SF_DIR}/events.parquet")
+    delta = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+        -F.col("value")
+    )
+    rows = (
+        events.running_balance("user_id", ["ts", "event_id"], delta, cap=500.0)
+        .to_df()
+        .collect()
+    )
+    assert len(rows) == len({r["user_id"] for r in rows})
+    assert all(0.0 <= r["final_balance"] <= 500.0 for r in rows)
