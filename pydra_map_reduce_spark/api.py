@@ -283,3 +283,11 @@ class Pipeline:
         return Pipeline(
             _quality.running_balance(self.df, key_col, order_cols, delta_col, cap=cap)
         )
+
+    def checksum(self, cols: list) -> "Pipeline":
+        """One-row order-independent content fingerprint over cols
+        (commutative md5-prefix sum in DECIMAL(38,0)) — the
+        cross-system copy/migration gate."""
+        from .operators import quality as _quality
+
+        return Pipeline(_quality.table_checksum(self.df, cols))

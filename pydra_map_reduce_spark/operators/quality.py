@@ -170,3 +170,22 @@ def running_balance(
         .groupBy(key_col)
         .applyInPandas(replay, f"{key_col} long, n_events long, final_balance double")
     )
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent content fingerprint over ``cols``: per-row
+    md5 of the '|'-joined canonical serialization, first 8 hex digits
+    summed in DECIMAL(38,0) (int64 would wrap past ~4e9 rows — the
+    scale the gate exists for). Addition commutes, so the number is
+    identical under any partitioning, ordering, or engine — the
+    one-number-per-table copy/migration gate. Returns (checksum,
+    n_rows). NULLs serialize as empty string via concat_ws: position
+    is preserved, so NULL-vs-'' collisions are the one documented
+    blind spot — include a count of NULLs per column (data_quality_report)
+    when that distinction matters."""
+    row_ser = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(row_ser), 1, 8), 16, 10).cast("decimal(20,0)")
+    return df.agg(
+        F.sum(h).cast("decimal(38,0)").alias("checksum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

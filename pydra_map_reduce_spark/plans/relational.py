@@ -944,19 +944,13 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 sum would wrap silently past ~4e9 rows — exactly the scale
     the gate exists for — while 38-digit decimal holds ~1e12 rows x
     2^32 with 15 digits of headroom and DuckDB's HUGEINT casts to the
-    same type."""
+    same type. Generic form: operators/quality.table_checksum
+    (Pipeline API: .checksum)."""
+    from ..operators import quality
+
     o = load_table(spark, sf_dir, "orders")
-    row_ser = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_orderpriority"),
-    )
-    h = F.conv(F.substring(F.md5(row_ser), 1, 8), 16, 10).cast("decimal(20,0)")
-    return o.agg(
-        F.sum(h).cast("decimal(38,0)").alias("checksum"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return quality.table_checksum(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
 
 
