@@ -436,3 +436,106 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+@query(
+    "dedup_report",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source, text, md5(text) AS f FROM documents
+    ),
+    keep1 AS (SELECT min(doc_id) AS k FROM fp GROUP BY f),
+    ex AS (
+        SELECT fp.doc_id, fp.source, fp.text
+        FROM fp JOIN keep1 ON fp.doc_id = keep1.k
+    ),
+    chunks AS (
+        SELECT doc_id, md5(substr(text, off, 100)) AS cfp
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text), 100)) AS off
+              FROM ex WHERE length(text) > 0)
+    ),
+    near AS (
+        SELECT DISTINCT a.doc_id
+        FROM chunks a JOIN chunks b ON a.cfp = b.cfp AND b.doc_id < a.doc_id
+    ),
+    raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+    exs AS (SELECT source, count(*) AS n_exact FROM ex GROUP BY source),
+    nears AS (
+        SELECT e.source, count(*) AS n_near
+        FROM near JOIN ex e ON e.doc_id = near.doc_id
+        GROUP BY e.source
+    )
+    SELECT r.source, r.n_raw,
+           coalesce(e.n_exact, 0)                        AS n_exact,
+           coalesce(e.n_exact, 0) - coalesce(n.n_near, 0) AS n_retained,
+           floor((coalesce(e.n_exact, 0) - coalesce(n.n_near, 0)) * 1.0
+                 / r.n_raw * 10000 + 0.5) / 10000        AS retention
+    FROM raw r
+    LEFT JOIN exs e   ON e.source = r.source
+    LEFT JOIN nears n ON n.source = r.source
+    """,
+    section="2.11 end-to-end dedup pipeline report (exact → span near-dup → retention)",
+)
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION pipeline end to end, as one lazy plan:
+    exact dedup (content md5, min-id survivor) → span-level near-dup
+    flag over the survivors (a shared 100-char chunk with any
+    smaller-id survivor — the keep-first rule again) → per-source
+    retention report. Every stage is a keyed shuffle or equi-join
+    (fingerprint groupBy, chunk inverted index); nothing is
+    all-pairs, so the chain carries to corpus scale unchanged. This
+    is the roll-up a data curator actually reads — which sources
+    collapse under dedup — built entirely from stages that are also
+    individually registered and driver-checked (exact_dedup,
+    chunk_dedup_ratio)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "source", "text", F.md5("text").alias("f"))
+    keep1 = fp.groupBy("f").agg(F.min("doc_id").alias("k"))
+    ex = fp.join(keep1, fp.doc_id == keep1.k).select("doc_id", "source", "text")
+    chunks = (
+        ex.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"), F.lit(100))
+            ).alias("off"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.substring(F.col("text"), F.col("off"), 100)).alias("cfp"),
+        )
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    near = (
+        a.join(
+            b,
+            (F.col("a.cfp") == F.col("b.cfp"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    raw = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    exs = ex.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    nears = (
+        near.join(ex, "doc_id").groupBy("source").agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    from ..operators.textops import round_half_up as _rhu
+
+    retained = F.coalesce(F.col("n_exact"), F.lit(0)) - F.coalesce(
+        F.col("n_near"), F.lit(0)
+    )
+    return (
+        raw.join(exs, "source", "left")
+        .join(nears, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            retained.alias("n_retained"),
+            _rhu(retained * 1.0 / F.col("n_raw"), 4).alias("retention"),
+        )
+    )
