@@ -70,6 +70,7 @@ HEADLINE = [
     "customer_distribution", # TPC-H Q13: outer join + double agg
     "auc_score",             # rank-sum AUC over the value grid
     "gopher_rules",          # rule-based corpus gate (split/contains codegen)
+    "dedup_report",          # end-to-end dedup chain (exact -> span near-dup -> rollup)
 ]
 
 

@@ -455,9 +455,11 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                      unnest(generate_series(1, length(text), 100)) AS off
               FROM ex WHERE length(text) > 0)
     ),
+    cmin AS (SELECT cfp, min(doc_id) AS first_doc FROM chunks GROUP BY cfp),
     near AS (
-        SELECT DISTINCT a.doc_id
-        FROM chunks a JOIN chunks b ON a.cfp = b.cfp AND b.doc_id < a.doc_id
+        SELECT DISTINCT c.doc_id
+        FROM chunks c JOIN cmin m ON m.cfp = c.cfp
+        WHERE c.doc_id > m.first_doc
     ),
     raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
     exs AS (SELECT source, count(*) AS n_exact FROM ex GROUP BY source),
@@ -482,9 +484,14 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup (content md5, min-id survivor) → span-level near-dup
     flag over the survivors (a shared 100-char chunk with any
     smaller-id survivor — the keep-first rule again) → per-source
-    retention report. Every stage is a keyed shuffle or equi-join
-    (fingerprint groupBy, chunk inverted index); nothing is
-    all-pairs, so the chain carries to corpus scale unchanged. This
+    retention report. The near flag needs no chunk self-join: a doc
+    shares a chunk with a smaller-id doc iff its id exceeds the
+    chunk's MIN doc_id, so one keyed min + one equi-join replaces the
+    pairwise form — strictly linear even when a boilerplate chunk
+    appears in millions of documents (where a self-join bucket would
+    go quadratic). Every stage is a keyed shuffle or equi-join;
+    nothing is all-pairs, so the chain carries to corpus scale
+    unchanged. This
     is the roll-up a data curator actually reads — which sources
     collapse under dedup — built entirely from stages that are also
     individually registered and driver-checked (exact_dedup,
@@ -507,15 +514,11 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.substring(F.col("text"), F.col("off"), 100)).alias("cfp"),
         )
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    cmin = chunks.groupBy("cfp").agg(F.min("doc_id").alias("first_doc"))
     near = (
-        a.join(
-            b,
-            (F.col("a.cfp") == F.col("b.cfp"))
-            & (F.col("b.doc_id") < F.col("a.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id"))
+        chunks.join(cmin, "cfp")
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .select("doc_id")
         .distinct()
     )
     raw = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
