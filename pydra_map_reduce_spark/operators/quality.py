@@ -122,7 +122,8 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     # integer sums widen to HUGEINT on their own); the single final
     # division drops to double identically in both engines.
     rank2_sum = F.sum(
-        (F.col("p") * (2 * F.col("cum_less") + F.col("n") + 1)).cast("decimal(38,0)")
+        F.col("p").cast("decimal(38,0)")
+        * (2 * F.col("cum_less").cast("decimal(38,0)") + F.col("n") + 1)
     )
     n_pos_d = n_pos.cast("decimal(38,0)")
     return ranked.agg(
@@ -149,7 +150,9 @@ def running_balance(
     form exists — so this is the genuine applyInPandas case: one
     vectorized pass per key after the keyed shuffle, one float of
     state per key, output bounded to one row per key
-    (key, n_events, final_balance)."""
+    (key, n_events, final_balance). The key column keeps its INPUT
+    type in the output schema (hardcoding e.g. 'long' would break
+    string-keyed tables)."""
     import pandas as pd
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -165,10 +168,13 @@ def running_balance(
             }
         )
 
+    key_type = df.schema[key_col].dataType.simpleString()
     return (
         df.select(key_col, *order_cols, delta_col.alias("_delta"))
         .groupBy(key_col)
-        .applyInPandas(replay, f"{key_col} long, n_events long, final_balance double")
+        .applyInPandas(
+            replay, f"{key_col} {key_type}, n_events long, final_balance double"
+        )
     )
 
 
@@ -179,11 +185,15 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     scale the gate exists for). Addition commutes, so the number is
     identical under any partitioning, ordering, or engine — the
     one-number-per-table copy/migration gate. Returns (checksum,
-    n_rows). NULLs serialize as empty string via concat_ws: position
-    is preserved, so NULL-vs-'' collisions are the one documented
-    blind spot — include a count of NULLs per column (data_quality_report)
-    when that distinction matters."""
-    row_ser = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    n_rows). NULLs serialize as an explicit NUL-byte sentinel per
+    column BEFORE joining: concat_ws silently SKIPS null elements, so
+    without the sentinel ('a', NULL, 'b') and ('a', 'b', NULL) would
+    both hash as 'a|b' and a nullable column would break positional
+    integrity (and an ||-style oracle would drop the whole row)."""
+    row_ser = F.concat_ws(
+        "|",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+    )
     h = F.conv(F.substring(F.md5(row_ser), 1, 8), 16, 10).cast("decimal(20,0)")
     return df.agg(
         F.sum(h).cast("decimal(38,0)").alias("checksum"),

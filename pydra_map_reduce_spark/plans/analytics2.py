@@ -321,14 +321,19 @@ def important_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the global total. The scalar subquery is a one-row aggregate
     broadcast against the grouped table — the HAVING-over-global-
     fraction pattern — so the plan is two aggs + a broadcast cross
-    join, nothing correlated, nothing re-executed."""
+    join, nothing correlated, nothing re-executed. BOTH sides of the
+    > cut are rounded to 2dp before comparing (like top_supplier's
+    equality cut and the oracle's WHERE): the unrounded sums are
+    order-dependent float accumulations, and a nation within an
+    accumulation-ulp of the 4% line would otherwise pass in one
+    engine and fail in the other."""
     s = load_table(spark, sf_dir, "supplier")
-    nb = s.groupBy("s_nationkey").agg(F.sum("s_acctbal").alias("bal"))
-    thr = s.agg((F.sum("s_acctbal") * 0.04).alias("thr"))
+    nb = s.groupBy("s_nationkey").agg(F.round(F.sum("s_acctbal"), 2).alias("bal"))
+    thr = s.agg(F.round(F.sum("s_acctbal") * 0.04, 2).alias("thr"))
     return (
         nb.crossJoin(F.broadcast(thr))
         .filter(F.col("bal") > F.col("thr"))
-        .select("s_nationkey", F.round("bal", 2).alias("bal"))
+        .select("s_nationkey", "bal")
     )
 
 
@@ -789,26 +794,29 @@ def waiting_suppliers_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         GROUP BY c.c_nationkey, date_trunc('month', o.o_orderdate)
     )
-    SELECT c_nationkey, mon, revenue,
-           round(100.0 * (revenue - lag(revenue, 12) OVER w)
-                 / lag(revenue, 12) OVER w, 2) AS yoy_pct
+    SELECT m.c_nationkey, m.mon, m.revenue,
+           floor(100.0 * (m.revenue - p.revenue) / p.revenue * 100 + 0.5) / 100
+               AS yoy_pct
     FROM m
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY mon)
+    LEFT JOIN m p ON p.c_nationkey = m.c_nationkey
+                 AND m.mon = p.mon + INTERVAL 12 MONTH
     """,
     section="2.5 year-over-year growth (lag-12 window over monthly rollup)",
 )
 def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q47-style period-over-period comparison: monthly revenue
-    per customer nation with the lag-12 window delta. The window runs
-    over the MONTHLY AGGREGATE (nation × month — dimension-bounded),
-    never base rows, and the ratio divides the already-2dp-rounded
-    revenues so both engines divide identical doubles. NULL yoy for
-    the first year of each nation is part of the contract (lag
-    beyond the frame), not a missing-data bug."""
+    per customer nation against the SAME CALENDAR MONTH a year
+    earlier, via an equi-join on (nation, mon − 12 months) over the
+    monthly aggregate (nation × month — dimension-bounded, never base
+    rows). A row-based lag(12) would silently misalign whenever a
+    nation skips a month; the calendar join leaves those rows NULL
+    instead, which is the correct contract. The ratio divides the
+    already-2dp-rounded revenues (identical doubles in both engines)
+    and rounds with the portable half-up form — the quotient is
+    arbitrary-precision and can land on a .xx5 boundary where engine
+    round() diverges."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    from pyspark.sql import Window
-
     m = (
         o.join(c, c.c_custkey == o.o_custkey)
         .groupBy(
@@ -816,13 +824,27 @@ def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
-    w = Window.partitionBy("c_nationkey").orderBy("mon")
-    prev = F.lag("revenue", 12).over(w)
-    return m.select(
-        "c_nationkey",
-        "mon",
-        "revenue",
-        F.round(100.0 * (F.col("revenue") - prev) / prev, 2).alias("yoy_pct"),
+    p = m.select(
+        F.col("c_nationkey").alias("p_nat"),
+        (F.col("mon") + F.expr("INTERVAL 12 MONTHS")).alias("p_mon"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    return (
+        m.join(
+            p,
+            (m.c_nationkey == p.p_nat) & (m.mon == p.p_mon),
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "mon",
+            "revenue",
+            round_half_up(
+                100.0 * (F.col("revenue") - F.col("prev_revenue"))
+                / F.col("prev_revenue"),
+                2,
+            ).alias("yoy_pct"),
+        )
     )
 
 
@@ -850,7 +872,6 @@ def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     2dp-rounded revenues (identical doubles in both engines) and
     rounds half-up; the rank carries a nationkey tie-break so
     near-tied revenues cannot reorder between engines."""
-    from ..operators.textops import round_half_up as rhu
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -863,7 +884,7 @@ def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "c_nationkey",
         "revenue",
-        rhu(
+        round_half_up(
             100.0 * F.col("revenue") / F.sum("revenue").over(Window.partitionBy()), 4
         ).alias("share_pct"),
         F.rank()

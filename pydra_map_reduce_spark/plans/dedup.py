@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as ops
+from ..operators.textops import round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -526,8 +527,6 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     nears = (
         near.join(ex, "doc_id").groupBy("source").agg(F.count(F.lit(1)).alias("n_near"))
     )
-    from ..operators.textops import round_half_up as _rhu
-
     retained = F.coalesce(F.col("n_exact"), F.lit(0)) - F.coalesce(
         F.col("n_near"), F.lit(0)
     )
@@ -539,6 +538,6 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_raw",
             F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
             retained.alias("n_retained"),
-            _rhu(retained * 1.0 / F.col("n_raw"), 4).alias("retention"),
+            round_half_up(retained * 1.0 / F.col("n_raw"), 4).alias("retention"),
         )
     )

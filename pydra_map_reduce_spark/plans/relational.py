@@ -923,8 +923,10 @@ def percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_checksum",
     oracle="""
     SELECT CAST(sum(CAST(('0x' || substr(md5(
-             CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
-             || '|' || o_orderstatus || '|' || o_orderpriority), 1, 8)) AS BIGINT))
+             coalesce(CAST(o_orderkey AS VARCHAR), chr(0)) || '|'
+             || coalesce(CAST(o_custkey AS VARCHAR), chr(0)) || '|'
+             || coalesce(o_orderstatus, chr(0)) || '|'
+             || coalesce(o_orderpriority, chr(0))), 1, 8)) AS BIGINT))
            AS DECIMAL(38,0)) AS checksum,
            count(*) AS n_rows
     FROM orders

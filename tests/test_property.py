@@ -107,16 +107,12 @@ def test_table_checksum_partition_invariant(seed, parts, spark):
 
     from pydra_map_reduce_spark.sources.tables import load_table
 
+    from pydra_map_reduce_spark.operators.quality import table_checksum
+
     o = load_table(spark, SF_DIR, "orders").repartition(parts, F.pmod(F.hash(F.col("o_orderkey") + seed), F.lit(parts)))
-    row_ser = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_orderpriority"),
-    )
-    h = F.conv(F.substring(F.md5(row_ser), 1, 8), 16, 10).cast("decimal(20,0)")
-    got = o.agg(F.sum(h).cast("decimal(38,0)").alias("checksum")).collect()[0]["checksum"]
+    got = table_checksum(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ).collect()[0]["checksum"]
     assert got == base["checksum"]
 
 
