@@ -327,3 +327,75 @@ def cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("version") > 0, 1).otherwise(0)).cast("bigint").alias("n_multiversion"),
         F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("latest_total"),
     )
+
+
+@query(
+    "table_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    snap_b AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+                          ELSE o_totalprice END, 2) AS price
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    d AS (
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN a.price <> b.price
+                      OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change, count(*) AS n FROM d GROUP BY change
+    """,
+    section="2.7 snapshot diff (keyed full-outer reconciliation report)",
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot reconciliation: rows classified added / removed /
+    changed / unchanged by a keyed FULL OUTER join (the audit every
+    nightly pipeline runs before promoting a snapshot; CDC answers
+    'what changed' from a log — this answers it from STATE when no
+    log exists). The snapshots derive deterministically from orders
+    (key-mod membership, a simulated price touch on every 5th key) so
+    the oracle reproduces them; change detection compares the
+    2dp-rounded price so both engines compare identical doubles. One
+    shuffle on the key, counts roll up to four rows. At 100 TB the
+    value comparison widens to the row's md5 (table_checksum's
+    serialization) instead of per-column predicates."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("ak"),
+        F.col("o_orderstatus").alias("astatus"),
+        F.round("o_totalprice", 2).alias("aprice"),
+    )
+    b = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderstatus").alias("bstatus"),
+        F.round(
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("bprice"),
+    )
+    change = (
+        F.when(F.col("ak").isNull(), "added")
+        .when(F.col("bk").isNull(), "removed")
+        .when(
+            (F.col("aprice") != F.col("bprice"))
+            | (F.col("astatus") != F.col("bstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        a.join(b, a.ak == b.bk, "full_outer")
+        .select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
