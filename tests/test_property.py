@@ -197,3 +197,31 @@ def test_join_type_parity(spec, spark, duck):
     )
     drows = sorted(tuple(r) for r in duck.execute(sql.format(nat="nation", cust="customer")).fetchall())
     assert srows == drows
+
+
+@st.composite
+def setop_spec(draw):
+    op = draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+                               "EXCEPT", "EXCEPT ALL"]))
+    lo_a = draw(st.integers(min_value=0, max_value=20))
+    lo_b = draw(st.integers(min_value=0, max_value=20))
+    return op, lo_a, lo_b
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(spec=setop_spec())
+def test_setop_parity(spec, spark, duck):
+    """Random set operation over overlapping key projections: the
+    full result multiset must match (ALL forms keep duplicate
+    multiplicity; DISTINCT forms collapse it)."""
+    op, lo_a, lo_b = spec
+    c = load_table(spark, SF_DIR, "customer")
+    c.createOrReplaceTempView("customer_so_v")
+    sql = (
+        f"SELECT c_nationkey FROM {{t}} WHERE c_nationkey >= {lo_a} "
+        f"{op} "
+        f"SELECT c_nationkey FROM {{t}} WHERE c_nationkey >= {lo_b}"
+    )
+    srows = sorted(r[0] for r in spark.sql(sql.format(t="customer_so_v")).collect())
+    drows = sorted(r[0] for r in duck.execute(sql.format(t="customer")).fetchall())
+    assert srows == drows
