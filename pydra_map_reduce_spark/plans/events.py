@@ -904,3 +904,45 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_credits"),
         round_half_up(F.sum("micro") / 1000000.0, 2).alias("credit"),
     )
+
+
+@query(
+    "local_hour_histogram",
+    oracle="""
+    SELECT tz, local_hour, count(*) AS n
+    FROM (
+        SELECT 'America/New_York' AS tz,
+               hour(timezone('America/New_York', ts::TIMESTAMPTZ)) AS local_hour
+        FROM events
+        UNION ALL
+        SELECT 'Asia/Tokyo',
+               hour(timezone('Asia/Tokyo', ts::TIMESTAMPTZ))
+        FROM events
+    )
+    GROUP BY tz, local_hour
+    """,
+    section="2.8/2.9 event-time localization (timezone-converted hour histogram)",
+)
+def local_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-timezone local-hour activity histogram: the UTC event
+    instants converted to New York and Tokyo wall time (the 'when are
+    users actually active' view every geo dashboard needs — grouping
+    by UTC hour misplaces every non-UTC user's evening). Both engines
+    resolve the zone through the IANA tzdb; the fixture's January
+    window crosses no DST transition in either zone, so the offsets
+    are constant and version-independent. One scan fanned to two
+    zone labels, one keyed agg — at N zones this stays a single
+    explode over a zone array, never N scans."""
+    e = load_table(spark, sf_dir, "events")
+    zones = F.array(F.lit("America/New_York"), F.lit("Asia/Tokyo"))
+    return (
+        e.select(F.explode(zones).alias("tz"), "ts")
+        .select(
+            "tz",
+            F.hour(
+                F.convert_timezone(F.lit("UTC"), F.col("tz"), F.col("ts"))
+            ).alias("local_hour"),
+        )
+        .groupBy("tz", "local_hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
