@@ -1060,3 +1060,30 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 3)
     )
+
+
+@query(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    section="2.4 rollup with GROUPING() (subtotal-vs-data-NULL disambiguation)",
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with the GROUPING() indicator columns — the only
+    correct way to tell a subtotal row's NULL from a genuinely NULL
+    grouping value (on a nullable dimension the bare rollup output is
+    ambiguous; these flags are what BI layers key their 'Total' rows
+    on). Same Expand-based plan as rollup_agg, two extra literal-ish
+    columns."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+    )
