@@ -79,7 +79,7 @@ _DRIVER_PRIORITY = [
 #   waiting_suppliers_agg, yoy_growth, revenue_share,
 #   attribution_linear, weighted_median, basket_pairs,
 #   running_balance_capped, observed_metrics, dedup_report, table_diff,
-#   local_hour_histogram, rollup_grouping_id,
+#   local_hour_histogram, rollup_grouping_id, not_in_null_semantics,
 # That queue is now 54 queries — already over the 50-slot window — so
 # round 7 fills entirely from it (oldest-added first) and the next
 # stalest greens (r3/r4-era: allpairs_similarity, ann_lsh_topk,

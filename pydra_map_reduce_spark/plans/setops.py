@@ -399,3 +399,53 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "not_in_null_semantics",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 13) FROM nation))
+          AS n_not_in_nullable,
+      (SELECT count(*) FROM customer
+       WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                 WHERE n_nationkey <> 13))
+          AS n_not_in_clean,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM nation n
+                         WHERE nullif(n.n_nationkey, 13) = c.c_nationkey))
+          AS n_not_exists
+    """,
+    section="2.3/2.7 NOT IN three-valued-logic semantics (vs NOT EXISTS)",
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most notorious SQL correctness trap, pinned differentially:
+    `NOT IN (subquery)` against a list containing ONE NULL returns
+    zero rows (x <> NULL is UNKNOWN, so no row ever satisfies the
+    conjunction), while the same exclusion written as NOT EXISTS — or
+    against the NULL-free list — returns the nationkey-13 customers.
+    All three counts in one row: n_not_in_nullable MUST be 0, the
+    other two MUST agree. Catalyst lowers the NOT IN to a null-aware
+    anti join and NOT EXISTS to a plain left-anti — both hash joins,
+    both fine at scale; what differs (and what this query documents)
+    is the SEMANTICS users get."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_nin_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_nin_v")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM customer_nin_v
+           WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 13)
+                                     FROM nation_nin_v))
+              AS n_not_in_nullable,
+          (SELECT count(*) FROM customer_nin_v
+           WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation_nin_v
+                                     WHERE n_nationkey <> 13))
+              AS n_not_in_clean,
+          (SELECT count(*) FROM customer_nin_v c
+           WHERE NOT EXISTS (SELECT 1 FROM nation_nin_v n
+                             WHERE nullif(n.n_nationkey, 13) = c.c_nationkey))
+              AS n_not_exists
+        """
+    )
