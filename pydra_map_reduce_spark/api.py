@@ -251,7 +251,16 @@ class Pipeline:
     def auc(self, score_col: str, label_col: str) -> "Pipeline":
         """One-row ROC AUC of score_col against the 0/1 label_col
         (Mann-Whitney rank-sum over the distinct-score grid — no
-        global row sort, integer-exact until the final division)."""
+        global row sort, integer-exact until the final division).
+
+        PRECONDITION: score_col must be low-cardinality / discretized
+        (probabilities at fixed precision, binned scores, …). The
+        rank grid is one row per DISTINCT score, ordered by an
+        unpartitioned window — on a continuous score the grid is
+        corpus-sized and the ordering degenerates to a single-task
+        global sort. For continuous scores, pre-bucket first, e.g.
+        ``F.round(score, 4)``: AUC over 10⁴ buckets is within
+        ~1e-4 of exact and keeps the grid bounded."""
         from .operators import quality as _quality
 
         return Pipeline(_quality.auc(self.df, score_col, label_col))

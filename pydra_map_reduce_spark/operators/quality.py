@@ -14,6 +14,8 @@ Scale posture (shared by all three):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -160,11 +162,15 @@ def running_balance(
         bal = 0.0
         for d in pdf["_delta"].to_numpy():
             bal = min(max(bal + d, 0.0), cap)
+        # floor-based half-up (bal is clamped ≥ 0, so the form is
+        # exact) — Python round() is banker's and diverges from the
+        # repo's cross-engine half-up convention on 2dp midpoints.
+        final = math.floor(bal * 100 + 0.5) / 100
         return pd.DataFrame(
             {
                 key_col: [pdf[key_col].iloc[0]],
                 "n_events": [len(pdf)],
-                "final_balance": [round(bal, 2)],
+                "final_balance": [final],
             }
         )
 

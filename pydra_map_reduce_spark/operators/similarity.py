@@ -397,7 +397,11 @@ def knn_classify(
         F.col("label").alias("true_label"),
         F.col("emb").alias("qv"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    # rank on the cosine ROUNDED to 9dp (then vec_id): a raw-float
+    # ordering lets a cross-engine ulp difference at the rank-k/k+1
+    # boundary flip the neighbor set; 9dp absorbs ulp noise while
+    # still separating genuinely distinct neighbors.
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "vec_id")
     scored = (
         e.filter(F.col("vec_id") >= n_queries)
         .crossJoin(F.broadcast(q))
@@ -406,7 +410,7 @@ def knn_classify(
             "true_label",
             "label",
             "vec_id",
-            cosine(F.col("emb"), F.col("qv")).alias("cos_raw"),
+            F.round(cosine(F.col("emb"), F.col("qv")), 9).alias("cos_r"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -814,7 +814,13 @@ def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-2dp-rounded revenues (identical doubles in both engines)
     and rounds with the portable half-up form — the quotient is
     arbitrary-precision and can land on a .xx5 boundary where engine
-    round() diverges."""
+    round() diverges. NOTE on sign: yoy_pct is NEGATIVE for revenue
+    declines, and the floor(x·100+0.5)/100 form rounds a negative
+    midpoint toward +inf (−0.125 → −0.12), i.e. toward-positive
+    rather than strict half-away-from-zero. Both engines apply the
+    identical form, so the differential gate is unaffected; callers
+    needing sign-symmetric half-up on signed metrics should apply
+    sign(x)·round_half_up(abs(x)) instead."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     m = (

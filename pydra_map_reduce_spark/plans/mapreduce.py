@@ -476,7 +476,7 @@ _RB_CAP = 1000.0  # clamp ceiling for the running balance
         FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
     )
     SELECT user_id, CAST(n AS BIGINT) AS n_events,
-           round(bal, 2) AS final_balance
+           floor(bal * 100 + 0.5) / 100 AS final_balance
     FROM rec WHERE rn = n
     """,
     section="2.10 per-key capped running balance (applyInPandas recurrence)",

@@ -335,7 +335,7 @@ def test_running_balance_capped_matches_numpy_anchor(spark):
         for r in evs:
             d = r["value"] if r["event_type"] in ("view", "click") else -r["value"]
             bal = min(max(bal + d, 0.0), _RB_CAP)
-        want[uid] = (len(evs), round(bal, 2))
+        want[uid] = (len(evs), math.floor(bal * 100 + 0.5) / 100)
     assert got == want
 
 
