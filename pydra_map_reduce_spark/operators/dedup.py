@@ -82,21 +82,47 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.03
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.03,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing ≥1 n-gram shingle.
 
     The shared-shingle equi-join count IS the intersection size
     (shingle arrays are distinct), so no per-pair array math; work is
     Σ_bucket |bucket|², not n². Shingles join on xxhash64 ids (cheaper
-    shuffle than strings, collision-free in practice)."""
+    shuffle than strings, collision-free in practice).
+
+    ``max_df`` (DEFAULT-ON at 100) is the document-frequency ceiling:
+    shingles appearing in more than max_df documents are dropped
+    BEFORE the inverted-index self-join, and jaccard is computed over
+    the capped shingle sets (both intersection and sizes). Without it
+    the self-join's work has an unbounded term — one stop-shingle
+    ("in the the") whose posting list spans half the corpus makes a
+    single bucket quadratic in corpus size. The cap bounds every
+    bucket at max_df rows, so self-join work is at most
+    |shingles|·max_df — linear in the index for fixed K. This is the
+    standard df-pruning trick in all-pairs similarity literature;
+    near-dup semantics barely change because a shingle shared by
+    thousands of documents carries no pair-discriminating signal
+    anyway. The df filter joins on the shingle id — already the
+    self-join's shuffle key, so pruning adds no extra exchange of the
+    index. Pass ``max_df=None`` to disable (small-n oracle twins
+    where exact uncapped jaccard is the contract)."""
     df = _spread(df)
-    # persist: the shingle index feeds three plan branches (both join
-    # sides + sizes); without it each branch recomputes the full
-    # tokenize→window→distinct lineage. MEMORY_AND_DISK entries are
-    # evictable (unified memory manager favors execution), so a
+    ex = shingle_rows(df, id_col, text_col, n)
+    if max_df is not None:
+        dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        ex = ex.join(dfreq.filter(F.col("df") <= max_df), "s").select("doc_id", "s")
+    # persist: the (capped) shingle index feeds three plan branches
+    # (both join sides + sizes); without it each branch recomputes the
+    # full tokenize→window→distinct lineage. MEMORY_AND_DISK entries
+    # are evictable (unified memory manager favors execution), so a
     # long-lived session degrades to recompute, not OOM.
-    ex = shingle_rows(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -128,46 +154,11 @@ def ngram_jaccard_pairs_capped(
     threshold: float = 0.03,
     max_df: int = 100,
 ) -> DataFrame:
-    """ngram_jaccard_pairs with a document-frequency ceiling: shingles
-    appearing in more than ``max_df`` documents are dropped BEFORE the
-    inverted-index self-join, and jaccard is computed over the capped
-    shingle sets (both intersection and sizes).
-
-    Why: the uncapped operator's work is Σ_bucket |bucket|² — one
-    stop-shingle ("in the the") whose posting list spans half the
-    corpus makes a single bucket quadratic in corpus size. The cap
-    bounds every bucket at max_df rows, so self-join work is at most
-    |shingles|·max_df — linear in the index for fixed K. This is the
-    standard trick (stop-word df-pruning) in all-pairs similarity
-    literature; near-dup semantics barely change because a shingle
-    shared by thousands of documents carries no pair-discriminating
-    signal anyway. The df filter joins on the shingle id — already the
-    self-join's shuffle key, so pruning adds no extra exchange of the
-    index."""
-    df = _spread(df)
-    ex = shingle_rows(df, id_col, text_col, n)
-    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    kept = (
-        ex.join(dfreq.filter(F.col("df") <= max_df), "s")
-        .select("doc_id", "s")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
-    a, b = kept.alias("a"), kept.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    from .textops import round_half_up  # deferred: textops imports tokens from here
-
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard"))
+    """Alias kept for API stability: the df-cap is now default-on in
+    ngram_jaccard_pairs itself (this name predates that); both run the
+    identical capped plan."""
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold, max_df=max_df
     )
 
 

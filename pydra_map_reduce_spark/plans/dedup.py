@@ -62,6 +62,13 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="2.11 n-gram Jaccard near-dup (inverted-index candidates)",
 )
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the operator with its DEFAULT df-cap (max_df=100) — now
+    default-on so the corpus-scale work bound holds for every caller.
+    The oracle stays uncapped because the cap is provably inert on the
+    fixtures: shingle df tops out at 25 across sf0.001/0.01/0.1
+    (measured round 7), so capped and uncapped pair sets are
+    identical; the dedicated `ngram_jaccard_capped` query (max_df=5,
+    which DOES prune at every SF) certifies the cap path itself."""
     return ops.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.03
     )
@@ -429,7 +436,10 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (threshold 0.2) instead of MinHash candidates. LSH recall is <1 by
     construction, so only the exact graph gives a pair set an external
     oracle can reproduce — this query is what certifies the iterative
-    CC operator itself against DuckDB's recursive-CTE closure."""
+    CC operator itself against DuckDB's recursive-CTE closure. Pair
+    generation inherits the operator's default df-cap (max_df=100) —
+    inert on the fixtures (shingle df ≤ 25 at every SF), so the
+    uncapped-closure oracle is still exact."""
     pairs = ops.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
     ).select("doc_a", "doc_b")

@@ -225,3 +225,61 @@ def test_setop_parity(spec, spark, duck):
     srows = sorted(r[0] for r in spark.sql(sql.format(t="customer_so_v")).collect())
     drows = sorted(r[0] for r in duck.execute(sql.format(t="customer")).fetchall())
     assert srows == drows
+
+
+def test_ngram_df_cap_bounds_buckets(spark):
+    """The default-on df-cap in ngram_jaccard_pairs must (a) prune
+    every shingle whose posting list exceeds max_df BEFORE the
+    self-join — so a corpus-spanning stop-shingle yields NO pairs —
+    (b) leave sub-cap corpora bit-identical to the uncapped escape
+    (max_df=None), and (c) still count capped shingle sets in the
+    jaccard denominator."""
+    from pydra_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 20 docs: one stop-shingle ('stop stop stop') spans all of them;
+    # every other shingle is unique to its doc.
+    docs = spark.createDataFrame(
+        [(i, f"stop stop stop u{i} v{i} w{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    uncapped = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.03, max_df=None
+        ).collect()
+    )
+    # uncapped: every pair shares exactly the stop-shingle -> C(20,2)
+    # pairs at jaccard 1/(4+4-1)
+    assert len(uncapped) == 190
+    assert all(abs(j - 0.1429) < 1e-9 for _, _, j in uncapped)
+
+    # cap below the stop-shingle's df=20: the quadratic bucket is
+    # pruned, nothing else is shared -> zero pairs
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.03, max_df=10
+    ).collect()
+    assert capped == []
+
+    # default cap (100) above every df in this corpus: identical to
+    # the uncapped escape
+    default = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.03).collect()
+    )
+    assert default == uncapped
+
+    # denominator uses CAPPED sizes: two docs sharing a unique
+    # shingle plus the pruned stop-shingle -> jaccard over kept sets
+    docs2 = spark.createDataFrame(
+        [(i, f"stop stop stop a b c d{i} e{i}") for i in range(2)]
+        + [(i, f"stop stop stop u{i} v{i} w{i}") for i in range(2, 12)],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(
+        docs2, "doc_id", "text", n=3, threshold=0.03, max_df=10
+    ).collect()
+    # docs 0,1 share kept shingles: 'stop stop a'(df=2, kept),
+    # 'stop a b', 'a b c' -> inter=3; kept sizes: 6 shingles minus the
+    # pruned stop-shingle = 5 each -> jaccard 3/(5+5-3)
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(0, 1)]
+    assert abs(rows[0].jaccard - round(3 / 7, 4)) < 2e-4
