@@ -1,16 +1,25 @@
 #!/usr/bin/env python
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (kept under ~2000 chars — the driver's
+stdout capture truncates to the LAST 2000 chars, which mangled
+BENCH_r06.json into `parsed: null`):
   {"metric": "headline_total_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "cold_total_sec": N,
-   "queries_cold": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "cold_total_sec": N, "sf": 0.1,
+   "loadavg_before": [...], ...}
 
 `value` is the warm total (min of 2 runs per query — steady state);
 `cold_total_sec` is the first-run total (includes codegen/compile and
-cold caches). Both are recorded so round-over-round and vs-BASELINE
-comparisons are like-for-like (VERDICT r2 flagged cold/warm framing
-ambiguity).
+cold caches). Per-query COLD detail is no longer in the line — it goes
+to BENCH_detail_last.json next to this script (VERDICT r6 §wrong #3).
+
+Host-contention guard (VERDICT r6): a bench started at loadavg 8+ is
+measuring the other workload, not this repo — every query inflates
+uniformly and the numbers are unusable (the r5/r6 "steal" postmortems).
+So main() WAITS for 1-min loadavg ≤ BENCH_MAX_LOAD (default 2.0) for up
+to BENCH_MAX_WAIT_SEC (default 240 s) before running, and stamps
+`contended: true` when it had to give up waiting — graders discount
+flagged runs per BASELINE.md's standing steal rule.
 
 Execution uses the `noop` sink so timings measure the full distributed
 plan without driver-side materialization. The headline set covers every
@@ -47,8 +56,8 @@ HEADLINE = [
     "word_count",            # MR flagship
     "tf_idf",                # two-level agg + broadcast join
     "exact_dedup",           # content-hash groupBy
-    "ngram_jaccard_neardup", # inverted-index candidate join
-    "ngram_jaccard_capped",  # same, df-ceiling bounded buckets (scale path)
+    "ngram_jaccard_neardup", # inverted-index candidate join (df-capped default)
+    "ngram_jaccard_capped",  # same, tighter df ceiling (prunes at fixture SFs)
     "minhash_lsh_neardup",   # minhash → band join → rescore
     "cosine_topk",           # brute-force vector top-k
     "ivf_ann_topk",          # IVF ANN (k-means cells + n-probe rescore)
@@ -74,10 +83,24 @@ HEADLINE = [
 ]
 
 
+def _wait_for_quiet(max_load: float, max_wait_sec: float) -> tuple[float, bool]:
+    """Poll the 1-min loadavg until it drops to ``max_load`` or the
+    wait budget runs out. Returns (seconds_waited, still_contended)."""
+    t0 = time.monotonic()
+    while os.getloadavg()[0] > max_load:
+        if time.monotonic() - t0 >= max_wait_sec:
+            return round(time.monotonic() - t0, 1), True
+        time.sleep(5)
+    return round(time.monotonic() - t0, 1), False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    max_load = float(os.environ.get("BENCH_MAX_LOAD", "2.0"))
+    max_wait = float(os.environ.get("BENCH_MAX_WAIT_SEC", "240"))
+    waited, contended = _wait_for_quiet(max_load, max_wait)
     # host load BEFORE the bench contributes to it: r5's driver numbers
     # were ~1.5× inflated by concurrent suite runs, indistinguishable
     # from a plan regression without this context (VERDICT r5 §perf)
@@ -101,21 +124,32 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         warm[name] = round(min(runs), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-                "sf": sf,
-                "loadavg_before": load_before,
-                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
+    line = {
+        "metric": "headline_total_sec",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in warm.items()},
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "sf": sf,
+        "loadavg_before": load_before,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "waited_for_quiet_sec": waited,
+        "contended": contended,
+    }
+    # full per-query cold/warm detail lives in a side file so the
+    # stdout line stays inside the driver's 2000-char capture window
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail_last.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**line, "queries_cold": cold, "queries_warm": warm}, f, indent=1)
+
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 2000:  # hard guarantee for the capture window
+        del line["queries"]
+        line["queries_in"] = "BENCH_detail_last.json"
+        out = json.dumps(line, separators=(",", ":"))
+    print(out)
 
 
 if __name__ == "__main__":
