@@ -18,6 +18,7 @@ from . import (  # noqa: F401  (import-for-side-effect: registry population)
     joins,
     mapreduce,
     mleval,
+    money,
     multimodal,
     relational,
     scalar,

@@ -541,3 +541,19 @@ def test_table_checksum_partial_aggregation(spark):
     plan = _executed(df)
     assert plan.count("HashAggregate") >= 2, plan[:3000]
     assert plan.count("FileScan parquet") == 1, plan[:3000]
+
+
+def test_decimal_q1_pushdown_and_hash_agg(spark):
+    """The exact-decimal Q1 must keep the double flagship's plan
+    shape: shipdate filter pushed to the parquet scan, unused columns
+    pruned, and a partial+final HashAggregate (decimal sums at this
+    precision stay on the fast long-backed path — no sort-based or
+    object-hash fallback)."""
+    df = REGISTRY["pricing_summary_decimal"].fn(spark, SF_DIR)
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan and "LessThanOrEqual(l_shipdate" in plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_partkey" not in scan and "l_orderkey" not in scan, scan
+    ex = _executed(df)
+    assert "HashAggregate" in ex, ex
+    assert "ObjectHashAggregate" not in ex and "SortAggregate" not in ex, ex
