@@ -366,6 +366,150 @@ def ivf_topk(
     )
 
 
+def ivf_topk_distributed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    *,
+    dim: int,
+    n_clusters: int = 64,
+    lloyd_iters: int = 2,
+    n_probe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """IVF ANN with DISTRIBUTED centroid state — the large-k ceiling
+    lift for `ivf_topk`, whose driver-synced centroid matrix stops
+    scaling when n_clusters·dim is large (documented there).
+
+    Centroids live in a DataFrame for the entire run; nothing
+    corpus-sized OR centroid-sized ever touches the Python driver
+    (`.collect()`-free by construction). Each Lloyd round is:
+
+    1. assignment — fan each point out to the live cells with an
+       `explode(sequence(0, k-1))` + EQUI BroadcastHashJoin on cid
+       (never a cross/nested-loop join: the constant fan-out key
+       keeps the planner on the hash path), squared-L2 as a flat
+       dim-term codegen chain over primitive v·/m· columns (the
+       allpairs flat-column trick — the expression is O(dim),
+       independent of k, because centroid values arrive as JOIN
+       columns, not literals; the literal formulation at k·dim terms
+       is the one that blew up Catalyst analysis ~35 s), and a
+       min-struct argmin with map-side partial aggregation — only
+       one combined row per point crosses the shuffle;
+    2. update — per-cell per-dim avg over the assigned flat columns:
+       one partial+final HashAggregate straight to the next flat
+       centroid frame (no posexplode, no pivot). A cell losing all
+       members DROPS from the frame (its fan-out rows vanish in the
+       inner join next round) — mirroring the unrolled-Lloyd oracle.
+       The bounded (≤ n_clusters × dim) result is localCheckpoint'd
+       to cut the per-round lineage — executor-side state, the
+       distributed analogue of ivf_topk's driver sync.
+
+    Query time: cell ranking and the final rescore join the 1-row
+    query frame on a constant key (BroadcastHashJoin, not a cross
+    join); only the `n_probe` nearest cells rescore exactly, with
+    the cosine as the same left-to-right flat chain the SQL oracle's
+    list_cosine_similarity folds. At 100 TB: corpus stays put, the
+    per-round exchanges are one combined row per point (assignment)
+    and k·dim partials (update) — no state bottleneck at any k."""
+    from pyspark.sql.window import Window
+
+    e = df.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("emb"))
+    flat = e.select(
+        "vec_id", *[F.element_at("emb", i + 1).alias(f"v{i}") for i in range(dim)]
+    )
+
+    # deterministic seeds: the n_clusters lowest-id vectors, cid 0..n-1
+    # (single-partition window is safe: the frame is limit()-bounded)
+    cents = (
+        e.orderBy("vec_id")
+        .limit(n_clusters)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"), "emb"
+        )
+        .select(
+            "cid", *[F.element_at("emb", i + 1).alias(f"m{i}") for i in range(dim)]
+        )
+    )
+
+    def _chain(terms: list[Column]) -> Column:
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    d2 = _chain(
+        [
+            (F.col(f"v{i}") - F.col(f"m{i}")) * (F.col(f"v{i}") - F.col(f"m{i}"))
+            for i in range(dim)
+        ]
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        fan = flat.withColumn(
+            "cid", F.explode(F.sequence(F.lit(0), F.lit(n_clusters - 1)))
+        )
+        return (
+            fan.join(F.broadcast(cents_df), "cid")  # inner: dead cells drop
+            .select("vec_id", "cid", d2.alias("d2"), *[f"v{i}" for i in range(dim)])
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cid")).getField("cid").alias("cid"),
+                *[F.first(f"v{i}").alias(f"v{i}") for i in range(dim)],
+            )
+        )
+
+    for _ in range(lloyd_iters):
+        cents = (
+            assign(cents)
+            .groupBy("cid")
+            .agg(*[F.avg(f"v{i}").alias(f"m{i}") for i in range(dim)])
+            .localCheckpoint(eager=True)
+        )
+    assigned = assign(cents)
+
+    # constant-key equi joins for the 1-row query frame: the key must
+    # be NON-FOLDABLE (pmod of a column, always 0) — a lit(1)=lit(1)
+    # condition constant-folds to `true` and the planner degrades the
+    # join to BroadcastNestedLoopJoin; pmod keeps it on the
+    # BroadcastHashJoin path the plan test pins. (vec_id/cid are
+    # non-null by the fixture contract; pmod null-propagates.)
+    qf = flat.filter(F.col("vec_id") == query_id).select(
+        F.pmod(F.col("vec_id"), F.lit(1)).cast("int").alias("jk"),
+        *[F.col(f"v{i}").alias(f"q{i}") for i in range(dim)],
+    )
+    qd2 = _chain(
+        [
+            (F.col(f"m{i}") - F.col(f"q{i}")) * (F.col(f"m{i}") - F.col(f"q{i}"))
+            for i in range(dim)
+        ]
+    )
+    probe = (
+        cents.withColumn("jk", F.pmod(F.col("cid"), F.lit(1)).cast("int"))
+        .join(F.broadcast(qf), "jk")
+        .select("cid", qd2.alias("qd2"))
+        .orderBy("qd2", "cid")
+        .limit(n_probe)
+        .select("cid")
+    )
+
+    cos = _chain([F.col(f"v{i}") * F.col(f"q{i}") for i in range(dim)]) / (
+        F.sqrt(_chain([F.col(f"v{i}") * F.col(f"v{i}") for i in range(dim)]))
+        * F.sqrt(_chain([F.col(f"q{i}") * F.col(f"q{i}") for i in range(dim)]))
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != query_id)
+        .withColumn("jk", F.pmod(F.col("vec_id"), F.lit(1)).cast("int"))
+        .join(F.broadcast(qf), "jk")
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(k)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
 def knn_classify(
     df: DataFrame,
     id_col: str,

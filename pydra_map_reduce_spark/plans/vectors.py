@@ -343,3 +343,33 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=2,
         k=5,
     )
+
+
+@query(
+    "ivf_ann_topk_distributed",
+    # same unrolled-Lloyd CTE oracle, parameterized to the large-k run
+    oracle=_ivf_oracle(n_clusters=64, lloyd_iters=2, n_probe=4, k=5),
+    section="2.11 ANN: IVF with distributed centroid frame (large-k path)",
+)
+def ivf_ann_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-k IVF variant: 64 cells over the 500-vector fixture
+    (≈8 vectors/cell — deliberately past where ivf_topk's
+    driver-synced centroid matrix pattern is comfortable). Centroids
+    stay in a DataFrame end-to-end; assignment is an equi
+    BroadcastHashJoin + flat-column codegen distance; NOTHING
+    collects to the Python driver (plan test pins no-NLJ and the
+    operator is collect-free by construction). Oracle: the identical
+    chained-CTE Lloyd unroll as `ivf_ann_topk`, re-parameterized —
+    training, assignment, probe choice, and the rescored top-k all
+    externally verified at k=64."""
+    return ops.ivf_topk_distributed(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        query_id=0,
+        dim=64,
+        n_clusters=64,
+        lloyd_iters=2,
+        n_probe=4,
+        k=5,
+    )

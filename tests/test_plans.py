@@ -557,3 +557,17 @@ def test_decimal_q1_pushdown_and_hash_agg(spark):
     ex = _executed(df)
     assert "HashAggregate" in ex, ex
     assert "ObjectHashAggregate" not in ex and "SortAggregate" not in ex, ex
+
+
+def test_ivf_distributed_no_nlj_no_cartesian(spark):
+    """The distributed-centroid IVF must pair points with cells via
+    equi hash joins only — the explode(sequence)+join fan-out and the
+    constant-key query joins must all plan as BroadcastHashJoin, with
+    no cartesian product or nested-loop join anywhere, and the
+    centroid state must appear only as the bounded checkpointed frame
+    (no corpus-sized local relation)."""
+    df = REGISTRY["ivf_ann_topk_distributed"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
