@@ -449,6 +449,96 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_join_batch",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+    section="2.9 stream-static join, ORACLE-BACKED batch twin",
+)
+def stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DuckDB-checkable half of the `streaming_static_join` twin
+    pair: the IDENTICAL broadcast dim-enrichment join and per-segment
+    aggregate, run as a plain batch plan. The local suite separately
+    asserts the streaming run equals this batch anchor row-for-row
+    (test_streaming_static_join_matches_batch_anchor), so the chain
+    stream ≡ batch ≡ oracle closes end-to-end — this entry gives the
+    driver the oracle-checkable link, demoting the streaming form to
+    the only rows-only piece."""
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "stream_stream_join_batch",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT DISTINCT p.event_id AS buy_id, p.user_id, p.value
+        FROM p JOIN v ON v.user_id = p.user_id
+              AND p.ts >= v.ts
+              AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    )
+    SELECT count(*)                       AS n_attributed,
+           count(DISTINCT user_id)        AS n_users,
+           round(sum(value), 2)           AS sum_value
+    FROM pairs
+    """,
+    section="2.9 stream-stream join, ORACLE-BACKED batch twin",
+)
+def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of `streaming_stream_join`: the same view-to-
+    purchase attribution (purchases matched to any view by the same
+    user in the preceding 30 minutes, value summed once per purchase)
+    as a batch interval self-join. The suite pins stream ≡ batch
+    (test_stream_join_matches_batch_anchor); this entry pins batch ≡
+    oracle, closing the chain for the driver ledger. Same scale shape
+    as the streaming form: the join keys on user_id (hash exchange),
+    the time bound is a residual predicate, and only per-purchase
+    rows reach the final aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+        "value",
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    per_buy = joined.groupBy("buy_id").agg(
+        F.first("p_user").alias("p_user"), F.first("value").alias("value")
+    )
+    return per_buy.agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.countDistinct("p_user").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
     "streaming_stateful_max",
     oracle=None,  # rows-only: state API v2; batch anchor asserted in tests
     section="2.9/2.10 custom stateful streaming op (transformWithStateInPandas, state API v2)",
