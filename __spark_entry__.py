@@ -21,69 +21,63 @@ from pydra_map_reduce_spark.plans import REGISTRY
 # iteration order (observed: exactly the first 50 entries). Every query
 # is green in the full local suite (tests/test_correctness.py replays
 # the same differential check over ALL of them), so the dict is ordered
-# to rotate driver coverage round over round. Round-6 window, all
-# oracle-backed (rows-only queries are excluded from the first 50 —
-# the driver can only record `err: no_oracle` for them, wasting the
-# slot): (a) the 11 oracle-backed queries never covered by any r2-r5
-# ledger (added late in round 5 — the queue r5's verdict ordered),
-# (b) the 4 queries added / converted rows-only→oracle in round 6,
-# (c) the 35 stalest greens — every remaining query whose newest
-# driver evidence is the r2 ledger, predating the r4 fixture
-# regeneration (ngram_jaccard_neardup is the one r2-era green left
-# out: its shingle/inverted-index machinery is re-certified by the
-# new ngram_jaccard_capped, and it stays in the local suite + bench).
-# Everything previously green in r3-r5 moves behind the window and
-# stays covered by the local suite, which replays the identical
-# differential over all of them.
+# to rotate driver coverage round over round. Round-7 window: ALL 50
+# slots go to oracle-backed queries with ZERO prior driver evidence
+# (81 such queries exist after this round's additions; rows-only
+# queries are excluded — the driver can only record `err: no_oracle`
+# for them, wasting the slot). Composition, per the r6 verdict's
+# ordering: (a) the 7 queries added in round 7, (b) the ML-evaluation
+# family, (c) the temporal-warehouse family, (d) the TPC-H remainder
+# shapes, (e) the corpus-science family, (f) the front of the r6-era
+# rotation queue. Everything previously green in r2-r6 moves behind
+# the window and stays covered by the local suite, which replays the
+# identical differential over all of them.
 _DRIVER_PRIORITY = [
-    # (a) never driver-checked (late-r5 additions) — 11
-    "rfm_segments", "ab_test_zscore", "length_deciles", "transition_matrix",
-    "triangle_count", "compact_small_files", "schema_evolution_read",
-    "join_asof_forward", "selective_agg_funcs", "regex_funcs", "bitwise_funcs",
-    # (b) round-6 additions and rows-only→oracle conversions — 4
-    "ngram_jaccard_capped", "ivf_ann_topk", "dedup_clusters",
-    "dedup_clusters_star",
-    # (c) stalest greens: newest driver evidence is the r2 ledger — 35
-    "correlated_subquery", "csv_roundtrip", "distinct_rows", "exact_dedup",
-    "filter_predicates", "forecast_revenue", "global_sort",
-    "groupby_multi_agg", "inmemory_source", "join_anti", "join_cross",
-    "join_full_outer", "join_inner", "join_left_outer", "join_range",
-    "join_right_outer", "join_salted_skew", "join_semi", "jsonl_roundtrip",
-    "large_volume_customers", "local_supplier_volume", "mr_flatmap",
-    "mr_map", "mr_reduce_by_key", "mr_udtf_expand", "multimodal_features",
-    "multimodal_frame_sample", "parquet_partitioned_sink",
-    "project_conditional", "promo_revenue", "rename_drop", "returned_items",
-    "shipping_priority", "text_scan", "udtf_lateral",
+    # (a) round-7 additions — 7
+    "pricing_summary_decimal", "decimal_threshold_cut",
+    "nation_revenue_decimal", "multimodal_binary_decode",
+    "ivf_ann_topk_distributed", "stream_static_join_batch",
+    "stream_stream_join_batch",
+    # (b) ML evaluation — 4
+    "auc_score", "calibration_bins", "knn_classify", "gopher_rules",
+    # (c) temporal warehouse — 4
+    "merge_scd2", "join_point_in_time", "cdc_latest_wins",
+    "incremental_agg",
+    # (d) TPC-H remainder shapes — 15
+    "min_cost_supplier", "order_priority_check", "volume_shipping",
+    "market_share", "product_type_profit", "important_balance",
+    "shipmode_priority", "customer_distribution", "top_supplier",
+    "supplier_part_variety", "small_quantity_revenue", "bracket_revenue",
+    "dominant_suppliers", "waiting_suppliers", "idle_customers",
+    # (e) corpus science — 7
+    "ks_drift", "psi_drift", "chi2_independence", "gini_concentration",
+    "token_entropy", "zipf_slope", "pareto_frontier",
+    # (f) front of the rotation queue — 13 (running_balance_capped and
+    # knn_classify above were touched by this round's rounding fixes,
+    # so both sit inside the window for fresh driver evidence)
+    "join_interval_overlap", "ann_batch_topk", "winsorize_balance",
+    "pergroup_cap_sample", "data_quality_report", "time_rollup_hierarchy",
+    "zorder_layout", "ewma_smooth", "attribution_last_touch",
+    "weighted_sample", "chunk_dedup_ratio", "rolling_active_users",
+    "running_balance_capped",
 ]
 
 
-# Round-7 rotation queue (never driver-checked, added after the r6
-# window was frozen; all oracle-backed and locally verified at
-# sf0.001/0.01/0.1):
-#   merge_scd2, join_point_in_time, ann_batch_topk, winsorize_balance,
-#   pergroup_cap_sample, data_quality_report, incremental_agg,
-#   time_rollup_hierarchy, zorder_layout, join_interval_overlap,
-#   ewma_smooth, attribution_last_touch, weighted_sample,
-#   chunk_dedup_ratio, token_entropy, zipf_slope, rolling_active_users,
-#   pareto_frontier, ks_drift, psi_drift, chi2_independence,
-#   gini_concentration, variant_extract, python_datasource_scan,
-#   mr_grouped_arrow, udtf_polymorphic, fuzzy_blocked_join,
-#   min_cost_supplier, order_priority_check, volume_shipping,
-#   market_share, product_type_profit, important_balance,
-#   shipmode_priority, customer_distribution, top_supplier,
-#   supplier_part_variety, small_quantity_revenue, bracket_revenue,
-#   dominant_suppliers, waiting_suppliers, idle_customers,
-#   auc_score, calibration_bins, knn_classify, gopher_rules,
-#   bfs_hops, unpivot_melt, join_null_safe, percentile_binned,
-#   table_checksum, jsonl_quarantine, feature_hashing,
-#   waiting_suppliers_agg, yoy_growth, revenue_share,
-#   attribution_linear, weighted_median, basket_pairs,
-#   running_balance_capped, observed_metrics, dedup_report, table_diff,
-#   local_hour_histogram, rollup_grouping_id, not_in_null_semantics,
-# That queue is now 54 queries — already over the 50-slot window — so
-# round 7 fills entirely from it (oldest-added first) and the next
-# stalest greens (r3/r4-era: allpairs_similarity, ann_lsh_topk,
-# array/date/string function families, window family) roll to round 8.
+# Round-8 rotation queue (oracle-backed, never driver-checked — the 31
+# that did not fit this round's 50-slot window; all green in the local
+# differential suite at sf0.001/0.01/0.1):
+#   variant_extract, python_datasource_scan, mr_grouped_arrow,
+#   udtf_polymorphic, fuzzy_blocked_join, waiting_suppliers_agg,
+#   yoy_growth, revenue_share, jsonl_export, dedup_report, anomaly_mad,
+#   trend_regression, funnel_3step, attribution_linear,
+#   local_hour_histogram, bfs_hops, jsonl_quarantine, observed_metrics,
+#   join_null_safe, unpivot_melt, percentile_binned, table_checksum,
+#   weighted_median, basket_pairs, rollup_grouping_id,
+#   nested_line_stats, table_diff, not_in_null_semantics, bm25_topk,
+#   window_time_range_avg, feature_hashing
+# After those 31, backfill with the stalest r3/r4-era greens
+# (allpairs_similarity, ann_lsh_topk, the array/date/string function
+# families, the window family).
 
 
 def _ordered() -> list[str]:
