@@ -223,6 +223,30 @@ class Pipeline:
             )
         )
 
+    def similar_topk_ivf(
+        self,
+        id_col: str,
+        vec_col: str,
+        query_id: int,
+        *,
+        dim: int,
+        n_clusters: int = 64,
+        n_probe: int = 4,
+        k: int = 5,
+    ) -> "Pipeline":
+        """IVF ANN with distributed centroid state (large n_clusters
+        path): k-means cells trained with equi-hash-join assignment,
+        nothing collects to the driver; only the n_probe nearest
+        cells rescore exactly."""
+        from .operators import similarity as _similarity
+
+        return Pipeline(
+            _similarity.ivf_topk_distributed(
+                self.df, id_col, vec_col, query_id,
+                dim=dim, n_clusters=n_clusters, n_probe=n_probe, k=k,
+            )
+        )
+
     def drift_ks(self, group_col: str, value_col: str) -> "Pipeline":
         """Per-group two-sample KS drift screen of value_col against
         the rest of the table (ECDF over the distinct-value grid —

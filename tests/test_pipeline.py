@@ -265,3 +265,18 @@ def test_pipeline_running_balance_bounds(spark):
     )
     assert len(rows) == len({r["user_id"] for r in rows})
     assert all(0.0 <= r["final_balance"] <= 500.0 for r in rows)
+
+
+def test_round7_ivf_convenience(spark):
+    """The distributed-IVF delegate must chain like any Pipeline stage
+    and return a (vec_id, cos) top-k frame."""
+    from pydra_map_reduce_spark.api import Pipeline
+
+    emb = Pipeline.read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    topk = emb.similar_topk_ivf(
+        "vec_id", "embedding", 0, dim=64, n_clusters=16, n_probe=4, k=3
+    ).to_df()
+    rows = topk.collect()
+    assert topk.columns == ["vec_id", "cos"]
+    assert len(rows) == 3
+    assert all(r["vec_id"] != 0 for r in rows)
