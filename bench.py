@@ -80,6 +80,8 @@ HEADLINE = [
     "auc_score",             # rank-sum AUC over the value grid
     "gopher_rules",          # rule-based corpus gate (split/contains codegen)
     "dedup_report",          # end-to-end dedup chain (exact -> span near-dup -> rollup)
+    "pricing_summary_decimal", # exact fixed-point money agg (DECIMAL fast path)
+    "ivf_ann_topk_distributed", # IVF ANN, distributed centroid frame (large-k path)
 ]
 
 
