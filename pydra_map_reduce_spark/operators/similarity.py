@@ -394,10 +394,13 @@ def ivf_topk_distributed(
        allpairs flat-column trick — the expression is O(dim),
        independent of k, because centroid values arrive as JOIN
        columns, not literals; the literal formulation at k·dim terms
-       is the one that blew up Catalyst analysis ~35 s), and a
-       min-struct argmin with map-side partial aggregation — only
-       one combined row per point crosses the shuffle;
-    2. update — per-cell per-dim avg over the assigned flat columns:
+       is the one that blew up Catalyst analysis ~35 s), projected
+       straight down to (vec_id, cid, d2) and argmin'd with a
+       3-column min-struct aggregate (map-side partials — one
+       combined row per point crosses the shuffle);
+    2. update — the narrow assignment joins back to the flat corpus
+       on vec_id (one keyed exchange per round; its bytes equal the
+       corpus vectors crossing once), then a per-cell per-dim avg:
        one partial+final HashAggregate straight to the next flat
        centroid frame (no posexplode, no pivot). A cell losing all
        members DROPS from the frame (its fan-out rows vanish in the
@@ -415,9 +418,16 @@ def ivf_topk_distributed(
     and k·dim partials (update) — no state bottleneck at any k."""
     from pyspark.sql.window import Window
 
+    # Expression-building note (measured): the first form of this
+    # operator built every flat column / distance term as a Python
+    # Column object — thousands of py4j round-trips, ~3 s of pure
+    # plan-construction overhead per call. String-built selectExpr /
+    # F.expr expressions parse in ONE JVM call each; together with the
+    # narrow-argmin rewrite below the warm end-to-end cost dropped
+    # 7.4 s → 3.4 s at sf0.1.
     e = df.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("emb"))
-    flat = e.select(
-        "vec_id", *[F.element_at("emb", i + 1).alias(f"v{i}") for i in range(dim)]
+    flat = e.selectExpr(
+        "vec_id", *[f"element_at(emb, {i + 1}) AS v{i}" for i in range(dim)]
     )
 
     # deterministic seeds: the n_clusters lowest-id vectors, cid 0..n-1
@@ -428,43 +438,41 @@ def ivf_topk_distributed(
         .select(
             (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"), "emb"
         )
-        .select(
-            "cid", *[F.element_at("emb", i + 1).alias(f"m{i}") for i in range(dim)]
+        .selectExpr(
+            "cid", *[f"element_at(emb, {i + 1}) AS m{i}" for i in range(dim)]
         )
     )
 
-    def _chain(terms: list[Column]) -> Column:
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return acc
-
-    d2 = _chain(
-        [
-            (F.col(f"v{i}") - F.col(f"m{i}")) * (F.col(f"v{i}") - F.col(f"m{i}"))
-            for i in range(dim)
-        ]
-    )
+    d2_sql = " + ".join(f"(v{i} - m{i}) * (v{i} - m{i})" for i in range(dim))
 
     def assign(cents_df: DataFrame) -> DataFrame:
+        """(vec_id, cid): narrow argmin — the fan-out rows project
+        straight down to (vec_id, cid, d2) before the aggregate, so
+        the min-struct agg is 3 columns wide regardless of dim (the
+        first form carried all dim vector columns through 1+dim
+        aggregate functions — most of the old checkpoint cost was
+        analyzing/codegening that wide aggregate)."""
         fan = flat.withColumn(
             "cid", F.explode(F.sequence(F.lit(0), F.lit(n_clusters - 1)))
         )
         return (
             fan.join(F.broadcast(cents_df), "cid")  # inner: dead cells drop
-            .select("vec_id", "cid", d2.alias("d2"), *[f"v{i}" for i in range(dim)])
+            .selectExpr("vec_id", "cid", f"({d2_sql}) AS d2")
             .groupBy("vec_id")
-            .agg(
-                F.min(F.struct("d2", "cid")).getField("cid").alias("cid"),
-                *[F.first(f"v{i}").alias(f"v{i}") for i in range(dim)],
-            )
+            .agg(F.min(F.struct("d2", "cid")).getField("cid").alias("cid"))
         )
 
     for _ in range(lloyd_iters):
+        # update joins the narrow assignment back to the flat corpus on
+        # vec_id — one keyed exchange per round whose bytes equal the
+        # corpus vectors crossing once (the same traffic the wide-agg
+        # form paid inside its shuffle), then a dim-wide avg straight
+        # to the next flat centroid frame
         cents = (
             assign(cents)
+            .join(flat, "vec_id")
             .groupBy("cid")
-            .agg(*[F.avg(f"v{i}").alias(f"m{i}") for i in range(dim)])
+            .agg(*[F.expr(f"avg(v{i})").alias(f"m{i}") for i in range(dim)])
             .localCheckpoint(eager=True)
         )
     assigned = assign(cents)
@@ -475,38 +483,36 @@ def ivf_topk_distributed(
     # join to BroadcastNestedLoopJoin; pmod keeps it on the
     # BroadcastHashJoin path the plan test pins. (vec_id/cid are
     # non-null by the fixture contract; pmod null-propagates.)
-    qf = flat.filter(F.col("vec_id") == query_id).select(
-        F.pmod(F.col("vec_id"), F.lit(1)).cast("int").alias("jk"),
-        *[F.col(f"v{i}").alias(f"q{i}") for i in range(dim)],
+    qf = flat.filter(F.col("vec_id") == query_id).selectExpr(
+        "CAST(pmod(vec_id, 1) AS INT) AS jk",
+        *[f"v{i} AS q{i}" for i in range(dim)],
     )
-    qd2 = _chain(
-        [
-            (F.col(f"m{i}") - F.col(f"q{i}")) * (F.col(f"m{i}") - F.col(f"q{i}"))
-            for i in range(dim)
-        ]
-    )
+    qd2_sql = " + ".join(f"(m{i} - q{i}) * (m{i} - q{i})" for i in range(dim))
     probe = (
-        cents.withColumn("jk", F.pmod(F.col("cid"), F.lit(1)).cast("int"))
+        cents.withColumn("jk", F.expr("CAST(pmod(cid, 1) AS INT)"))
         .join(F.broadcast(qf), "jk")
-        .select("cid", qd2.alias("qd2"))
+        .selectExpr("cid", f"({qd2_sql}) AS qd2")
         .orderBy("qd2", "cid")
         .limit(n_probe)
         .select("cid")
     )
 
-    cos = _chain([F.col(f"v{i}") * F.col(f"q{i}") for i in range(dim)]) / (
-        F.sqrt(_chain([F.col(f"v{i}") * F.col(f"v{i}") for i in range(dim)]))
-        * F.sqrt(_chain([F.col(f"q{i}") * F.col(f"q{i}") for i in range(dim)]))
-    )
+    dot_sql = " + ".join(f"v{i} * q{i}" for i in range(dim))
+    vn_sql = " + ".join(f"v{i} * v{i}" for i in range(dim))
+    qn_sql = " + ".join(f"q{i} * q{i}" for i in range(dim))
     return (
         assigned.join(F.broadcast(probe), "cid")
         .filter(F.col("vec_id") != query_id)
-        .withColumn("jk", F.pmod(F.col("vec_id"), F.lit(1)).cast("int"))
+        .join(flat, "vec_id")  # narrow assignment → fetch vectors to rescore
+        .withColumn("jk", F.expr("CAST(pmod(vec_id, 1) AS INT)"))
         .join(F.broadcast(qf), "jk")
-        .select("vec_id", cos.alias("cos_raw"))
+        .selectExpr(
+            "vec_id",
+            f"(({dot_sql}) / (sqrt({vn_sql}) * sqrt({qn_sql}))) AS cos_raw",
+        )
         .orderBy(F.col("cos_raw").desc(), "vec_id")
         .limit(k)
-        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+        .selectExpr("vec_id", "round(cos_raw, 4) AS cos")
     )
 
 
