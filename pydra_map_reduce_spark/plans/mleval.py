@@ -279,3 +279,81 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.count_distinct("tok").alias("n_distinct"),
     )
+
+
+@query(
+    "linear_quality_score",
+    oracle=f"""
+    WITH w AS (
+        SELECT i AS bucket, (i * 37) % 21 - 10 AS w_int
+        FROM range({_FH_DIM}) t(i)
+    ), toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), feat AS (
+        SELECT t.doc_id,
+               CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) % {_FH_DIM}
+                   AS bucket
+        FROM toks t
+    ), scored AS (
+        SELECT f.doc_id,
+               count(*)      AS n_tokens,
+               sum(w.w_int)  AS sum_w
+        FROM feat f JOIN w ON f.bucket = w.bucket
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_w AS BIGINT) AS sum_w,
+           floor(1.0 / (1.0 + exp(-(sum_w / (10.0 * n_tokens)))) * 10000 + 0.5)
+               / 10000 AS quality,
+           floor(1.0 / (1.0 + exp(-(sum_w / (10.0 * n_tokens)))) * 10000 + 0.5)
+               / 10000 >= 0.5 AS keep
+    FROM scored
+    """,
+    section="2.11 linear quality scorer (hashed features ⋈ broadcast weights)",
+)
+def linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference at corpus scale — the fasttext-style linear
+    quality classifier shape: hashed bag-of-words features (the
+    vocabulary-free encoder from `feature_hashing`) joined against a
+    BROADCAST weight table, integer weight sums per document, then a
+    sigmoid to a quality score. The deliberate numeric layering: the
+    per-doc accumulation stays in INTEGERS (weights are ints, so
+    sum_w is partition-invariant and engine-exact — a float weight
+    sum would be order-sensitive), and floats appear only in the
+    final per-row sigmoid of an exactly-agreed ratio, rounded at 4dp
+    (exp amplifies ulp noise ~1e-13 → ~1e-8; 4dp absorbs it — the
+    established exp/log convention). The keep/drop gate compares the
+    ROUNDED score, so classification can't flip on engine ulps. At
+    100 TB: weights are model state — dim-bounded, broadcast once;
+    the only shuffle is the per-doc integer sum. A real trained
+    model drops in by replacing the weight frame's formula column
+    with loaded parameters; nothing else changes."""
+    d = load_table(spark, sf_dir, "documents")
+    weights = spark.range(_FH_DIM).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 37) % 21 - 10).cast("bigint").alias("w_int"),
+    )
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    feat = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+            % _FH_DIM
+        ).alias("bucket"),
+    )
+    scored = (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_int").alias("sum_w"),
+        )
+    )
+    quality = round_half_up(
+        1.0 / (1.0 + F.exp(-(F.col("sum_w") / (10.0 * F.col("n_tokens"))))), 4
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "sum_w",
+        quality.alias("quality"),
+        (quality >= 0.5).alias("keep"),
+    )

@@ -181,3 +181,50 @@ def nation_revenue_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.col("revenue").cast("double") / total.cast("double"), 4
         ).alias("share_pct"),
     )
+
+
+@query(
+    "decimal_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18,2)) AS running_total
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    """,
+    section="2.4/2.5 exact decimal running total (fixed-point window frame)",
+)
+def decimal_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed point meets window frames: each customer's cumulative
+    order value as an exact DECIMAL running sum — the ledger shape
+    where float windows drift (a double running sum accumulates ulp
+    error that GROWS with frame length and differs across engines;
+    the decimal frame is an integer accumulation, bit-exact at any
+    length, any partitioning). Deterministic frame order is
+    (o_orderdate, o_orderkey); the terminal DECIMAL(18,2) cast pins
+    cross-engine scale exactly as in the rest of the money family.
+    Scale shape: one keyed shuffle on o_custkey, per-customer frames
+    windowed independently — embarrassingly parallel across
+    customers; the %10 filter is fixture volume control and pushes
+    to the scan."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_dec("o_totalprice")).over(w).cast("decimal(18,2)").alias(
+                "running_total"
+            ),
+        )
+    )
