@@ -571,3 +571,27 @@ def test_ivf_distributed_no_nlj_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_linear_quality_score_broadcast_weights(spark):
+    """Model inference must broadcast the dim-bounded weight table —
+    the corpus side never shuffles for the join (one keyed exchange
+    for the per-doc aggregate only)."""
+    df = REGISTRY["linear_quality_score"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+
+
+def test_decimal_running_total_single_keyed_exchange(spark):
+    """The decimal ledger window must be one hash exchange on
+    o_custkey + one in-partition sort — no global sort, no extra
+    shuffles; the scan reads only the four needed columns."""
+    df = REGISTRY["decimal_running_total"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1, plan[:3000]
+    assert "Exchange rangepartitioning" not in plan, plan[:3000]
+    scan = _formatted(df)
+    scan_line = scan[scan.index("ReadSchema") :].splitlines()[0]
+    assert "o_comment" not in scan_line and "o_clerk" not in scan_line, scan_line

@@ -283,3 +283,39 @@ def test_ngram_df_cap_bounds_buckets(spark):
     # pruned stop-shingle = 5 each -> jaccard 3/(5+5-3)
     assert [(r.doc_a, r.doc_b) for r in rows] == [(0, 1)]
     assert abs(rows[0].jaccard - round(3 / 7, 4)) < 2e-4
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lo=st.integers(min_value=0, max_value=200000), mod=st.integers(min_value=2, max_value=13))
+def test_decimal_sum_equals_integer_cents(lo, mod, spark, duck):
+    """The money-family invariant under random filters: a
+    DECIMAL(12,2) sum must equal the integer-cents sum divided by 100
+    EXACTLY (string-compare, no tolerance) — fixed point really is
+    integer arithmetic, in both engines, under any predicate."""
+    o = load_table(spark, SF_DIR, "orders")
+    pred = (F.col("o_totalprice") >= lo) & (F.col("o_orderkey") % mod == 0)
+    row = (
+        o.filter(pred)
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("dec_sum"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        )
+        .first()
+    )
+    drow = duck.execute(
+        f"""
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)),
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        FROM orders
+        WHERE o_totalprice >= {lo} AND o_orderkey % {mod} = 0
+        """
+    ).fetchone()
+    if row["cents"] is None:
+        assert drow[1] is None and row["dec_sum"] is None and drow[0] is None
+        return
+    assert str(row["dec_sum"]) == str(drow[0])
+    assert row["cents"] == drow[1]
+    # the decimal sum IS the integer-cents sum at scale 2
+    assert int(row["dec_sum"] * 100) == row["cents"]
