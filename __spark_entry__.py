@@ -76,8 +76,8 @@ _DRIVER_PRIORITY = [
 #   nested_line_stats, table_diff, not_in_null_semantics, bm25_topk,
 #   window_time_range_avg, feature_hashing
 # plus the two added late in round 7 (after the r7 window froze):
-#   linear_quality_score, decimal_running_total
-# After those 33, backfill with the stalest r3/r4-era greens
+#   linear_quality_score, decimal_running_total, inverted_index
+# After those 34, backfill with the stalest r3/r4-era greens
 # (allpairs_similarity, ann_lsh_topk, the array/date/string function
 # families, the window family).
 

@@ -698,3 +698,41 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("source").agg(
         k.alias("n_types"), round_half_up(slope, 4).alias("slope")
     )
+
+
+@query(
+    "inverted_index",
+    oracle="""
+    SELECT tok AS term,
+           list_sort(list(DISTINCT doc_id)) AS doc_ids,
+           count(DISTINCT doc_id)           AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    """,
+    section="2.10/2.11 inverted index (the canonical MR build: term -> posting list)",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE textbook MapReduce job after word count: term → sorted
+    posting list of documents containing it, plus document frequency.
+    Map side emits distinct (term, doc_id) pairs; the single keyed
+    shuffle carries ids only (never text), and collect_set +
+    sort_array makes the posting list deterministic regardless of
+    partitioning — the property that lets an array-valued result be
+    oracle-compared at all. Scale note: posting lists for stop terms
+    are corpus-sized — a real 100 TB index SHARDS long postings
+    (term, shard_no, ids) exactly like the df-capped near-dup bounds
+    its buckets; at fixture vocabulary sizes the plain list is the
+    honest demonstrator, and df is the diagnostic that tells you
+    which terms need sharding."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return toks.groupBy("term").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
+        F.count(F.lit(1)).alias("df"),
+    )
