@@ -319,3 +319,64 @@ def test_decimal_sum_equals_integer_cents(lo, mod, spark, duck):
     assert row["cents"] == drow[1]
     # the decimal sum IS the integer-cents sum at scale 2
     assert int(row["dec_sum"] * 100) == row["cents"]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n=st.integers(min_value=-400, max_value=400))
+def test_date_shift_parity(n, spark, duck):
+    """Random day-offset arithmetic on order dates: per-month counts
+    of the SHIFTED date must agree — pins the date_add/interval and
+    date_trunc dialect mapping used across the temporal oracles
+    (month-boundary and leap-day crossings included by the ±400-day
+    range)."""
+    o = load_table(spark, SF_DIR, "orders")
+    o.createOrReplaceTempView("orders_dt_v")
+    srows = sorted(
+        tuple(r)
+        for r in spark.sql(
+            f"""
+            SELECT CAST(date_trunc('month', date_add(CAST(o_orderdate AS DATE), {n}))
+                        AS DATE) AS mon,
+                   count(*) AS cnt
+            FROM orders_dt_v GROUP BY 1
+            """
+        ).collect()
+    )
+    drows = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE) + {n})
+                        AS DATE) AS mon,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert srows == drows
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(start=st.integers(min_value=1, max_value=30), ln=st.integers(min_value=0, max_value=30))
+def test_substring_parity(start, ln, spark, duck):
+    """Random in-range substring windows over part names: the full
+    value multiset must agree (1-based starts and non-negative
+    lengths — the region where the engines' substr semantics are
+    specified to coincide; negative/zero starts deliberately excluded
+    because the dialects genuinely diverge there, which is why every
+    oracle in the repo keeps substring args in this range)."""
+    p = load_table(spark, SF_DIR, "part")
+    p.createOrReplaceTempView("part_ss_v")
+    srows = sorted(
+        r[0]
+        for r in spark.sql(
+            f"SELECT substring(p_name, {start}, {ln}) FROM part_ss_v"
+        ).collect()
+    )
+    drows = sorted(
+        r[0]
+        for r in duck.execute(
+            f"SELECT substr(p_name, {start}, {ln}) FROM part"
+        ).fetchall()
+    )
+    assert srows == drows
