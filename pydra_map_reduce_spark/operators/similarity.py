@@ -550,7 +550,14 @@ def knn_classify(
     # rank on the cosine ROUNDED to 9dp (then vec_id): a raw-float
     # ordering lets a cross-engine ulp difference at the rank-k/k+1
     # boundary flip the neighbor set; 9dp absorbs ulp noise while
-    # still separating genuinely distinct neighbors.
+    # still separating genuinely distinct neighbors. The rounding is
+    # the PORTABLE floor form (floor(x·1e9 + 0.5)/1e9), not engine
+    # round(): Spark rounds the shortest decimal repr where DuckDB
+    # rounds the raw binary double, and the two disagree exactly on
+    # the midpoints this key exists to absorb. (Cosines can be
+    # negative; the floor form rounds negative midpoints toward +inf
+    # — identically in both engines, which is all a rank key needs.)
+    cos_r = F.floor(cosine(F.col("emb"), F.col("qv")) * 1e9 + 0.5) / 1e9
     w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "vec_id")
     scored = (
         e.filter(F.col("vec_id") >= n_queries)
@@ -560,7 +567,7 @@ def knn_classify(
             "true_label",
             "label",
             "vec_id",
-            F.round(cosine(F.col("emb"), F.col("qv")), 9).alias("cos_r"),
+            cos_r.alias("cos_r"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

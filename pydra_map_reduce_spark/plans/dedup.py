@@ -38,15 +38,18 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_jaccard_neardup",
     oracle="""
-    WITH sh AS (
+    WITH ex0 AS (
         SELECT doc_id,
-               list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
-                              for i in range(1, len(tokens) - 1)]) AS shingles
+               unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                              for i in range(1, len(tokens) - 1)])) AS s
         FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    ), sizes AS (
-        SELECT doc_id, len(shingles) AS n FROM sh
+    ), dfreq AS (
+        SELECT s, count(*) AS df FROM ex0 GROUP BY s
     ), ex AS (
-        SELECT doc_id, unnest(shingles) AS s FROM sh
+        SELECT ex0.doc_id, ex0.s FROM ex0 JOIN dfreq d ON ex0.s = d.s
+        WHERE d.df <= 100
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -63,12 +66,15 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the operator with its DEFAULT df-cap (max_df=100) — now
-    default-on so the corpus-scale work bound holds for every caller.
-    The oracle stays uncapped because the cap is provably inert on the
-    fixtures: shingle df tops out at 25 across sf0.001/0.01/0.1
-    (measured round 7), so capped and uncapped pair sets are
-    identical; the dedicated `ngram_jaccard_capped` query (max_df=5,
-    which DOES prune at every SF) certifies the cap path itself."""
+    default-on so the corpus-scale work bound holds for every caller —
+    and the oracle mirrors the SAME df <= 100 kept-CTE, so cap
+    semantics are engine-independent rather than resting on a fixture
+    property (today's shingle df tops out at 25 across the three SFs,
+    so the cap prunes nothing — but a fixture regeneration that
+    crosses 100 would then change both sides together instead of
+    failing the differential). The dedicated `ngram_jaccard_capped`
+    query (max_df=5, which DOES prune at every SF) certifies the cap
+    path's pruning behavior itself."""
     return ops.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.03
     )
@@ -395,15 +401,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph is EXACT (inverted-index candidates, no LSH recall < 1 —
     # the reason the minhash-fed cluster queries above stay rows-only).
     oracle="""
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE ex0 AS (
         SELECT doc_id,
-               list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
-                              for i in range(1, len(tokens) - 1)]) AS shingles
+               unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                              for i in range(1, len(tokens) - 1)])) AS s
         FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    ), sizes AS (
-        SELECT doc_id, len(shingles) AS n FROM sh
+    ), dfreq AS (
+        SELECT s, count(*) AS df FROM ex0 GROUP BY s
     ), ex AS (
-        SELECT doc_id, unnest(shingles) AS s FROM sh
+        SELECT ex0.doc_id, ex0.s FROM ex0 JOIN dfreq d ON ex0.s = d.s
+        WHERE d.df <= 100
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -437,9 +446,11 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so only the exact graph gives a pair set an external
     oracle can reproduce — this query is what certifies the iterative
     CC operator itself against DuckDB's recursive-CTE closure. Pair
-    generation inherits the operator's default df-cap (max_df=100) —
-    inert on the fixtures (shingle df ≤ 25 at every SF), so the
-    uncapped-closure oracle is still exact."""
+    generation inherits the operator's default df-cap (max_df=100) and
+    the closure oracle mirrors the same df <= 100 kept-CTE, keeping
+    cap semantics engine-independent (the cap prunes nothing at
+    today's fixture dfs — max 25 — but both sides move together if a
+    regeneration ever crosses 100)."""
     pairs = ops.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
     ).select("doc_a", "doc_b")

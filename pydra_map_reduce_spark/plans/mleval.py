@@ -114,7 +114,8 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT q.query_id, q.true_label, e.label,
                row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY round(list_cosine_similarity(e.emb, q.qv), 9) DESC,
+                                  ORDER BY floor(list_cosine_similarity(e.emb, q.qv)
+                                                 * 1e9 + 0.5) / 1e9 DESC,
                                            e.vec_id) AS rank
         FROM e CROSS JOIN q
         WHERE e.vec_id >= 16

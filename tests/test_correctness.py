@@ -80,38 +80,13 @@ def test_streaming_late_drop_excludes_late_row(spark):
 
 def test_stream_join_matches_batch_anchor(spark):
     """The watermarked stream-stream attribution join must produce the
-    same summary as the equivalent batch self-join over events."""
-    from pyspark.sql import functions as F
-
-    from pydra_map_reduce_spark.sources.tables import load_table
-
+    same summary as its registered batch twin. The anchor IS the
+    oracle-backed `stream_stream_join_batch` registry entry — not an
+    inline copy of its plan — so the stream ≡ batch ≡ oracle chain
+    stays closed by construction: editing the twin moves this anchor
+    with it instead of leaving a stale duplicate passing silently."""
     stream_row = tuple(REGISTRY["streaming_stream_join"].fn(spark, SF_DIR).first())
-    e = load_table(spark, SF_DIR, "events")
-    v = e.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
-    )
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("buy_ts"),
-        F.col("event_id").alias("buy_id"),
-        "value",
-    )
-    joined = v.join(
-        p,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("buy_ts") >= F.col("view_ts"))
-        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-    )
-    per_buy = joined.groupBy("buy_id").agg(
-        F.first("p_user").alias("p_user"), F.first("value").alias("value")
-    )
-    batch_row = tuple(
-        per_buy.agg(
-            F.count(F.lit(1)).alias("n_attributed"),
-            F.countDistinct("p_user").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        ).first()
-    )
+    batch_row = tuple(REGISTRY["stream_stream_join_batch"].fn(spark, SF_DIR).first())
     assert stream_row == batch_row and stream_row[0] > 0, (stream_row, batch_row)
 
 
@@ -253,23 +228,17 @@ def test_foreach_batch_matches_batch_anchor(spark):
 
 
 def test_streaming_static_join_matches_batch_anchor(spark):
-    """The stream-static broadcast enrichment must equal the identical
-    batch join, segment for segment."""
-    from pyspark.sql import functions as F
-
-    from pydra_map_reduce_spark.sources.tables import load_table
-
+    """The stream-static broadcast enrichment must equal its
+    registered batch twin, segment for segment. The anchor IS the
+    oracle-backed `stream_static_join_batch` registry entry (not an
+    inline plan copy) — same closed-chain rationale as
+    test_stream_join_matches_batch_anchor."""
     stream = sorted(
         tuple(r) for r in REGISTRY["streaming_static_join"].fn(spark, SF_DIR).collect()
     )
-    e = load_table(spark, SF_DIR, "events").filter(F.col("event_type") == "purchase")
-    dim = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
     batch = sorted(
         tuple(r)
-        for r in e.join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .collect()
+        for r in REGISTRY["stream_static_join_batch"].fn(spark, SF_DIR).collect()
     )
     assert stream == batch and len(stream) > 0, (len(stream), len(batch))
 
