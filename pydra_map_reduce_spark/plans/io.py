@@ -500,3 +500,151 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, qty_cents long, min_ship timestamp, max_ship timestamp",
     )
+
+
+@query(
+    "xml_roundtrip",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    section="2.1 XML scan (+ write): lossless round-trip (native since Spark 4)",
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip via the datasource Spark 4 bundles natively
+    (the spark-xml package absorbed upstream — probed working in this
+    container, unlike Avro whose connector jar is absent). A projected
+    numeric subset writes as one element per row and reads back with a
+    DECLARED schema — XML has no type system of its own, so schema-on
+    -read is what keeps longs longs; letting the reader infer would
+    round-trip everything as strings and fail the oracle's bigint
+    sums. Self-describing row tags make the format splittable by
+    element, not by line, which is why it stays a P3 interchange
+    format rather than a warehouse format — documented coverage, not
+    a recommended path."""
+    path = _tmp("supplier_xml")
+    (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey long, s_nationkey long, s_acctbal double")
+        .load(path)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
+
+
+_BF_N = 64  # binary files synthesized for the binaryFile-source scan
+
+
+def _binaryfile_fixture_dir() -> str:
+    """Write the deterministic binary fixture files (one per vec_id,
+    the SAME packed-word payloads multimodal_binary_decode synthesizes
+    in-query) into the per-process temp root. Pure Python from the id
+    formula — no Spark collect; 64 files × 17 bytes, idempotent."""
+    import struct
+
+    from .multimodal import _MULTS
+
+    d = _tmp("binary_media")
+    os.makedirs(d, exist_ok=True)
+    for vec_id in range(_BF_N):
+        payload = b"".join(
+            struct.pack("<I", (vec_id * m) % 4294967296) for m in _MULTS
+        ) + b"\xff"
+        with open(os.path.join(d, f"vec_{vec_id}.bin"), "wb") as f:
+            f.write(payload)
+    return d
+
+
+@query(
+    "binaryfile_scan",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(17 AS BIGINT) AS n_bytes,
+           CAST((vec_id * 2654435761) % 4294967296 AS BIGINT) AS first_word,
+           CAST(
+             ((vec_id * 2654435761) % 4294967296) % 256
+           + ((vec_id * 2654435761) % 4294967296) // 256 % 256
+           + ((vec_id * 2654435761) % 4294967296) // 65536 % 256
+           + ((vec_id * 2654435761) % 4294967296) // 16777216 % 256
+           + ((vec_id * 2246822519) % 4294967296) % 256
+           + ((vec_id * 2246822519) % 4294967296) // 256 % 256
+           + ((vec_id * 2246822519) % 4294967296) // 65536 % 256
+           + ((vec_id * 2246822519) % 4294967296) // 16777216 % 256
+           + ((vec_id * 3266489917) % 4294967296) % 256
+           + ((vec_id * 3266489917) % 4294967296) // 256 % 256
+           + ((vec_id * 3266489917) % 4294967296) // 65536 % 256
+           + ((vec_id * 3266489917) % 4294967296) // 16777216 % 256
+           + ((vec_id * 668265263) % 4294967296) % 256
+           + ((vec_id * 668265263) % 4294967296) // 256 % 256
+           + ((vec_id * 668265263) % 4294967296) // 65536 % 256
+           + ((vec_id * 668265263) % 4294967296) // 16777216 % 256
+           + 255 AS BIGINT) AS byte_sum
+    FROM embeddings WHERE vec_id < 64
+    """,
+    section="2.1/2.11 binaryFile source (directory-of-media ingestion)",
+)
+def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How image/audio datasets actually arrive: a DIRECTORY of binary
+    files, ingested with Spark's `binaryFile` source into (path,
+    length, content) rows — the missing first hop in front of the
+    multimodal_* queries, which synthesize payloads in-query. The
+    fixture files are written deterministically from the vec_id
+    formula (same packed-word payloads as multimodal_binary_decode),
+    so the DuckDB oracle re-derives byte features from vec_id with
+    integer arithmetic and a green match proves the FILESYSTEM →
+    BinaryType → length/byte-math path end-to-end. The id comes from
+    the file path (regexp_extract) — the standard pattern for keying
+    media files back to a metadata table. Scale shape: binaryFile is
+    a splittable listing over the directory tree; per-file content
+    is one row, so partitioning follows files — at 100 TB you shard
+    directories, never concatenate media. The JVM computes n_bytes
+    (length) directly; first_word/byte_sum decode via the same
+    Arrow-batched mapInPandas hop as the other multimodal queries."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = _binaryfile_fixture_dir()
+    files = (
+        spark.read.format("binaryFile")
+        .load(d)
+        .select(
+            F.regexp_extract(F.col("path"), r"vec_(\d+)\.bin", 1)
+            .cast("long")
+            .alias("vec_id"),
+            F.col("length").alias("n_bytes"),
+            "content",
+        )
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for vec_id, n_bytes, content in zip(
+                pdf["vec_id"], pdf["n_bytes"], pdf["content"]
+            ):
+                b = bytes(content)
+                rows.append(
+                    (vec_id, n_bytes, struct.unpack("<I", b[:4])[0], sum(b))
+                )
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "n_bytes", "first_word", "byte_sum"]
+            )
+
+    return files.mapInPandas(
+        decode, "vec_id long, n_bytes long, first_word long, byte_sum long"
+    )
