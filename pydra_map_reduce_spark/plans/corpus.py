@@ -850,3 +850,93 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             _rhu(F.sum(dup) * F.lit(1.0) / F.count(F.lit(1)), 4).alias("dup_ratio"),
         )
     )
+
+
+_SEQ_LEN = 512  # token budget per packed training sequence
+
+
+@query(
+    "sequence_pack",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text, ' ')) > 0
+    ), pos AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start_tok
+        FROM d
+    ), spans AS (
+        SELECT source, doc_id, n_tokens, start_tok,
+               unnest(generate_series(start_tok // {_SEQ_LEN},
+                                      (start_tok + n_tokens - 1) // {_SEQ_LEN}))
+                   AS seq_no
+        FROM pos
+    )
+    SELECT source, CAST(seq_no AS BIGINT) AS seq_no,
+           count(*) AS n_docs,
+           CAST(sum(least(start_tok + n_tokens, (seq_no + 1) * {_SEQ_LEN})
+                    - greatest(start_tok, seq_no * {_SEQ_LEN})) AS BIGINT)
+               AS fill_tokens
+    FROM spans
+    GROUP BY source, seq_no
+    """,
+    section="2.11 sequence packing (concat-and-chunk into fixed token budgets)",
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining packer `shard_pack` is not: documents CONCATENATE
+    into a per-source token stream and CHUNK into fixed B=512-token
+    training sequences, documents spanning sequence boundaries (the
+    concat-and-chunk regime most LLM pretraining uses; shard packing
+    bin-packs whole documents into files and never splits). All math
+    is integer and closed-form from each document's token interval
+    [start, start+n): the sequences a document touches are
+    floor(start/B)..floor((end-1)/B) — an explode of that bounded
+    range — and its contribution to a sequence is the interval
+    overlap, so there is no sequential packer state at all, unlike
+    the clamp recurrence in running_balance. Per (source, seq_no):
+    documents touching and fill (== B except each source's last
+    sequence — padding/waste diagnostic). Scale shape: the window and
+    the aggregate both key on source — each source packs
+    independently, the same per-writer parallelism as
+    shard_pack_partitioned; doc_id order makes packing deterministic
+    under any partitioning."""
+    B = _SEQ_LEN
+    from pyspark.sql.window import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = d.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    spans = pos.select(
+        "source",
+        "n_tokens",
+        "start_tok",
+        F.explode(
+            F.sequence(
+                (F.col("start_tok") / B).cast("bigint"),
+                ((F.col("start_tok") + F.col("n_tokens") - 1) / B).cast("bigint"),
+            )
+        ).alias("seq_no"),
+    )
+    overlap = F.least(
+        F.col("start_tok") + F.col("n_tokens"), (F.col("seq_no") + 1) * B
+    ) - F.greatest(F.col("start_tok"), F.col("seq_no") * B)
+    return spans.groupBy("source", "seq_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(overlap).alias("fill_tokens"),
+    )
