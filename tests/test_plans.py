@@ -595,3 +595,14 @@ def test_decimal_running_total_single_keyed_exchange(spark):
     scan = _formatted(df)
     scan_line = scan[scan.index("ReadSchema") :].splitlines()[0]
     assert "o_comment" not in scan_line and "o_clerk" not in scan_line, scan_line
+
+
+def test_sequence_pack_parallel_window(spark):
+    """Packing must parallelize per source: the position window and
+    the aggregate both key on source, so no single-partition window
+    (the global-stream formulation would serialize the corpus through
+    one task)."""
+    df = REGISTRY["sequence_pack"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "Exchange hashpartitioning(source" in plan, plan[:3000]

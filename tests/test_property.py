@@ -380,3 +380,53 @@ def test_substring_parity(start, ln, spark, duck):
         ).fetchall()
     )
     assert srows == drows
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    budget=st.integers(min_value=2, max_value=40),
+    sizes=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=12),
+)
+def test_sequence_pack_interval_math(budget, sizes, spark):
+    """The closed-form span/overlap arithmetic behind sequence_pack
+    must equal a straightforward sequential packer for random budgets
+    and document sizes — pinning the floor/boundary math (off-by-one
+    territory) independently of the SQL oracle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    pos = docs.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    spans = pos.select(
+        "n_tokens", "start_tok",
+        F.explode(
+            F.sequence(
+                (F.col("start_tok") / budget).cast("bigint"),
+                ((F.col("start_tok") + F.col("n_tokens") - 1) / budget).cast("bigint"),
+            )
+        ).alias("seq_no"),
+    )
+    overlap = F.least(
+        F.col("start_tok") + F.col("n_tokens"), (F.col("seq_no") + 1) * budget
+    ) - F.greatest(F.col("start_tok"), F.col("seq_no") * budget)
+    got = {
+        r["seq_no"]: (r["n_docs"], r["fill"])
+        for r in spans.groupBy("seq_no")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(overlap).alias("fill"))
+        .collect()
+    }
+    # independent sequential packer: walk the token stream doc by doc
+    want: dict[int, list[int]] = {}
+    cursor = 0
+    for n in sizes:
+        for t in range(cursor, cursor + n):
+            s = t // budget
+            e = want.setdefault(s, [0, 0])
+            e[1] += 1
+        for s in range(cursor // budget, (cursor + n - 1) // budget + 1):
+            want[s][0] += 1
+        cursor += n
+    assert got == {s: tuple(v) for s, v in want.items()}
