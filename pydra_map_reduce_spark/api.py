@@ -304,6 +304,21 @@ class Pipeline:
             )
         )
 
+    def pack_sequences(
+        self, group_col: str, order_col: str, tokens_col: str, *, budget: int
+    ) -> "Pipeline":
+        """Concat-and-chunk packing into fixed token-budget training
+        sequences (rows span boundaries) — one (group, seq_no) row
+        with n_docs and fill_tokens; closed-form integer math, groups
+        pack independently."""
+        from .operators import quality as _quality
+
+        return Pipeline(
+            _quality.pack_sequences(
+                self.df, group_col, order_col, tokens_col, budget=budget
+            )
+        )
+
     def running_balance(
         self, key_col: str, order_cols: list, delta_col, *, cap: float
     ) -> "Pipeline":

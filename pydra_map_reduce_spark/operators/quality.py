@@ -205,3 +205,58 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         F.sum(h).cast("decimal(38,0)").alias("checksum"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    *,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing, generic form: within each
+    ``group_col`` stream, rows concatenate in ``order_col`` order and
+    chunk into fixed ``budget``-token sequences, rows spanning
+    boundaries (the LLM-pretraining packing regime). Returns one row
+    per (group, seq_no): n_docs touching the sequence and its
+    fill_tokens (== budget except each group's final sequence).
+
+    Entirely closed-form integer math on each row's token interval
+    [start, start+n): touched sequences are floor(start/B) ..
+    floor((end-1)/B) — an explode of that bounded range — and the
+    contribution to a sequence is the interval overlap. No sequential
+    packer state exists (contrast running_balance's clamp recurrence,
+    which genuinely needs applyInPandas); the window and the final
+    aggregate both key on the group, so groups pack independently —
+    per-writer parallelism at any scale."""
+    from pyspark.sql.window import Window
+
+    B = budget
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = df.select(
+        group_col, order_col, F.col(tokens_col).cast("bigint").alias("_n")
+    ).filter(F.col("_n") > 0)
+    pos = d.withColumn("_start", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+    spans = pos.select(
+        group_col,
+        "_n",
+        "_start",
+        F.explode(
+            F.sequence(
+                (F.col("_start") / B).cast("bigint"),
+                ((F.col("_start") + F.col("_n") - 1) / B).cast("bigint"),
+            )
+        ).alias("seq_no"),
+    )
+    overlap = F.least(
+        F.col("_start") + F.col("_n"), (F.col("seq_no") + 1) * B
+    ) - F.greatest(F.col("_start"), F.col("seq_no") * B)
+    return spans.groupBy(group_col, "seq_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(overlap).alias("fill_tokens"),
+    )

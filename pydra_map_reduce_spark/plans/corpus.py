@@ -904,39 +904,11 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently, the same per-writer parallelism as
     shard_pack_partitioned; doc_id order makes packing deterministic
     under any partitioning."""
-    B = _SEQ_LEN
-    from pyspark.sql.window import Window
+    from ..operators.quality import pack_sequences
 
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "source",
-            "doc_id",
-            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
-        )
-        .filter(F.col("n_tokens") > 0)
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pos = d.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    spans = pos.select(
+    d = load_table(spark, sf_dir, "documents").select(
         "source",
-        "n_tokens",
-        "start_tok",
-        F.explode(
-            F.sequence(
-                (F.col("start_tok") / B).cast("bigint"),
-                ((F.col("start_tok") + F.col("n_tokens") - 1) / B).cast("bigint"),
-            )
-        ).alias("seq_no"),
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
-    overlap = F.least(
-        F.col("start_tok") + F.col("n_tokens"), (F.col("seq_no") + 1) * B
-    ) - F.greatest(F.col("start_tok"), F.col("seq_no") * B)
-    return spans.groupBy("source", "seq_no").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(overlap).alias("fill_tokens"),
-    )
+    return pack_sequences(d, "source", "doc_id", "n_tokens", budget=_SEQ_LEN)

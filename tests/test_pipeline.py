@@ -280,3 +280,23 @@ def test_round7_ivf_convenience(spark):
     assert topk.columns == ["vec_id", "cos"]
     assert len(rows) == 3
     assert all(r["vec_id"] != 0 for r in rows)
+
+
+def test_pack_sequences_pipeline(spark):
+    """The packing delegate must chain and agree with the registered
+    fixture query."""
+    from pydra_map_reduce_spark.api import Pipeline
+    from pydra_map_reduce_spark.plans import REGISTRY
+
+    docs = Pipeline.read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in docs.with_column("n_tokens", F.size(F.split(F.col("text"), " ")))
+        .pack_sequences("source", "doc_id", "n_tokens", budget=512)
+        .to_df()
+        .collect()
+    )
+    want = sorted(
+        tuple(r) for r in REGISTRY["sequence_pack"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
