@@ -82,6 +82,8 @@ HEADLINE = [
     "dedup_report",          # end-to-end dedup chain (exact -> span near-dup -> rollup)
     "pricing_summary_decimal", # exact fixed-point money agg (DECIMAL fast path)
     "ivf_ann_topk_distributed", # IVF ANN, distributed centroid frame (large-k path)
+    "linear_quality_score",  # model inference (hashed features x broadcast weights)
+    "sequence_pack",         # concat-and-chunk token packing (closed-form spans)
 ]
 
 
