@@ -789,3 +789,38 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("c_custkey").alias("n_customers"))
     )
+
+
+@query(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT c.c_nationkey,
+           count(*)                      AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    section="2.3 join strategy hint (SHUFFLE_HASH: build-side hash, no sort)",
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-strategy knob a 100 TB user reaches for when a dim is
+    too big to broadcast but small enough to hash per partition:
+    hint("SHUFFLE_HASH") forces a ShuffledHashJoin — both sides
+    exchange on the key as usual, but the hinted side builds an
+    in-memory hash table per partition instead of BOTH sides paying
+    the SortMergeJoin's sorts. Correct when the per-partition build
+    side fits in executor memory (here customer ÷ 32 partitions);
+    wrong for skewed or huge build sides, which is why it is a HINT
+    and not a default. The plan test pins that the hint actually
+    engages — hints are requests, and a silently-ignored one is a
+    perf bug that no correctness test would ever catch."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

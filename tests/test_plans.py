@@ -606,3 +606,15 @@ def test_sequence_pack_parallel_window(spark):
     plan = _executed(df)
     assert "Exchange SinglePartition" not in plan, plan[:3000]
     assert "Exchange hashpartitioning(source" in plan, plan[:3000]
+
+
+def test_shuffle_hash_hint_engages(spark):
+    """hint('SHUFFLE_HASH') must actually produce a ShuffledHashJoin —
+    not fall back to sort-merge, and not get upgraded to broadcast
+    (hints are requests; a silently-ignored one is an invisible perf
+    regression)."""
+    df = REGISTRY["join_hint_shuffle_hash"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "ShuffledHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
