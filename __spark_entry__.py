@@ -75,12 +75,12 @@ _DRIVER_PRIORITY = [
 #   weighted_median, basket_pairs, rollup_grouping_id,
 #   nested_line_stats, table_diff, not_in_null_semantics, bm25_topk,
 #   window_time_range_avg, feature_hashing
-# plus the nine added late in round 7 (after the r7 window froze):
+# plus the ten added late in round 7 (after the r7 window froze):
 #   linear_quality_score, decimal_running_total, inverted_index,
 #   xml_roundtrip, binaryfile_scan, sequence_pack,
 #   multimodal_image_decode, multimodal_audio_decode,
-#   join_hint_shuffle_hash
-# After those 40, backfill with the stalest r3/r4-era greens
+#   join_hint_shuffle_hash, cdc_apply_deletes
+# After those 41, backfill with the stalest r3/r4-era greens
 # (allpairs_similarity, ann_lsh_topk, the array/date/string function
 # families, the window family).
 

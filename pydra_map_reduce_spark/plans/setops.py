@@ -449,3 +449,83 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
               AS n_not_exists
         """
     )
+
+
+@query(
+    "cdc_apply_deletes",
+    oracle="""
+    WITH log AS (
+        SELECT o_orderkey AS okey, v.version,
+               o_totalprice + v.version * 10.0 AS price,
+               CASE WHEN v.version = 0 THEN 'I'
+                    WHEN o_orderkey % 7 = 0 AND v.version = o_orderkey % 3
+                         THEN 'D'
+                    ELSE 'U' END AS op
+        FROM orders,
+             LATERAL (SELECT unnest(generate_series(0, o_orderkey % 3)) AS version) v
+    ), latest AS (
+        SELECT okey,
+               arg_max(op, version)    AS op,
+               arg_max(price, version) AS price
+        FROM log GROUP BY okey
+    )
+    SELECT CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_live,
+           CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tombstoned,
+           CAST(sum(CASE WHEN op <> 'D'
+                         THEN CAST(price AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS live_total
+    FROM latest
+    """,
+    section="2.4/2.7 CDC apply with delete tombstones (snapshot from I/U/D log)",
+)
+def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The half of CDC apply `cdc_latest_wins` doesn't cover: the
+    changelog carries INSERT/UPDATE/DELETE ops, and a key whose
+    LATEST op is a delete tombstone must vanish from the snapshot —
+    dropping tombstones before picking latest would resurrect deleted
+    rows (the classic CDC-apply bug), so the op rides through the
+    same max_by(version) aggregate as the payload and the filter runs
+    AFTER compaction. Log synthesis is deterministic (keys divisible
+    by 7 end in a delete when their version chain is multi-row), so
+    the oracle mirrors it with generate_series. Same scale shape as
+    cdc_latest_wins: one hash aggregate on the CDC key, map-side
+    partial maxima — no window sort of the changelog."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    log = (
+        o.select(
+            F.col("o_orderkey").alias("okey"),
+            F.explode(
+                F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))
+            ).alias("version"),
+            "o_totalprice",
+        )
+        .withColumn("price", F.col("o_totalprice") + F.col("version") * 10.0)
+        .withColumn(
+            "op",
+            F.when(F.col("version") == 0, "I")
+            .when(
+                (F.col("okey") % 7 == 0) & (F.col("version") == F.col("okey") % 3),
+                "D",
+            )
+            .otherwise("U"),
+        )
+    )
+    latest = log.groupBy("okey").agg(
+        F.max_by("op", "version").alias("op"),
+        F.max_by("price", "version").alias("price"),
+    )
+    return latest.agg(
+        F.sum(F.when(F.col("op") != "D", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_live"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tombstoned"),
+        F.sum(
+            F.when(F.col("op") != "D", F.col("price").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("live_total"),
+    )
