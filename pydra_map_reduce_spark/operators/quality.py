@@ -84,17 +84,22 @@ def weighted_sample(
     """Deterministic weighted sample of ``k`` rows without
     replacement (sequential Poisson sampling, Ohlsson 1998): priority
     = hash-uniform(id) / weight, keep the k smallest. Returns the
-    input columns + ``priority`` (rounded half-up, 8dp)."""
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
+    input columns + ``priority`` (rounded half-up, 8dp).
+
+    Non-positive weights are EXCLUDED before the division (a weight-0
+    row has zero inclusion probability by definition, and u/0 is the
+    one spot where engines genuinely disagree — Spark double/0 yields
+    NULL, which ascending nulls-first would sort INTO the sample,
+    while DuckDB yields +inf, which sorts out; the guard removes the
+    divergence instead of papering over it)."""
+    from .textops import hash_uniform
+
+    u = hash_uniform(id_col)
     weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     pri = u / weight
     return (
-        df.withColumn("pri", pri)
+        df.filter(weight > 0)
+        .withColumn("pri", pri)
         .orderBy("pri", id_col)
         .limit(k)
         .withColumn("priority", round_half_up(F.col("pri"), 8))

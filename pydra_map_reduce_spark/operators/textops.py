@@ -94,3 +94,22 @@ def content_fingerprint(text_col: str | Column) -> Column:
     """Whitespace-normalized md5 content fingerprint."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.md5(F.regexp_replace(c, " ", ""))
+
+
+def hash_uniform(id_col: str | Column) -> Column:
+    """Deterministic uniform draw on [0,1) from an id: first 8 md5
+    hex chars as an integer over 2^32 — an exact dyadic rational, so
+    the value (and any threshold comparison on it) is bit-identical
+    across engines, runs, and repartitions. THE one definition of the
+    repo's hash-to-[0,1) mapping: weighted_sample's priorities and
+    mix_apply's mixture draws both build on it, and that shared
+    identity is the reproducibility contract ('the 100 TB mixture is
+    re-buildable bit-for-bit') — a second copy that drifts (say, to
+    16 hex chars) would silently break it."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )

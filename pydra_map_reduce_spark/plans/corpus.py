@@ -489,7 +489,10 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= 20)
         & ((F.col("n_chars") - F.col("n_tokens") + 1.0) / F.col("n_tokens") >= 3.0)
     )
-    fp = F.md5(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    # the ONE fingerprint definition (textops.content_fingerprint) —
+    # an inline copy here once drifted a refactor away from the
+    # standalone dedup operators' notion of "duplicate"
+    fp = textops.content_fingerprint("text")
     w = Window.partitionBy(fp).orderBy("doc_id")
     survivors = (
         filtered.withColumn("rn", F.row_number().over(w))
@@ -648,10 +651,7 @@ def mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0), (F.col("total") / F.col("n_sources")) / F.col("n_tokens")
         ).alias("rate"),
     )
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") / F.lit(4294967296.0)
-    )
+    frac = textops.hash_uniform("doc_id")
     return (
         d.join(F.broadcast(rates), "source")
         .filter(frac < F.col("rate"))
@@ -764,6 +764,7 @@ def jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0)
                    / n_chars AS pri
         FROM documents
+        WHERE n_chars > 0
     )
     ORDER BY pri, doc_id
     LIMIT 20
@@ -838,7 +839,6 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.substring(F.col("text"), F.col("off"), _DDC_SIZE)).alias("fp"),
     )
     freq = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
-    from ..operators.textops import round_half_up as _rhu
 
     dup = (F.col("n_occ") >= 2).cast("int")
     return (
@@ -847,7 +847,7 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum(dup).cast("bigint").alias("n_dup"),
-            _rhu(F.sum(dup) * F.lit(1.0) / F.count(F.lit(1)), 4).alias("dup_ratio"),
+            round_half_up(F.sum(dup) * F.lit(1.0) / F.count(F.lit(1)), 4).alias("dup_ratio"),
         )
     )
 

@@ -16,7 +16,12 @@ from ..operators.textops import round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
-_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
+# Single source of truth for the session gap: the oracle f-strings
+# _GAP_US and the engine passes _GAP_MINUTES — both derive from one
+# number so editing the gap can never desync the two sides (the same
+# one-constant-feeds-both-sides pattern as corpus._SPLIT_CASE_SQL).
+_GAP_MINUTES = 30
+_GAP_US = _GAP_MINUTES * 60 * 1_000_000  # session gap in microseconds
 
 
 @query(
@@ -102,7 +107,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        gap_minutes=30,
+        gap_minutes=_GAP_MINUTES,
         agg_cols={"sum_value": F.round(F.sum("value"), 2)},
     )
 
@@ -447,7 +452,11 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads parquet ONCE and every coarser grain aggregates in-memory
     partials. MEMORY_AND_DISK entries are evictable, so a long-lived
     session degrades to recompute, not OOM (same posture as the
-    dedup shingle index)."""
+    dedup shingle index). Repeated invocations do NOT stack cache
+    entries: Spark's CacheManager keys on the canonicalized plan, so
+    every call with the same sf_dir resolves to the one existing
+    entry (measured: 1 cached RDD after 3 calls); only distinct
+    sf_dirs add entries, bounded by the fixture set."""
     from pyspark.storagelevel import StorageLevel
 
     e = load_table(spark, sf_dir, "events")
@@ -912,15 +921,23 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tz, local_hour, count(*) AS n
     FROM (
         SELECT 'America/New_York' AS tz,
-               hour(timezone('America/New_York', ts::TIMESTAMPTZ)) AS local_hour
+               CAST(hour(timezone('America/New_York', timezone('UTC', ts)))
+                    AS INT) AS local_hour
         FROM events
         UNION ALL
         SELECT 'Asia/Tokyo',
-               hour(timezone('Asia/Tokyo', ts::TIMESTAMPTZ))
+               CAST(hour(timezone('Asia/Tokyo', timezone('UTC', ts))) AS INT)
         FROM events
     )
     GROUP BY tz, local_hour
     """,
+    # oracle TZ notes: (1) the naive ts is pinned to UTC explicitly
+    # via timezone('UTC', ts) — the previous ts::TIMESTAMPTZ cast
+    # interpreted it in DuckDB's SESSION TimeZone, so the oracle's
+    # answer changed with the host TZ (verified: UTC vs Asia/Tokyo
+    # sessions disagreed) while the Spark side always converts from
+    # UTC; (2) hour() is BIGINT in DuckDB but INT from F.hour — cast
+    # to match, per the registry's schema-comparison convention.
     section="2.8/2.9 event-time localization (timezone-converted hour histogram)",
 )
 def local_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
