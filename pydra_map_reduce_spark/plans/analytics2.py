@@ -216,8 +216,6 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     again in two roles (customer region filter vs supplier origin
     flag). The ratio is an ordered-sum of doubles divided by another,
     so it uses the portable half-up rounding form at 4dp."""
-    from ..operators.textops import round_half_up
-
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -682,7 +680,8 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_nationkey, count(*) AS numcust,
            round(sum(c.c_acctbal), 2) AS totacctbal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+    WHERE c.c_acctbal > (SELECT floor(avg(c2.c_acctbal) * 100 + 0.5) / 100
+                         FROM customer c2
                          WHERE c2.c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -696,12 +695,19 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers with no recent orders. The scalar average broadcasts as
     a one-row cross join; the NOT EXISTS is a left-anti hash join
     against the date-filtered orders — the filter pushes to the
-    orders scan, shrinking the anti build side to recent orders only."""
+    orders scan, shrinking the anti build side to recent orders only.
+    The threshold is cut at the ROUNDED average (portable half-up,
+    2dp, both engines — the repo's rounded-threshold-cut convention):
+    a raw float average's summation order differs between engines by
+    ulps, and a balance inside that band would flip membership
+    (important_balance documents the same hazard)."""
     c = load_table(spark, sf_dir, "customer")
     recent = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
-    thr = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        round_half_up(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
     return (
         c.crossJoin(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
@@ -771,17 +777,24 @@ def waiting_suppliers_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("late") == 1, F.col("l_suppkey"))
         ).alias("n_late_supp"),
     )
-    out = (
+    # the plan stays LAZY: an earlier form eagerly localCheckpoint'd
+    # the result so `joined` could be unpersisted before returning,
+    # but that ran the whole three-join job at DataFrame-CONSTRUCTION
+    # time (every explain/schema inspection paid a cluster job) and
+    # checkpoint blocks are non-recoverable on executor loss — the
+    # opposite of a 100 TB posture. The persist entry instead stays
+    # registered: Spark's CacheManager dedupes it by canonical plan
+    # across invocations (one entry per sf_dir, measured), and
+    # MEMORY_AND_DISK-style entries are evictable, so the bounded
+    # residue is the price of a recoverable, lazily-planned query.
+    return (
         joined.filter(F.col("late") == 1)
         .join(stats, "l_orderkey")
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .localCheckpoint(eager=True)
     )
-    joined.unpersist()
-    return out
 
 
 @query(

@@ -424,6 +424,47 @@ def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_stack(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    distinct,
+    minmax,
+    out_cols: list[str],
+    with_n_rows: bool,
+) -> DataFrame:
+    """Shared scaffolding for the three profiling queries: one wide
+    aggregate computing every column's (nulls, distinct, min, max)
+    side by side in a SINGLE scan, then a stack() unpivot to one row
+    per column. ``distinct`` and ``minmax`` parameterize the two
+    spots the variants genuinely differ (exact vs HLL distinct;
+    rounded-double vs string min/max); ``out_cols`` names the four
+    metric columns in the report. ONE definition — the three copies
+    this replaces had to be edited in lockstep (the paired-edit trap
+    the project memory warns about)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")] if with_n_rows else []
+    for col in cols:
+        c = F.col(col)
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{col}__null"),
+            distinct(c).alias(f"{col}__distinct"),
+            minmax(F.min(c)).alias(f"{col}__min"),
+            minmax(F.max(c)).alias(f"{col}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__null, {col}__distinct, {col}__min, {col}__max"
+        for col in cols
+    )
+    sel = [f"stack({len(cols)}, {stack_args}) AS (col, {', '.join(out_cols)})"]
+    if with_n_rows:
+        return wide.selectExpr(*sel, "n_rows").select("col", "n_rows", *out_cols)
+    return wide.selectExpr(*sel)
+
+
+
 @query(
     "profile_table",
     oracle="""
@@ -447,24 +488,14 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates side by side, then stack() unpivots to one row per
     column — N profiled columns still cost a single pass at 100 TB."""
     o = load_table(spark, sf_dir, "orders")
-    cols = ["o_totalprice", "o_custkey"]
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for col in cols:
-        c = F.col(col)
-        aggs += [
-            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias(f"{col}__null"),
-            F.countDistinct(c).alias(f"{col}__distinct"),
-            F.round(F.min(c).cast("double"), 2).alias(f"{col}__min"),
-            F.round(F.max(c).cast("double"), 2).alias(f"{col}__max"),
-        ]
-    one = o.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{col}', {col}__null, {col}__distinct, {col}__min, {col}__max" for col in cols
+    return _profile_stack(
+        o,
+        ["o_totalprice", "o_custkey"],
+        distinct=F.countDistinct,
+        minmax=lambda c: F.round(c.cast("double"), 2),
+        out_cols=["n_null", "n_distinct", "min_v", "max_v"],
+        with_n_rows=True,
     )
-    return one.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (col, n_null, n_distinct, min_v, max_v)",
-        "n_rows",
-    ).select("col", "n_rows", "n_null", "n_distinct", "min_v", "max_v")
 
 
 @query(
@@ -480,24 +511,14 @@ def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape locked in tests/test_plans.py; the exact variant stays
     as the fixture-scale oracle anchor."""
     o = load_table(spark, sf_dir, "orders")
-    cols = ["o_totalprice", "o_custkey"]
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for col in cols:
-        c = F.col(col)
-        aggs += [
-            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias(f"{col}__null"),
-            F.approx_count_distinct(c, 0.01).alias(f"{col}__distinct"),
-            F.round(F.min(c).cast("double"), 2).alias(f"{col}__min"),
-            F.round(F.max(c).cast("double"), 2).alias(f"{col}__max"),
-        ]
-    one = o.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{col}', {col}__null, {col}__distinct, {col}__min, {col}__max" for col in cols
+    return _profile_stack(
+        o,
+        ["o_totalprice", "o_custkey"],
+        distinct=lambda c: F.approx_count_distinct(c, 0.01),
+        minmax=lambda c: F.round(c.cast("double"), 2),
+        out_cols=["n_null", "n_distinct", "min_v", "max_v"],
+        with_n_rows=True,
     )
-    return one.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (col, n_null, n_distinct, min_v, max_v)",
-        "n_rows",
-    ).select("col", "n_rows", "n_null", "n_distinct", "min_v", "max_v")
 
 
 @query(
@@ -634,8 +655,6 @@ def winsorize_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffles for the join), then clamp + aggregate in one codegen
     pass. avg is rounded half-up at 4dp: percentile interpolation can
     produce exact .xxxx5 midpoints from 2dp money."""
-    from ..operators.textops import round_half_up
-
     c = load_table(spark, sf_dir, "customer")
     st = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
         F.percentile("c_acctbal", F.lit(0.05)).alias("p05"),
@@ -742,21 +761,13 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortest-repr (both Spark and DuckDB print 181399.41 for the same
     bits at 2dp money)."""
     o = load_table(spark, sf_dir, "orders")
-    cols = ["o_custkey", "o_orderpriority", "o_totalprice"]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
-    )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct, min_val, max_val)"
+    return _profile_stack(
+        o,
+        ["o_custkey", "o_orderpriority", "o_totalprice"],
+        distinct=lambda c: F.count_distinct(c).cast("bigint"),
+        minmax=lambda c: c.cast("string"),
+        out_cols=["n_nulls", "n_distinct", "min_val", "max_val"],
+        with_n_rows=False,
     )
 
 
@@ -1025,9 +1036,11 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "basket_pairs",
     oracle="""
-    WITH pairs AS (
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
         SELECT a.l_partkey AS p_a, b.l_partkey AS p_b
-        FROM lineitem a JOIN lineitem b
+        FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     )
     SELECT p_a, p_b, count(*) AS support
@@ -1045,8 +1058,20 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, never corpus²; the support count is one keyed aggregation.
     At 100 TB add a frequent-items prefilter (drop parts below
     minimum item support before pairing — Apriori's monotonicity)
-    to shrink the join input."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    to shrink the join input.
+
+    The basket is the DISTINCT (order, part) set: an order listing
+    the same part on two lineitem rows is one occurrence of the item,
+    so support really counts co-ORDERS — without the distinct, 57
+    duplicate line groups at sf0.001 inflated support and let pairs
+    below the documented ≥3-order threshold through (found by the
+    round-7 whole-file review; the oracle mirrored the bug, so only
+    semantics — not the differential — was wrong)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(
