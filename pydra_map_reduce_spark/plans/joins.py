@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..operators.textops import round_half_up
 from ..sources.tables import load_table
@@ -333,14 +332,23 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables: Spark aligns buckets and the join runs with NO exchange —
     the pattern that turns a recurring 100 TB fact-fact join from a
     full shuffle into a local merge. (Bucketed tables need the table
-    catalog, hence saveAsTable with explicit paths under a per-process
-    temp root — fixed /tmp paths + global table names would let
-    concurrent runs on one host clobber each other's data/catalog.)"""
+    catalog, hence saveAsTable with explicit paths under the
+    per-process io temp root — fixed /tmp paths + global table names
+    would let concurrent runs on one host clobber each other's
+    data/catalog. The root is STABLE within the process: an earlier
+    mkdtemp-per-call form allocated a fresh directory every
+    invocation, so mode('overwrite') never actually overwrote and
+    each bench/suite call leaked two full bucketed table copies;
+    with the stable path repeated calls rewrite in place and the
+    catalog entries stay one-per-process. The tables must remain
+    registered while the returned plan is alive — it reads them
+    lazily — so cleanup is directory-reuse, not DROP.)"""
     import os
-    import tempfile
+
+    from .io import _tmp
 
     tok = f"{os.getpid():x}"
-    base = tempfile.mkdtemp(prefix="pydra_bucketed_")
+    base = _tmp("bucketed")
     for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         name = f"bkt_{tbl}_{tok}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -743,6 +751,13 @@ def fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
     a = p.alias("a")
     b = p.alias("b")
+    # NOTE: `dist` appears in both the Filter and the Project; Catalyst
+    # does not share expressions across operators, so levenshtein runs
+    # twice for each SURVIVING pair (and a withColumn formulation ends
+    # up identical — predicate pushdown re-substitutes the alias when
+    # pushing the filter through the Project). Acceptable here because
+    # the thresholded output is tiny relative to the blocked candidate
+    # set, where the single-evaluation filter does the real work.
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
         a.join(

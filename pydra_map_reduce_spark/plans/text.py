@@ -579,10 +579,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores sit nowhere near boundaries. The top-10 cut orders by raw
     score with a doc_id tie-break (TakeOrdered heaps, no global
     sort)."""
-    from ..operators.textops import tokens
 
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("word")).filter(
+    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("word")).filter(
         F.col("word") != ""
     )
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
@@ -661,7 +660,7 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n_types,
            floor((sum(x*y) - sum(x) * sum(y) / count(*))
-                 / (sum(x*x) - sum(x) * sum(x) / count(*))
+                 / nullif(sum(x*x) - sum(x) * sum(x) / count(*), 0.0)
                  * 10000 + 0.5) / 10000 AS slope
     FROM ranked GROUP BY source
     """,
@@ -676,7 +675,12 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     token so both engines rank identically); the slope is the
     closed-form OLS from the four running sums, so after the
     frequency agg this is one window + one agg — all keyed on
-    source, no joins, no iteration."""
+    source, no joins, no iteration. The OLS denominator is wrapped in
+    nullif(·, 0) on BOTH sides: a degenerate source with a single
+    distinct token has x-variance exactly 0, and 0.0/0.0 is the one
+    division where the engines split (Spark NULL, DuckDB NaN — and
+    the harness deliberately refuses to equate them); NULL/NULL is
+    the portable 'slope undefined' answer."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -692,8 +696,8 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log("n").alias("y"),
     )
     k = F.count(F.lit(1))
-    slope = (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / k) / (
-        F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / k
+    slope = (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / k) / F.nullif(
+        F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / k, F.lit(0.0)
     )
     return ranked.groupBy("source").agg(
         k.alias("n_types"), round_half_up(slope, 4).alias("slope")
