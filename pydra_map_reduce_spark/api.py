@@ -255,6 +255,18 @@ class Pipeline:
 
         return Pipeline(_quality.ks_drift(self.df, group_col, value_col))
 
+    def drift_psi(
+        self, group_col: str, value_col: str, *, bin_width: float
+    ) -> "Pipeline":
+        """Per-group population-stability index of value_col (binned)
+        against the rest of the table, Laplace-smoothed — the other
+        drift screen, sharing ks_drift's bounded-grid shape."""
+        from .operators import quality as _quality
+
+        return Pipeline(
+            _quality.psi_drift(self.df, group_col, value_col, bin_width=bin_width)
+        )
+
     def token_entropy(self, group_col: str, text_col: str) -> "Pipeline":
         """Per-group Shannon entropy of the token unigram
         distribution — the corpus-diversity signal."""

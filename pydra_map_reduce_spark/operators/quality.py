@@ -265,3 +265,38 @@ def pack_sequences(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(overlap).alias("fill_tokens"),
     )
+
+
+def psi_drift(
+    df: DataFrame, group_col: str, value_col: str, *, bin_width: float
+) -> DataFrame:
+    """Per-group population-stability index of ``value_col`` (binned
+    at ``bin_width``) against the rest of the table, with +0.5
+    Laplace smoothing so empty bins stay finite. Returns
+    (group_col, n_bins, psi@4dp). Same bounded (group × bin) grid
+    shape as ks_drift — THE shared grid construction both drift
+    screens now run behind (a fix to e.g. the left-join null handling
+    lands in one place)."""
+    binned = df.select(
+        group_col, F.floor(F.col(value_col) / bin_width).cast("bigint").alias("b")
+    )
+    bins = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_b"))
+    pb = binned.groupBy(group_col, "b").agg(F.count(F.lit(1)).alias("cnt_sb"))
+    tot = binned.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_s"))
+    scalars = binned.agg(F.count(F.lit(1)).alias("n_all")).crossJoin(
+        bins.agg(F.count(F.lit(1)).alias("k"))
+    )
+    grid = (
+        tot.crossJoin(F.broadcast(bins))
+        .join(pb, [group_col, "b"], "left")
+        .withColumn("cnt_sb", F.coalesce("cnt_sb", F.lit(0)))
+        .crossJoin(F.broadcast(scalars))
+    )
+    p_s = (F.col("cnt_sb") + 0.5) / (F.col("n_s") + 0.5 * F.col("k"))
+    p_r = (F.col("cnt_b") - F.col("cnt_sb") + 0.5) / (
+        F.col("n_all") - F.col("n_s") + 0.5 * F.col("k")
+    )
+    return grid.groupBy(group_col).agg(
+        F.max("k").cast("bigint").alias("n_bins"),
+        round_half_up(F.sum((p_s - p_r) * F.log(p_s / p_r)), 4).alias("psi"),
+    )

@@ -610,28 +610,10 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the conventional 'distribution shifted' alarm. Same bounded-grid
     shape as ks_drift (sources × bins), all keyed aggregations —
     nothing global but two scalar counts, both broadcast."""
+    from ..operators import quality
+
     d = load_table(spark, sf_dir, "documents")
-    binned = d.select("source", F.floor(F.col("n_chars") / _PSI_BIN).cast("bigint").alias("b"))
-    bins = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_b"))
-    pb = binned.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cnt_sb"))
-    tot = binned.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    scalars = binned.agg(F.count(F.lit(1)).alias("n_all")).crossJoin(
-        bins.agg(F.count(F.lit(1)).alias("k"))
-    )
-    grid = (
-        tot.crossJoin(F.broadcast(bins))
-        .join(pb, ["source", "b"], "left")
-        .withColumn("cnt_sb", F.coalesce("cnt_sb", F.lit(0)))
-        .crossJoin(F.broadcast(scalars))
-    )
-    p_s = (F.col("cnt_sb") + 0.5) / (F.col("n_s") + 0.5 * F.col("k"))
-    p_r = (F.col("cnt_b") - F.col("cnt_sb") + 0.5) / (
-        F.col("n_all") - F.col("n_s") + 0.5 * F.col("k")
-    )
-    return grid.groupBy("source").agg(
-        F.max("k").cast("bigint").alias("n_bins"),
-        round_half_up(F.sum((p_s - p_r) * F.log(p_s / p_r)), 4).alias("psi"),
-    )
+    return quality.psi_drift(d, "source", "n_chars", bin_width=_PSI_BIN)
 
 
 @query(

@@ -316,29 +316,38 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _zvalue_bits() -> int:
-    return 10
+# Z-order geometry, ONE definition feeding both engine and oracle:
+# each key masked to _Z_BITS bits, 2*_Z_BITS interleaved bits total,
+# top 6 form the clustering cell. (An earlier _zvalue_bits() helper
+# pretended to parameterize the width while the masks, the cell
+# shift, and the oracle all hardcoded 10 — changing it would have
+# silently desynced the plan from itself.)
+_Z_BITS = 10
+_Z_MASK = 1 << _Z_BITS           # % mask for each dimension
+_Z_CELL_SHIFT = 2 * _Z_BITS - 6  # keep the top 6 interleaved bits
+
+_Z_INTERLEAVE_SQL = " + ".join(
+    f"(((o_custkey % {_Z_MASK}) >> {i}) & 1) * {1 << (2 * i)}"
+    f" + (((o_orderkey % {_Z_MASK}) >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(_Z_BITS)
+)
 
 
 @query(
     "zorder_layout",
-    oracle="""
+    oracle=f"""
     WITH z AS (
         SELECT o_custkey, o_orderkey,
-               (""" + " + ".join(
-        f"(((o_custkey % 1024) >> {i}) & 1) * {1 << (2 * i)}"
-        f" + (((o_orderkey % 1024) >> {i}) & 1) * {1 << (2 * i + 1)}"
-        for i in range(10)
-    ) + """) AS zval
+               ({_Z_INTERLEAVE_SQL}) AS zval
         FROM orders
     )
-    SELECT zval >> 14                          AS zcell,
+    SELECT zval >> {_Z_CELL_SHIFT}             AS zcell,
            count(*)                            AS n,
-           CAST(min(o_custkey % 1024) AS BIGINT) AS min_cust,
-           CAST(max(o_custkey % 1024) AS BIGINT) AS max_cust,
-           CAST(min(o_orderkey % 1024) AS BIGINT) AS min_key,
-           CAST(max(o_orderkey % 1024) AS BIGINT) AS max_key
-    FROM z GROUP BY zval >> 14
+           CAST(min(o_custkey % {_Z_MASK}) AS BIGINT) AS min_cust,
+           CAST(max(o_custkey % {_Z_MASK}) AS BIGINT) AS max_cust,
+           CAST(min(o_orderkey % {_Z_MASK}) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey % {_Z_MASK}) AS BIGINT) AS max_key
+    FROM z GROUP BY zval >> {_Z_CELL_SHIFT}
     """,
     section="2.1/2.6 z-order layout (bit-interleaved multi-dim clustering cells)",
 )
@@ -357,18 +366,18 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     do). At 100 TB this zval is the repartitionByRange key before the
     write; the cell report is what the writer's footer stats become."""
     o = load_table(spark, sf_dir, "orders").select(
-        (F.col("o_custkey") % 1024).alias("a"),
-        (F.col("o_orderkey") % 1024).alias("b"),
+        (F.col("o_custkey") % _Z_MASK).alias("a"),
+        (F.col("o_orderkey") % _Z_MASK).alias("b"),
     )
     zval = None
-    for i in range(_zvalue_bits()):
+    for i in range(_Z_BITS):
         ta = F.shiftright("a", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
         tb = F.shiftright("b", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
         term = ta + tb
         zval = term if zval is None else zval + term
     return (
         o.withColumn("zval", zval)
-        .groupBy(F.shiftright("zval", 14).alias("zcell"))
+        .groupBy(F.shiftright("zval", _Z_CELL_SHIFT).alias("zcell"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("a").cast("bigint").alias("min_cust"),
