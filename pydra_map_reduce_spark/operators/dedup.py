@@ -18,8 +18,16 @@ _B = [i * i + 7 for i in range(1, 129)]
 
 
 def tokens(col: str | Column, sep: str = " ") -> Column:
+    """Split on the LITERAL separator. F.split takes a Java regex, so
+    the separator is escaped first — without that, sep='|' splits
+    between every character and sep='.' yields all-empty tokens,
+    while shingle_rows reassembles with concat_ws's LITERAL sep:
+    silently-garbage shingles (caught by the round-7 operator
+    review)."""
+    import re
+
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(c, sep)
+    return F.split(c, re.escape(sep))
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -189,6 +197,14 @@ def minhash_lsh_pairs(
     df = _spread(df)
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
+    if n_hashes > len(_A):
+        # the deterministic hash family is pregenerated at module load
+        # — fail with the limit named instead of an IndexError from
+        # deep inside plan construction
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the {len(_A)}-function "
+            "deterministic hash family (_A/_B); widen the family to go higher"
+        )
     rows = n_hashes // bands
     # persist: reused by signatures and by the exact rescore (same
     # evictability note as in ngram_jaccard_pairs)
@@ -273,6 +289,17 @@ def simhash_pairs(
     md5 slices (16 bits each) instead of xxhash64 — reproducible in any
     engine with md5, making the full signature/banding/hamming pipeline
     externally checkable (same rationale as minhash_lsh_pairs)."""
+    if max_hamming > 3:
+        # the pigeonhole completeness guarantee (>=1 equal chunk) only
+        # holds for hamming <= chunks-1 = 3; a larger threshold would
+        # SILENTLY drop qualifying pairs whose differing bits spread
+        # one-per-chunk — refuse rather than under-recall
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds 3, the completeness bound "
+            "of the 4x16-bit chunk banding (a pair with one differing bit "
+            "per chunk has no equal chunk and would be silently missed); "
+            "use minhash_lsh_pairs for looser similarity thresholds"
+        )
     df = _spread(df)
     tok = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("word"))
@@ -424,12 +451,23 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             stacklevel=2,
         )
     # star forest -> labels: non-roots point at their root; roots
-    # label themselves
+    # label themselves. The terminal groupBy-min guarantees ONE row
+    # per node even on a non-convergent max_iter exit (where the edge
+    # set may not yet be a star forest and a node can appear both as
+    # a labeled src and a self-labeled dst) — without it the output
+    # shape itself is corrupt (duplicate conflicting labels that
+    # double-count in any cluster-size rollup); min matches the
+    # deterministic single-label degradation dedup_clusters has, and
+    # is the identity on a converged forest.
     non_roots = edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
     roots = edges.select(F.col("dst").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
-    return non_roots.unionByName(roots).distinct()
+    return (
+        non_roots.unionByName(roots)
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
 
 
 def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:

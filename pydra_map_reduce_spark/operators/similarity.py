@@ -298,6 +298,13 @@ def ivf_topk(
     # deterministic seeds: the n_clusters lowest-id vectors, keyed 0..n-1
     # (TakeOrdered of a handful of rows — bounded driver transfer)
     seed_rows = e.orderBy("vec_id").limit(n_clusters).collect()
+    if len(seed_rows) < n_clusters:
+        # fewer vectors than cells: the dead-cell fallback would index
+        # past the seed list — name the misconfiguration instead
+        raise ValueError(
+            f"corpus has only {len(seed_rows)} vectors but n_clusters="
+            f"{n_clusters}; IVF needs at least one seed per cell"
+        )
     cents: list[list[float]] = [list(r["emb"]) for r in seed_rows]
 
     def with_cid(points: DataFrame) -> DataFrame:
@@ -341,9 +348,12 @@ def ivf_topk(
 
     assigned = with_cid(e)
 
-    qv = next(
-        list(r["emb"]) for r in assigned.filter(F.col("vec_id") == query_id).collect()
-    )
+    q_rows = assigned.filter(F.col("vec_id") == query_id).collect()
+    if not q_rows:
+        # an absent query id previously surfaced as a bare
+        # StopIteration from next() — name the actual problem
+        raise ValueError(f"query_id={query_id} not present in the corpus")
+    qv = list(q_rows[0]["emb"])
     # n_probe nearest cells to the query vector — pure driver math on
     # the bounded centroid state
     def d2_to_q(cv: list[float]) -> float:

@@ -27,7 +27,11 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("word") != ""
     )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # plain count, NOT countDistinct: tf is already one row per
+    # (doc_id, word) by construction, and a distinct aggregate would
+    # pay the expand/two-phase plan over the corpus-sized term table
+    # for an identical result
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(F.broadcast(dfreq), "word")
