@@ -28,6 +28,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def rank_key(cos: Column) -> Column:
+    """THE rank key for cosine-ordered top-k: the cosine floor-rounded
+    half-up at 9dp (mirrored verbatim in every SQL oracle's ORDER BY).
+    Ranking on the RAW float is the one cross-engine fragility left in
+    a top-k plan — the engine computes dot/(√(a·a)·√(b·b)) while
+    DuckDB's list_cosine_similarity fuses dot/√(na·nb), and
+    √a·√b ≠ √(a·b) in IEEE, so two near-tied cosines can order
+    oppositely and flip a rank or the k/k+1 boundary. 9dp absorbs ulp
+    noise while separating genuinely distinct neighbors (the same
+    pinning knn_classify got after the r6 advisor note; negative
+    midpoints round toward +inf identically in both engines)."""
+    return F.floor(cos * 1e9 + 0.5) / 1e9
+
+
 def _flatten(df: DataFrame, id_col: str, vec_col: str, dim: int, prefix: str) -> DataFrame:
     e = df.select(F.col(id_col).alias(f"{prefix}id"), as_double(vec_col).alias("_v"))
     return e.select(
@@ -56,7 +70,7 @@ def cosine_topk(
         e.filter(F.col("vec_id") != query_id)
         .crossJoin(F.broadcast(q))
         .select("vec_id", cosine(F.col("emb"), F.col("qv")).alias("cos_raw"))
-        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .orderBy(rank_key(F.col("cos_raw")).desc(), F.col("vec_id"))
         .limit(k)
         .select("vec_id", F.round("cos_raw", 4).alias("cos"))
     )
@@ -83,7 +97,9 @@ def batch_cosine_topk(
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qv")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    w = Window.partitionBy("query_id").orderBy(
+        rank_key(F.col("cos_raw")).desc(), "vec_id"
+    )
     return (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -248,7 +264,7 @@ def signbit_lsh_topk(
         sig.crossJoin(F.broadcast(q))
         .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != query_id))
         .select("vec_id", cosine(F.col("emb"), F.col("qv")).alias("cos_raw"))
-        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .orderBy(rank_key(F.col("cos_raw")).desc(), F.col("vec_id"))
         .limit(k)
         .select("vec_id", F.round("cos_raw", 4).alias("cos"))
     )
@@ -305,7 +321,16 @@ def ivf_topk(
             f"corpus has only {len(seed_rows)} vectors but n_clusters="
             f"{n_clusters}; IVF needs at least one seed per cell"
         )
-    cents: list[list[float]] = [list(r["emb"]) for r in seed_rows]
+    # centroid state keyed by LIVE cid (a dict, not a dense list):
+    # a cell that loses all members DROPS from the state, exactly as
+    # the unrolled-Lloyd oracle's per-round c{i} CTE only carries cids
+    # present in the assignment. (The first form kept a dead cell's
+    # stale centroid competing in later rounds — a latent engine/
+    # oracle divergence the moment a regenerated fixture empties a
+    # cell; the distributed variant already had the drop semantics.)
+    cents: dict[int, list[float]] = {
+        i: list(r["emb"]) for i, r in enumerate(seed_rows)
+    }
 
     def with_cid(points: DataFrame) -> DataFrame:
         """(vec_id, emb, cid): nearest centroid by squared L2, as an
@@ -314,16 +339,18 @@ def ivf_topk(
         shot. The pure-SQL alternatives both lose here: zip_with/
         aggregate HOFs evaluate interpreted per element (~1 s/pass),
         and a flat 8×64-term codegen expression blows up Catalyst
-        analysis (~35 s). argmin returns the FIRST minimum = lowest
-        cid, mirroring the oracle's (d2, cid)-ordered row_number
-        pick."""
-        C = np.asarray(cents)  # (k, dim): bounded, closure-captured
+        analysis (~35 s). argmin over the SORTED live-cid matrix
+        returns the first minimum = lowest live cid, mirroring the
+        oracle's (d2, cid)-ordered row_number pick."""
+        cid_list = sorted(cents)  # live cids, ascending for tie-break
+        C = np.asarray([cents[c] for c in cid_list])  # (live, dim)
+        cid_arr = np.asarray(cid_list)
 
         @F.pandas_udf("int")
         def assign_udf(emb: pd.Series) -> pd.Series:
             M = np.vstack(emb.to_numpy())  # (batch, dim)
             d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            return pd.Series(d2.argmin(axis=1))
+            return pd.Series(cid_arr[d2.argmin(axis=1)])
 
         return points.select(
             "vec_id", "emb", assign_udf(F.col("emb")).cast("int").alias("cid")
@@ -340,11 +367,10 @@ def ivf_topk(
         by_cid: dict[int, dict[int, float]] = {}
         for r in means:
             by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
-        # a cell losing all members keeps its previous centroid
-        cents = [
-            [by_cid[i][p] for p in sorted(by_cid[i])] if i in by_cid else cents[i]
-            for i in range(n_clusters)
-        ]
+        # dead cells DROP (see the state comment above)
+        cents = {
+            cid: [vals[p] for p in sorted(vals)] for cid, vals in by_cid.items()
+        }
 
     assigned = with_cid(e)
 
@@ -362,7 +388,7 @@ def ivf_topk(
             acc += (a - b) * (a - b)
         return acc
 
-    probe = sorted(range(n_clusters), key=lambda i: (d2_to_q(cents[i]), i))[:n_probe]
+    probe = sorted(cents, key=lambda i: (d2_to_q(cents[i]), i))[:n_probe]
     qlit = F.array(*[F.lit(x) for x in qv])
     cos = dot(F.col("emb"), qlit) / (
         F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.sqrt(dot(qlit, qlit))
@@ -370,7 +396,7 @@ def ivf_topk(
     return (
         assigned.filter(F.col("cid").isin(*probe) & (F.col("vec_id") != query_id))
         .select("vec_id", cos.alias("cos_raw"))
-        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .orderBy(rank_key(F.col("cos_raw")).desc(), "vec_id")
         .limit(k)
         .select("vec_id", F.round("cos_raw", 4).alias("cos"))
     )
@@ -520,7 +546,7 @@ def ivf_topk_distributed(
             "vec_id",
             f"(({dot_sql}) / (sqrt({vn_sql}) * sqrt({qn_sql}))) AS cos_raw",
         )
-        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .orderBy(rank_key(F.col("cos_raw")).desc(), "vec_id")
         .limit(k)
         .selectExpr("vec_id", "round(cos_raw, 4) AS cos")
     )

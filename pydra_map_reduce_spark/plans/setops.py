@@ -272,14 +272,36 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.unionByName(kept).unionByName(opened)
 
 
-@query(
-    "cdc_latest_wins",
-    oracle="""
-    WITH log AS (
+# ONE definition of the synthesized CDC changelog (engine + oracle):
+# each order key carries 1-3 versions, each bumping the price by 10
+# per version. cdc_latest_wins consumes the plain log;
+# cdc_apply_deletes adds the I/U/D op column on top. Both queries and
+# both oracles derive from these two definitions, so a synthesis
+# change cannot land one-sided (the paired-edit drift the project
+# memory warns about).
+_CDC_LOG_SQL = """
         SELECT o_orderkey AS okey, v.version,
                o_totalprice + v.version * 10.0 AS price
         FROM orders,
              LATERAL (SELECT unnest(generate_series(0, o_orderkey % 3)) AS version) v
+"""
+
+
+def _cdc_log(o: DataFrame) -> DataFrame:
+    """(okey, version, price): the synthesized changelog, engine side."""
+    return o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))
+        ).alias("version"),
+        "o_totalprice",
+    ).withColumn("price", F.col("o_totalprice") + F.col("version") * 10.0)
+
+
+@query(
+    "cdc_latest_wins",
+    oracle=f"""
+    WITH log AS ({_CDC_LOG_SQL}
     ), latest AS (
         SELECT okey,
                max(version) AS version,
@@ -310,13 +332,7 @@ def cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break is total (versions are distinct ints per key), so
     max_by is deterministic."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    log = o.select(
-        F.col("o_orderkey").alias("okey"),
-        F.explode(F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))).alias(
-            "version"
-        ),
-        "o_totalprice",
-    ).withColumn("price", F.col("o_totalprice") + F.col("version") * 10.0)
+    log = _cdc_log(o)
     latest = log.groupBy("okey").agg(
         F.max("version").alias("version"),
         F.max_by("price", "version").alias("price"),
@@ -453,16 +469,13 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_apply_deletes",
-    oracle="""
+    oracle=f"""
     WITH log AS (
-        SELECT o_orderkey AS okey, v.version,
-               o_totalprice + v.version * 10.0 AS price,
-               CASE WHEN v.version = 0 THEN 'I'
-                    WHEN o_orderkey % 7 = 0 AND v.version = o_orderkey % 3
-                         THEN 'D'
+        SELECT okey, version, price,
+               CASE WHEN version = 0 THEN 'I'
+                    WHEN okey % 7 = 0 AND version = okey % 3 THEN 'D'
                     ELSE 'U' END AS op
-        FROM orders,
-             LATERAL (SELECT unnest(generate_series(0, o_orderkey % 3)) AS version) v
+        FROM ({_CDC_LOG_SQL})
     ), latest AS (
         SELECT okey,
                arg_max(op, version)    AS op,
@@ -493,24 +506,14 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc_latest_wins: one hash aggregate on the CDC key, map-side
     partial maxima — no window sort of the changelog."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    log = (
-        o.select(
-            F.col("o_orderkey").alias("okey"),
-            F.explode(
-                F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))
-            ).alias("version"),
-            "o_totalprice",
+    log = _cdc_log(o).withColumn(
+        "op",
+        F.when(F.col("version") == 0, "I")
+        .when(
+            (F.col("okey") % 7 == 0) & (F.col("version") == F.col("okey") % 3),
+            "D",
         )
-        .withColumn("price", F.col("o_totalprice") + F.col("version") * 10.0)
-        .withColumn(
-            "op",
-            F.when(F.col("version") == 0, "I")
-            .when(
-                (F.col("okey") % 7 == 0) & (F.col("version") == F.col("okey") % 3),
-                "D",
-            )
-            .otherwise("U"),
-        )
+        .otherwise("U"),
     )
     latest = log.groupBy("okey").agg(
         F.max_by("op", "version").alias("op"),

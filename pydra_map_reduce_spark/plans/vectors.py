@@ -22,7 +22,7 @@ from .registry import query
            round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos
     FROM embeddings e CROSS JOIN q
     WHERE e.vec_id <> 0
-    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+    ORDER BY floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) * 1e9 + 0.5) / 1e9 DESC, e.vec_id
     LIMIT 10
     """,
     section="2.11 cosine top-k similarity search (brute-force baseline)",
@@ -42,7 +42,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT q.query_id, e.vec_id,
                list_cosine_similarity(e.emb, q.qv) AS cos_raw,
                row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY list_cosine_similarity(e.emb, q.qv) DESC,
+                                  ORDER BY floor(list_cosine_similarity(e.emb, q.qv)
+                                                 * 1e9 + 0.5) / 1e9 DESC,
                                            e.vec_id) AS rank
         FROM e CROSS JOIN q
         WHERE e.vec_id <> q.query_id
@@ -63,16 +64,27 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "allpairs_similarity",
-    oracle="""
+# ONE definition of the thresholded all-pairs oracle (the pair set
+# allpairs_similarity, lsh_allpairs_cosine, and embedding_neardup all
+# share — the LSH twin's contract is "identical output", which only
+# stays true if there is exactly one SQL text to edit).
+_ALLPAIRS_THRESHOLD = 0.4
+_ALLPAIRS_PAIRS_SQL = f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
-    """,
+                                 CAST(b.embedding AS DOUBLE[])) >= {_ALLPAIRS_THRESHOLD}
+"""
+_ALLPAIRS_ROUNDED_SQL = (
+    "SELECT id_a, id_b, round(cos, 4) AS cos FROM (" + _ALLPAIRS_PAIRS_SQL + ")"
+)
+
+
+@query(
+    "allpairs_similarity",
+    oracle=_ALLPAIRS_ROUNDED_SQL,
     section="2.11 all-pairs similarity join (threshold 0.4)",
 )
 def allpairs_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,14 +95,7 @@ def allpairs_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lsh_allpairs_cosine",
-    oracle="""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
-    """,
+    oracle=_ALLPAIRS_ROUNDED_SQL,
     section="2.11 all-pairs similarity join, banded-LSH generator (scale path)",
 )
 def lsh_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,15 +111,8 @@ def lsh_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_neardup",
-    oracle="""
-    WITH pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
-    )
+    oracle=f"""
+    WITH pairs AS ({_ALLPAIRS_PAIRS_SQL})
     SELECT id_b                        AS dup_id,
            CAST(min(id_a) AS BIGINT)   AS keep_id,
            count(*)                    AS n_neighbors
@@ -154,7 +152,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_cosine_similarity(s.emb, q.qv), 4) AS cos
     FROM sig s CROSS JOIN q
     WHERE s.bucket = q.qb AND s.vec_id <> 0
-    ORDER BY list_cosine_similarity(s.emb, q.qv) DESC, s.vec_id
+    ORDER BY floor(list_cosine_similarity(s.emb, q.qv) * 1e9 + 0.5) / 1e9 DESC, s.vec_id
     LIMIT 5
     """,
     section="2.11 ANN: LSH sign-bit buckets + exact rescore",
@@ -199,6 +197,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                         -list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) AS mx
         FROM embeddings
     )
+    WHERE mx > 0
     """,
     section="2.11 vector quantization (symmetric int8 per-vector scale)",
 )
@@ -207,13 +206,20 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped to round(x·127/scale). The embedding-compression pass of a
     training-data pipeline, in pure column expressions. The quantized
     vector is serialized with array_join (the external harness's pandas
-    canonicalizer cannot hash top-level ARRAY cells)."""
+    canonicalizer cannot hash top-level ARRAY cells). All-zero vectors
+    are EXCLUDED (mirrored in the oracle): their absmax scale is 0 and
+    0·127/0 = NaN, where the engines diverge hard — DuckDB's
+    CAST(NaN AS INT) errors the whole query while Spark silently emits
+    a degenerate row; a zero vector has no quantization anyway
+    (fixtures contain none today — the guard is for the operator's
+    contract, not the current data)."""
     from ..operators.similarity import as_double
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
     mx = F.greatest(F.array_max("emb"), -F.array_min("emb"))
+    e = e.filter(F.greatest(F.array_max("emb"), -F.array_min("emb")) > 0)
     qv = F.transform(
         "emb",
         lambda x: F.round(x * 127.0 / F.col("scale")).cast("int").cast("string"),
@@ -315,7 +321,7 @@ def _ivf_oracle(
         JOIN e ON e.vec_id = a.vec_id
         CROSS JOIN qv q
         WHERE a.vec_id <> {query_id}
-        ORDER BY cos_raw DESC, a.vec_id
+        ORDER BY floor(cos_raw * 1e9 + 0.5) / 1e9 DESC, a.vec_id
         LIMIT {k}
     )
     """
