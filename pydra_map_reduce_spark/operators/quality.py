@@ -136,8 +136,16 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     return ranked.agg(
         n_pos.cast("bigint").alias("n_pos"),
         n_neg.cast("bigint").alias("n_neg"),
+        # nullif guard: a single-class input (no positives or no
+        # negatives) has denominator 0, where the engines diverge
+        # (Spark NULL vs DuckDB inf/NaN); NULL/NULL — "AUC
+        # undefined" — is the portable answer, mirrored in the oracle
         round_half_up(
-            (rank2_sum - n_pos_d * (n_pos_d + 1)) * 1.0 / (2 * n_pos_d * n_neg.cast("decimal(38,0)")),
+            (rank2_sum - n_pos_d * (n_pos_d + 1)) * 1.0
+            / F.nullif(
+                2 * n_pos_d * n_neg.cast("decimal(38,0)"),
+                F.lit(0).cast("decimal(38,0)"),
+            ),
             6,
         ).alias("auc"),
     )

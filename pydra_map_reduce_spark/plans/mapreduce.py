@@ -32,7 +32,7 @@ from .registry import query
     "mr_map",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net_price,
            CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'retail' END AS qty_class
     FROM lineitem
     WHERE l_orderkey < 5000
@@ -99,7 +99,10 @@ def mr_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mr_reduce_by_key",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4) AS weighted_avg_price,
+           floor(sum(CAST(l_quantity AS BIGINT)
+                     * CAST(round(l_extendedprice * 100) AS BIGINT))
+                 / 100.0 / sum(CAST(l_quantity AS BIGINT)) * 1e4 + 0.5) / 1e4
+               AS weighted_avg_price,
            count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -118,13 +121,20 @@ def mr_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
         import math
 
-        qty = pdf["l_quantity"]
-        wavg = (qty * pdf["l_extendedprice"]).sum() / qty.sum()
+        # INTEGER accumulation: qty is integer-valued and the price is
+        # 2dp money, so qty*cents sums exactly — a float weighted sum
+        # is order-sensitive (pandas pairwise vs sequential summation,
+        # ~1e-9 spread) and a group landing within that spread of a
+        # .xxxx5 boundary would round differently run to run. The
+        # oracle mirrors the same cents arithmetic, and both sides
+        # round with the portable floor half-up form (engine round()
+        # pairs diverge on the knife-edge k+0.4999999999999999 class).
+        qty = pdf["l_quantity"].to_numpy().astype("int64")
+        cents = (pdf["l_extendedprice"].to_numpy() * 100).round().astype("int64")
+        wavg = int((qty * cents).sum()) / 100.0 / int(qty.sum())
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                # half-up to match SQL round(); python round() is
-                # banker's and would flip exact .xxxx5 values
                 "weighted_avg_price": [math.floor(wavg * 1e4 + 0.5) / 1e4],
                 "n": [len(pdf)],
             }
@@ -186,7 +196,10 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("string")
     def norm_type(s: pd.Series) -> pd.Series:
-        return s.str.strip().str.lower().str.replace(" ", "_", regex=False)
+        # strip(' ') — SPACES only, matching DuckDB trim(); bare
+        # .strip() also eats tabs/newlines and would silently split
+        # a group the oracle keeps whole
+        return s.str.strip(" ").str.lower().str.replace(" ", "_", regex=False)
 
     p = load_table(spark, sf_dir, "part").select("p_type", "p_retailprice")
     return (
@@ -318,7 +331,7 @@ def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mr_map_arrow",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS gross_price
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS gross_price
     FROM lineitem
     WHERE l_orderkey < 3000
     """,
@@ -458,7 +471,7 @@ _RB_CAP = 1000.0  # clamp ceiling for the running balance
 
 @query(
     "running_balance_capped",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE base AS (
         SELECT user_id,
                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
@@ -468,11 +481,11 @@ _RB_CAP = 1000.0  # clamp ceiling for the running balance
         FROM events
     ),
     rec AS (
-        SELECT user_id, rn, n, least(greatest(delta, 0.0), 1000.0) AS bal
+        SELECT user_id, rn, n, least(greatest(delta, 0.0), {_RB_CAP}) AS bal
         FROM base WHERE rn = 1
         UNION ALL
         SELECT b.user_id, b.rn, b.n,
-               least(greatest(r.bal + b.delta, 0.0), 1000.0)
+               least(greatest(r.bal + b.delta, 0.0), {_RB_CAP})
         FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
     )
     SELECT user_id, CAST(n AS BIGINT) AS n_events,

@@ -33,7 +33,7 @@ from .registry import query
     SELECT CAST(sum(p) AS BIGINT)     AS n_pos,
            CAST(sum(n - p) AS BIGINT) AS n_neg,
            floor((sum(p * (2 * cum_less + n + 1)) - sum(p) * (sum(p) + 1))
-                 * 1.0 / (2 * sum(p) * sum(n - p)) * 1000000 + 0.5)
+                 * 1.0 / nullif(2 * sum(p) * sum(n - p), 0) * 1000000 + 0.5)
            / 1000000 AS auc
     FROM ranked
     """,

@@ -65,7 +65,13 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drain(df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming DF to completion into a memory sink, return the
-    materialized result as a batch DF."""
+    materialized result as a batch DF. The sink's temp view is DROPPED
+    before returning: memory sinks pin their full contents in driver
+    memory for the session lifetime, and ~10 streaming queries per
+    session would accumulate every sink (including the corpus-sized
+    dedup and join ones). The result is snapshotted to executor-side
+    blocks first (localCheckpoint — already-eager here, the stream has
+    run; no laziness is lost) so the returned DF survives the drop."""
     name = "sink_" + uuid.uuid4().hex[:12]
     q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try:
@@ -73,7 +79,10 @@ def _drain(df: DataFrame, mode: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @query(
@@ -279,6 +288,62 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+def _attribution_views(e: DataFrame) -> DataFrame:
+    return e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+
+
+def _attribution_purchases(e: DataFrame) -> DataFrame:
+    return e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+        "value",
+    )
+
+
+def _attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """THE view-to-purchase attribution join (same-user views in the
+    preceding 30 minutes) — one definition shared by the streaming
+    form and its oracle-backed batch twin, so the documented
+    'identical plans' claim is structural, not hand-copied."""
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+
+
+def _attribution_summary(joined: DataFrame) -> DataFrame:
+    """Dedupe to one row per purchase, then the 1-row attribution
+    summary — shared by both twins."""
+    per_buy = joined.groupBy("buy_id").agg(
+        F.first("p_user").alias("p_user"), F.first("value").alias("value")
+    )
+    return per_buy.agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.countDistinct("p_user").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _static_join_summary(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Purchase events broadcast-enriched with the customer dim and
+    summarized per segment — one definition for the streaming form
+    and its batch twin."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 @query(
     "streaming_stream_join",
     oracle=None,  # rows-only: stream-stream join; batch anchor asserted in tests
@@ -292,40 +357,14 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream join can scale with (unbounded state otherwise).
     Summarized to (n_attributed, n_users, sum_value); a test asserts
     the same numbers as the equivalent batch self-join."""
-    views = (
-        _stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
-        .withWatermark("ts", "1 hour")
-        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+    views = _attribution_views(_stream_events(spark, sf_dir)).withWatermark(
+        "view_ts", "1 hour"
     )
-    purchases = (
-        _stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("buy_ts"),
-            F.col("event_id").alias("buy_id"),
-            "value",
-        )
+    purchases = _attribution_purchases(_stream_events(spark, sf_dir)).withWatermark(
+        "buy_ts", "1 hour"
     )
-    joined = views.join(
-        purchases,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("buy_ts") >= F.col("view_ts"))
-        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-    )
-    out = _drain(joined, "append")
-    # one row per attributed (view, purchase) pair; dedupe purchases so
-    # value sums once per purchase regardless of how many views matched
-    per_buy = out.groupBy("buy_id").agg(
-        F.first("p_user").alias("p_user"), F.first("value").alias("value")
-    )
-    return per_buy.agg(
-        F.count(F.lit(1)).alias("n_attributed"),
-        F.countDistinct("p_user").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    )
+    out = _drain(_attribution_join(views, purchases), "append")
+    return _attribution_summary(out)
 
 
 @query(
@@ -435,17 +474,9 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    joined = (
-        _stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
+    return _drain(
+        _static_join_summary(_stream_events(spark, sf_dir), dim), "complete"
     )
-    return _drain(joined, "complete")
 
 
 @query(
@@ -469,16 +500,7 @@ def stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver the oracle-checkable link, demoting the streaming form to
     the only rows-only piece."""
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    return (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-    )
+    return _static_join_summary(load_table(spark, sf_dir, "events"), dim)
 
 
 @query(
@@ -513,28 +535,8 @@ def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the time bound is a residual predicate, and only per-purchase
     rows reach the final aggregate."""
     e = load_table(spark, sf_dir, "events")
-    views = e.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("buy_ts"),
-        F.col("event_id").alias("buy_id"),
-        "value",
-    )
-    joined = views.join(
-        purchases,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("buy_ts") >= F.col("view_ts"))
-        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-    )
-    per_buy = joined.groupBy("buy_id").agg(
-        F.first("p_user").alias("p_user"), F.first("value").alias("value")
-    )
-    return per_buy.agg(
-        F.count(F.lit(1)).alias("n_attributed"),
-        F.countDistinct("p_user").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+    return _attribution_summary(
+        _attribution_join(_attribution_views(e), _attribution_purchases(e))
     )
 
 
