@@ -151,8 +151,18 @@ class Pipeline:
     def to_df(self) -> DataFrame:
         return self.df
 
-    def write_parquet(self, path: str, *, partition_by: list[str] | None = None) -> None:
-        w = self.df.write.mode("overwrite")
+    def write_parquet(
+        self,
+        path: str,
+        *,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Write the pipeline result as parquet. NOTE the default mode
+        is 'overwrite' — existing data at ``path`` is REPLACED (the
+        re-runnable-pipeline convention); pass mode='errorifexists'
+        for Spark's own refuse-to-clobber default, or 'append'."""
+        w = self.df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
@@ -208,7 +218,17 @@ class Pipeline:
         (doc_id, cluster_id = component minimum)."""
         from .operators import dedup as _dedup
 
-        return Pipeline(_dedup.dedup_clusters(self.df.select(doc_a, doc_b)))
+        return Pipeline(
+            _dedup.dedup_clusters(
+                # alias to the operator's canonical names — without the
+                # alias, non-default column names always crashed with
+                # UNRESOLVED_COLUMN (the params existed but could never
+                # actually rename)
+                self.df.select(
+                    F.col(doc_a).alias("doc_a"), F.col(doc_b).alias("doc_b")
+                )
+            )
+        )
 
     def similar_topk_batch(
         self, id_col: str, vec_col: str, *, n_queries: int, k: int = 5

@@ -42,7 +42,9 @@ def get_spark(
             cpus = int(raw) if raw else 0
         except ValueError:
             cpus = 0
-        cpus = cpus or os.cpu_count() or 4
+        # negatives would build an invalid master URL (local[-2]) and
+        # crash obscurely at session creation — fall back like 0 does
+        cpus = cpus if cpus > 0 else (os.cpu_count() or 4)
     if shuffle_partitions is None:
         # local: ~cores. Cluster: AQE coalesces down from a higher start.
         shuffle_partitions = max(cpus, 8)
@@ -77,8 +79,13 @@ def get_spark(
         # on 4-8 GB executors.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.host", "127.0.0.1")
     )
+    if not master_given:
+        # loopback pin is LOCAL-mode only: on a real cluster the
+        # executors must reach the driver at a routable address, and a
+        # hardcoded 127.0.0.1 would send every task's callback to the
+        # executor itself (the deployment path master_given preserves)
+        builder = builder.config("spark.driver.host", "127.0.0.1")
     if driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
         builder = builder.config(
             "spark.driver.memory",

@@ -123,17 +123,30 @@ def _part_file(path: str) -> str:
     return path
 
 
-def _fixture_key(path: str) -> tuple[str, float]:
-    """(resolved file, mtime) identity for a fixture at this instant.
-    Keying caches on mtime — not path alone — means a regenerated
-    fixture is re-probed instead of trusted from a stale entry."""
+def _fixture_key(path: str) -> tuple[str, int, float]:
+    """(first part file, part count, max part mtime) identity for a
+    fixture at this instant. Keying caches on the WHOLE part-file set
+    — not the first file alone — means a regeneration that rewrites
+    only later part files (or adds/removes parts) still invalidates
+    every cached probe instead of being trusted from a stale entry.
+    The footer probe itself still reads the first file; fixtures are
+    written by one engine per table, so footer homogeneity across
+    parts is the fixture contract (a heterogeneous directory would be
+    a corrupt fixture, not a probe bug)."""
     import os
 
     f = _part_file(path)
-    return (f, os.path.getmtime(f))
+    if os.path.isdir(path):
+        parts = [
+            os.path.join(path, p)
+            for p in os.listdir(path)
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        ]
+        return (f, len(parts), max(os.path.getmtime(p) for p in parts))
+    return (f, 1, os.path.getmtime(f))
 
 
-_TS_UNIT_CACHE: dict[tuple[str, float], str] = {}
+_TS_UNIT_CACHE: dict[tuple[str, int, float], str] = {}
 
 
 def events_ts_unit(path: str) -> str:
@@ -192,11 +205,20 @@ _VERIFIED: set[tuple[str, float]] = set()
 # Session confs load_table pins (documented public side effect, see
 # load_table docstring). Previous values are remembered per session the
 # first time each key is pinned so callers can undo the pins.
-_SAVED_CONFS: dict[int, dict[str, str | None]] = {}
+_SAVED_CONFS: dict[str, dict[str, str | None]] = {}
+
+
+def _conf_key(spark: SparkSession) -> str:
+    """Per-session identity for the saved-conf ledger: the Spark
+    applicationId. id(spark) was the old key — a stopped session's
+    object id can be RECYCLED by the allocator, silently attaching a
+    dead session's saved confs to a new one (and leaking entries
+    whenever restore was never called)."""
+    return spark.sparkContext.applicationId
 
 
 def _pin_conf(spark: SparkSession, key: str, value: str) -> None:
-    saved = _SAVED_CONFS.setdefault(id(spark), {})
+    saved = _SAVED_CONFS.setdefault(_conf_key(spark), {})
     if key not in saved:
         try:
             saved[key] = spark.conf.get(key)
@@ -210,7 +232,7 @@ def restore_session_confs(spark: SparkSession) -> None:
     (restores the pre-pin values, unsetting keys that had none). Call
     this if the session is shared with non-engine work that relies on
     a different timezone or parquet nanos handling."""
-    for key, prev in _SAVED_CONFS.pop(id(spark), {}).items():
+    for key, prev in _SAVED_CONFS.pop(_conf_key(spark), {}).items():
         if prev is None:
             spark.conf.unset(key)
         else:

@@ -300,3 +300,19 @@ def test_pack_sequences_pipeline(spark):
         tuple(r) for r in REGISTRY["sequence_pack"].fn(spark, SF_DIR).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_cluster_dups_nondefault_columns(spark):
+    """cluster_dups must actually RENAME caller columns to the
+    operator's doc_a/doc_b contract (it used to crash with
+    UNRESOLVED_COLUMN for any non-default names)."""
+    from pydra_map_reduce_spark.api import Pipeline
+
+    pairs = Pipeline.from_rows(
+        spark, [(1, 2), (2, 3), (10, 11)], "id_x long, id_y long"
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in pairs.cluster_dups("id_x", "id_y").to_df().collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
