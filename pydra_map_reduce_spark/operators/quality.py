@@ -204,7 +204,12 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     scale the gate exists for). Addition commutes, so the number is
     identical under any partitioning, ordering, or engine — the
     one-number-per-table copy/migration gate. Returns (checksum,
-    n_rows). NULLs serialize as an explicit NUL-byte sentinel per
+    n_rows); the checksum surfaces as a STRING because DECIMAL
+    terminal columns canonicalize ambiguously across client stacks
+    (the r7 driver-hash lesson — plans/money.py module docstring)
+    while the decimal→string rendering of an integer-scale value is
+    identical everywhere, at full 38-digit precision no BIGINT could
+    hold. NULLs serialize as an explicit NUL-byte sentinel per
     column BEFORE joining: concat_ws silently SKIPS null elements, so
     without the sentinel ('a', NULL, 'b') and ('a', 'b', NULL) would
     both hash as 'a|b' and a nullable column would break positional
@@ -215,7 +220,7 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     )
     h = F.conv(F.substring(F.md5(row_ser), 1, 8), 16, 10).cast("decimal(20,0)")
     return df.agg(
-        F.sum(h).cast("decimal(38,0)").alias("checksum"),
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -261,8 +266,13 @@ def pack_sequences(
         "_start",
         F.explode(
             F.sequence(
-                (F.col("_start") / B).cast("bigint"),
-                ((F.col("_start") + F.col("_n") - 1) / B).cast("bigint"),
+                # integer division end-to-end: `/` would go through
+                # double, whose ulp past ~2^53 cumulative tokens can
+                # mis-bin a boundary row — `div` keeps the bin math
+                # exact at any corpus size (and matches the oracle's
+                # `//`)
+                F.expr(f"_start div {B}"),
+                F.expr(f"(_start + _n - 1) div {B}"),
             )
         ).alias("seq_no"),
     )

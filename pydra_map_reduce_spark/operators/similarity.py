@@ -468,9 +468,18 @@ def ivf_topk_distributed(
 
     # deterministic seeds: the n_clusters lowest-id vectors, cid 0..n-1
     # (single-partition window is safe: the frame is limit()-bounded)
+    seed = e.orderBy("vec_id").limit(n_clusters)
+    # same named guard as ivf_topk (a short limit() would otherwise
+    # silently train fewer cells than requested); the count is a
+    # bounded scalar action — ≤ n_clusters rows, not centroid state
+    n_seeds = seed.count()
+    if n_seeds < n_clusters:
+        raise ValueError(
+            f"corpus has only {n_seeds} vectors but n_clusters="
+            f"{n_clusters}; IVF needs at least one seed per cell"
+        )
     cents = (
-        e.orderBy("vec_id")
-        .limit(n_clusters)
+        seed
         .select(
             (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"), "emb"
         )

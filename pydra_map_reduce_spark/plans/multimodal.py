@@ -289,8 +289,11 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.mapInPandas(synth, "doc_id long, payload binary")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out = []
+        # one output frame PER Arrow batch (not one for the whole
+        # task): per-task memory stays bounded by the batch size, the
+        # same streaming posture binaryfile_scan documents
         for pdf in batches:
+            out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
                 assert b[:2] == b"BM", "not a BMP"
@@ -308,10 +311,10 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         sg += gg
                         sb += bb
                 out.append((doc_id, w, h, w * h, sr, sg, sb))
-        yield pd.DataFrame(
-            out,
-            columns=["doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"],
-        )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"],
+            )
 
     return media.mapInPandas(
         decode,
@@ -373,8 +376,10 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = e.mapInPandas(synth, "vec_id long, payload binary")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out = []
+        # per-batch yield, same bounded-memory rationale as the image
+        # decoder above
         for pdf in batches:
+            out = []
             for vec_id, payload in zip(pdf["vec_id"], pdf["payload"]):
                 b = bytes(payload)
                 assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "not a WAV"
@@ -391,9 +396,9 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = len(data) // 2
                 samples = struct.unpack(f"<{n}h", data)
                 out.append((vec_id, rate, n, sum(abs(s) for s in samples)))
-        yield pd.DataFrame(
-            out, columns=["vec_id", "sample_rate", "n_samples", "sum_abs"]
-        )
+            yield pd.DataFrame(
+                out, columns=["vec_id", "sample_rate", "n_samples", "sum_abs"]
+            )
 
     return media.mapInPandas(
         decode, "vec_id long, sample_rate int, n_samples long, sum_abs long"

@@ -14,7 +14,13 @@ Conventions (SURVEY.md §3.2):
   summation-order differences between engines collapse to the same
   double;
 - integer sums are cast to BIGINT in the oracle (DuckDB widens
-  ``sum(BIGINT)`` to HUGEINT, which would break schema comparison).
+  ``sum(BIGINT)`` to HUGEINT, which would break schema comparison);
+- terminal output columns use ONLY hash-safe types (see
+  ``assert_hash_safe_schema``): round 7 proved that DECIMAL-typed
+  output cells are canonicalized differently by the two engines'
+  client layers (driver ledger: rows/schema green, hash red, values
+  bit-identical) — DECIMAL/fixed-point arithmetic stays INTERNAL and
+  surfaces as BIGINT minor units, rounded DOUBLE, or STRING digits.
 """
 
 from __future__ import annotations
@@ -23,6 +29,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -53,3 +60,50 @@ def query(name: str, *, oracle: str | None, section: str) -> Callable[[QueryFn],
         return fn
 
     return deco
+
+
+# Terminal types proven to hash identically across the Spark and DuckDB
+# client stacks (every driver-green query in rounds 2-7 used only these;
+# the one family that surfaced DECIMAL went rows/schema-green but
+# hash-RED with bit-identical values — r7 ledger). DecimalType is the
+# known offender: a decimal→float64 conversion on one side of the value
+# hash makes equal cells hash unequal. Fixed-point math stays internal;
+# terminals cast to BIGINT minor units / rounded DOUBLE / STRING digits.
+_HASH_SAFE_ATOMIC = (
+    T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+    T.DoubleType, T.FloatType,
+    T.StringType, T.BooleanType,
+    T.TimestampType, T.TimestampNTZType, T.DateType,
+    T.BinaryType, T.NullType,
+)
+
+
+def _unsafe_leaves(dt: T.DataType, path: str, out: list[str]) -> None:
+    if isinstance(dt, T.ArrayType):
+        _unsafe_leaves(dt.elementType, f"{path}[]", out)
+    elif isinstance(dt, T.StructType):
+        for f in dt.fields:
+            _unsafe_leaves(f.dataType, f"{path}.{f.name}", out)
+    elif isinstance(dt, T.MapType):
+        _unsafe_leaves(dt.keyType, f"{path}<key>", out)
+        _unsafe_leaves(dt.valueType, f"{path}<val>", out)
+    elif not isinstance(dt, _HASH_SAFE_ATOMIC):
+        out.append(f"{path}: {dt.simpleString()}")
+
+
+def assert_hash_safe_schema(df: DataFrame, name: str = "<anonymous>") -> None:
+    """Fail fast if a query's TERMINAL schema contains a type the
+    driver's value hash is known to canonicalize ambiguously (DECIMAL
+    foremost). Authoring-time gate: tests run this over every
+    registered query so no future family re-discovers the r7 decimal
+    trap at the driver."""
+    bad: list[str] = []
+    for f in df.schema.fields:
+        _unsafe_leaves(f.dataType, f.name, bad)
+    if bad:
+        raise TypeError(
+            f"query {name!r} exposes non-hash-safe terminal column types "
+            f"{bad}; keep DECIMAL/interval/etc. internal and cast terminals "
+            "to BIGINT minor units, rounded DOUBLE, or STRING digits "
+            "(plans/registry.py:_HASH_SAFE_ATOMIC)"
+        )

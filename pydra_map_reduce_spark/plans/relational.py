@@ -933,12 +933,12 @@ def percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "table_checksum",
     oracle="""
-    SELECT CAST(sum(CAST(('0x' || substr(md5(
+    SELECT CAST(CAST(sum(CAST(('0x' || substr(md5(
              coalesce(CAST(o_orderkey AS VARCHAR), chr(0)) || '|'
              || coalesce(CAST(o_custkey AS VARCHAR), chr(0)) || '|'
              || coalesce(o_orderstatus, chr(0)) || '|'
              || coalesce(o_orderpriority, chr(0))), 1, 8)) AS BIGINT))
-           AS DECIMAL(38,0)) AS checksum,
+           AS DECIMAL(38,0)) AS VARCHAR) AS checksum,
            count(*) AS n_rows
     FROM orders
     """,
@@ -957,8 +957,12 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 sum would wrap silently past ~4e9 rows — exactly the scale
     the gate exists for — while 38-digit decimal holds ~1e12 rows x
     2^32 with 15 digits of headroom and DuckDB's HUGEINT casts to the
-    same type. Generic form: operators/quality.table_checksum
-    (Pipeline API: .checksum)."""
+    same type. The TERMINAL column is the decimal rendered as STRING
+    (identical digits in every engine at full precision) because
+    DECIMAL-typed output cells canonicalize ambiguously across client
+    hash layers — the r7 lesson pinned in plans/money.py. Generic
+    form: operators/quality.table_checksum (Pipeline API:
+    .checksum)."""
     from ..operators import quality
 
     o = load_table(spark, sf_dir, "orders")

@@ -198,9 +198,10 @@ def _assert_schema(spark: SparkSession, path: str, name: str) -> None:
         )
 
 
-# footer-verified fixtures, keyed on (file, mtime) so a regeneration
-# mid-process invalidates the cache instead of passing silently
-_VERIFIED: set[tuple[str, float]] = set()
+# footer-verified fixtures, keyed on (file, part_count, max_mtime) so a
+# regeneration mid-process invalidates the cache instead of passing
+# silently
+_VERIFIED: set[tuple[str, int, float]] = set()
 
 # Session confs load_table pins (documented public side effect, see
 # load_table docstring). Previous values are remembered per session the

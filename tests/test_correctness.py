@@ -14,12 +14,22 @@ import math
 import pytest
 
 from pydra_map_reduce_spark.plans import REGISTRY
+from pydra_map_reduce_spark.plans.registry import assert_hash_safe_schema
 
 from .conftest import SF_DIR
 
 
 def canon_val(v):
-    """Canonicalize a cell so Spark and DuckDB values compare equal."""
+    """Canonicalize a cell so Spark and DuckDB values compare equal.
+
+    Any cell type outside the proven hash-safe set — decimal.Decimal
+    foremost — is a hard FAILURE, not a pass-through: the driver's
+    value hash canonicalizes such cells differently per engine even
+    when they compare equal here (the r7 decimal trap, where this
+    replica was green and the driver ledger red). Failing at
+    authoring time forces terminal casts; see
+    plans/registry.py:assert_hash_safe_schema for the schema-level
+    twin of this guard."""
     if v is None:
         return None
     if isinstance(v, float):
@@ -29,15 +39,25 @@ def canon_val(v):
             return "NaN"
         # collapse ulp-level diffs that survive in-query round()
         return round(v, 9)
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    if isinstance(v, (str, bytes)):
+        return v
     if isinstance(v, (list, tuple)):
         return tuple(canon_val(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon_val(x)) for k, x in v.items()))
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if hasattr(v, "item"):  # numpy scalar
         return canon_val(v.item())
-    return v
+    raise AssertionError(
+        f"non-hash-safe cell type {type(v).__name__} ({v!r}): the driver's "
+        "value hash canonicalizes this ambiguously — cast the terminal "
+        "column to BIGINT minor units, rounded DOUBLE, or STRING"
+    )
 
 
 def canon_rows(cols, rows):
@@ -55,6 +75,9 @@ _ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 def test_differential(name, spark, duck):
     q = REGISTRY[name]
     sdf = q.fn(spark, SF_DIR)
+    # authoring-time terminal-type lint (the r7 decimal trap): the
+    # driver's value hash only canonicalizes a proven-safe type set
+    assert_hash_safe_schema(sdf, name)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
