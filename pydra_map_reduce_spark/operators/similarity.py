@@ -7,6 +7,8 @@ O(n²) join, per-pair array access falls out of whole-stage codegen;
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -402,21 +404,37 @@ def ivf_topk(
     )
 
 
-def ivf_topk_distributed(
+class IvfIndex(NamedTuple):
+    """A trained distributed IVF index: the flat corpus projection
+    (vec_id, v0..v{dim-1}), the trained centroid frame
+    (cid, m0..m{dim-1}), and the inverted assignment (vec_id, cid).
+    Built once by ``ivf_train_distributed``, queried many times by
+    ``ivf_serve_distributed`` — the train-once / serve-many split
+    production ANN actually runs (the index is built offline and
+    persisted; each query pays probe + rescore only)."""
+
+    flat: DataFrame
+    cents: DataFrame
+    assigned: DataFrame
+    dim: int
+
+
+def ivf_train_distributed(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    query_id: int,
     *,
     dim: int,
     n_clusters: int = 64,
     lloyd_iters: int = 2,
-    n_probe: int = 4,
-    k: int = 5,
-) -> DataFrame:
-    """IVF ANN with DISTRIBUTED centroid state — the large-k ceiling
+    materialize: bool = False,
+) -> IvfIndex:
+    """Train the distributed-centroid IVF index — the large-k ceiling
     lift for `ivf_topk`, whose driver-synced centroid matrix stops
     scaling when n_clusters·dim is large (documented there).
+    ``materialize=True`` pins the index executor-side (corpus
+    projection persisted, assignment localCheckpoint'd eagerly) so
+    subsequent serves touch no training lineage at all.
 
     Centroids live in a DataFrame for the entire run; nothing
     corpus-sized OR centroid-sized ever touches the Python driver
@@ -445,10 +463,11 @@ def ivf_topk_distributed(
        to cut the per-round lineage — executor-side state, the
        distributed analogue of ivf_topk's driver sync.
 
-    Query time: cell ranking and the final rescore join the 1-row
-    query frame on a constant key (BroadcastHashJoin, not a cross
-    join); only the `n_probe` nearest cells rescore exactly, with
-    the cosine as the same left-to-right flat chain the SQL oracle's
+    Query time lives in ``ivf_serve_distributed``: cell ranking and
+    the final rescore join the 1-row query frame on a constant key
+    (BroadcastHashJoin, not a cross join); only the `n_probe` nearest
+    cells rescore exactly, with the cosine as the same left-to-right
+    flat chain the SQL oracle's
     list_cosine_similarity folds. At 100 TB: corpus stays put, the
     per-round exchanges are one combined row per point (assignment)
     and k·dim partials (update) — no state bottleneck at any k."""
@@ -465,6 +484,11 @@ def ivf_topk_distributed(
     flat = e.selectExpr(
         "vec_id", *[f"element_at(emb, {i + 1}) AS v{i}" for i in range(dim)]
     )
+    if materialize:
+        # serve-many: the flat projection is read by every Lloyd round,
+        # the final assignment, AND every future serve's rescore —
+        # persist it before the first action so one scan feeds them all
+        flat = flat.persist()
 
     # deterministic seeds: the n_clusters lowest-id vectors, cid 0..n-1
     # (single-partition window is safe: the frame is limit()-bounded)
@@ -521,6 +545,34 @@ def ivf_topk_distributed(
             .localCheckpoint(eager=True)
         )
     assigned = assign(cents)
+    if materialize:
+        # cut ALL training lineage: the inverted lists become
+        # executor-side state (eager localCheckpoint runs the final
+        # assignment now — and, flowing through `flat`, fills its
+        # cache), so serves replay probe + rescore only
+        assigned = assigned.localCheckpoint(eager=True)
+    return IvfIndex(flat=flat, cents=cents, assigned=assigned, dim=dim)
+
+
+def ivf_serve_distributed(
+    index: IvfIndex,
+    query_id: int,
+    *,
+    n_probe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Serve one ANN query from a trained ``IvfIndex``: rank the
+    centroids against the query vector, rescore exactly inside the
+    ``n_probe`` nearest cells, return the top-k by cosine. This is
+    the per-query cost of production IVF — probe + rescore over
+    ~n_probe/n_clusters of the corpus — with zero training work
+    (contrast ``ivf_topk_distributed``, which retrains per call for
+    oracle parity). Join shapes are pinned by the same no-NLJ plan
+    test as training: every 1-row-frame join rides a non-foldable
+    pmod constant key on the BroadcastHashJoin path."""
+    flat, cents, assigned, dim = (
+        index.flat, index.cents, index.assigned, index.dim,
+    )
 
     # constant-key equi joins for the 1-row query frame: the key must
     # be NON-FOLDABLE (pmod of a column, always 0) — a lit(1)=lit(1)
@@ -559,6 +611,30 @@ def ivf_topk_distributed(
         .limit(k)
         .selectExpr("vec_id", "round(cos_raw, 4) AS cos")
     )
+
+
+def ivf_topk_distributed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    *,
+    dim: int,
+    n_clusters: int = 64,
+    lloyd_iters: int = 2,
+    n_probe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Train + serve in one call — the oracle-parity form (the
+    unrolled-Lloyd SQL oracle recomputes training every run, so this
+    entry point does too). Production / bench serving goes through
+    ``ivf_train_distributed(materialize=True)`` once and
+    ``ivf_serve_distributed`` per query."""
+    index = ivf_train_distributed(
+        df, id_col, vec_col, dim=dim, n_clusters=n_clusters,
+        lloyd_iters=lloyd_iters,
+    )
+    return ivf_serve_distributed(index, query_id, n_probe=n_probe, k=k)
 
 
 def knn_classify(

@@ -10,15 +10,19 @@ schema, Arrow transfer of bytes into pandas, mapInPandas extraction,
 metadata structs) real and differentially testable, including
 high-bit/invalid-text bytes: all features are recomputable in SQL.
 
-Decode status (round 7): REAL for header+raw formats — BMP images and
+Decode status (round 8): REAL for header+raw formats — BMP images and
 PCM WAV audio are parsed by genuine pure-`struct` decoders
 (`multimodal_image_decode`, `multimodal_audio_decode`: magic checks,
 header walks, bottom-up BGR rows / RIFF chunk scan), oracle-verified
-against integer pixel/sample formulas. COMPRESSED codecs (JPEG/PNG,
-MP3/AAC, H.264) remain environment-stubbed in `_decode_stub` — the
-container ships no codec libraries, a boundary of the environment, not
-the engine; swapping one in changes only that function, the
-schema/partitioning/batch shape is what these queries pin.
+against integer pixel/sample formulas — AND for the lossless
+COMPRESSED class: `multimodal_png_decode` is a full PNG decoder built
+on stdlib zlib (chunk walk + CRC verification, multi-IDAT reassembly,
+DEFLATE inflate, per-row unfilter incl. Paeth). Only LOSSY codecs
+(JPEG, MP3/AAC, H.264) remain environment-stubbed in `_decode_stub` —
+those genuinely require codec libraries the container doesn't ship, a
+boundary of the environment, not the engine; swapping one in changes
+only that function, the schema/partitioning/batch shape is what these
+queries pin.
 """
 
 from __future__ import annotations
@@ -37,8 +41,10 @@ from .registry import query
 def _decode_stub(payload: bytes, kind: str) -> tuple[int, int]:
     """Deterministic fake 'decode': (byte_len, first_byte).
 
-    A real implementation would dispatch on ``kind`` to PIL / soundfile
-    / ffmpeg; those libs are absent here by design.
+    Scope (round 8): LOSSY codecs only — JPEG/MP3/AAC/H.264 need codec
+    libraries (PIL / soundfile / ffmpeg) absent here by design. BMP,
+    PCM WAV, and PNG are decoded for REAL by the pure-stdlib parsers
+    below.
     """
     if kind != "text/plain":
         raise NotImplementedError(f"no codec for {kind!r} in this environment")
@@ -402,4 +408,191 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return media.mapInPandas(
         decode, "vec_id long, sample_rate int, n_samples long, sum_abs long"
+    )
+
+
+@query(
+    "multimodal_png_decode",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, tx.x, ty.y
+        FROM documents d, range(4) tx(x), range(4) ty(y)
+    )
+    SELECT doc_id,
+           CAST(4 AS INT)    AS width,
+           CAST(4 AS INT)    AS height,
+           CAST(16 AS BIGINT) AS n_pixels,
+           CAST(2 AS INT)    AS n_idat,
+           CAST(sum((doc_id * 7  + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 13 + 2 * x + 7 * y) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 19 + 5 * x + y)     % 256) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY doc_id
+    """,
+    section="2.11 multimodal: REAL compressed-codec decode (PNG, stdlib zlib)",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A COMPRESSED image codec decoded for real, no external library:
+    PNG's only compression is DEFLATE, which the Python stdlib ships
+    (zlib) — so this retires the 'compressed codecs are stubbed'
+    caveat for the lossless class. Per document a VALID 4×4 truecolor
+    PNG is synthesized (signature, IHDR, the raw RGB scanlines run
+    through a REAL per-row filter pass — type (doc_id + y) % 5, so
+    Sub/Up/Average/Paeth all occur across the corpus — then
+    zlib-compressed and split across TWO IDAT chunks, each chunk
+    CRC32-stamped). The decoder is a genuine PNG parser: signature and
+    per-chunk CRC verification, IHDR field reads, multi-IDAT
+    concatenation, zlib inflate, and per-row UNfiltering including the
+    Paeth predictor. The oracle re-derives the channel sums from the
+    pixel formula in pure integer SQL, so a green match proves the
+    filter → deflate → chunk → inflate → unfilter round-trip is
+    lossless byte-for-byte. Lossy codecs (JPEG/MP3/H.264) stay
+    environment-stubbed in _decode_stub — those genuinely need codec
+    libraries. Same two-mapInPandas shape as the BMP/WAV decoders:
+    payloads cross the Arrow boundary between synthesis and decode,
+    per-batch yields keep task memory bounded."""
+    import struct
+    import zlib
+
+    W = H = 4
+    BPP = 3  # bytes per pixel, truecolor 8-bit
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                raw_rows = []
+                for y in range(H):
+                    row = bytearray()
+                    for x in range(W):
+                        row += bytes((
+                            (doc_id * 7 + 3 * x + 5 * y) % 256,
+                            (doc_id * 13 + 2 * x + 7 * y) % 256,
+                            (doc_id * 19 + 5 * x + y) % 256,
+                        ))
+                    raw_rows.append(bytes(row))
+                # real filter pass: stored = (raw - predictor) mod 256
+                stream = bytearray()
+                for y, row in enumerate(raw_rows):
+                    ft = (int(doc_id) + y) % 5
+                    prior = raw_rows[y - 1] if y > 0 else bytes(len(row))
+                    stream.append(ft)
+                    for i, cur in enumerate(row):
+                        left = row[i - BPP] if i >= BPP else 0
+                        up = prior[i]
+                        ul = prior[i - BPP] if i >= BPP else 0
+                        if ft == 0:
+                            pred = 0
+                        elif ft == 1:
+                            pred = left
+                        elif ft == 2:
+                            pred = up
+                        elif ft == 3:
+                            pred = (left + up) // 2
+                        else:
+                            pred = _paeth(left, up, ul)
+                        stream.append((cur - pred) % 256)
+                comp = zlib.compress(bytes(stream), 6)
+                mid = max(1, len(comp) // 2)  # exercise multi-IDAT reassembly
+                ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", comp[:mid])
+                    + _chunk(b"IDAT", comp[mid:])
+                    + _chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "doc_id long, payload binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                assert b[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+                pos, w = 8, None
+                idat, n_idat = b"", 0
+                while pos + 8 <= len(b):
+                    (ln,) = struct.unpack_from(">I", b, pos)
+                    ctype = b[pos + 4 : pos + 8]
+                    data = b[pos + 8 : pos + 8 + ln]
+                    (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+                    assert crc == zlib.crc32(ctype + data), "chunk CRC mismatch"
+                    if ctype == b"IHDR":
+                        w, h, depth, ctyp, comp_m, filt_m, inter = struct.unpack(
+                            ">IIBBBBB", data
+                        )
+                        assert (depth, ctyp, comp_m, filt_m, inter) == (8, 2, 0, 0, 0), \
+                            "parser handles 8-bit truecolor non-interlaced only"
+                    elif ctype == b"IDAT":
+                        idat += data
+                        n_idat += 1
+                    elif ctype == b"IEND":
+                        break
+                    pos += 12 + ln
+                assert w is not None and idat, "missing IHDR or IDAT"
+                stream = zlib.decompress(idat)
+                stride = w * BPP
+                assert len(stream) == h * (1 + stride), "scanline size mismatch"
+                prior = bytes(stride)
+                sr = sg = sb = 0
+                for y in range(h):
+                    base = y * (1 + stride)
+                    ft = stream[base]
+                    cur = stream[base + 1 : base + 1 + stride]
+                    row = bytearray(stride)
+                    for i in range(stride):
+                        left = row[i - BPP] if i >= BPP else 0
+                        up = prior[i]
+                        ul = prior[i - BPP] if i >= BPP else 0
+                        if ft == 0:
+                            pred = 0
+                        elif ft == 1:
+                            pred = left
+                        elif ft == 2:
+                            pred = up
+                        elif ft == 3:
+                            pred = (left + up) // 2
+                        elif ft == 4:
+                            pred = _paeth(left, up, ul)
+                        else:
+                            raise AssertionError(f"bad filter type {ft}")
+                        row[i] = (cur[i] + pred) % 256
+                    for x in range(w):
+                        sr += row[x * BPP]
+                        sg += row[x * BPP + 1]
+                        sb += row[x * BPP + 2]
+                    prior = bytes(row)
+                out.append((doc_id, w, h, w * h, n_idat, sr, sg, sb))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "n_idat", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_pixels long, n_idat int, "
+        "sum_r long, sum_g long, sum_b long",
     )

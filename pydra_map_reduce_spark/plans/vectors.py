@@ -379,3 +379,54 @@ def ivf_ann_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
         k=5,
     )
+
+
+# Trained IVF index, one per (session, sf_dir): production ANN builds
+# its index offline and serves many queries from it — caching here
+# makes the registered serving query measure SERVING (probe + rescore),
+# not a per-call retrain. Keyed by applicationId so a stopped session's
+# unusable frames are never reused by a new one.
+_IVF_SERVE_CACHE: dict[tuple[str, str], "ops.IvfIndex"] = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> "ops.IvfIndex":
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVF_SERVE_CACHE.get(key)
+    if idx is None:
+        idx = ops.ivf_train_distributed(
+            load_table(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            dim=64,
+            n_clusters=64,
+            lloyd_iters=2,
+            materialize=True,
+        )
+        _IVF_SERVE_CACHE[key] = idx
+    return idx
+
+
+@query(
+    "ivf_ann_serve",
+    # identical unrolled-Lloyd training in the oracle — determinism of
+    # the trainer means serve-from-cache ≡ train-then-serve, which this
+    # differential proves every run (for a DIFFERENT query vector than
+    # the training-path query, pinning index reuse across queries)
+    oracle=_ivf_oracle(n_clusters=64, lloyd_iters=2, n_probe=4, k=5, query_id=1),
+    section="2.11 ANN: IVF serving path (train-once index, probe+rescore per query)",
+)
+def ivf_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING half of the train-once/serve-many split the r7
+    review asked for: the 64-cell index trains once per session
+    (materialized: corpus projection persisted, inverted lists
+    localCheckpoint'd — `_ivf_index`), and this query is what a
+    production ANN service pays per request — rank 64 centroids
+    against the query vector, rescore ~n_probe/n_clusters of the
+    corpus inside the 4 nearest cells, top-5 out. Training
+    determinism (seeded k-means, fixed rounds) makes the cached-index
+    result identical to a fresh train-then-serve, so the unrolled-
+    Lloyd oracle still verifies end-to-end — against query vector 1,
+    not the train-path's 0, proving the index answers arbitrary
+    queries. Same no-NLJ join discipline as training (plan-asserted
+    for the serve path in tests/test_plans.py)."""
+    return ops.ivf_serve_distributed(_ivf_index(spark, sf_dir), 1, n_probe=4, k=5)

@@ -573,6 +573,34 @@ def test_ivf_distributed_no_nlj_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan, plan[:3000]
 
 
+def test_ivf_serve_no_nlj_no_cartesian(spark):
+    """The serving path (cached trained index, probe + rescore only)
+    must keep training's join discipline: every 1-row-query-frame
+    join rides the non-foldable pmod constant key onto
+    BroadcastHashJoin — no cartesian, no nested loop."""
+    df = REGISTRY["ivf_ann_serve"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_ivf_serve_reuses_trained_index(spark):
+    """Two serves in one session must hit the same trained index (the
+    cache is the point of the split): the module-level cache holds
+    exactly one entry for this (session, sf_dir) after repeated
+    calls, and repeat results are identical."""
+    from pydra_map_reduce_spark.plans import vectors as V
+
+    a = [tuple(r) for r in REGISTRY["ivf_ann_serve"].fn(spark, SF_DIR).collect()]
+    key = (spark.sparkContext.applicationId, SF_DIR)
+    assert key in V._IVF_SERVE_CACHE
+    n_before = len(V._IVF_SERVE_CACHE)
+    b = [tuple(r) for r in REGISTRY["ivf_ann_serve"].fn(spark, SF_DIR).collect()]
+    assert a == b and len(a) == 5
+    assert len(V._IVF_SERVE_CACHE) == n_before
+
+
 def test_linear_quality_score_broadcast_weights(spark):
     """Model inference must broadcast the dim-bounded weight table —
     the corpus side never shuffles for the join (one keyed exchange
