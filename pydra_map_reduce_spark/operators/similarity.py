@@ -637,6 +637,83 @@ def ivf_topk_distributed(
     return ivf_serve_distributed(index, query_id, n_probe=n_probe, k=k)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    n_clusters: int = 16,
+    lloyd_iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: k-means cells as the
+    BLOCKING structure (train via ``ivf_train_distributed``), exact
+    cosine rescore strictly WITHIN each cell, min-id survivor rule.
+    Returns one row per cell: (cid, n_vectors, n_dropped, n_kept).
+
+    This is the third near-dup blocking family next to the shingle
+    inverted index (ngram_jaccard) and hyperplane banding
+    (lsh_allpairs): cluster-blocked comparison is how embedding-level
+    dedup runs at corpus scale — pairwise work is O(Σ|cell|²), and
+    because ``n_clusters`` scales with the corpus, |cell| stays
+    bounded, so cost is linear in rows at fixed cell size (the same
+    argument as the df-capped posting lists). Pairs crossing a cell
+    boundary are out of scope BY DESIGN — k-means co-locates
+    near-duplicates far more reliably than random banding at high
+    thresholds, and the miss class is the algorithm's documented
+    recall trade, not an engine shortcut.
+
+    Determinism end to end: seeded deterministic training, the exact
+    within-cell cosine floor-rounded half-up at 6dp BEFORE the
+    threshold compare (both engines compute k·1e-6 identically —
+    raw-float thresholding is where fused-vs-folded cosine ulp flips
+    pair membership), and the drop rule "any smaller-id neighbor
+    ≥ threshold" — non-iterative, so it is exactly expressible in
+    the unrolled-Lloyd SQL oracle (contrast greedy SemDeDup, whose
+    keep-set depends on scan order). All joins are equi (cid /
+    vec_id): no NLJ, no cartesian, plan-asserted."""
+    index = ivf_train_distributed(
+        df, id_col, vec_col, dim=dim, n_clusters=n_clusters,
+        lloyd_iters=lloyd_iters,
+    )
+    # three downstream branches read the assignment — cut the training
+    # lineage once so it computes once
+    assigned = index.assigned.localCheckpoint(eager=True)
+    av = assigned.join(index.flat, "vec_id")
+    left = av.selectExpr(
+        "cid", "vec_id AS id_a", *[f"v{i} AS a{i}" for i in range(dim)]
+    )
+    right = av.selectExpr(
+        "cid", "vec_id AS id_b", *[f"v{i} AS b{i}" for i in range(dim)]
+    )
+    dot_sql = " + ".join(f"a{i} * b{i}" for i in range(dim))
+    an_sql = " + ".join(f"a{i} * a{i}" for i in range(dim))
+    bn_sql = " + ".join(f"b{i} * b{i}" for i in range(dim))
+    dropped = (
+        left.join(right, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr(
+            "id_b",
+            f"floor((({dot_sql}) / (sqrt({an_sql}) * sqrt({bn_sql})))"
+            " * 1e6 + 0.5) / 1e6 AS cos_r",
+        )
+        .filter(F.col("cos_r") >= threshold)
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned.vec_id == dropped.id_b, "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("id_b").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("id_b")).alias("n_kept"),
+        )
+        .orderBy("cid")
+    )
+
+
 def knn_classify(
     df: DataFrame,
     id_col: str,

@@ -234,21 +234,13 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(
-    n_clusters: int = 8,
-    lloyd_iters: int = 3,
-    n_probe: int = 2,
-    k: int = 5,
-    query_id: int = 0,
-) -> str:
-    """The whole IVF pipeline as one DuckDB statement: the fixed
-    Lloyd iteration count needs no recursion, so each round unrolls as
-    an (assignment, centroid) CTE pair — the same chained-CTE trick
-    that made pagerank oracle-backed (plans/graph.py). Vectors are
-    exploded to (vec_id, pos, v) rows; assignment is argmin of the
-    per-dim squared-difference sum with a cid tie-break, mirroring the
-    engine's min-struct(d2, cid); the final rescore reuses
-    list_cosine_similarity like every other vector oracle here."""
+def _ivf_train_ctes(n_clusters: int, lloyd_iters: int) -> tuple[str, str]:
+    """The unrolled-Lloyd k-means TRAINING as reusable CTE text
+    (`e`, `pt`, `seeds`, `c0`, per-round `a{i}`/`c{i}` pairs, and the
+    final assignment `af`), shared by the IVF query oracles and the
+    semantic-dedup oracle — one SQL text to edit, the same
+    single-definition contract as _ALLPAIRS_PAIRS_SQL. Returns
+    (cte_body, name_of_last_centroid_cte)."""
     steps = []
     prev_c = "c0"
     # engine: `for _ in range(lloyd_iters): assigned=assign(e,cents);
@@ -275,8 +267,7 @@ def _ivf_oracle(
     )"""
         )
         prev_c = f"c{i}"
-    return f"""
-    WITH e AS (
+    body = f"""e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     ),
     pt AS (
@@ -301,7 +292,28 @@ def _ivf_oracle(
                   FROM pt p JOIN {prev_c} c ON p.pos = c.pos
                   GROUP BY p.vec_id, c.cid) d
         ) WHERE rn = 1
-    ),
+    )"""
+    return body, prev_c
+
+
+def _ivf_oracle(
+    n_clusters: int = 8,
+    lloyd_iters: int = 3,
+    n_probe: int = 2,
+    k: int = 5,
+    query_id: int = 0,
+) -> str:
+    """The whole IVF pipeline as one DuckDB statement: the fixed
+    Lloyd iteration count needs no recursion, so each round unrolls as
+    an (assignment, centroid) CTE pair — the same chained-CTE trick
+    that made pagerank oracle-backed (plans/graph.py). Vectors are
+    exploded to (vec_id, pos, v) rows; assignment is argmin of the
+    per-dim squared-difference sum with a cid tie-break, mirroring the
+    engine's min-struct(d2, cid); the final rescore reuses
+    list_cosine_similarity like every other vector oracle here."""
+    ctes, prev_c = _ivf_train_ctes(n_clusters, lloyd_iters)
+    return f"""
+    WITH {ctes},
     qpt AS (SELECT pos, v FROM pt WHERE vec_id = {query_id}),
     probe AS (
         SELECT cid FROM (
@@ -430,3 +442,49 @@ def ivf_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries. Same no-NLJ join discipline as training (plan-asserted
     for the serve path in tests/test_plans.py)."""
     return ops.ivf_serve_distributed(_ivf_index(spark, sf_dir), 1, n_probe=4, k=5)
+
+
+def _semantic_dedup_oracle(
+    n_clusters: int = 16, lloyd_iters: int = 2, threshold: float = 0.4
+) -> str:
+    ctes, _ = _ivf_train_ctes(n_clusters, lloyd_iters)
+    return f"""
+    WITH {ctes},
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE floor(list_cosine_similarity(ea.emb, eb.emb) * 1e6 + 0.5) / 1e6
+              >= {threshold}
+    )
+    SELECT CAST(af.cid AS INT)                     AS cid,
+           count(*)                                AS n_vectors,
+           CAST(count(d.vec_id) AS BIGINT)         AS n_dropped,
+           CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+    FROM af LEFT JOIN dropped d ON af.vec_id = d.vec_id
+    GROUP BY af.cid
+    ORDER BY cid
+    """
+
+
+@query(
+    "semantic_dedup",
+    # unrolled-Lloyd training CTEs (shared with the IVF oracles) + the
+    # non-iterative min-id drop rule — fully SQL-expressible
+    oracle=_semantic_dedup_oracle(),
+    section="2.11 semantic dedup (k-means cell blocking + exact in-cell rescore)",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped embedding dedup: 16 k-means cells block the
+    comparison space, exact cosine rescore runs only within cells
+    (O(Σ|cell|²) — linear in the corpus at fixed cell size since
+    n_clusters scales with rows), and a vector is dropped iff a
+    smaller-id vector in its cell clears the rounded-cosine
+    threshold. Completes the blocking-family triad next to the
+    shingle inverted index and hyperplane banding; the full contract
+    and determinism notes live on operators/similarity.semantic_dedup."""
+    return ops.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dim=64, n_clusters=16, lloyd_iters=2, threshold=0.4,
+    )

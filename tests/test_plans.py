@@ -601,6 +601,16 @@ def test_ivf_serve_reuses_trained_index(spark):
     assert len(V._IVF_SERVE_CACHE) == n_before
 
 
+def test_semantic_dedup_equi_joins_only(spark):
+    """Cluster-blocked dedup must pair vectors via the cid equi-join —
+    no cartesian or nested-loop join anywhere (the blocking IS the
+    point; an NLJ would mean the planner degraded to all-pairs)."""
+    df = REGISTRY["semantic_dedup"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
 def test_linear_quality_score_broadcast_weights(spark):
     """Model inference must broadcast the dim-bounded weight table —
     the corpus side never shuffles for the join (one keyed exchange
