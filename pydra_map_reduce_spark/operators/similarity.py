@@ -584,6 +584,12 @@ def ivf_serve_distributed(
         "CAST(pmod(vec_id, 1) AS INT) AS jk",
         *[f"v{i} AS q{i}" for i in range(dim)],
     )
+    # same named guard as ivf_topk: an absent id would make every
+    # downstream query join empty and return 0 rows — indistinguishable
+    # from a legitimate empty top-k. One bounded action on the (usually
+    # persisted) corpus projection.
+    if qf.isEmpty():
+        raise ValueError(f"query_id={query_id} not present in the corpus")
     qd2_sql = " + ".join(f"(m{i} - q{i}) * (m{i} - q{i})" for i in range(dim))
     probe = (
         cents.withColumn("jk", F.expr("CAST(pmod(cid, 1) AS INT)"))
@@ -673,13 +679,18 @@ def semantic_dedup(
     the unrolled-Lloyd SQL oracle (contrast greedy SemDeDup, whose
     keep-set depends on scan order). All joins are equi (cid /
     vec_id): no NLJ, no cartesian, plan-asserted."""
+    # materialize: the flat projection feeds every Lloyd round, BOTH
+    # sides of the in-cell self-join, and the final aggregate — the
+    # persisted corpus scans once instead of five times (Spark's cache
+    # manager dedups repeated calls by analyzed plan, so re-invoking
+    # the operator reuses the same cache entry rather than stacking
+    # new ones); assigned comes back eagerly checkpointed, its three
+    # downstream branches replaying executor-side state
     index = ivf_train_distributed(
         df, id_col, vec_col, dim=dim, n_clusters=n_clusters,
-        lloyd_iters=lloyd_iters,
+        lloyd_iters=lloyd_iters, materialize=True,
     )
-    # three downstream branches read the assignment — cut the training
-    # lineage once so it computes once
-    assigned = index.assigned.localCheckpoint(eager=True)
+    assigned = index.assigned
     av = assigned.join(index.flat, "vec_id")
     left = av.selectExpr(
         "cid", "vec_id AS id_a", *[f"v{i} AS a{i}" for i in range(dim)]

@@ -393,18 +393,44 @@ def ivf_ann_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Trained IVF index, one per (session, sf_dir): production ANN builds
-# its index offline and serves many queries from it — caching here
-# makes the registered serving query measure SERVING (probe + rescore),
-# not a per-call retrain. Keyed by applicationId so a stopped session's
-# unusable frames are never reused by a new one.
-_IVF_SERVE_CACHE: dict[tuple[str, str], "ops.IvfIndex"] = {}
+# Trained IVF index, one per (session, fixture state): production ANN
+# builds its index offline and serves many queries from it — caching
+# here makes the registered serving query measure SERVING (probe +
+# rescore), not a per-call retrain. Keyed by applicationId (a stopped
+# session's unusable frames are never reused by a new one) AND the
+# fixture identity from sources.tables._fixture_key, so a mid-process
+# fixture regeneration retrains instead of serving neighbors from the
+# old corpus (the same invalidation contract as the loader's own
+# footer/ts-unit caches). Entries whose SparkContext has stopped are
+# pruned on each miss, bounding the cache to live sessions.
+_IVF_SERVE_CACHE: dict[tuple, "ops.IvfIndex"] = {}
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> "ops.IvfIndex":
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from ..sources.tables import _fixture_key
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_key(f"{sf_dir}/embeddings.parquet"),
+    )
     idx = _IVF_SERVE_CACHE.get(key)
     if idx is None:
+        for k in list(_IVF_SERVE_CACHE):
+            stale = k[:2] == key[:2]  # same session+dir, older fixture state
+            try:
+                dead = _IVF_SERVE_CACHE[k].flat.sparkSession.sparkContext._jsc is None
+            except Exception:
+                dead = True  # unreachable JVM handle == stopped session
+            if stale or dead:
+                if stale and not dead:
+                    # release the old corpus projection's storage in
+                    # the still-live session before dropping the entry
+                    try:
+                        _IVF_SERVE_CACHE[k].flat.unpersist()
+                    except Exception:
+                        pass
+                del _IVF_SERVE_CACHE[k]
         idx = ops.ivf_train_distributed(
             load_table(spark, sf_dir, "embeddings"),
             "vec_id",

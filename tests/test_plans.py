@@ -585,6 +585,19 @@ def test_ivf_serve_no_nlj_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan, plan[:3000]
 
 
+def test_ivf_serve_absent_query_id_raises(spark):
+    """Serving an id that is not in the corpus must raise the same
+    named error as ivf_topk, not silently return an empty top-k."""
+    import pytest as _pytest
+
+    from pydra_map_reduce_spark.operators import similarity as ops
+    from pydra_map_reduce_spark.plans.vectors import _ivf_index
+
+    idx = _ivf_index(spark, SF_DIR)
+    with _pytest.raises(ValueError, match="not present in the corpus"):
+        ops.ivf_serve_distributed(idx, 10**9, n_probe=4, k=5)
+
+
 def test_ivf_serve_reuses_trained_index(spark):
     """Two serves in one session must hit the same trained index (the
     cache is the point of the split): the module-level cache holds
@@ -592,8 +605,14 @@ def test_ivf_serve_reuses_trained_index(spark):
     calls, and repeat results are identical."""
     from pydra_map_reduce_spark.plans import vectors as V
 
+    from pydra_map_reduce_spark.sources.tables import _fixture_key
+
     a = [tuple(r) for r in REGISTRY["ivf_ann_serve"].fn(spark, SF_DIR).collect()]
-    key = (spark.sparkContext.applicationId, SF_DIR)
+    key = (
+        spark.sparkContext.applicationId,
+        SF_DIR,
+        _fixture_key(f"{SF_DIR}/embeddings.parquet"),
+    )
     assert key in V._IVF_SERVE_CACHE
     n_before = len(V._IVF_SERVE_CACHE)
     b = [tuple(r) for r in REGISTRY["ivf_ann_serve"].fn(spark, SF_DIR).collect()]
