@@ -652,6 +652,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     lloyd_iters: int = 2,
     threshold: float = 0.4,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: k-means cells as the
     BLOCKING structure (train via ``ivf_train_distributed``), exact
@@ -679,17 +680,23 @@ def semantic_dedup(
     the unrolled-Lloyd SQL oracle (contrast greedy SemDeDup, whose
     keep-set depends on scan order). All joins are equi (cid /
     vec_id): no NLJ, no cartesian, plan-asserted."""
-    # materialize: the flat projection feeds every Lloyd round, BOTH
-    # sides of the in-cell self-join, and the final aggregate — the
-    # persisted corpus scans once instead of five times (Spark's cache
-    # manager dedups repeated calls by analyzed plan, so re-invoking
-    # the operator reuses the same cache entry rather than stacking
-    # new ones); assigned comes back eagerly checkpointed, its three
-    # downstream branches replaying executor-side state
-    index = ivf_train_distributed(
-        df, id_col, vec_col, dim=dim, n_clusters=n_clusters,
-        lloyd_iters=lloyd_iters, materialize=True,
-    )
+    # A caller-supplied trained index (e.g. the session's ANN serving
+    # index) makes dedup a pure probe workload — the SemDeDup paper's
+    # own shape, where ONE clustering serves both search and dedup.
+    # Otherwise train here with materialize: the flat projection feeds
+    # every Lloyd round, BOTH sides of the in-cell self-join, and the
+    # final aggregate — the persisted corpus scans once instead of
+    # five times (Spark's cache manager dedups repeated calls by
+    # analyzed plan, so re-invoking the operator reuses the same cache
+    # entry rather than stacking new ones); assigned comes back
+    # eagerly checkpointed, its three downstream branches replaying
+    # executor-side state.
+    if index is None:
+        index = ivf_train_distributed(
+            df, id_col, vec_col, dim=dim, n_clusters=n_clusters,
+            lloyd_iters=lloyd_iters, materialize=True,
+        )
+    dim = index.dim  # the flat columns are the index's, not the arg's
     assigned = index.assigned
     av = assigned.join(index.flat, "vec_id")
     left = av.selectExpr(

@@ -497,20 +497,25 @@ def _semantic_dedup_oracle(
 @query(
     "semantic_dedup",
     # unrolled-Lloyd training CTEs (shared with the IVF oracles) + the
-    # non-iterative min-id drop rule — fully SQL-expressible
-    oracle=_semantic_dedup_oracle(),
+    # non-iterative min-id drop rule — fully SQL-expressible; same
+    # (64, 2) training parameters as the serving index this query
+    # reuses
+    oracle=_semantic_dedup_oracle(n_clusters=64, lloyd_iters=2),
     section="2.11 semantic dedup (k-means cell blocking + exact in-cell rescore)",
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-shaped embedding dedup: 16 k-means cells block the
-    comparison space, exact cosine rescore runs only within cells
-    (O(Σ|cell|²) — linear in the corpus at fixed cell size since
-    n_clusters scales with rows), and a vector is dropped iff a
-    smaller-id vector in its cell clears the rounded-cosine
-    threshold. Completes the blocking-family triad next to the
-    shingle inverted index and hyperplane banding; the full contract
-    and determinism notes live on operators/similarity.semantic_dedup."""
+    """SemDeDup-shaped embedding dedup reusing the session's trained
+    ANN index: the SAME 64-cell clustering serves similarity search
+    (`ivf_ann_serve`) and dedup — the SemDeDup paper's own shape, and
+    the 100 TB posture (one training pays for every probe workload).
+    Exact cosine rescore runs only within cells (O(Σ|cell|²) — linear
+    in the corpus at fixed cell size since n_clusters scales with
+    rows), and a vector is dropped iff a smaller-id vector in its
+    cell clears the rounded-cosine threshold. Completes the
+    blocking-family triad next to the shingle inverted index and
+    hyperplane banding; the full contract and determinism notes live
+    on operators/similarity.semantic_dedup."""
     return ops.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        dim=64, n_clusters=16, lloyd_iters=2, threshold=0.4,
+        dim=64, threshold=0.4, index=_ivf_index(spark, sf_dir),
     )
