@@ -84,6 +84,7 @@ HEADLINE = [
     "ivf_ann_topk_distributed", # IVF ANN, distributed centroid frame (train+serve, oracle parity)
     "ivf_ann_serve",         # IVF serving path: cached trained index, probe+rescore only
     "semantic_dedup",        # SemDeDup-style cluster-blocked embedding dedup
+    "compression_ratio_quality", # zlib compressibility gate (Arrow-batched)
     "multimodal_png_decode", # REAL compressed-codec decode (zlib inflate + unfilter)
     "linear_quality_score",  # model inference (hashed features x broadcast weights)
     "sequence_pack",         # concat-and-chunk token packing (closed-form spans)

@@ -740,3 +740,80 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
         F.count(F.lit(1)).alias("df"),
     )
+
+
+@query(
+    "compression_ratio_quality",
+    # rows-only BY NECESSITY: the signal IS deflate output size, and no
+    # SQL engine exposes zlib — tests/test_correctness.py anchors every
+    # row against a driver-side zlib recomputation instead (exact, not
+    # shape-only), the same closed-chain strategy as the streaming twins.
+    oracle=None,
+    section="2.11 compressibility quality signal (zlib ratio gate, rows-only + exact anchor)",
+)
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressibility quality filter real corpus pipelines run
+    (Gopher/Dolma family): highly compressible text is boilerplate or
+    repetition; incompressible text is noise/binary junk — deflate
+    ratio is a one-number entropy probe needing no LM. Per document:
+    byte length, zlib-compressed length (level 6, the pipeline
+    default), the half-up-rounded ratio, and the keep decision for
+    the standard band (0.25 ≤ ratio ≤ 0.95). Summarized per source so
+    the result is a bounded gate report, scannable at any corpus
+    size: one Arrow-batched pass computes the per-doc signal (zlib is
+    C-speed; the batch loop is bandwidth-bound), one dim-sized keyed
+    agg rolls it up — no shuffle wider than (source, counts). zlib
+    output is deterministic for a given level across platforms (the
+    library pins its own encoder), so the anchor compare is exact.
+    Per-doc ratios are INTEGER 1e-4 units (floor half-up in Python —
+    an exact int), the band compare is integer (2500..9500), and the
+    per-source average divides ONE exact integer sum at the end — no
+    float accumulation anywhere, so the summary is bit-identical
+    under any partitioning (the .xxx5 lesson of round 5, applied at
+    authoring time)."""
+    import zlib
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            n_raw = [len(b) for b in raw]
+            ratio_e4 = [
+                math.floor(c / r * 10000 + 0.5) if r else 0
+                for c, r in zip(comp, n_raw)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_bytes": n_raw,
+                    "n_compressed": comp,
+                    "ratio_e4": ratio_e4,
+                }
+            )
+
+    scored = d.mapInPandas(
+        score,
+        "doc_id long, source string, n_bytes long, n_compressed long, ratio_e4 long",
+    )
+    keep = F.col("ratio_e4").between(2500, 9500)
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum(keep.cast("bigint")).alias("n_kept"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_compressed").alias("total_compressed"),
+            (F.floor(F.sum("ratio_e4") / n + 0.5) / 10000).alias("avg_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -331,6 +331,40 @@ def test_running_balance_capped_matches_numpy_anchor(spark):
     assert got == want
 
 
+def test_compression_ratio_matches_zlib_anchor(spark):
+    """The compressibility gate is rows-only by necessity (no SQL
+    zlib) — so anchor it EXACTLY: recompute every per-source summary
+    driver-side with the same zlib level and banding and require full
+    equality, not shape. zlib output is deterministic per level, so
+    any divergence is an engine bug, not codec noise."""
+    import zlib
+    from collections import defaultdict
+
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    got = {
+        r["source"]: tuple(r)[1:]
+        for r in REGISTRY["compression_ratio_quality"].fn(spark, SF_DIR).collect()
+    }
+    rows = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    acc = defaultdict(lambda: [0, 0, 0, 0, 0])  # docs, kept, bytes, comp, ratio_e4_sum
+    for r in rows:
+        b = r["text"].encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        ratio_e4 = math.floor(c / len(b) * 10000 + 0.5) if b else 0
+        a = acc[r["source"]]
+        a[0] += 1
+        a[1] += 1 if 2500 <= ratio_e4 <= 9500 else 0
+        a[2] += len(b)
+        a[3] += c
+        a[4] += ratio_e4
+    want = {
+        s: (a[0], a[1], a[2], a[3], math.floor(a[4] / a[0] + 0.5) / 10000)
+        for s, a in acc.items()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_observed_metrics_match_direct_agg(spark):
     """The observe()-collected metrics must equal a direct aggregation
     over the same table — the accumulator path loses nothing."""
