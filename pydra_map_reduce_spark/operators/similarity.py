@@ -586,8 +586,12 @@ def ivf_serve_distributed(
     )
     # same named guard as ivf_topk: an absent id would make every
     # downstream query join empty and return 0 rows — indistinguishable
-    # from a legitimate empty top-k. One bounded action on the (usually
-    # persisted) corpus projection.
+    # from a legitimate empty top-k. Cost: one eager limit(1) job at
+    # call-construction time — a vec_id point lookup with filter
+    # pushdown on the (persisted, in the serve-cache path) corpus
+    # projection, the same lookup qf's join pays anyway; accepted as
+    # the serving contract (fail loud at the API edge, not after the
+    # full probe+rescore ran empty).
     if qf.isEmpty():
         raise ValueError(f"query_id={query_id} not present in the corpus")
     qd2_sql = " + ".join(f"(m{i} - q{i}) * (m{i} - q{i})" for i in range(dim))
@@ -695,6 +699,15 @@ def semantic_dedup(
         index = ivf_train_distributed(
             df, id_col, vec_col, dim=dim, n_clusters=n_clusters,
             lloyd_iters=lloyd_iters, materialize=True,
+        )
+    elif index.dim != dim:
+        # a supplied index REPLACES df/id_col/vec_col (dedup runs over
+        # the index's corpus) — the one cross-check available is dim;
+        # a mismatch means the caller paired the wrong index with this
+        # call, which would otherwise dedup the wrong corpus silently
+        raise ValueError(
+            f"supplied index has dim={index.dim} but caller said dim={dim}; "
+            "semantic_dedup dedups the INDEX's corpus — pass the index's dim"
         )
     dim = index.dim  # the flat columns are the index's, not the arg's
     assigned = index.assigned

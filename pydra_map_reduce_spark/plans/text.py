@@ -783,7 +783,10 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         import math
 
         for pdf in batches:
-            raw = [t.encode("utf-8") for t in pdf["text"]]
+            # NULL text → empty bytes (ratio 0, dropped by the band),
+            # mirroring how the SQL-tier text queries null-propagate
+            # instead of crashing the task
+            raw = [(t or "").encode("utf-8") for t in pdf["text"]]
             comp = [len(zlib.compress(b, 6)) for b in raw]
             n_raw = [len(b) for b in raw]
             ratio_e4 = [

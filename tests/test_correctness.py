@@ -349,7 +349,7 @@ def test_compression_ratio_matches_zlib_anchor(spark):
     rows = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
     acc = defaultdict(lambda: [0, 0, 0, 0, 0])  # docs, kept, bytes, comp, ratio_e4_sum
     for r in rows:
-        b = r["text"].encode("utf-8")
+        b = (r["text"] or "").encode("utf-8")
         c = len(zlib.compress(b, 6))
         ratio_e4 = math.floor(c / len(b) * 10000 + 0.5) if b else 0
         a = acc[r["source"]]
