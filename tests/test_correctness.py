@@ -39,7 +39,14 @@ def canon_val(v):
             return "NaN"
         # collapse ulp-level diffs that survive in-query round()
         return round(v, 9)
-    if isinstance(v, bool) or isinstance(v, int):
+    if isinstance(v, bool):
+        # DISTINCT from int: True == 1 in Python, so without the tag a
+        # Spark boolean column silently compares equal to an oracle
+        # CASE WHEN ... THEN 1 integer — a type disagreement a typed
+        # driver canonicalization would fail. The tag also keeps the
+        # repr-based multiset sort aligned across the two sides.
+        return ("bool", v)
+    if isinstance(v, int):
         return v
     if isinstance(v, (str, bytes)):
         return v
@@ -117,6 +124,10 @@ def test_stream_join_matches_batch_anchor(spark):
 def test_rows_only(name, spark):
     q = REGISTRY[name]
     sdf = q.fn(spark, SF_DIR)
+    # rows-only queries skip the oracle but NOT the terminal-type lint:
+    # one of them gaining an oracle later (or the driver hashing them)
+    # must not re-discover the r7 decimal trap
+    assert_hash_safe_schema(sdf, name)
     rows = sdf.collect()
     assert rows is not None
     assert len(sdf.columns) > 0

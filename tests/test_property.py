@@ -63,36 +63,44 @@ def test_filter_parity(pred, spark, duck):
     assert srows == drows, pred
 
 
-_AGGS = {
-    "cnt": ("count(*)", lambda: F.count(F.lit(1)).alias("cnt")),
-    "mx": ("CAST(trunc(max(c_acctbal)) AS BIGINT)", lambda: F.col("_mx")),
-    "mn": ("CAST(trunc(min(c_acctbal)) AS BIGINT)", lambda: F.col("_mn")),
-    "s": ("CAST(sum(c_custkey) AS BIGINT)", lambda: F.sum("c_custkey").cast("bigint").alias("s")),
-}
-
-
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
-    aggs=st.lists(st.sampled_from(["cnt", "s"]), min_size=1, max_size=2, unique=True),
+    aggs=st.lists(
+        st.sampled_from(["cnt", "s", "mx", "mn"]), min_size=1, max_size=3, unique=True
+    ),
     lo=st.integers(min_value=-1000, max_value=9000),
 )
 def test_groupby_parity(aggs, lo, spark, duck):
     """Random (filter, agg-set) combos over customer grouped by
-    nationkey: exact integer aggregates on both engines."""
+    nationkey: exact integer aggregates on both engines. min/max
+    truncate to BIGINT on both sides (Spark CAST truncates toward
+    zero; DuckDB CAST rounds, so its side goes through trunc())."""
     c = load_table(spark, SF_DIR, "customer").filter(F.col("c_acctbal") > lo)
     spark_aggs = {
         "cnt": F.count(F.lit(1)).alias("cnt"),
         "s": F.sum("c_custkey").cast("bigint").alias("s"),
+        "mx": F.max("c_acctbal").cast("bigint").alias("mx"),
+        "mn": F.min("c_acctbal").cast("bigint").alias("mn"),
     }
     sdf = c.groupBy("c_nationkey").agg(*[spark_aggs[a] for a in aggs])
     srows = sorted([tuple(r) for r in sdf.collect()], key=repr)
-    duck_aggs = {"cnt": "count(*) AS cnt", "s": "CAST(sum(c_custkey) AS BIGINT) AS s"}
+    duck_aggs = {
+        "cnt": "count(*) AS cnt",
+        "s": "CAST(sum(c_custkey) AS BIGINT) AS s",
+        "mx": "CAST(trunc(max(c_acctbal)) AS BIGINT) AS mx",
+        "mn": "CAST(trunc(min(c_acctbal)) AS BIGINT) AS mn",
+    }
     sql = (
         f"SELECT c_nationkey, {', '.join(duck_aggs[a] for a in aggs)} "
         f"FROM customer WHERE c_acctbal > {lo} GROUP BY c_nationkey"
     )
     drows = sorted(duck.execute(sql).fetchall(), key=repr)
     assert srows == drows, sql
+
+
+# invariant across all Hypothesis examples — computed once, not per
+# draw (10 identical scan+agg jobs otherwise)
+_CHECKSUM_BASE: dict[str, object] = {}
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
@@ -103,7 +111,9 @@ def test_table_checksum_partition_invariant(seed, parts, spark):
     it usable as a cross-system migration gate."""
     from pydra_map_reduce_spark.plans import REGISTRY
 
-    base = REGISTRY["table_checksum"].fn(spark, SF_DIR).collect()[0]
+    if "base" not in _CHECKSUM_BASE:
+        _CHECKSUM_BASE["base"] = REGISTRY["table_checksum"].fn(spark, SF_DIR).collect()[0]
+    base = _CHECKSUM_BASE["base"]
 
     from pydra_map_reduce_spark.sources.tables import load_table
 
@@ -131,16 +141,28 @@ def test_auc_perfect_and_inverted_predictor(spark):
     assert auc(const, "score", "label").collect()[0]["auc"] == 0.5
 
 
+def _bound(offset: int, *, end: bool) -> str:
+    if offset < 0:
+        return f"{-offset} PRECEDING"
+    if offset == 0:
+        return "CURRENT ROW"
+    return f"{offset} FOLLOWING"
+
+
 @st.composite
 def window_frame_expr(draw):
-    a = draw(st.integers(min_value=0, max_value=5))
-    b = draw(st.integers(min_value=0, max_value=5))
+    # signed offsets so frames EXCLUDING the current row are generated
+    # (e.g. ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING) — those go EMPTY
+    # at partition edges, exercising the empty-frame NULL semantics the
+    # original [0 PRECEDING..b FOLLOWING]-only generator never could
+    s = draw(st.integers(min_value=-5, max_value=5))
+    e = draw(st.integers(min_value=s, max_value=5))
     agg = draw(
         st.sampled_from(["sum(c_acctbal)", "count(*)", "min(c_acctbal)", "max(c_acctbal)"])
     )
     over = (
         f"{agg} OVER (PARTITION BY c_nationkey ORDER BY c_custkey "
-        f"ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING)"
+        f"ROWS BETWEEN {_bound(s, end=False)} AND {_bound(e, end=True)})"
     )
     # round OUTSIDE the OVER: `round(sum(x),2) OVER (...)` parses as a
     # windowed round() — not a window aggregate — and Spark rejects it
@@ -391,32 +413,25 @@ def test_sequence_pack_interval_math(budget, sizes, spark):
     """The closed-form span/overlap arithmetic behind sequence_pack
     must equal a straightforward sequential packer for random budgets
     and document sizes — pinning the floor/boundary math (off-by-one
-    territory) independently of the SQL oracle."""
+    territory) independently of the SQL oracle. Drives the REAL
+    operator (operators/quality.pack_sequences), not an inline copy of
+    its math: a regression in the production span/overlap/bin code is
+    what this property exists to catch (an earlier form re-implemented
+    the spans inline — with the double-division bin form the operator
+    itself was specifically rewritten to avoid — and so pinned
+    nothing)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+
+    from pydra_map_reduce_spark.operators.quality import pack_sequences
 
     docs = spark.createDataFrame(
         [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_tokens long"
-    )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    pos = docs.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    spans = pos.select(
-        "n_tokens", "start_tok",
-        F.explode(
-            F.sequence(
-                (F.col("start_tok") / budget).cast("bigint"),
-                ((F.col("start_tok") + F.col("n_tokens") - 1) / budget).cast("bigint"),
-            )
-        ).alias("seq_no"),
-    )
-    overlap = F.least(
-        F.col("start_tok") + F.col("n_tokens"), (F.col("seq_no") + 1) * budget
-    ) - F.greatest(F.col("start_tok"), F.col("seq_no") * budget)
+    ).withColumn("g", F.lit("x"))
     got = {
-        r["seq_no"]: (r["n_docs"], r["fill"])
-        for r in spans.groupBy("seq_no")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(overlap).alias("fill"))
-        .collect()
+        r["seq_no"]: (r["n_docs"], r["fill_tokens"])
+        for r in pack_sequences(
+            docs, "g", "doc_id", "n_tokens", budget=budget
+        ).collect()
     }
     # independent sequential packer: walk the token stream doc by doc
     want: dict[int, list[int]] = {}
