@@ -25,7 +25,17 @@ from .textops import round_half_up
 def ks_drift(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Per-group two-sample KS statistic of ``value_col`` against the
     rest of the table (group vs complement), via ECDFs over the
-    distinct-value grid. Returns (group_col, n_s, ks)."""
+    distinct-value grid. Returns (group_col, n_s, ks). NULL values
+    are EXCLUDED up front — a NULL grid row breaks the non-null-safe
+    rejoin (NULL==NULL never matches, so cum_s understates in BOTH
+    engines — invisible to the differential gate) and window-orders
+    opposite ways (Spark nulls-first vs DuckDB nulls-last), shifting
+    every cumulative count; "drift over observed values" is the
+    honest contract. A group spanning the WHOLE table has an empty
+    complement — its ks surfaces as NULL ("undefined") via the same
+    nullif guard auc uses, where unguarded division diverges (Spark
+    NULL vs a DuckDB-mirror inf)."""
+    df = df.filter(F.col(value_col).isNotNull())
     vals = df.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("cnt_v"))
     pv = df.groupBy(group_col, F.col(value_col).alias("v")).agg(
         F.count(F.lit(1)).alias("cnt_sv")
@@ -52,7 +62,7 @@ def ks_drift(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.col("cum_s") * F.lit(1.0) / F.col("n_s")
         - (F.col("cum_all") - F.col("cum_s"))
         * F.lit(1.0)
-        / (F.col("n_all") - F.col("n_s"))
+        / F.nullif(F.col("n_all") - F.col("n_s"), F.lit(0))
     )
     return cum.groupBy(group_col).agg(
         F.max("n_s").cast("bigint").alias("n_s"),
@@ -116,7 +126,11 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     shuffle once, ranks derive from cumulative counts over the grid
     (bounded by the score domain, never corpus-sized), and the whole
     computation stays integer until the single final division — so
-    the result is independent of partitioning and engine."""
+    the result is independent of partitioning and engine. NULL
+    scores are EXCLUDED (unrankable): a NULL score group would
+    window-order first in Spark and last in a DuckDB mirror,
+    shifting cum_less for every real score."""
+    df = df.filter(F.col(score_col).isNotNull())
     vals = df.groupBy(F.col(score_col).alias("v")).agg(
         F.count(F.lit(1)).alias("n"), F.sum(label_col).alias("p")
     )
@@ -171,7 +185,10 @@ def running_balance(
     import pandas as pd
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols)
+        # stable sort: the clamp recurrence is order-sensitive, and
+        # pandas' default quicksort is UNSTABLE — tied order keys
+        # would replay in run-dependent order
+        pdf = pdf.sort_values(order_cols, kind="stable")
         bal = 0.0
         for d in pdf["_delta"].to_numpy():
             bal = min(max(bal + d, 0.0), cap)
@@ -250,6 +267,11 @@ def pack_sequences(
     per-writer parallelism at any scale."""
     from pyspark.sql.window import Window
 
+    if budget <= 0:
+        # Spark's `div 0` yields NULL → sequence(NULL,NULL) → explode
+        # drops every row: a silently EMPTY packing where a SQL mirror
+        # errors — name the misuse instead
+        raise ValueError(f"budget must be positive, got {budget}")
     B = budget
     w = (
         Window.partitionBy(group_col)

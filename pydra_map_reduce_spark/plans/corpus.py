@@ -393,30 +393,26 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mix_weights",
-    oracle="""
-    WITH per_src AS (
+# ONE definition of the mixture-rate derivation, engine + SQL:
+# `mix_weights` REPORTS these rates and `mix_apply` APPLIES them, so a
+# duplicated derivation is exactly the paired-copy drift hazard
+# _SPLIT_CASE_SQL guards against — a rate change that missed one copy
+# would make the applied mixture silently differ from the reported plan.
+_MIX_RATES_SQL = """per_src AS (
         SELECT source,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY source
     ), tot AS (
         SELECT sum(n_tokens) AS total, count(*) AS n_sources FROM per_src
-    )
-    SELECT p.source, p.n_tokens,
-           floor(least(1.0, (t.total / t.n_sources) / p.n_tokens) * 10000 + 0.5) / 10000 AS sample_rate,
-           CAST(floor(least(1.0, (t.total / t.n_sources) / p.n_tokens)
-                      * p.n_tokens) AS BIGINT)                        AS est_tokens
-    FROM per_src p CROSS JOIN tot t
-    """,
-    section="2.11 source mixing weights (uniform-target sampling plan)",
-)
-def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-mixing plan: per-source sampling rate that equalizes token
-    contribution toward a uniform target (capped at 1.0 — no
-    upsampling). Source-count aggregate is dim-sized; the 1-row total
-    joins back by broadcast cross join, never a collect. The rates
-    feed `sampleBy` (see `stratified_sample`) for the actual draw."""
+    ), rates AS (
+        SELECT p.source, p.n_tokens,
+               least(1.0, (t.total / t.n_sources) / p.n_tokens) AS rate
+        FROM per_src p CROSS JOIN tot t
+    )"""
+
+
+def _mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, rate) — the engine half of _MIX_RATES_SQL."""
     from ..operators import textops
 
     d = load_table(spark, sf_dir, "documents")
@@ -426,12 +422,41 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_src.agg(
         F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_sources")
     )
-    rate = F.least(F.lit(1.0), (F.col("total") / F.col("n_sources")) / F.col("n_tokens"))
     return per_src.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
-        round_half_up(rate, 4).alias("sample_rate"),
-        F.floor(rate * F.col("n_tokens")).cast("bigint").alias("est_tokens"),
+        F.least(
+            F.lit(1.0), (F.col("total") / F.col("n_sources")) / F.col("n_tokens")
+        ).alias("rate"),
+    )
+
+
+@query(
+    "mix_weights",
+    oracle=f"""
+    WITH {_MIX_RATES_SQL}
+    SELECT source, n_tokens,
+           floor(rate * 10000 + 0.5) / 10000          AS sample_rate,
+           CAST(floor(rate * n_tokens) AS BIGINT)     AS est_tokens
+    FROM rates
+    """,
+    section="2.11 source mixing weights (uniform-target sampling plan)",
+)
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan: per-source sampling rate that equalizes token
+    contribution toward a uniform target (capped at 1.0 — no
+    upsampling). Source-count aggregate is dim-sized; the 1-row total
+    joins back by broadcast cross join, never a collect. The rates
+    feed `sampleBy` (see `stratified_sample`) for the actual draw.
+    The rate derivation itself lives in ONE place (`_mix_rates` /
+    `_MIX_RATES_SQL`) shared with `mix_apply` — the plan and the
+    application can't drift apart."""
+    r = _mix_rates(spark, sf_dir)
+    return r.select(
+        "source",
+        "n_tokens",
+        round_half_up(F.col("rate"), 4).alias("sample_rate"),
+        F.floor(F.col("rate") * F.col("n_tokens")).cast("bigint").alias("est_tokens"),
     )
 
 
@@ -603,18 +628,8 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mix_apply",
-    oracle="""
-    WITH per_src AS (
-        SELECT source,
-               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        FROM documents GROUP BY source
-    ), tot AS (
-        SELECT sum(n_tokens) AS total, count(*) AS n_sources FROM per_src
-    ), rates AS (
-        SELECT p.source,
-               least(1.0, (t.total / t.n_sources) / p.n_tokens) AS rate
-        FROM per_src p CROSS JOIN tot t
-    )
+    oracle=f"""
+    WITH {_MIX_RATES_SQL}
     SELECT d.source,
            count(*)                                              AS n_docs_kept,
            CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)   AS n_tokens_kept
@@ -635,22 +650,12 @@ def mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, runs, and repartitions (no RNG state), which is
     what makes a 100 TB mixture re-buildable bit-for-bit. Returns the
     per-source survivor summary; downstream the same predicate gates
-    the full corpus scan."""
+    the full corpus scan. Rates come from the SHARED `_mix_rates`
+    builder — the same frame `mix_weights` reports."""
     from ..operators import textops
 
     d = load_table(spark, sf_dir, "documents")
-    per_src = d.groupBy("source").agg(
-        F.sum(F.size(textops.tokens("text"))).cast("bigint").alias("n_tokens")
-    )
-    tot = per_src.agg(
-        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_sources")
-    )
-    rates = per_src.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.least(
-            F.lit(1.0), (F.col("total") / F.col("n_sources")) / F.col("n_tokens")
-        ).alias("rate"),
-    )
+    rates = _mix_rates(spark, sf_dir).select("source", "rate")
     frac = textops.hash_uniform("doc_id")
     return (
         d.join(F.broadcast(rates), "source")
@@ -743,15 +748,27 @@ def jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialization is byte-identical across engines (verified), while
     float formatting is not — floats would go through a decimal-string
     cast first."""
+    from ..operators import textops
+
     d = load_table(spark, sf_dir, "documents")
     rec = F.struct(
         F.col("doc_id"),
         F.col("lang"),
         F.col("source"),
         F.col("n_chars"),
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        # the ONE tokenizer definition (operators/dedup.tokens), same
+        # as every other token count in this file
+        F.size(textops.tokens("text")).cast("bigint").alias("n_tokens"),
     )
-    return d.select("doc_id", F.to_json(rec).alias("record"))
+    # ignoreNullFields=false: Spark's default DROPS null fields from
+    # the object while DuckDB's to_json emits "key": null — on a
+    # nullable field (lang/source are nullable in the declared schema)
+    # the "byte-identical across engines" claim would silently break;
+    # emitting explicit nulls matches the oracle on every input
+    return d.select(
+        "doc_id",
+        F.to_json(rec, {"ignoreNullFields": "false"}).alias("record"),
+    )
 
 
 @query(
@@ -904,11 +921,14 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently, the same per-writer parallelism as
     shard_pack_partitioned; doc_id order makes packing deterministic
     under any partitioning."""
+    from ..operators import textops
     from ..operators.quality import pack_sequences
 
     d = load_table(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        # shared tokenizer (operators/dedup.tokens) — not an inline
+        # re-split that could drift from the file's other token counts
+        F.size(textops.tokens("text")).cast("bigint").alias("n_tokens"),
     )
     return pack_sequences(d, "source", "doc_id", "n_tokens", budget=_SEQ_LEN)
