@@ -26,6 +26,11 @@ from .registry import query
 # would let concurrent runs on one host clobber each other's data.
 _IO_ROOT: str | None = None
 
+# One V2-reader sibling session per application (scan_agg_pushdown):
+# creating a fresh newSession() per call leaked a JVM SessionState per
+# invocation. Cleared when a new applicationId appears.
+_V2_SESSIONS: dict[str, SparkSession] = {}
+
 
 def _tmp(name: str) -> str:
     global _IO_ROOT
@@ -219,12 +224,21 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a `spark.newSession()` (independent SQLConf over the same
     SparkContext), because flipping `useV1SourceList` session-wide
     would silently change every other query's scan path (DPP and
-    bucketed reads are V1-shaped here). Timestamp min/max is NOT
-    pushable (kept out of the aggregate list on purpose).
-    tests/test_plans.py asserts the PushedAggregation plan shape."""
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.sources.useV1SourceList", "")
-    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    bucketed reads are V1-shaped here). The V2 session is CACHED per
+    application — one sibling SessionState for the app's lifetime,
+    not one per invocation — and the saved-conf ledger keys on the
+    session OBJECT (sources/tables.py), so the sibling's pins can
+    never alias the caller's. Timestamp min/max is NOT pushable (kept
+    out of the aggregate list on purpose). tests/test_plans.py asserts
+    the PushedAggregation plan shape."""
+    app = spark.sparkContext.applicationId
+    s2 = _V2_SESSIONS.get(app)
+    if s2 is None:
+        _V2_SESSIONS.clear()  # at most one live app per process
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.sources.useV1SourceList", "")
+        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        _V2_SESSIONS[app] = s2
     li = load_table(s2, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -25,29 +25,72 @@ from ..sources.tables import SCHEMAS, _pin_conf, convert_events_ts, events_ts_un
 from .registry import query
 
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The file stream source needs a DIRECTORY; expose the single
-    # events.parquet file through a symlink dir (no data copy). The
-    # dir is keyed on the absolute sf_dir (hashed) so distinct paths
-    # with the same basename never collide; lexists + retarget handles
-    # broken/stale links from regenerated test data.
+# per-process two-part split of events for multi-micro-batch streams,
+# keyed by (fixture identity, session) — a regeneration or new session
+# re-materializes instead of reusing a stale split
+_SPLIT_SRC_CACHE: dict[tuple, str] = {}
+
+
+def _stream_events(
+    spark: SparkSession, sf_dir: str, *, multi_batch: bool = False
+) -> DataFrame:
+    """File-source stream over the events fixture.
+
+    ``multi_batch=False`` (default): the single events.parquet exposed
+    through a symlink dir — ONE micro-batch holding the whole table,
+    the right shape for watermark/append queries whose results must
+    match their batch anchors exactly (a second micro-batch would let
+    the batch-1 watermark drop batch-2 'late' rows, changing counts).
+    The symlink swap is ATOMIC (symlink to a temp name + os.replace):
+    the old lexists/unlink/symlink dance raced concurrent processes
+    sharing the /tmp dir, and both sides of the staleness compare now
+    resolve fully so a symlinked sf_dir component doesn't force a
+    retarget on every call.
+
+    ``multi_batch=True``: a per-process TWO-FILE split of the same
+    rows, streamed with maxFilesPerTrigger=1 — at least two
+    micro-batches, so stateful operators genuinely exercise their
+    state.exists=True resume arms (with the single-file source those
+    branches were dead code and a broken resume path was invisible to
+    every anchor). Use for stateful/update-mode and sink-lifecycle
+    queries whose results are micro-batch-count independent. The
+    split is written ONCE per (fixture, session) via the batch loader
+    (which normalizes the ts unit, so no footer branch is needed
+    here) into a private mkdtemp — no cross-process sharing, no
+    races."""
     import hashlib
 
     target = os.path.abspath(f"{sf_dir}/events.parquet")
+    _pin_conf(spark, "spark.sql.session.timeZone", "UTC")
+
+    if multi_batch:
+        from ..sources.tables import _fixture_key
+
+        key = (_fixture_key(target), spark.sparkContext.applicationId)
+        src = _SPLIT_SRC_CACHE.get(key)
+        if src is None:
+            root = tempfile.mkdtemp(prefix="pydra_stream_split_")
+            src = os.path.join(root, "events_split")
+            load_table(spark, sf_dir, "events").repartition(2).write.parquet(src)
+            _SPLIT_SRC_CACHE[key] = src
+        return (
+            spark.readStream.schema(SCHEMAS["events"])
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+
     key = hashlib.md5(target.encode()).hexdigest()[:12]
     stream_dir = os.path.join(tempfile.gettempdir(), "pydra_stream_src", key)
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if os.path.lexists(link):
-        if os.path.realpath(link) != target:
-            os.unlink(link)
-            os.symlink(target, link)
-    else:
-        os.symlink(target, link)
+    if os.path.realpath(link) != os.path.realpath(target):
+        tmp = link + "." + uuid.uuid4().hex[:8]
+        os.symlink(target, tmp)
+        os.replace(tmp, link)
     # Footer-adaptive, in lockstep with the batch loader: ns footers
     # take the raw-nanos + div-1000 path, µs/ms footers read directly
     # with the public schema (shared probe keeps the two in sync).
-    _pin_conf(spark, "spark.sql.session.timeZone", "UTC")
     if events_ts_unit(target) == "ns":
         _pin_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
@@ -132,9 +175,18 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful duplicate-drop keyed on event_id within the watermark:
     state is bounded by the watermark horizon, the 100 TB-safe form of
-    streaming dedup."""
+    streaming dedup. The fixture's event_ids are UNIQUE, so duplicates
+    are INJECTED (a second source instance unioned in, carrying ~10%
+    of the rows again) — without them the operator was vacuous: a
+    no-op 'dedup' produced the same (n_rows == n_ids) summary and the
+    anchor could never detect failure-to-drop. With the injection, a
+    broken dedup yields n_rows > n_ids and the anchor fails."""
+    s = _stream_events(spark, sf_dir)
+    dupes = _stream_events(spark, sf_dir).filter(
+        F.pmod(F.hash("event_id"), F.lit(10)) == 0
+    )
     dedup = (
-        _stream_events(spark, sf_dir)
+        s.union(dupes)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type", "ts")
@@ -165,6 +217,11 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     event time minus the 10-minute delay. This is the behavior the
     batch-mode watermark queries cannot evidence (`complete` mode never
     drops), closing the one `partial` row from round 2."""
+    # same UTC pin as _stream_events: without it, execution ORDER
+    # decides the timezone to_timestamp parses in (whichever query
+    # pinned first), and a non-UTC host shifts window_start under the
+    # anchor's expected isoformat
+    _pin_conf(spark, "spark.sql.session.timeZone", "UTC")
     root = tempfile.mkdtemp(prefix="pydra_late_")
     src = os.path.join(root, "src")
     schema = "ts timestamp, k string"
@@ -210,7 +267,11 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     # expected sink content: exactly [(10:00, 2)] — the late row is
     # absent; a (10:00, 3) row here would mean the watermark failed.
-    return spark.table(name).orderBy("window_start")
+    # snapshot + drop, the _drain discipline: a memory sink left
+    # registered pins its contents in driver memory for the session
+    out = spark.table(name).orderBy("window_start").localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @query(
@@ -261,7 +322,10 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter kept in GroupState across micro-batches — the
     applyInPandasWithState escape hatch for operators the built-in
     windows can't express. State is per-key and partitioned, so it
-    scales horizontally; a real deployment adds a timeout to bound it."""
+    scales horizontally; a real deployment adds a timeout to bound it.
+    Runs over the TWO-micro-batch split source so the state.exists
+    resume arm genuinely executes (the single-file source made it dead
+    code — a broken resume passed every anchor)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -273,7 +337,7 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
 
     out = (
-        _stream_events(spark, sf_dir)
+        _stream_events(spark, sf_dir, multi_batch=True)
         .groupBy("user_id")
         .applyInPandasWithState(
             count_events,
@@ -395,7 +459,11 @@ def streaming_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
-    out = spark.table(name)
+    # snapshot + drop (the _drain discipline): the rate sink would
+    # otherwise pin thousands of generated rows per invocation in
+    # driver memory for the session lifetime
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
     return out.agg(
         (F.count(F.lit(1)) > 0).alias("has_rows"),
         (F.countDistinct("value") == F.count(F.lit(1))).alias("values_unique"),
@@ -431,8 +499,10 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
+    # multi-batch split: each file is its own epoch, so the per-epoch
+    # dynamic-partition-overwrite idempotence actually covers >1 epoch
     stream = (
-        _stream_events(spark, sf_dir)
+        _stream_events(spark, sf_dir, multi_batch=True)
         .filter(F.col("event_type") == "signup")
         .select("event_id", "user_id", "ts")
     )
@@ -584,7 +654,7 @@ def streaming_stateful_max(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx]})
 
         out = (
-            _stream_events(spark, sf_dir)
+            _stream_events(spark, sf_dir, multi_batch=True)
             .groupBy("user_id")
             .applyInPandasWithState(
                 track_max,
@@ -625,7 +695,7 @@ def streaming_stateful_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         out = (
-            _stream_events(spark, sf_dir)
+            _stream_events(spark, sf_dir, multi_batch=True)
             .groupBy("user_id")
             .transformWithStateInPandas(
                 MaxTracker(),

@@ -9,6 +9,8 @@ scan, so callers should `.select()` early and filter with Column exprs.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -205,21 +207,22 @@ _VERIFIED: set[tuple[str, int, float]] = set()
 
 # Session confs load_table pins (documented public side effect, see
 # load_table docstring). Previous values are remembered per session the
-# first time each key is pinned so callers can undo the pins.
-_SAVED_CONFS: dict[str, dict[str, str | None]] = {}
-
-
-def _conf_key(spark: SparkSession) -> str:
-    """Per-session identity for the saved-conf ledger: the Spark
-    applicationId. id(spark) was the old key — a stopped session's
-    object id can be RECYCLED by the allocator, silently attaching a
-    dead session's saved confs to a new one (and leaking entries
-    whenever restore was never called)."""
-    return spark.sparkContext.applicationId
+# first time each key is pinned so callers can undo the pins. The
+# ledger keys on the SESSION OBJECT via weak references: applicationId
+# was the old key, but sibling sessions from spark.newSession() SHARE
+# an applicationId (each with its own SQLConf), so the first session to
+# pin a key owned the saved slot and restore on one session could
+# replay another's prior values (r8 io review). Weak keys drop a dead
+# session's entries with the object itself — no id-recycling hazard
+# (the entry is gone before the id can be reused) and no leak when
+# restore is never called.
+_SAVED_CONFS: "weakref.WeakKeyDictionary[SparkSession, dict[str, str | None]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _pin_conf(spark: SparkSession, key: str, value: str) -> None:
-    saved = _SAVED_CONFS.setdefault(_conf_key(spark), {})
+    saved = _SAVED_CONFS.setdefault(spark, {})
     if key not in saved:
         try:
             saved[key] = spark.conf.get(key)
@@ -233,7 +236,7 @@ def restore_session_confs(spark: SparkSession) -> None:
     (restores the pre-pin values, unsetting keys that had none). Call
     this if the session is shared with non-engine work that relies on
     a different timezone or parquet nanos handling."""
-    for key, prev in _SAVED_CONFS.pop(_conf_key(spark), {}).items():
+    for key, prev in _SAVED_CONFS.pop(spark, {}).items():
         if prev is None:
             spark.conf.unset(key)
         else:
