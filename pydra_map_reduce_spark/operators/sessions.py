@@ -41,6 +41,54 @@ def sessionize(
     return numbered.groupBy(key_col, "sess_id").agg(*aggs)
 
 
+def funnel_steps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Strictly-ordered N-step funnel per key: stage k's anchor is the
+    key's earliest ``steps[k]`` event STRICTLY AFTER its stage-(k-1)
+    anchor. Returns (key, first_<step> per step, stage) where stage =
+    furthest step reached among keys that completed step 1. Output
+    column names derive from the step values — genuinely
+    schema-agnostic (an earlier 2-step form hardcoded
+    first_view/first_purchase whatever the steps were). Every stage is
+    a keyed min-aggregate joined on the key, so ONE hash exchange
+    partitioning serves the whole chain (AQE reuses it) and stage
+    results are key-count-sized. This single fold serves both the
+    2-step and 3-step registered queries — the strictly-after rule
+    lives in exactly one place."""
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs at least 2 steps, got {steps}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    cols = [f"first_{s}" for s in steps]
+    prev = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias(cols[0]))
+    )
+    stages = [prev]
+    for step, col, prev_col in zip(steps[1:], cols[1:], cols):
+        prev = (
+            df.filter(F.col(type_col) == step)
+            .join(prev, key_col)
+            .filter(F.col(ts_col) > F.col(prev_col))
+            .groupBy(key_col)
+            .agg(F.min(ts_col).alias(col))
+        )
+        stages.append(prev)
+    out = stages[0]
+    for st in stages[1:]:
+        out = out.join(st, key_col, "left")
+    stage_expr = F.lit(1)
+    for col in cols[1:]:
+        stage_expr = stage_expr + F.col(col).isNotNull().cast("int")
+    return out.select(key_col, *cols, stage_expr.cast("bigint").alias("stage"))
+
+
 def funnel(
     df: DataFrame,
     key_col: str,
@@ -49,23 +97,12 @@ def funnel(
     first_step: str,
     second_step: str,
 ) -> DataFrame:
-    """Strictly-ordered two-step funnel per key. All shuffles are on
-    the key, so AQE shares a single exchange at scale."""
-    first = (
-        df.filter(F.col(type_col) == first_step)
-        .groupBy(key_col)
-        .agg(F.min(ts_col).alias("first_view"))
-    )
-    second = (
-        df.filter(F.col(type_col) == second_step)
-        .join(first, key_col)
-        .filter(F.col(ts_col) > F.col("first_view"))
-        .groupBy(key_col)
-        .agg(F.min(ts_col).alias("first_purchase"))
-    )
-    return first.join(second, key_col, "left").select(
+    """Two-step funnel as a thin view over :func:`funnel_steps`, with
+    the classic (first_<a>, first_<b>, converted 0/1) output shape."""
+    out = funnel_steps(df, key_col, ts_col, type_col, [first_step, second_step])
+    return out.select(
         key_col,
-        "first_view",
-        "first_purchase",
-        F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0).alias("converted"),
+        f"first_{first_step}",
+        f"first_{second_step}",
+        (F.col("stage") == 2).cast("int").alias("converted"),
     )

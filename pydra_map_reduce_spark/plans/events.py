@@ -24,34 +24,52 @@ _GAP_MINUTES = 30
 _GAP_US = _GAP_MINUTES * 60 * 1_000_000  # session gap in microseconds
 
 
+def _cent_sum(col: str = "value"):
+    """Exact 2dp money sum surfaced as DOUBLE: per-row cents (exact
+    integers for 2dp fixture money) summed in BIGINT, ONE division at
+    the end — both engines divide the identical integer, so the result
+    is bit-identical under any partitioning. The old form —
+    round(sum(double), 2) on BOTH sides — left the raw sums
+    accumulation-order-dependent AND Spark/DuckDB round() disagree at
+    .xx5 half-cent boundaries (the r5 lesson round_half_up records);
+    this is the same fix trend_regression and the money family use,
+    applied to every windowed value sum in this file. SQL mirror:
+    _CENT_SUM_SQL."""
+    return F.sum(F.round(F.col(col) * 100).cast("bigint")) / 100.0
+
+
+_CENT_SUM_SQL = "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100"
+
+
 @query(
     "tumbling_window",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts)        AS window_start,
            event_type,
            count(*)                      AS n,
-           round(sum(value), 2)          AS sum_value
+           {_CENT_SUM_SQL}               AS sum_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
     section="2.9 tumbling window agg",
 )
 def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour tumbling windows (epoch-aligned, same as date_trunc)."""
+    """1-hour tumbling windows (epoch-aligned, same as date_trunc);
+    value sums via the integer-cents form (_cent_sum)."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _cent_sum().alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
 
 
 @query(
     "sliding_window",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (k * 15) MINUTE AS window_start,
            count(*)             AS n,
-           round(sum(value), 2) AS sum_value
+           {_CENT_SUM_SQL}      AS sum_value
     FROM events, (SELECT unnest(range(4)) AS k)
     GROUP BY 1
     """,
@@ -64,7 +82,7 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _cent_sum().alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
 
@@ -91,7 +109,7 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts)                     AS sess_start,
            max(ts)                     AS sess_end,
            count(*)                    AS n_events,
-           round(sum(value), 2)        AS sum_value
+           {_CENT_SUM_SQL}             AS sum_value
     FROM numbered
     GROUP BY user_id, sess_id
     """,
@@ -108,7 +126,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         gap_minutes=_GAP_MINUTES,
-        agg_cols={"sum_value": F.round(F.sum("value"), 2)},
+        agg_cols={"sum_value": _cent_sum()},
     )
 
 
@@ -166,7 +184,7 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dots d
     JOIN norms nu ON nu.user_id = d.user_id
     CROSS JOIN (SELECT nrm FROM norms WHERE user_id = 0) nq
-    ORDER BY d.dot / (nu.nrm * nq.nrm) DESC, d.user_id
+    ORDER BY floor(d.dot / (nu.nrm * nq.nrm) * 1e9 + 0.5) / 1e9 DESC, d.user_id
     LIMIT 5
     """,
     section="2.11 behavior-profile similarity search (event-transition cosine top-k)",
@@ -177,9 +195,15 @@ def behavior_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sparse vector of event-type TRANSITIONS (bigrams in event-time
     order); find the 5 users most cosine-similar to user 0. Sparse
     profiles join on the transition key — no dense vectors, no n² —
-    so the same plan serves millions of users: profile build is one
-    window pass + one keyed agg; the query side is dim-sized and
-    broadcast."""
+    so the same plan serves millions of users: the profile build is
+    CHECKPOINTED, making it genuinely one window pass + one keyed agg
+    (norms/qprof/qnorm/dots reference it four times, and the pushed
+    user_id filters de-canonicalize the subtrees so Spark reuses
+    nothing — the unpersisted form executed 4 full scans + 4 window
+    passes, measured); the query side is dim-sized and broadcast.
+    The final ordering uses the family-standard floor-form 9dp rank
+    key (raw-float cosine ordering is where fused-vs-folded ulp
+    flips the k/k+1 boundary)."""
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -195,7 +219,7 @@ def behavior_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prof = big.groupBy("user_id", "transition").agg(
         F.count(F.lit(1)).cast("double").alias("n")
-    )
+    ).localCheckpoint(eager=True)
     norms = prof.groupBy("user_id").agg(F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("nrm"))
     qprof = prof.filter(F.col("user_id") == 0).select("transition", F.col("n").alias("qn"))
     qnorm = norms.filter(F.col("user_id") == 0).select(F.col("nrm").alias("qnrm"))
@@ -209,7 +233,7 @@ def behavior_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.join(norms, "user_id")
         .crossJoin(F.broadcast(qnorm))
         .select("user_id", (F.col("dot") / (F.col("nrm") * F.col("qnrm"))).alias("cos_raw"))
-        .orderBy(F.col("cos_raw").desc(), "user_id")
+        .orderBy((F.floor(F.col("cos_raw") * 1e9 + 0.5) / 1e9).desc(), "user_id")
         .limit(5)
         .select("user_id", F.round("cos_raw", 4).alias("cos"))
     )
@@ -248,11 +272,11 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "gap_fill",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
                count(*)           AS n_events,
-               round(sum(value), 2) AS day_value
+               {_CENT_SUM_SQL}    AS day_value
         FROM events WHERE user_id < 20
         GROUP BY user_id, date_trunc('day', ts)
     ), grid AS (
@@ -291,7 +315,7 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.to_date(F.date_trunc("day", "ts"))
     daily = ev.groupBy("user_id", day.alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("day_value"),
+        _cent_sum().alias("day_value"),
     )
     users = ev.select("user_id").distinct()
     days = (
@@ -324,9 +348,10 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            count(*)                                        AS n_outliers,
-           round(max(abs((e.value - s.mu) / s.sd)), 2)     AS max_z
+           floor(max(floor(abs((e.value - s.mu) / s.sd) * 1000000 + 0.5)
+                     / 1000000) * 100 + 0.5) / 100         AS max_z
     FROM events e JOIN stats s USING (event_type)
-    WHERE abs((e.value - s.mu) / s.sd) > 2.5
+    WHERE floor(abs((e.value - s.mu) / s.sd) * 1000000 + 0.5) / 1000000 > 2.5
     GROUP BY e.event_type
     """,
     section="2.4/2.9 anomaly detection (per-group z-score outliers)",
@@ -342,19 +367,34 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     try_divide guards sd = 0 (a group whose values are all equal):
     under ANSI mode plain division would raise DIVIDE_BY_ZERO, while
     the DuckDB oracle yields NULL — try_divide gives the same NULL,
-    which the |z| > 2.5 filter then drops on both engines."""
+    which the |z| > 2.5 filter then drops on both engines.
+
+    The CUT compares the floor-form-rounded z at 6dp (mirrored in the
+    oracle), not the raw float: mu/sd come from engine-specific
+    accumulation orders, so two engines' raw z differ in low-order
+    bits and an unrounded `> 2.5` can flip a boundary row's outlier
+    membership — n_outliers is a COUNT with no rounding to absorb
+    that (the rounded-threshold-cut discipline of top_supplier /
+    important_balance, applied here). max_z then floor-rounds the 6dp
+    z to 2dp so both reductions are over identical doubles."""
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
     )
-    z = F.abs(F.try_divide(F.col("value") - F.col("mu"), F.col("sd")))
+    z_r = (
+        F.floor(
+            F.abs(F.try_divide(F.col("value") - F.col("mu"), F.col("sd"))) * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter(z > 2.5)
+        .filter(z_r > 2.5)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_outliers"),
-            F.round(F.max(z), 2).alias("max_z"),
+            (F.floor(F.max(z_r) * 100 + 0.5) / 100).alias("max_z"),
         )
     )
 
@@ -414,23 +454,24 @@ def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH minute AS (
         SELECT date_trunc('minute', ts) AS bucket_start, event_type,
-               count(*) AS n, sum(value) AS sv
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_c
         FROM events GROUP BY 1, 2
     ), hour AS (
         SELECT date_trunc('hour', bucket_start) AS bucket_start, event_type,
-               CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
+               CAST(sum(n) AS BIGINT) AS n, CAST(sum(sv_c) AS BIGINT) AS sv_c
         FROM minute GROUP BY 1, 2
     ), day AS (
         SELECT date_trunc('day', bucket_start) AS bucket_start, event_type,
-               CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
+               CAST(sum(n) AS BIGINT) AS n, CAST(sum(sv_c) AS BIGINT) AS sv_c
         FROM hour GROUP BY 1, 2
     )
     SELECT 'minute' AS grain, bucket_start, event_type, n,
-           round(sv, 2) AS sum_value FROM minute
+           CAST(sv_c AS DOUBLE) / 100 AS sum_value FROM minute
     UNION ALL
-    SELECT 'hour', bucket_start, event_type, n, round(sv, 2) FROM hour
+    SELECT 'hour', bucket_start, event_type, n, CAST(sv_c AS DOUBLE) / 100 FROM hour
     UNION ALL
-    SELECT 'day', bucket_start, event_type, n, round(sv, 2) FROM day
+    SELECT 'day', bucket_start, event_type, n, CAST(sv_c AS DOUBLE) / 100 FROM day
     """,
     section="2.9 hypertable rollup (minute→hour→day continuous-aggregate chain)",
 )
@@ -442,9 +483,11 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the continuous-aggregate maintenance shape: at 100 TB the
     minute partials are what a streaming job upserts, and coarser
     grains refresh from them at O(buckets), never re-reading history.
-    Counts stay exact by summing counts; sums re-aggregate partial
-    sums (distributive). Rounding happens only at the report edge —
-    partials flow unrounded so regrouping loses nothing.
+    Counts stay exact by summing counts; value sums flow as INTEGER
+    CENTS partials (distributive AND exact — bigint addition at every
+    grain, one division at the report edge), so regrouping loses
+    nothing and the result is bit-identical in any engine at any
+    partitioning.
 
     The minute grain is persisted: the three report branches would
     otherwise each recompute it from the raw scan (Spark does not
@@ -462,20 +505,26 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     minute = e.groupBy(
         F.date_trunc("minute", "ts").alias("bucket_start"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")).persist(
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        # INTEGER-CENTS partials: distributive, exact at every grain,
+        # and the re-aggregation is bigint addition — no float
+        # accumulation anywhere in the chain (_cent_sum rationale)
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sv_c"),
+    ).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     hour = minute.groupBy(
         F.date_trunc("hour", "bucket_start").alias("bucket_start"), "event_type"
-    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("sv").alias("sv"))
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("sv_c").cast("bigint").alias("sv_c"))
     day = hour.groupBy(
         F.date_trunc("day", "bucket_start").alias("bucket_start"), "event_type"
-    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("sv").alias("sv"))
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("sv_c").cast("bigint").alias("sv_c"))
 
     def report(df: DataFrame, grain: str) -> DataFrame:
         return df.select(
             F.lit(grain).alias("grain"), "bucket_start", "event_type", "n",
-            F.round("sv", 2).alias("sum_value"),
+            (F.col("sv_c") / 100.0).alias("sum_value"),
         )
 
     return (
@@ -607,7 +656,11 @@ def trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope = num / den
+    # try_divide: a group whose events all share one day has den = 0 —
+    # ANSI (default-on in Spark 4) would abort the whole query with
+    # DIVIDE_BY_ZERO, while DuckDB's /0 yields NULL; try_divide's NULL
+    # matches the oracle (NULL slope/intercept = "trend undefined")
+    slope = F.try_divide(num, den)
     intercept = F.col("sy").cast("double") / F.col("n") - slope * (
         F.col("sx").cast("double") / F.col("n")
     )
@@ -654,38 +707,13 @@ def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor; every join and agg keys on user_id, so ONE hash exchange
     partitioning serves the whole chain (AQE reuses it), and stage
     results are user-count-sized. stage ∈ {1,2,3} = furthest step
-    reached."""
+    reached. Delegates to operators.sessions.funnel_steps — the SAME
+    fold the 2-step `funnel` uses, so the strictly-after rule has one
+    definition (the first form re-implemented the stage pattern
+    inline, the paired-copy drift hazard)."""
     e = load_table(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("first_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_click"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("first_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
-    return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id", "first_view", "first_click", "first_purchase",
-            (
-                F.lit(1)
-                + F.col("first_click").isNotNull().cast("int")
-                + F.col("first_purchase").isNotNull().cast("int")
-            ).cast("bigint").alias("stage"),
-        )
+    return sessions_ops.funnel_steps(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )
 
 
@@ -738,7 +766,7 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "attribution_last_touch",
-    oracle="""
+    oracle=f"""
     WITH touched AS (
         SELECT event_type, value, ts,
                last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
@@ -748,7 +776,7 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT coalesce(channel, 'direct') AS channel,
            count(*)                    AS n_purchases,
-           round(sum(value), 2)        AS revenue
+           {_CENT_SUM_SQL}             AS revenue
     FROM touched
     WHERE event_type = 'purchase'
     GROUP BY coalesce(channel, 'direct')
@@ -783,7 +811,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("revenue"),
+            _cent_sum().alias("revenue"),
         )
     )
 
