@@ -131,7 +131,8 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS yr,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT)) / 100 + 0.5) / 100 AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -178,10 +179,23 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        # exact 1e-4-unit revenue sum (product_type_profit convention):
+        # the rounded-float form is midpoint-fragile across engines
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            (
+                F.floor(
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * 10000
+                        ).cast("bigint")
+                    )
+                    / 100
+                    + 0.5
+                )
+                / 100
+            ).alias("revenue")
         )
     )
 
@@ -410,15 +424,17 @@ def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT l_suppkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                             AS BIGINT)) AS BIGINT) AS rev_e4
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1997-04-01'
         GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           floor(rev.rev_e4 / 100 + 0.5) / 100 AS total_revenue
     FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
-    WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+    WHERE rev.rev_e4 = (SELECT max(rev_e4) FROM rev)
     """,
     section="2.4/2.6 TPC-H Q15 shape: top supplier via scalar-max subquery",
 )
@@ -426,25 +442,36 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15: quarterly revenue per supplier, keep the max. The revenue
     view computes once and feeds both the max (one-row broadcast) and
     the equality filter — matching the SQL view semantics without
-    re-scanning lineitem. The comparison happens on the ROUNDED
-    revenue so both engines cut on the same 2dp double; ties all
-    surface, as in the spec."""
+    re-scanning lineitem. Revenue accumulates as EXACT 1e-4-unit
+    BIGINTs (2dp price × 2dp discount factor = exact 4dp per row —
+    the product_type_profit convention): the previous rounded-float
+    form was measured to land ~1% of supplier groups EXACTLY on 2dp
+    midpoints at sf0.1, where accumulation-order ulps decide the cent
+    and can flip the argmax set between engines; the integer max and
+    the integer equality cut are boundary-proof by construction, and
+    the one division happens at the report edge."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("bigint")
+        ).alias("rev_e4")
     )
     s = load_table(spark, sf_dir, "supplier")
-    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    mx = rev.agg(F.max("rev_e4").alias("_mx"))
     return (
         rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("_mx"))
+        .filter(F.col("rev_e4") == F.col("_mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.floor(F.col("rev_e4") / 100 + 0.5) / 100).alias("total_revenue"),
+        )
     )
 
 
@@ -495,15 +522,25 @@ def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17: lines below 20% of their part's average quantity. The
     correlated scalar average decorrelates into a per-part aggregate
-    joined back on partkey — computed ONCE over lineitem, not per
-    row. avg(l_quantity) divides two exact-in-binary numbers (the
+    joined back on partkey — computed ONCE, not per row — and that
+    aggregate's input is PRUNED first with a broadcast left-semi join
+    against the Brand#11 part keys: only those parts' thresholds can
+    survive the final inner join, and the semi join keeps every line
+    of a qualifying part, so each avg is bit-identical to the
+    unpruned form while the partkey shuffle shrinks ~brand-count-fold
+    (the unpruned form shuffled ALL of lineitem to build thresholds
+    it then discarded — the dominant cost at 100 TB).
+    avg(l_quantity) divides two exact-in-binary numbers (the
     quantities are small integers stored as doubles), so the 0.2×avg
     threshold is bit-identical across engines and the < cut is safe
     without rounding."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
-    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")
+    brand_keys = p.select(F.col("p_partkey").alias("bk"))
+    per_part = (
+        li.join(F.broadcast(brand_keys), li.l_partkey == F.col("bk"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("pp_key"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr"))
     )
     return (
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
@@ -516,7 +553,8 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bracket_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT)) / 100 + 0.5) / 100 AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -555,10 +593,20 @@ def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
+    # exact 1e-4-unit revenue sum (product_type_profit convention)
     return joined.filter(bracket).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        (
+            F.floor(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("bigint")
+                )
+                / 100
+                + 0.5
+            )
+            / 100
+        ).alias("revenue")
     )
 
 

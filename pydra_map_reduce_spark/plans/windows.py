@@ -1,9 +1,21 @@
 """Window functions. SURVEY.md §2.5.
 
 Each window is one shuffle on its partition key then a per-partition
-sort — identical physical shape to MR secondary sort. Keys here
-(nation, customer) have bounded per-key cardinality, so no skew path
-is needed; for skewed keys at 100 TB, pre-bucket + AQE.
+sort — identical physical shape to MR secondary sort.
+
+Scale honesty per key family: the CUSTOMER/USER-keyed windows
+(o_custkey, user_id — pergroup_topk, window_running_sum, lag/lead)
+have bounded per-key cardinality at any corpus size, so no skew path
+is needed. The NATION- and EVENT-TYPE-keyed windows (window_ranking,
+window_distribution, window_time_range_avg) partition over a SMALL
+FIXED key set whose per-key row counts grow linearly with the corpus
+— at 100 TB each such partition is a one-executor sort. They are
+correctness demonstrators of the window-function surface; their scale
+path is the standard composite-key / two-level decomposition (rank
+within (nation, salt-bucket) then merge, or pre-aggregate to a
+bounded grid first, as percentile_binned and auc_score do), plus AQE
+skew handling. The demonstrator/scale-path pairing is the same
+contract as allpairs_similarity vs lsh_allpairs_cosine.
 """
 
 from __future__ import annotations
