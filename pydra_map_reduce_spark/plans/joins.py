@@ -1,10 +1,16 @@
 """Join operators. SURVEY.md §2.3.
 
-Scale posture: dimension tables (region/nation/supplier/part at ratio
-scale) are broadcast — `F.broadcast` hints make it explicit rather than
-relying on the threshold; fact-fact joins (orders⋈lineitem) shuffle on
-the join key and AQE handles skew. No cartesian products except the
-explicitly-guarded tiny cross join.
+Scale posture, per query family: where broadcasting IS the point
+(join_broadcast_dims, the star chains, the bounded SCD-2/threshold
+dims), `F.broadcast` hints make it explicit rather than relying on
+the threshold. The plain inner/outer/semi/anti entries are
+deliberately UNHINTED shuffle-join demonstrators (the bench labels
+join_inner "fact⋈dim shuffle join") — they exercise the
+SortMergeJoin/ShuffledHashJoin path that fact-fact joins
+(orders⋈lineitem) take at 100 TB, where AQE handles skew; under the
+default threshold small sides may still auto-broadcast at fixture
+scale, which is fine — the queries don't DEPEND on it. No cartesian
+products except the explicitly-guarded tiny cross join.
 """
 
 from __future__ import annotations
@@ -15,6 +21,7 @@ from pyspark.sql import functions as F
 from ..operators.textops import round_half_up
 from ..sources.tables import load_table
 from .registry import query
+from .setops import SCD2_MOD, SCD2_PREFIX, scd2_dim
 
 
 @query(
@@ -253,12 +260,17 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest event of its customer at-or-before the cutoff. Equi-join on
     the key bounds the shuffle; the time predicate filters in-join;
     then `max_by` over the (ts, event_id) struct picks the as-of row
-    as a HASH AGGREGATE — partial (map-side) combine shrinks the
-    joined relation before its shuffle and nothing is ever sorted,
-    unlike the row_number()-window form, which must materialize and
-    sort every qualifying (order, event) pair. Lexicographic struct
-    ordering reproduces the window's (ts DESC, event_id DESC) tie
-    break exactly. At scale: partition both sides by the key."""
+    with a PARTIAL+FINAL aggregate. Honest plan note: the
+    struct-valued ordering key compiles to SortAggregate, not
+    HashAggregate (Spark's hash agg needs fixed-width buffers), so
+    each task DOES sort its local qualifying pairs before combining —
+    but the partial phase still emits ONE row per order per task, so
+    the shuffle carries order-count rows, not pair-count. That
+    map-side shrink is the real win over the row_number()-window
+    form, which shuffles and sorts EVERY qualifying (order, event)
+    pair globally; the local sort is the price of the lexicographic
+    (ts, event_id) tie break matching the window form exactly. At
+    scale: partition both sides by the key."""
     o = load_table(spark, sf_dir, "orders").withColumn(
         "cutoff",
         F.lit("2024-01-15 00:00:00").cast("timestamp")
@@ -536,10 +548,12 @@ def cbo_stats_plan(spark: SparkSession, sf_dir: str):
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: for each order's cutoff, the EARLIEST event of
     its customer at-or-after it — the look-ahead twin of `join_asof`
-    (backward). Same plan shape: equi-join bounds the shuffle, the
-    time predicate filters in-join, and `min_by` over the
-    (ts, event_id) struct picks the row as a hash aggregate with
-    map-side partial combine (never a sort of the joined relation)."""
+    (backward). Same plan shape — including the same honest plan note
+    as `join_asof`: the struct-ordered min_by compiles to
+    SortAggregate (per-task local sort of qualifying pairs), but the
+    partial phase still emits one row per order per task, so the
+    shuffle carries order-count rows, never the pair blow-up of the
+    window form."""
     o = load_table(spark, sf_dir, "orders").withColumn(
         "cutoff",
         F.lit("2024-01-15 00:00:00").cast("timestamp")
@@ -564,11 +578,13 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_point_in_time",
-    oracle="""
+    # the %MOD selector and segment prefix interpolate from setops'
+    # single SCD-2 synthesis definition — no one-sided drift possible
+    oracle=f"""
     WITH upd AS (
-        SELECT c_custkey, 'MOVED_' || c_mktsegment AS segment,
+        SELECT c_custkey, '{SCD2_PREFIX}' || c_mktsegment AS segment,
                TIMESTAMP '1998-07-01 00:00:00' AS eff
-        FROM customer WHERE c_custkey % 7 = 0
+        FROM customer WHERE c_custkey % {SCD2_MOD} = 0
     ), dim AS (
         SELECT c.c_custkey, c.c_mktsegment AS segment,
                TIMESTAMP '1995-01-01 00:00:00' AS valid_from, u.eff AS valid_to
@@ -604,35 +620,18 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate as a residual filter, so Catalyst plans a hash join
     keyed on the customer — never an interval nested-loop; at scale
     the dim side (2 rows max per key) broadcasts or buckets with the
-    fact. Revenue sums as DECIMAL so both engines agree at the cent
-    (double-sum accumulation order diverges on ~1e9 totals)."""
+    fact. The dimension builds through the SHARED setops.scd2_dim
+    (one synthesis definition, checkpointed single join). Revenue
+    sums as DECIMAL so both engines agree at the cent (double-sum
+    accumulation order diverges on ~1e9 totals)."""
     base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    upd = base.filter(F.col("c_custkey") % 7 == 0).select(
-        "c_custkey",
-        F.concat(F.lit("MOVED_"), F.col("c_mktsegment")).alias("segment"),
-        F.lit("1998-07-01 00:00:00").cast("timestamp").alias("eff"),
+    dim = scd2_dim(
+        base,
+        start=F.lit("1995-01-01 00:00:00").cast("timestamp"),
+        eff=F.lit("1998-07-01 00:00:00").cast("timestamp"),
+        ts_type="timestamp",
+        with_current=False,
     )
-    start = F.lit("1995-01-01 00:00:00").cast("timestamp")
-    b, u = base.alias("b"), upd.alias("u")
-    joined = b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "left")
-    closed = joined.filter(F.col("u.c_custkey").isNotNull()).select(
-        F.col("b.c_custkey").alias("c_custkey"),
-        F.col("b.c_mktsegment").alias("segment"),
-        start.alias("valid_from"),
-        F.col("u.eff").alias("valid_to"),
-    )
-    kept = joined.filter(F.col("u.c_custkey").isNull()).select(
-        F.col("b.c_custkey").alias("c_custkey"),
-        F.col("b.c_mktsegment").alias("segment"),
-        start.alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-    )
-    opened = upd.select(
-        "c_custkey", "segment",
-        F.col("eff").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-    )
-    dim = closed.unionByName(kept).unionByName(opened)
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )

@@ -196,13 +196,69 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE definition of the SCD-2 change synthesis: every SCD2_MOD-th key
+# changes segment, new value prefixed SCD2_PREFIX. merge_scd2 AND
+# joins.join_point_in_time build their dimension through scd2_dim, and
+# all four oracle/engine sites interpolate these two constants — the
+# selector and prefix can never drift one-sided (the paired-copy
+# hazard _CDC_LOG_SQL exists to prevent, applied to the SCD-2 pair).
+SCD2_MOD = 7
+SCD2_PREFIX = "MOVED_"
+
+
+def scd2_dim(base: DataFrame, *, start, eff, ts_type: str, with_current: bool) -> DataFrame:
+    """The synthesized SCD-2 dimension: closed/kept/opened three-way
+    build over ONE checkpointed left join (Catalyst does not dedupe
+    common subplans across a union — unpersisted, the join
+    instantiated per branch and the base scanned five times,
+    verified). ``start``/``eff`` are Columns of ``ts_type``
+    ('date'/'timestamp'); ``with_current`` adds the is_current flag
+    merge_scd2 surfaces and the point-in-time join omits."""
+    upd = base.filter(F.col("c_custkey") % SCD2_MOD == 0).select(
+        "c_custkey",
+        F.concat(F.lit(SCD2_PREFIX), F.col("c_mktsegment")).alias("segment"),
+        eff.alias("eff"),
+    )
+    b, u = base.alias("b"), upd.alias("u")
+    joined = b.join(
+        u, F.col("b.c_custkey") == F.col("u.c_custkey"), "left"
+    ).localCheckpoint(eager=True)
+    null_to = F.lit(None).cast(ts_type)
+
+    def _flag(v: bool) -> list:
+        return [F.lit(v).alias("is_current")] if with_current else []
+
+    closed = joined.filter(F.col("u.c_custkey").isNotNull()).select(
+        F.col("b.c_custkey").alias("c_custkey"),
+        F.col("b.c_mktsegment").alias("segment"),
+        start.alias("valid_from"),
+        F.col("u.eff").alias("valid_to"),
+        *_flag(False),
+    )
+    kept = joined.filter(F.col("u.c_custkey").isNull()).select(
+        F.col("b.c_custkey").alias("c_custkey"),
+        F.col("b.c_mktsegment").alias("segment"),
+        start.alias("valid_from"),
+        null_to.alias("valid_to"),
+        *_flag(True),
+    )
+    opened = upd.select(
+        "c_custkey",
+        "segment",
+        F.col("eff").alias("valid_from"),
+        null_to.alias("valid_to"),
+        *_flag(True),
+    )
+    return closed.unionByName(kept).unionByName(opened)
+
+
 @query(
     "merge_scd2",
-    oracle="""
+    oracle=f"""
     WITH upd AS (
-        SELECT c_custkey, 'MOVED_' || c_mktsegment AS segment,
+        SELECT c_custkey, '{SCD2_PREFIX}' || c_mktsegment AS segment,
                DATE '2024-06-01' AS eff
-        FROM customer WHERE c_custkey % 7 = 0
+        FROM customer WHERE c_custkey % {SCD2_MOD} = 0
     ), closed AS (
         SELECT c.c_custkey, c.c_mktsegment AS segment,
                DATE '2024-01-01' AS valid_from, u.eff AS valid_to,
@@ -237,39 +293,23 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: ONE left join keyed on c_custkey splits the base into
     closed/kept branches, the update set itself becomes the opened
     branch, and the three unite — no shuffle beyond the keyed join
-    (the union is partition-local). At 100 TB the base side buckets on
-    the key exactly like merge_upsert, and the same plan is what
-    Delta/Iceberg MERGE INTO + whenMatched/whenNotMatched emits."""
+    (the union is partition-local); the join is checkpointed inside
+    the SHARED `scd2_dim` builder (see its docstring for the
+    one-join/five-scan evidence), which join_point_in_time also
+    consumes — the synthesis rule has exactly one engine definition.
+    At 100 TB the checkpoint is the materialize-the-merge-input step
+    every MERGE INTO implementation performs anyway, the base side
+    buckets on the key exactly like merge_upsert, and the same plan
+    is what Delta/Iceberg MERGE INTO + whenMatched/whenNotMatched
+    emits."""
     base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    upd = base.filter(F.col("c_custkey") % 7 == 0).select(
-        "c_custkey",
-        F.concat(F.lit("MOVED_"), F.col("c_mktsegment")).alias("segment"),
-        F.lit("2024-06-01").cast("date").alias("eff"),
+    return scd2_dim(
+        base,
+        start=F.lit("2024-01-01").cast("date"),
+        eff=F.lit("2024-06-01").cast("date"),
+        ts_type="date",
+        with_current=True,
     )
-    b, u = base.alias("b"), upd.alias("u")
-    joined = b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "left")
-    closed = joined.filter(F.col("u.c_custkey").isNotNull()).select(
-        F.col("b.c_custkey").alias("c_custkey"),
-        F.col("b.c_mktsegment").alias("segment"),
-        F.lit("2024-01-01").cast("date").alias("valid_from"),
-        F.col("u.eff").alias("valid_to"),
-        F.lit(False).alias("is_current"),
-    )
-    kept = joined.filter(F.col("u.c_custkey").isNull()).select(
-        F.col("b.c_custkey").alias("c_custkey"),
-        F.col("b.c_mktsegment").alias("segment"),
-        F.lit("2024-01-01").cast("date").alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    opened = upd.select(
-        "c_custkey",
-        "segment",
-        F.col("eff").alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    return closed.unionByName(kept).unionByName(opened)
 
 
 # ONE definition of the synthesized CDC changelog (engine + oracle):
@@ -354,7 +394,7 @@ def cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     snap_b AS (
         SELECT o_orderkey, o_orderstatus,
-               round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+               round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 0.07
                           ELSE o_totalprice END, 2) AS price
         FROM orders WHERE o_orderkey % 13 <> 0
     ),
@@ -378,8 +418,13 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     'what changed' from a log — this answers it from STATE when no
     log exists). The snapshots derive deterministically from orders
     (key-mod membership, a simulated price touch on every 5th key) so
-    the oracle reproduces them; change detection compares the
-    2dp-rounded price so both engines compare identical doubles. One
+    the oracle reproduces them. The touch is an ADDITIVE 0.07 bump:
+    2dp + 2dp stays exact 2dp, so the rounded compare is genuinely
+    identical across engines — the earlier ×1.1 form put every
+    touched price exactly ON the .xx5 rounding boundary where Spark
+    and DuckDB round() disagree (merge_upsert documents the same
+    trap; it was masked here only because any cent outcome still
+    classified as 'changed'). One
     shuffle on the key, counts roll up to four rows. At 100 TB the
     value comparison widens to the row's md5 (table_checksum's
     serialization) instead of per-column predicates."""
@@ -394,7 +439,7 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("bstatus"),
         F.round(
             F.when(
-                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.1
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 0.07
             ).otherwise(F.col("o_totalprice")),
             2,
         ).alias("bprice"),
@@ -504,30 +549,36 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     by 7 end in a delete when their version chain is multi-row), so
     the oracle mirrors it with generate_series. Same scale shape as
     cdc_latest_wins: one hash aggregate on the CDC key, map-side
-    partial maxima — no window sort of the changelog."""
+    partial maxima — no window sort of the changelog. The op rides
+    the aggregate as a SMALL INT (I=0, U=1, D=2), decoded after: a
+    STRING-valued max_by forces SortAggregate (variable-width buffer
+    — Spark then sorts the whole changelog per partition), while
+    fixed-width values keep the genuine HashAggregate this docstring
+    promises (verified: the string form planned SortAggregate+Sort,
+    the int form HashAggregate, matching cdc_latest_wins)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     log = _cdc_log(o).withColumn(
-        "op",
-        F.when(F.col("version") == 0, "I")
+        "op_i",
+        F.when(F.col("version") == 0, 0)
         .when(
             (F.col("okey") % 7 == 0) & (F.col("version") == F.col("okey") % 3),
-            "D",
+            2,
         )
-        .otherwise("U"),
+        .otherwise(1),
     )
     latest = log.groupBy("okey").agg(
-        F.max_by("op", "version").alias("op"),
+        F.max_by("op_i", "version").alias("op_i"),
         F.max_by("price", "version").alias("price"),
     )
     return latest.agg(
-        F.sum(F.when(F.col("op") != "D", 1).otherwise(0))
+        F.sum(F.when(F.col("op_i") != 2, 1).otherwise(0))
         .cast("bigint")
         .alias("n_live"),
-        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        F.sum(F.when(F.col("op_i") == 2, 1).otherwise(0))
         .cast("bigint")
         .alias("n_tombstoned"),
         F.sum(
-            F.when(F.col("op") != "D", F.col("price").cast("decimal(18,2)"))
+            F.when(F.col("op_i") != 2, F.col("price").cast("decimal(18,2)"))
         )
         .cast("double")
         .alias("live_total"),
