@@ -20,7 +20,8 @@ from .registry import query
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT)) / 100 + 0.5) / 100 AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -49,9 +50,24 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # exact 1e-4-unit revenue sum (product_type_profit
+            # convention): round(sum(double), 2) is midpoint-fragile
+            # across engines, and here the rounded value is also the
+            # top-k sort key
+            (
+                F.floor(
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * 10000
+                        ).cast("bigint")
+                    )
+                    / 100
+                    + 0.5
+                )
+                / 100
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
@@ -63,7 +79,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT)) / 100 + 0.5) / 100 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -101,9 +118,24 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # exact 1e-4-unit revenue sum (product_type_profit
+            # convention): round(sum(double), 2) is midpoint-fragile
+            # across engines, and here the rounded value is also the
+            # top-k sort key
+            (
+                F.floor(
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * 10000
+                        ).cast("bigint")
+                    )
+                    / 100
+                    + 0.5
+                )
+                / 100
+            ).alias("revenue")
         )
     )
 
@@ -112,7 +144,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT)) / 100 + 0.5) / 100 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -140,39 +173,61 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # exact 1e-4-unit revenue sum (product_type_profit
+            # convention): round(sum(double), 2) is midpoint-fragile
+            # across engines, and here the rounded value is also the
+            # top-k sort key
+            (
+                F.floor(
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * 10000
+                        ).cast("bigint")
+                    )
+                    / 100
+                    + 0.5
+                )
+                / 100
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
 
 
+# ONE SQL text for the correlated-subquery pair (engine view name is
+# templated in) — and the threshold is the FLOOR-FORM 2dp rounding of
+# the per-nation average: the raw `> avg(...)` compared an exact 2dp
+# balance against an accumulation-order-dependent float, so a customer
+# sitting within 1 ulp of the average could classify differently per
+# engine (the rounded-threshold-cut discipline of top_supplier /
+# important_balance).
+_CS_SQL = """
+    SELECT c_custkey, round(c_acctbal, 2) AS bal
+    FROM {tbl} c
+    WHERE c_acctbal > floor((SELECT avg(c2.c_acctbal) FROM {tbl} c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+                            * 100 + 0.5) / 100
+"""
+
+
 @query(
     "correlated_subquery",
-    oracle="""
-    SELECT c_custkey, round(c_acctbal, 2) AS bal
-    FROM customer c
-    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
-                       WHERE c2.c_nationkey = c.c_nationkey)
-    """,
+    oracle=_CS_SQL.format(tbl="customer"),
     section="2.2/3 correlated scalar subquery (Catalyst decorrelation)",
 )
 def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers above their nation's average balance, written as a
     correlated scalar subquery. Catalyst decorrelates it into an
     aggregate + join — no per-row re-execution, so the same SQL text
-    is 100 TB-safe."""
+    is 100 TB-safe. The SQL text itself is the shared artifact
+    (_CS_SQL): engine and oracle run the identical statement with
+    only the table name swapped, so the decorrelation claim and the
+    floor-form threshold can never drift one-sided."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_cs_v")
-    return spark.sql(
-        """
-        SELECT c_custkey, round(c_acctbal, 2) AS bal
-        FROM customer_cs_v c
-        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_cs_v c2
-                           WHERE c2.c_nationkey = c.c_nationkey)
-        """
-    )
+    return spark.sql(_CS_SQL.format(tbl="customer_cs_v"))
 
 
 @query(
@@ -322,20 +377,21 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey,
                date_diff('day', max(o_orderdate), TIMESTAMP '1998-08-02') AS recency,
                count(*)                                                   AS frequency,
-               sum(o_totalprice)                                          AS monetary
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT)                                            AS monetary_c
         FROM orders GROUP BY o_custkey
     ), cut AS (
-        SELECT quantile_cont(recency,   0.5) AS r_med,
-               quantile_cont(frequency, 0.5) AS f_med,
-               quantile_cont(monetary,  0.5) AS m_med
+        SELECT quantile_cont(recency,    0.5) AS r_med,
+               quantile_cont(frequency,  0.5) AS f_med,
+               quantile_cont(monetary_c, 0.5) AS m_med
         FROM rfm
     )
     SELECT CASE WHEN recency <= r_med THEN 'recent' ELSE 'lapsed' END    AS r_band,
            CASE WHEN frequency > f_med THEN 'frequent' ELSE 'rare' END   AS f_band,
-           CASE WHEN monetary > m_med THEN 'big' ELSE 'small' END        AS m_band,
+           CASE WHEN monetary_c > m_med THEN 'big' ELSE 'small' END      AS m_band,
            count(*)                                                      AS n_customers,
            CAST(sum(frequency) AS BIGINT)                                AS n_orders,
-           round(sum(monetary), 2)                                       AS revenue
+           CAST(sum(monetary_c) AS DOUBLE) / 100                         AS revenue
     FROM rfm CROSS JOIN cut
     GROUP BY 1, 2, 3
     """,
@@ -357,12 +413,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1998-08-02").cast("timestamp"), F.max("o_orderdate")
         ).alias("recency"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum("o_totalprice").alias("monetary"),
+        # INTEGER-CENTS monetary: the raw float per-customer sum left
+        # the median cut ulp-fragile (a customer ulp-near the median
+        # could band differently per engine); the integer is exact,
+        # its interpolated median is exact, and the > cut is exact
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_c"
+        ),
     )
     cut = rfm.agg(
         F.percentile("recency", F.lit(0.5)).alias("r_med"),
         F.percentile("frequency", F.lit(0.5)).alias("f_med"),
-        F.percentile("monetary", F.lit(0.5)).alias("m_med"),
+        F.percentile("monetary_c", F.lit(0.5)).alias("m_med"),
     )
     return (
         rfm.crossJoin(F.broadcast(cut))
@@ -373,17 +435,17 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("frequency") > F.col("f_med"), "frequent")
             .otherwise("rare")
             .alias("f_band"),
-            F.when(F.col("monetary") > F.col("m_med"), "big")
+            F.when(F.col("monetary_c") > F.col("m_med"), "big")
             .otherwise("small")
             .alias("m_band"),
             "frequency",
-            "monetary",
+            "monetary_c",
         )
         .groupBy("r_band", "f_band", "m_band")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("frequency").cast("bigint").alias("n_orders"),
-            F.round(F.sum("monetary"), 2).alias("revenue"),
+            (F.sum("monetary_c") / 100.0).alias("revenue"),
         )
     )
 
@@ -546,7 +608,7 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(max(n_s) AS BIGINT) AS n_s,
            floor(max(abs(cum_s * 1.0 / n_s
-                         - (cum_all - cum_s) * 1.0 / (n_all - n_s)))
+                         - (cum_all - cum_s) * 1.0 / nullif(n_all - n_s, 0)))
                  * 1000000 + 0.5) / 1000000 AS ks
     FROM cum GROUP BY source
     """,

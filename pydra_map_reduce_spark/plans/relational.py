@@ -21,10 +21,16 @@ from .registry import query
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_base_price,
+           floor(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) / 100 + 0.5) / 100
+               AS sum_disc_price,
+           floor(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                * 1000000) AS BIGINT)) / 10000 + 0.5) / 100
+               AS sum_charge,
            floor(avg(l_quantity) * 100 + 0.5) / 100                         AS avg_qty,
            floor(avg(l_extendedprice) * 100 + 0.5) / 100                    AS avg_price,
            floor(avg(l_discount) * 100 + 0.5) / 100                         AS avg_disc,
@@ -38,17 +44,31 @@ from .registry import query
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan→filter→hash-agg→sort. The filter pushes to parquet row
-    groups; the agg is partial+final (no raw rows cross the shuffle)."""
+    groups; the agg is partial+final (no raw rows cross the shuffle).
+    Money sums accumulate as EXACT fixed-point BIGINT units (1e-2 for
+    the plain columns, 1e-4/1e-6 for the discount/charge products —
+    all exact at the fixture's 2dp grain) with the half-up render at
+    the report edge: round(sum(double), 2) left the flagship's cells
+    accumulation-order dependent AND exposed to the Spark-BigDecimal
+    vs DuckDB-binary rounding split exactly ON .xx5 boundaries — a
+    latent data-dependent driver red on THE headline query (the
+    money-family discipline, applied here; the exact-decimal variant
+    is pricing_summary_decimal)."""
     li = load_table(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0)
+            .alias("sum_qty"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 100.0)
+            .alias("sum_base_price"),
+            (F.floor(F.sum(F.round(disc * 10000).cast("bigint")) / 100 + 0.5) / 100)
+            .alias("sum_disc_price"),
+            (F.floor(F.sum(F.round(charge * 1000000).cast("bigint")) / 10000 + 0.5) / 100)
+            .alias("sum_charge"),
             round_half_up(F.avg("l_quantity"), 2).alias("avg_qty"),
             round_half_up(F.avg("l_extendedprice"), 2).alias("avg_price"),
             round_half_up(F.avg("l_discount"), 2).alias("avg_disc"),
@@ -141,7 +161,7 @@ def rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*)                            AS n_orders,
-           round(sum(o_totalprice), 2)         AS sum_total,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100         AS sum_total,
            round(min(o_totalprice), 2)         AS min_total,
            round(max(o_totalprice), 2)         AS max_total,
            floor(avg(o_totalprice) * 100 + 0.5) / 100 AS avg_total,
@@ -155,7 +175,7 @@ def groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias("sum_total"),
         F.round(F.min("o_totalprice"), 2).alias("min_total"),
         F.round(F.max("o_totalprice"), 2).alias("max_total"),
         round_half_up(F.avg("o_totalprice"), 2).alias("avg_total"),
@@ -291,7 +311,7 @@ def collect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_agg",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -301,7 +321,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias("total"),
     )
 
 
@@ -539,7 +559,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = strata.sampleBy("stratum", {"urgent": 0.5, "other": 0.1}, seed=42)
     return sampled.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("n_sampled"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias("sum_total"),
     )
 
 
@@ -555,7 +575,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT stratum,
            count(*) AS n_sampled,
-           round(sum(o_totalprice), 2) AS sum_total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_total
     FROM s
     WHERE (stratum = 'urgent' AND hp < '80000000')
        OR (stratum = 'other'  AND hp < '1999999a')
@@ -590,7 +610,7 @@ def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("n_sampled"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias("sum_total"),
     )
 
 
@@ -832,8 +852,8 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
         SELECT l_returnflag,
-               round(sum(l_quantity), 2)      AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100      AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_price,
                CAST(count(*) AS DOUBLE)       AS n_lines
         FROM lineitem GROUP BY l_returnflag
     )
@@ -855,8 +875,8 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N extra scans) — aggregate first, melt the tiny result."""
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0).alias("sum_qty"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 100.0).alias("sum_price"),
         F.count(F.lit(1)).cast("double").alias("n_lines"),
     )
     return wide.unpivot(
@@ -998,14 +1018,20 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median price per return flag — the weighted
     statistic mixing plans need (an unweighted median over repeated
-    rows would require materializing weight-many copies). Same
-    bounded-grid shape as percentile_binned/auc_score: per-(group,
+    rows would require materializing weight-many copies). Per-(group,
     value) weights aggregate once, the cumulative window runs over
     the DISTINCT-value grid keyed by group, and the median is the
     first value whose cumulative weight crosses half the total —
     integer weight arithmetic end to end, so the crossing row is
     engine-exact. min(v) collapses the (unique) crossing row per
-    group."""
+    group. Scale honesty: unlike percentile_binned/auc_score, whose
+    grids are DOMAIN-bounded (fixed-width bins / a 2dp-capped score
+    range), this grid is the distinct (flag, 2dp price) set — price
+    domains grow with part count, so a per-flag window partition is
+    corpus-proportional at 100 TB and this exact form is the
+    demonstrator; the scale path is binning the value column first
+    (percentile_binned's construction, at the precision the mixing
+    decision needs) — same crossing logic over a bounded grid."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
