@@ -45,11 +45,24 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def shingle_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, sep: str = " ", *, hashed: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    sep: str = " ",
+    *,
+    hashed: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(doc_id, s): one row per distinct n-gram shingle, s = xxhash64
-    (or the raw shingle string with ``hashed=False`` — used by the
+    """(doc_id, s): one row per n-gram shingle, s = xxhash64 (or the
+    raw shingle string with ``hashed=False`` — used by the
     contamination screen, which joins against literal phrases).
+    ``distinct=False`` skips the per-(doc, shingle) dedup shuffle —
+    right when the consumer filters the stream down first (the
+    contamination screen's broadcast-join) or aggregates with
+    countDistinct anyway; the corpus-wide distinct is only worth its
+    exchange when the downstream genuinely needs the deduped pair
+    set (the inverted-index/minhash paths).
 
     posexplode + window lead(n-1) — every step is whole-stage codegen
     (no higher-order-function lambdas, which run interpreted and
@@ -70,8 +83,10 @@ def shingle_rows(
         F.lead("w", n - 1).over(wdoc).alias("_last"),
     ).filter(F.col("_last").isNotNull())
     if not hashed:
-        return gram.select("doc_id", F.col("shingle").alias("s")).distinct()
-    return gram.select("doc_id", F.xxhash64("shingle").alias("s")).distinct()
+        out = gram.select("doc_id", F.col("shingle").alias("s"))
+    else:
+        out = gram.select("doc_id", F.xxhash64("shingle").alias("s"))
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -100,6 +100,22 @@ def content_fingerprint(text_col: str | Column) -> Column:
     return F.md5(F.regexp_replace(c, " ", ""))
 
 
+def hash_bucket(col: str | Column, dim: int) -> Column:
+    """md5-first-8-hex integer mod ``dim`` — THE hashing-trick bucket
+    (the feature-hashing encoder and the linear quality scorer's
+    features use the identical mapping; one definition keeps the
+    scorer's feature space in lockstep with the encoder diagnostic —
+    a drifted copy would silently split them while each query stayed
+    green against its own oracle). SQL mirror: :func:`hash_bucket_sql`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint") % dim
+
+
+def hash_bucket_sql(expr: str, dim: int) -> str:
+    """DuckDB text of :func:`hash_bucket` for oracle f-strings."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT) % {dim}"
+
+
 def hash_uniform(id_col: str | Column) -> Column:
     """Deterministic uniform draw on [0,1) from an id: first 8 md5
     hex chars as an integer over 2^32 — an exact dyadic rational, so

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.textops import round_half_up
+from ..operators.textops import hash_bucket, hash_bucket_sql, round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -23,7 +23,7 @@ from .registry import query
     WITH vals AS (
         SELECT value AS v, count(*) AS n,
                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
-        FROM events GROUP BY value
+        FROM events WHERE value IS NOT NULL GROUP BY value
     ), ranked AS (
         SELECT v, n, p,
                coalesce(sum(n) OVER (ORDER BY v
@@ -251,7 +251,7 @@ _FH_DIM = 16  # feature-hashing dimensionality
         SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
     )
     SELECT source,
-           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_FH_DIM} AS bucket,
+           {hash_bucket_sql('tok', _FH_DIM)} AS bucket,
            count(*) AS n_tokens,
            count(DISTINCT tok) AS n_distinct
     FROM toks
@@ -272,10 +272,7 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = F.explode(F.split(F.col("text"), " ")).alias("tok")
     toks = d.select("source", tok)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
-        % _FH_DIM
-    ).alias("bucket")
+    bucket = hash_bucket("tok", _FH_DIM).alias("bucket")
     return toks.groupBy("source", bucket).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.count_distinct("tok").alias("n_distinct"),
@@ -292,7 +289,7 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), feat AS (
         SELECT t.doc_id,
-               CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) % {_FH_DIM}
+               {hash_bucket_sql('t.tok', _FH_DIM)}
                    AS bucket
         FROM toks t
     ), scored AS (
@@ -337,10 +334,9 @@ def linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
     feat = toks.select(
         "doc_id",
-        (
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
-            % _FH_DIM
-        ).alias("bucket"),
+        # the SHARED hashing-trick bucket (textops.hash_bucket) — the
+        # same mapping feature_hashing diagnoses
+        hash_bucket("tok", _FH_DIM).alias("bucket"),
     )
     scored = (
         feat.join(F.broadcast(weights), "bucket")

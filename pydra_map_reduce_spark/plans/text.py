@@ -18,15 +18,21 @@ from ..sources.tables import load_table
 from .registry import query
 
 # tiny sentiment lexicon over the fixture vocabulary
-_LEXICON = [
-    ("fast", 1.0),
-    ("slow", -1.0),
-    ("big", 0.4),
-    ("small", -0.2),
-    ("merge", 0.5),
-    ("dup", -0.6),
+# Polarity in INTEGER DECI-UNITS (score x 10): the float scores (0.4,
+# -0.2, ...) are not binary-exact, so an averaged float sum was
+# accumulation-order fragile at 4dp midpoints; integer sums are exact
+# and divide once. Rendering is SIGN-AWARE half-up (sentiment is the
+# one family that goes negative; plain floor-form rounds negative
+# midpoints toward +inf, violating the stated half-up convention).
+_LEXICON_D10 = [
+    ("fast", 10),
+    ("slow", -10),
+    ("big", 4),
+    ("small", -2),
+    ("merge", 5),
+    ("dup", -6),
 ]
-_LEXICON_SQL = ", ".join(f"('{w}', {s})" for w, s in _LEXICON)
+_LEXICON_SQL = ", ".join(f"('{w}', {s})" for w, s in _LEXICON_D10)
 
 
 @query(
@@ -97,11 +103,13 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sentiment_lexicon",
     oracle=f"""
-    WITH lex(word, score) AS (VALUES {_LEXICON_SQL}),
+    WITH lex(word, score_d10) AS (VALUES {_LEXICON_SQL}),
          tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
     SELECT tok.lang,
            count(*)                    AS n_hits,
-           floor(avg(lex.score) * 10000 + 0.5) / 10000 AS avg_sentiment
+           sign(CAST(sum(lex.score_d10) AS DOUBLE) / (count(*) * 10))
+           * floor(abs(CAST(sum(lex.score_d10) AS DOUBLE) / (count(*) * 10))
+                   * 10000 + 0.5) / 10000 AS avg_sentiment
     FROM tok JOIN lex USING (word)
     GROUP BY tok.lang
     """,
@@ -111,14 +119,17 @@ def sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token⋈lexicon (broadcast — a lexicon is always dim-sized) then
     per-language average polarity."""
     d = load_table(spark, sf_dir, "documents")
-    lex = spark.createDataFrame(_LEXICON, "word string, score double")
+    lex = spark.createDataFrame(_LEXICON_D10, "word string, score_d10 long")
     tok = d.select("lang", F.explode(textops.tokens("text")).alias("word"))
+    avg = F.sum("score_d10").cast("double") / (F.count(F.lit(1)) * 10)
     return (
         tok.join(F.broadcast(lex), "word")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
-            round_half_up(F.avg("score"), 4).alias("avg_sentiment"),
+            (
+                F.signum(avg) * F.floor(F.abs(avg) * 10000 + 0.5) / 10000
+            ).alias("avg_sentiment"),
         )
     )
 
@@ -147,10 +158,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary is English-only, so this measures the machinery, not
     linguistics)."""
     d = load_table(spark, sf_dir, "documents")
-    stop_ratio = (
-        F.size(F.filter(textops.tokens("text"), lambda w: w.isin("the", "a"))).cast("double")
-        / F.size(textops.tokens("text"))
-    )
+    # the ONE stop-ratio definition (textops.stopword_ratio — also
+    # behind quality_score via quality_features): an inline copy here
+    # could silently drift from the shared stopword set/tokenizer
+    stop_ratio = textops.stopword_ratio("text")
     scored = d.select(
         "lang",
         F.when(stop_ratio >= 0.08, "en").otherwise("other").alias("pred_lang"),
@@ -248,14 +259,21 @@ _BENCH_SQL = ", ".join(f"('{p}')" for p in _BENCH_PHRASES)
 def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination check: which documents contain any
     3-gram from a held-out benchmark set. The benchmark side is always
-    dim-sized → broadcast onto the exploded shingle stream; at 100 TB
-    the scan side is one pass and the join shuffles nothing (hash of
-    the broadcast set evaluated map-side). The standard decontamination
+    dim-sized → broadcast onto the exploded shingle stream, which is
+    built WITHOUT the per-(doc, shingle) distinct (distinct=False):
+    the broadcast join filters the stream to a handful of matches
+    MAP-SIDE before any s-keyed exchange, and the final countDistinct
+    dedups those survivors — the old form paid a corpus-wide
+    (doc, shingle) distinct shuffle for rows the join then discarded.
+    Remaining wide op: the doc_id window inside the shingle build
+    (inherent to lead-based shingling). The standard decontamination
     pass before pre-training."""
     from ..operators import dedup as dedup_ops
 
     d = load_table(spark, sf_dir, "documents")
-    shingles = dedup_ops.shingle_rows(d, "doc_id", "text", n=3, hashed=False)
+    shingles = dedup_ops.shingle_rows(
+        d, "doc_id", "text", n=3, hashed=False, distinct=False
+    )
     bench = spark.createDataFrame([(p,) for p in _BENCH_PHRASES], "phrase string")
     return (
         shingles.join(F.broadcast(bench), shingles.s == bench.phrase)
@@ -553,11 +571,11 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lens ON lens.doc_id = tf.doc_id
     CROSS JOIN stats s
     GROUP BY tf.doc_id
-    ORDER BY sum(
+    ORDER BY floor(sum(
                ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
                * tf.tf * 2.2
                / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / s.avglen))
-           ) DESC, tf.doc_id
+           ) * 1e9 + 0.5) / 1e9 DESC, tf.doc_id
     LIMIT 10
     """,
     section="2.11 BM25 retrieval top-k (Okapi scoring, data-driven query terms)",
@@ -576,8 +594,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(len)/count — one IEEE division, engine-identical. Scoring is
     pure codegen arithmetic; per-doc sums span ≤3 query terms, so
     accumulation noise is 1 ulp and the 4dp-rounded irrational
-    scores sit nowhere near boundaries. The top-10 cut orders by raw
-    score with a doc_id tie-break (TakeOrdered heaps, no global
+    scores sit nowhere near boundaries. The top-10 cut orders by the
+    FAMILY-STANDARD floor-form 9dp rank key, not the raw float:
+    duplicate-text docs tie bit-exactly (measured: two docs share
+    rank 4-5 at sf0.1), and a raw-float ordering lets 1-ulp
+    partial-sum noise decide set membership at the rank-10 boundary
+    instead of the doc_id tie-break (TakeOrdered heaps, no global
     sort)."""
 
     d = load_table(spark, sf_dir, "documents")
@@ -603,7 +625,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(score_term).alias("raw"))
-        .orderBy(F.col("raw").desc(), "doc_id")
+        .orderBy((F.floor(F.col("raw") * 1e9 + 0.5) / 1e9).desc(), "doc_id")
         .limit(10)
         .select("doc_id", F.round("raw", 4).alias("bm25"))
     )
@@ -657,12 +679,15 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                ln(n) AS y
         FROM tf
     )
-    SELECT source,
-           count(*) AS n_types,
-           floor((sum(x*y) - sum(x) * sum(y) / count(*))
-                 / nullif(sum(x*x) - sum(x) * sum(x) / count(*), 0.0)
-                 * 10000 + 0.5) / 10000 AS slope
-    FROM ranked GROUP BY source
+    SELECT source, n_types,
+           sign(s) * floor(abs(s) * 10000 + 0.5) / 10000 AS slope
+    FROM (
+        SELECT source,
+               count(*) AS n_types,
+               (sum(x*y) - sum(x) * sum(y) / count(*))
+               / nullif(sum(x*x) - sum(x) * sum(x) / count(*), 0.0) AS s
+        FROM ranked GROUP BY source
+    )
     """,
     section="2.11 Zipf-law fit: per-source log-log rank-frequency slope",
 )
@@ -680,7 +705,11 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct token has x-variance exactly 0, and 0.0/0.0 is the one
     division where the engines split (Spark NULL, DuckDB NaN — and
     the harness deliberately refuses to equate them); NULL/NULL is
-    the portable 'slope undefined' answer."""
+    the portable 'slope undefined' answer. The slope is NEGATIVE for
+    Zipfian text, so rounding is the SIGN-AWARE half-up form (plain
+    floor-form rounds negative midpoints toward +inf, against the
+    stated half-up convention — the r7 advisor's yoy note, fixed for
+    the negative-valued family)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -700,7 +729,10 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / k, F.lit(0.0)
     )
     return ranked.groupBy("source").agg(
-        k.alias("n_types"), round_half_up(slope, 4).alias("slope")
+        k.alias("n_types"),
+        (F.signum(slope) * F.floor(F.abs(slope) * 10000 + 0.5) / 10000).alias(
+            "slope"
+        ),
     )
 
 
