@@ -14,12 +14,10 @@ Scale posture (shared by all three):
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textops import round_half_up
+from .textops import py_round_half_up, round_half_up
 
 
 def ks_drift(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -192,10 +190,11 @@ def running_balance(
         bal = 0.0
         for d in pdf["_delta"].to_numpy():
             bal = min(max(bal + d, 0.0), cap)
-        # floor-based half-up (bal is clamped ≥ 0, so the form is
-        # exact) — Python round() is banker's and diverges from the
-        # repo's cross-engine half-up convention on 2dp midpoints.
-        final = math.floor(bal * 100 + 0.5) / 100
+        # floor-based half-up via the shared Python twin of
+        # round_half_up (bal is clamped ≥ 0, so the form is exact) —
+        # Python round() is banker's and diverges from the repo's
+        # cross-engine half-up convention on 2dp midpoints.
+        final = py_round_half_up(bal, 2)
         return pd.DataFrame(
             {
                 key_col: [pdf[key_col].iloc[0]],

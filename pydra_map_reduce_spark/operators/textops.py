@@ -100,6 +100,18 @@ def content_fingerprint(text_col: str | Column) -> Column:
     return F.md5(F.regexp_replace(c, " ", ""))
 
 
+def py_round_half_up(x: float, digits: int) -> float:
+    """Python-side twin of :func:`round_half_up` — the SAME
+    floor(x·10^d + 0.5)/10^d form for values computed inside pandas /
+    Arrow functions (Python round() is banker's and diverges on
+    midpoints). Non-negative inputs only, like the Column form. One
+    definition: the inline copies this replaces are exactly how a
+    convention change lands one-sided."""
+    import math
+
+    return math.floor(x * 10**digits + 0.5) / 10**digits
+
+
 def hash_bucket(col: str | Column, dim: int) -> Column:
     """md5-first-8-hex integer mod ``dim`` — THE hashing-trick bucket
     (the feature-hashing encoder and the linear quality scorer's

@@ -24,7 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..operators.textops import py_round_half_up
+from ..sources.tables import _pin_conf, load_table
 from .registry import query
 
 
@@ -88,7 +89,11 @@ def mr_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             words = pdf["text"].str.split(" ").explode()
-            words = words[words != ""]
+            # notna(): a NULL text explodes to NaN, and NaN != ""
+            # evaluates True in pandas — without the guard a null doc
+            # would emit a NaN word group the oracle's unnest(NULL)
+            # never produces
+            words = words[words.notna() & (words != "")]
             yield pd.DataFrame({"word": words})
 
     words = d.mapInPandas(tokenize, "word string")
@@ -111,16 +116,24 @@ def mr_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mr_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom per-key reducer (quantity-weighted mean) as a grouped
-    pandas function. Note the scale caveat baked into the API: each
-    key's rows must fit one worker — fine for bounded keys like
-    l_returnflag; for unbounded keys use two-stage built-in aggs."""
+    pandas function. Scale caveat, stated PRECISELY: applyInPandas
+    materializes each GROUP on one worker, so the precondition is
+    bounded GROUP SIZE — which means HIGH-cardinality keys (per-order,
+    per-user), the opposite of this demonstrator's 3-value
+    l_returnflag, whose groups are corpus-proportional (~1/3 of the
+    table each: fine at fixture scale, an executor OOM at 100 TB).
+    For fixed small key sets use built-in two-stage aggs (this exact
+    statistic is expressible as sum/sum); the escape hatch earns its
+    cost only when per-group logic is genuinely non-aggregable AND
+    groups are bounded — running_balance_capped is the honest case.
+    The int64 cents accumulator holds to ~1.7e10 rows/group
+    (9.2e18 / (50·1e7)); past that the reducer must widen to Python
+    ints while the oracle widens to HUGEINT on its own."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
 
     def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
-        import math
-
         # INTEGER accumulation: qty is integer-valued and the price is
         # 2dp money, so qty*cents sums exactly — a float weighted sum
         # is order-sensitive (pandas pairwise vs sequential summation,
@@ -135,7 +148,7 @@ def mr_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "weighted_avg_price": [math.floor(wavg * 1e4 + 0.5) / 1e4],
+                "weighted_avg_price": [py_round_half_up(wavg, 4)],
                 "n": [len(pdf)],
             }
         )
@@ -168,6 +181,8 @@ def mr_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # oracle: len(NULL) filter emits no rows
                 for i, tok in enumerate(text.split(" ")[:5], start=1):
                     rows.append((doc_id, i, tok))
             yield pd.DataFrame(rows, columns=["doc_id", "idx", "token"])
@@ -264,12 +279,22 @@ def mr_partition_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A real Python UDTF (not mapInPandas): declared return schema,
     registered as a table function, invoked with LATERAL per input
-    row. First 3 tokens per doc."""
+    row. First 3 tokens per doc. The UDTF ARROW TRANSPORT is pinned ON
+    for the session (Spark 4.1 defaults
+    spark.sql.execution.pythonUDTF.arrow.enabled to FALSE, so without
+    the pin both UDTF queries ran pickle-serialized row transport —
+    eval() is per-row either way by API shape, but Arrow batches the
+    data movement). Pinned here, not in the session factory, so the
+    driver's vanilla session gets it too."""
     from pyspark.sql.functions import udtf
+
+    _pin_conf(spark, "spark.sql.execution.pythonUDTF.arrow.enabled", "true")
 
     @udtf(returnType="idx int, token string")
     class TokenExpand:
         def eval(self, doc_id: int, text: str):
+            if text is None:
+                return  # match the oracle: a NULL doc expands to no rows
             for i, tok in enumerate(text.split(" ")[:3], start=1):
                 yield (i, tok)
 
@@ -303,8 +328,11 @@ def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise to ~1e-8 absolute, which 6dp rounding would expose). The
     missing tier between built-in aggs and applyInPandas: no pandas
     DataFrame assembly, no Python loop per row. Scale caveat (inherent
-    to the API): one group's column must fit one worker — unbounded
-    keys belong in built-in aggs."""
+    to the API): one group's column must fit one worker — which means
+    HIGH-cardinality keys with bounded groups; this 3-value
+    l_returnflag grouping is a fixture-scale demonstrator whose
+    groups are corpus-proportional (see mr_reduce_by_key's precise
+    statement of the precondition)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -392,11 +420,12 @@ def mr_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     API offers; the shuffle is the same single hash exchange a native
     groupBy would do. The demo reduction (count/sum/max) is chosen
     because the oracle can state it in SQL — the mechanism is the
-    graded artifact."""
+    graded artifact. Same bounded-GROUP-SIZE precondition as every
+    whole-group hatch (mr_reduce_by_key states it precisely); the
+    fixed 3-key fixture grouping is the demonstrator, not the scale
+    posture."""
     import pyarrow as pa
     import pyarrow.compute as pc
-
-    import math
 
     def reduce_group(t: pa.Table) -> pa.Table:
         qty = pc.sum(t.column("l_quantity")).as_py()
@@ -406,8 +435,8 @@ def mr_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l_returnflag": [t.column("l_returnflag")[0].as_py()],
                 "n": [t.num_rows],
                 # portable half-up, same form as operators.textops.round_half_up
-                "sum_qty": [math.floor(qty * 100 + 0.5) / 100.0],
-                "max_price": [math.floor(mx * 100 + 0.5) / 100.0],
+                "sum_qty": [py_round_half_up(qty, 2)],
+                "max_price": [py_round_half_up(mx, 2)],
             }
         )
 
@@ -438,10 +467,13 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant argument n=3 and synthesizes the output schema (tok0..tok2)
     — the table function's shape is computed, not declared. Catalyst
     then treats it like any other relation (column pruning included).
-    Arrow-batched eval keeps the Python boundary vectorized. This is
+    Arrow TRANSPORT is pinned on (same rationale and pin as
+    udtf_lateral — the Spark 4.1 default is pickle rows). This is
     the §2.10 dynamic-schema surface; fixed-schema UDTFs are covered
     by mr_udtf_expand/udtf_lateral."""
     from pyspark.sql.functions import lit, udtf
+
+    _pin_conf(spark, "spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     from pyspark.sql.types import StringType, StructField, StructType
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
@@ -456,7 +488,9 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def eval(self, text: str, n: int):
-            toks = text.split(" ")
+            # .outer() passes NULL text through — expand it to an
+            # all-NULL row instead of crashing on None.split
+            toks = text.split(" ") if text is not None else []
             yield tuple(toks[i] if i < len(toks) else None for i in range(n))
 
     split_cols = udtf(SplitCols)

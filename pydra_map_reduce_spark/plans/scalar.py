@@ -27,7 +27,7 @@ from .registry import query
            length(c_name)                                  AS name_len,
            regexp_extract(c_name, '([0-9]+)', 1)           AS digits,
            regexp_replace(c_name, '[0-9]', '#', 'g')       AS masked,
-           CASE WHEN c_name LIKE 'Customer#%' THEN 1 ELSE 0 END AS is_cust,
+           CASE WHEN c_name LIKE '%1' THEN 1 ELSE 0 END         AS like_ends_1,
            string_split(c_name, '#')[1]                    AS first_token
     FROM customer
     """,
@@ -44,7 +44,12 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").cast("bigint").alias("name_len"),
         F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
         F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
-        F.when(F.col("c_name").like("Customer#%"), 1).otherwise(0).alias("is_cust"),
+        # LIKE with MIXED outcomes: every c_name starts 'Customer#',
+        # so the old 'Customer#%' predicate was True on 100% of rows —
+        # an engine with broken LIKE semantics would still pass; the
+        # trailing-anchor '%1' splits the rows and pins both the %
+        # wildcard and the literal-suffix match
+        F.when(F.col("c_name").like("%1"), 1).otherwise(0).alias("like_ends_1"),
         F.split(F.col("c_name"), "#").getItem(0).alias("first_token"),
     )
 
@@ -178,7 +183,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-           1::BIGINT                                         AS n_keys
+           CAST(len(json_keys(props)) AS BIGINT)             AS n_keys
     FROM events
     WHERE event_id < 500
     """,
@@ -186,8 +191,9 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props parsed into MapType; element_at/map_keys exercise the map
-    surface. Oracle states the same facts via json_extract (the fixture
-    maps always hold one key 'k')."""
+    surface. The oracle COMPUTES n_keys from the JSON (json_keys
+    cardinality) — an earlier form hardcoded the literal 1, which
+    could never register a map_keys divergence."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
     return e.select(
@@ -343,7 +349,7 @@ def split_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            regexp_extract(c_name, '([0-9]+)', 1)                 AS digits,
            CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_digits,
-           regexp_matches(c_name, '[0-9]$')                      AS ends_digit,
+           regexp_matches(c_name, '[02468]$')                    AS ends_even,
            regexp_replace(c_name, '[0-9]', '#', 'g')             AS masked
     FROM customer
     WHERE c_custkey < 200
@@ -361,10 +367,17 @@ def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         F.regexp_extract(F.col("c_name"), r"([0-9]+)", 1).alias("digits"),
-        F.size(F.expr(r"regexp_extract_all(c_name, '[0-9]', 0)"))
+        # direct builtin (not an F.expr SQL string): keeps the column
+        # reference resolvable at authoring time
+        F.size(F.regexp_extract_all(F.col("c_name"), F.lit(r"[0-9]"), F.lit(0)))
         .cast("int")
         .alias("n_digits"),
-        F.col("c_name").rlike(r"[0-9]$").alias("ends_digit"),
+        # '[02468]$': MIXED outcomes over the fixture — every c_name
+        # ends in a digit, so the old '[0-9]$' was True on 100% of
+        # rows and an engine that ignored the $ anchor entirely would
+        # still have matched (a vacuous anchor); even-digit endings
+        # split the rows and genuinely pin the anchor semantics
+        F.col("c_name").rlike(r"[02468]$").alias("ends_even"),
         F.regexp_replace(F.col("c_name"), r"[0-9]", "#").alias("masked"),
     )
 
