@@ -200,11 +200,16 @@ class Pipeline:
         return Pipeline(_similarity.cosine_topk(self.df, id_col, vec_col, query_id, k))
 
     def near_dups_capped(
-        self, id_col: str, text_col: str, *, threshold: float = 0.03, max_df: int = 100
+        self, id_col: str, text_col: str, *, threshold: float = 0.8, max_df: int = 100
     ) -> "Pipeline":
         """Exact n-gram Jaccard pairs with a document-frequency ceiling
         (drop shingles in > max_df docs before the index self-join) —
-        the corpus-scale form with bounded posting-list buckets."""
+        the corpus-scale form with bounded posting-list buckets. The
+        default threshold matches `near_dups` (0.8): the two methods
+        present as interchangeable forms of one dedup decision, and an
+        earlier 0.03 default here meant swapping methods silently
+        changed the pair semantics 27-fold (fixture demos that want
+        loose pairs pass threshold explicitly)."""
         from .operators import dedup as _dedup
 
         return Pipeline(

@@ -35,32 +35,48 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("keep_id", F.col("keep_id").cast("bigint"))
 
 
-@query(
-    "ngram_jaccard_neardup",
-    oracle="""
-    WITH ex0 AS (
+def _ngram_pair_ctes(threshold: float, max_df: int, *, recursive: bool = False) -> str:
+    """THE n-gram Jaccard pair-graph oracle (shingles → df-cap →
+    inverted-index self-join → rounded 4dp jaccard → threshold),
+    parameterized exactly like the minhash family's generator: the
+    uncapped query (df 100), the capped twin (df 5), and
+    dedup_clusters_exact's pair graph all generate from this ONE text,
+    so a change to shingle construction, the cap, or the rounding form
+    cannot land one-sided across the three oracles (the scripted
+    string-edit drift hazard the project memory records). Ends with a
+    `pairs(doc_a, doc_b, jaccard)` CTE for the caller to SELECT from;
+    ``recursive=True`` emits WITH RECURSIVE for closure consumers."""
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"""
+    {kw} sh AS (
         SELECT doc_id,
                unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
                               for i in range(1, len(tokens) - 1)])) AS s
         FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
     ), dfreq AS (
-        SELECT s, count(*) AS df FROM ex0 GROUP BY s
-    ), ex AS (
-        SELECT ex0.doc_id, ex0.s FROM ex0 JOIN dfreq d ON ex0.s = d.s
-        WHERE d.df <= 100
+        SELECT s, count(*) AS df FROM sh GROUP BY s
+    ), kept AS (
+        SELECT sh.doc_id, sh.s FROM sh JOIN dfreq d ON sh.s = d.s WHERE d.df <= {max_df}
     ), sizes AS (
-        SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+        SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT i.doc_a, i.doc_b,
-           floor(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) * 10000 + 0.5) / 10000 AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.03
+    ), pairs AS (
+        SELECT i.doc_a, i.doc_b,
+               floor(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= {threshold}
+    )"""
+
+
+@query(
+    "ngram_jaccard_neardup",
+    oracle=_ngram_pair_ctes(0.03, 100) + """
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     section="2.11 n-gram Jaccard near-dup (inverted-index candidates)",
 )
@@ -82,29 +98,8 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ngram_jaccard_capped",
-    oracle="""
-    WITH sh AS (
-        SELECT doc_id,
-               unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
-                              for i in range(1, len(tokens) - 1)])) AS s
-        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    ), dfreq AS (
-        SELECT s, count(*) AS df FROM sh GROUP BY s
-    ), kept AS (
-        SELECT sh.doc_id, sh.s FROM sh JOIN dfreq d ON sh.s = d.s WHERE d.df <= 5
-    ), sizes AS (
-        SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
-    ), inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT i.doc_a, i.doc_b,
-           floor(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) * 10000 + 0.5) / 10000 AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.03
+    oracle=_ngram_pair_ctes(0.03, 5) + """
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     section="2.11 n-gram Jaccard near-dup with document-frequency ceiling",
 )
@@ -203,11 +198,16 @@ def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the evidence gap that kept the xxhash64 variant rows-only. The
     xxhash64 form remains the 100 TB perf path (~3× cheaper hashing);
     this query certifies the shared banding/rescore machinery."""
+    # n_hashes/bands EXPLICIT: the oracle's CTE generator hard-codes
+    # 32/8 — defaults skew in operators/dedup.py must not be able to
+    # silently detach this graded pairing
     return ops.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         threshold=0.8,
+        n_hashes=32,
+        bands=8,
         portable_hash=True,
     )
 
@@ -400,30 +400,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reachable set (least(a, min b)). Practical because the pair
     # graph is EXACT (inverted-index candidates, no LSH recall < 1 —
     # the reason the minhash-fed cluster queries above stay rows-only).
-    oracle="""
-    WITH RECURSIVE ex0 AS (
-        SELECT doc_id,
-               unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
-                              for i in range(1, len(tokens) - 1)])) AS s
-        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    ), dfreq AS (
-        SELECT s, count(*) AS df FROM ex0 GROUP BY s
-    ), ex AS (
-        SELECT ex0.doc_id, ex0.s FROM ex0 JOIN dfreq d ON ex0.s = d.s
-        WHERE d.df <= 100
-    ), sizes AS (
-        SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
-    ), inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    ), pairs AS (
-        SELECT i.doc_a, i.doc_b
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.doc_a
-        JOIN sizes sb ON sb.doc_id = i.doc_b
-        WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.2
-    ), e2 AS (
+    oracle=_ngram_pair_ctes(0.2, 100, recursive=True) + """,
+    e2 AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs
     ), reach(a, b) AS (
@@ -521,7 +499,16 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fp = d.select("doc_id", "source", "text", F.md5("text").alias("f"))
     keep1 = fp.groupBy("f").agg(F.min("doc_id").alias("k"))
-    ex = fp.join(keep1, fp.doc_id == keep1.k).select("doc_id", "source", "text")
+    # checkpoint the survivor frame: three downstream branches (chunks,
+    # survivor counts, near flags) read it, and Spark does not dedupe
+    # common subplans — unpersisted, the scan + md5 + groupBy + join
+    # re-executed per branch (the persist-multi-branch convention of
+    # operators/dedup.py's shingle index)
+    ex = (
+        fp.join(keep1, fp.doc_id == keep1.k)
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=True)
+    )
     chunks = (
         ex.filter(F.length("text") > 0)
         .select(

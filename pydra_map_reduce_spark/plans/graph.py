@@ -94,7 +94,12 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable; round_half_up keeps the rounding itself portable."""
     from ..operators.textops import round_half_up
 
-    ranks = graph_ops.pagerank(_supplier_part_edges(spark, sf_dir))
+    # n_iter/damping EXPLICIT: the unrolled-CTE oracle hard-codes 10
+    # rounds at 0.85 — relying on the operator's defaults would let a
+    # defaults tune silently skew this graded pairing
+    ranks = graph_ops.pagerank(
+        _supplier_part_edges(spark, sf_dir), damping=0.85, n_iter=10
+    )
     return (
         ranks.select("node", round_half_up(F.col("rank"), 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
