@@ -499,16 +499,19 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fp = d.select("doc_id", "source", "text", F.md5("text").alias("f"))
     keep1 = fp.groupBy("f").agg(F.min("doc_id").alias("k"))
-    # checkpoint the survivor frame: three downstream branches (chunks,
-    # survivor counts, near flags) read it, and Spark does not dedupe
-    # common subplans — unpersisted, the scan + md5 + groupBy + join
-    # re-executed per branch (the persist-multi-branch convention of
-    # operators/dedup.py's shingle index)
-    ex = (
-        fp.join(keep1, fp.doc_id == keep1.k)
-        .select("doc_id", "source", "text")
-        .localCheckpoint(eager=True)
-    )
+    # DELIBERATELY unpersisted: the three downstream branches do
+    # re-instantiate this join, but each branch's parquet re-scan is
+    # COLUMN-PRUNED (the near-flag branch never reads text) and
+    # row-group-parallel — measured at sf0.1, the lazy form runs the
+    # whole report in ~0.8 s warm while persisting the TEXT-HEAVY
+    # survivor frame costs 4.8 s (cache materialization defeats
+    # pruning and pays deserialized-row storage) and an eager
+    # localCheckpoint 6 s (block-storage write per invocation).
+    # Caching multiply-read frames is the right call for NARROW
+    # intermediates (time_rollup's minute grain, the IVF corpus
+    # projection); for wide text columns the scan is the cheaper
+    # "cache". (r8 review follow-up, resolved by measurement.)
+    ex = fp.join(keep1, fp.doc_id == keep1.k).select("doc_id", "source", "text")
     chunks = (
         ex.filter(F.length("text") > 0)
         .select(
