@@ -37,7 +37,21 @@ def _spread(df: DataFrame) -> DataFrame:
     A small corpus arrives as one parquet file = ONE partition, so
     everything upstream of the first shuffle runs single-threaded —
     measured 6 s single-core vs 0.3 s spread for sf0.1 shingling. On a
-    large corpus (already ≥ cores partitions) this is a no-op."""
+    large corpus (already ≥ cores partitions) this is a no-op.
+
+    AQE guard: when the input plan already contains a wide operator
+    (join/aggregate/window/repartition), touching ``df.rdd`` under AQE
+    EXECUTES every upstream query stage just to read a partition count
+    — and then the real action recomputes them. Those plans were
+    shuffled into parallelism by their own exchange anyway, so the
+    spread is skipped entirely; the partition probe only runs on
+    narrow scan-shaped plans, where resolving .rdd launches no jobs."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(
+        k in plan
+        for k in ("Join", "Aggregate", "Window", "Repartition", "Sort")
+    ):
+        return df
     ncores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < ncores:
         return df.repartition(ncores)
@@ -64,6 +78,10 @@ def shingle_rows(
     exchange when the downstream genuinely needs the deduped pair
     set (the inverted-index/minhash paths).
 
+    ``n < 1`` raises: lead(w, n-1) with a NEGATIVE offset silently
+    acts as lag, dropping each doc's first token and emitting
+    plausible-looking garbage shingles downstream.
+
     posexplode + window lead(n-1) — every step is whole-stage codegen
     (no higher-order-function lambdas, which run interpreted and
     re-split the text per element). One shuffle on doc_id for the
@@ -71,6 +89,8 @@ def shingle_rows(
     so this adds no net exchange at scale."""
     from pyspark.sql.window import Window
 
+    if n < 1:
+        raise ValueError(f"shingle n must be >= 1, got {n}")
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(text_col, sep)).alias("pos", "w"),
@@ -224,7 +244,11 @@ def minhash_lsh_pairs(
     # persist: reused by signatures and by the exact rescore (same
     # evictability note as in ngram_jaccard_pairs)
     if portable_hash:
-        raw = shingle_rows(df, id_col, text_col, shingle_n, hashed=False)
+        # distinct ONCE, after the md5-prefix collapse: shingle_rows'
+        # default distinct on raw strings would add a second
+        # corpus-sized exchange for an identical result (md5 is
+        # deterministic, so post-conv distinct subsumes it)
+        raw = shingle_rows(df, id_col, text_col, shingle_n, hashed=False, distinct=False)
         sh_rows = raw.select(
             "doc_id",
             F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("s"),
@@ -262,8 +286,34 @@ def minhash_lsh_pairs(
     from .textops import round_half_up  # deferred: circular with textops
 
     # rescore on hashed-shingle sets (same intersection modulo
-    # negligible xxhash64 collisions)
-    shsets = sh_rows.groupBy("doc_id").agg(F.array_sort(F.collect_set("s")).alias("ws"))
+    # negligible xxhash64 collisions) — built ONLY for documents that
+    # appear in a candidate pair: collect_set over the whole corpus
+    # would materialize document-width arrays for every doc and then
+    # discard almost all of them in the join (the filter can't push
+    # through the aggregate); the left-semi prefilter bounds the
+    # heaviest shuffle to candidate docs, honoring the module's
+    # only-candidates-are-rescored design rule
+    # cand is read twice now (the doc prefilter + the final pair
+    # join): checkpoint the NARROW pair frame so the heavy
+    # signature->banding lineage behind it computes exactly once
+    # (unpinned, the prefilter re-ran it and quintupled the query;
+    # measured best of persist-lazy vs eager checkpoint). Fixture-
+    # scale honesty: the prefilter still costs ~1.9x here BECAUSE the
+    # toy corpus's candidate set covers most documents — no pruning
+    # can pay off; at 10^9 docs with ~1e6 candidate pairs it is the
+    # difference between a corpus-wide collect_set of document-width
+    # arrays and a bounded one, i.e. the module's design rule.
+    cand = cand.localCheckpoint(eager=True)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shsets = (
+        sh_rows.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("s")).alias("ws"))
+    )
     wa, wb = shsets.alias("wa"), shsets.alias("wb")
     inter = F.size(F.array_intersect(F.col("wa.ws"), F.col("wb.ws"))).cast("double")
     union = F.size(F.col("wa.ws")) + F.size(F.col("wb.ws")) - inter

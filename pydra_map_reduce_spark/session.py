@@ -42,9 +42,11 @@ def get_spark(
             cpus = int(raw) if raw else 0
         except ValueError:
             cpus = 0
-        # negatives would build an invalid master URL (local[-2]) and
-        # crash obscurely at session creation — fall back like 0 does
-        cpus = cpus if cpus > 0 else (os.cpu_count() or 4)
+    # non-positive cpus — from the env var OR an explicit argument
+    # (e.g. a caller computing cores-2 on a 1-core box) — would build
+    # an invalid master URL (local[-2]/local[0]) and crash obscurely
+    # deep in JVM context creation; fall back to all cores either way
+    cpus = cpus if cpus > 0 else (os.cpu_count() or 4)
     if shuffle_partitions is None:
         # local: ~cores. Cluster: AQE coalesces down from a higher start.
         shuffle_partitions = max(cpus, 8)
@@ -55,11 +57,17 @@ def get_spark(
     # silently run a cluster job on the driver node. In Python client
     # mode `--master` lives in PYSPARK_SUBMIT_ARGS (it is NOT a JVM
     # system property before context creation — verified empirically),
-    # so check that, the loaded SparkConf, and $MASTER.
+    # so check that, the loaded SparkConf, and $MASTER — PLUS the
+    # spark-submit PythonRunner path, where NONE of those are visible
+    # from Python (the runner pre-launches the gateway JVM carrying
+    # --master and exports only PYSPARK_GATEWAY_PORT/SECRET): if a
+    # gateway already exists, the master decision was already made
+    # out-of-process and must not be overridden here.
     from pyspark import SparkConf
 
     master_given = (
         "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+        or "PYSPARK_GATEWAY_PORT" in os.environ
         or SparkConf().contains("spark.master")
         or bool(os.environ.get("MASTER"))
     )
