@@ -559,41 +559,46 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        updated = labels.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-            ).alias("cluster_id"),
-        )
-        # localCheckpoint (not persist): materializes AND truncates
-        # lineage — without it each round's plan nests every previous
-        # join and Catalyst planning time grows super-linearly with
-        # iteration count (observed: a 14-round chain stalls planning).
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-            .filter(F.col("cluster_id") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
-    else:
-        import warnings
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy(F.col("src").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            updated = labels.join(neighbor_min, "doc_id", "left").select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            # localCheckpoint (not persist): materializes AND truncates
+            # lineage — without it each round's plan nests every previous
+            # join and Catalyst planning time grows super-linearly with
+            # iteration count (observed: a 14-round chain stalls planning).
+            updated = updated.localCheckpoint(eager=True)
+            changed = (
+                updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+                .filter(F.col("cluster_id") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = updated
+            if changed == 0:
+                break
+        else:
+            import warnings
 
-        warnings.warn(
-            f"dedup_clusters did not converge within max_iter={max_iter} "
-            "rounds; components wider than that are split — raise max_iter",
-            stacklevel=2,
-        )
-    edges.unpersist()
+            warnings.warn(
+                f"dedup_clusters did not converge within max_iter={max_iter} "
+                "rounds; components wider than that are split — raise max_iter",
+                stacklevel=2,
+            )
+    finally:
+        # unpersist on EVERY exit (mid-loop failure would pin
+        # the edge cache in the shared session) — same
+        # discipline as graph.pagerank
+        edges.unpersist()
     # returned labels are a localCheckpoint: materialized, lineage-free
     # (no loop replay on reuse); blocks are GC'd with the DataFrame.
     return labels

@@ -30,11 +30,15 @@ def pagerank(
 
     The MR-flagship iterative algorithm, Spark-shaped: the edge list
     (with out-degrees pre-joined) is persisted once and reused every
-    round; per round there is ONE shuffle (the dst-keyed contribution
-    sum) plus a broadcast of the current rank's 1-row dangling total.
-    Rank updates join edges on src — at 100 TB co-partition both on
-    the node key (bucketed edge tables) and the per-round exchange of
-    the big side disappears. Fixed iteration count keeps the plan
+    round. Honest per-round exchange accounting: the edges-with-ranks
+    join on src, the dst-keyed contribution sum, the rank-update join
+    on node, and the dangling left-semi — several node/edge-scale
+    exchanges per round, NOT one, plus the broadcast of the 1-row
+    dangling total. At 100 TB, co-partitioning edges AND the
+    rank/node frames on the node key (bucketed tables) removes the
+    join-side exchanges and leaves the contribution sum as the one
+    true shuffle — the one-shuffle-per-round figure holds only in
+    that co-partitioned layout. Fixed iteration count keeps the plan
     deterministic; convergence-based stopping would add a 1-row
     driver check per round like dedup_clusters.
     """
@@ -58,32 +62,38 @@ def pagerank(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
-    for _ in range(n_iter):
-        contribs = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        # dangling mass = total rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.col("dm") / n_total)
-                ).alias("rank"),
+    try:
+        for _ in range(n_iter):
+            contribs = (
+                ed.join(ranks, ed.src == ranks.node)
+                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("in_sum"))
             )
-            .localCheckpoint(eager=True)
-        )
-    ed.unpersist()
-    nodes.unpersist()
-    dangling_nodes.unpersist()
+            # dangling mass = total rank held by nodes with no out-edges
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            )
+            ranks = (
+                nodes.join(contribs, nodes.node == contribs.dst, "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.col("dm") / n_total)
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        # unpersist on EVERY exit: a mid-loop failure (task
+        # error, interrupt) would otherwise pin three
+        # MEMORY_AND_DISK frames in the long-lived shared
+        # session for its lifetime
+        ed.unpersist()
+        nodes.unpersist()
+        dangling_nodes.unpersist()
     return ranks
