@@ -17,7 +17,11 @@ header walks, bottom-up BGR rows / RIFF chunk scan), oracle-verified
 against integer pixel/sample formulas — AND for the lossless
 COMPRESSED class: `multimodal_png_decode` is a full PNG decoder built
 on stdlib zlib (chunk walk + CRC verification, multi-IDAT reassembly,
-DEFLATE inflate, per-row unfilter incl. Paeth). Only LOSSY codecs
+DEFLATE inflate, per-row unfilter incl. Paeth), and
+`multimodal_gif_decode` is a full GIF89a decoder whose LZW is
+implemented from scratch in BOTH directions (`_lzw_encode` /
+`_lzw_decode`: variable-width codes, CLEAR/EOI, KwKwK, width growth —
+anchored against a hand-packed spec bitstream). Only LOSSY codecs
 (JPEG, MP3/AAC, H.264) remain environment-stubbed in `_decode_stub` —
 those genuinely require codec libraries the container doesn't ship, a
 boundary of the environment, not the engine; swapping one in changes
@@ -43,8 +47,8 @@ def _decode_stub(payload: bytes, kind: str) -> tuple[int, int]:
 
     Scope (round 8): LOSSY codecs only — JPEG/MP3/AAC/H.264 need codec
     libraries (PIL / soundfile / ffmpeg) absent here by design. BMP,
-    PCM WAV, and PNG are decoded for REAL by the pure-stdlib parsers
-    below.
+    PCM WAV, PNG, and GIF are decoded for REAL by the pure-stdlib
+    parsers below.
     """
     if kind != "text/plain":
         raise NotImplementedError(f"no codec for {kind!r} in this environment")
@@ -594,5 +598,255 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         decode,
         "doc_id long, width int, height int, n_pixels long, n_idat int, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW compress (variable-width codes, LSB-first).
+
+    Module-level (not a closure) so tests can anchor it against a
+    hand-packed reference bitstream independently of the decoder —
+    a symmetric encoder/decoder bug would otherwise round-trip
+    invisibly. Width grows AFTER the table entry that fills the
+    current code space, offset by one from the decoder's rule
+    because the encoder's table runs one insertion ahead of the
+    decoder's at the same stream position (classic GIF "late
+    change"); the terminal edge where the decoder bumps width just
+    before EOI is absorbed by the zero-padded final byte.
+    """
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code, size = eoi + 1, min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, size)
+    prev = indices[0]
+    for k in indices[1:]:
+        if (prev, k) in table:
+            prev = table[(prev, k)]
+        else:
+            emit(prev, size)
+            table[(prev, k)] = next_code
+            next_code += 1
+            if next_code == (1 << size) + 1 and size < 12:
+                size += 1
+            prev = k
+    emit(prev, size)
+    emit(eoi, size)
+    if nbits:
+        out.append(acc & 0xFF)  # zero-pad the final partial byte
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW decompress; the true inverse of _lzw_encode.
+
+    Handles CLEAR/EOI, the KwKwK case (incoming code == next table
+    slot), and width growth when the table fills the current code
+    space. Bit reads past the end of the stream yield zero bits —
+    required for streams whose final table insertion lands exactly
+    on a power of two, where the decoder widens for EOI but the
+    encoder wrote it one bit narrower against the zero pad.
+    """
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = 0  # bit cursor
+
+    def read(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(width):
+            byte, bit = divmod(pos, 8)
+            if byte < len(data) and (data[byte] >> bit) & 1:
+                v |= 1 << i
+            pos += 1
+        return v
+
+    def fresh() -> tuple[dict[int, tuple[int, ...]], int, int]:
+        return {i: (i,) for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, size = fresh()
+    prev_seq: tuple[int, ...] | None = None
+    out: list[int] = []
+    while True:
+        code = read(size)
+        if code == clear:
+            table, next_code, size = fresh()
+            prev_seq = None
+            continue
+        if code == eoi:
+            break
+        if prev_seq is None:
+            seq = table[code]
+        elif code in table:
+            seq = table[code]
+        elif code == next_code:
+            seq = prev_seq + (prev_seq[0],)  # KwKwK
+        else:
+            raise AssertionError(f"LZW code {code} out of range")
+        out.extend(seq)
+        if prev_seq is not None:
+            table[next_code] = prev_seq + (seq[0],)
+            next_code += 1
+            if next_code == (1 << size) and size < 12:
+                size += 1
+        prev_seq = seq
+    return out
+
+
+@query(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, tx.x, ty.y
+        FROM documents d, range(4) tx(x), range(4) ty(y)
+    )
+    SELECT doc_id,
+           CAST(4 AS INT)     AS width,
+           CAST(4 AS INT)     AS height,
+           CAST(16 AS BIGINT) AS n_pixels,
+           CAST(2 AS INT)     AS n_subblocks,
+           CAST(sum((doc_id * 3 + 7  * ((doc_id + 3 * x + 5 * y) % 16)) % 256)
+                AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 5 + 11 * ((doc_id + 3 * x + 5 * y) % 16)) % 256)
+                AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 7 + 13 * ((doc_id + 3 * x + 5 * y) % 16)) % 256)
+                AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY doc_id
+    """,
+    section="2.11 multimodal: REAL compressed-codec decode (GIF, from-scratch LZW)",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A second REAL compressed image codec, zero external libraries:
+    GIF's compression is LZW, small enough to implement from scratch
+    both directions (_lzw_encode/_lzw_decode above — variable-width
+    codes, CLEAR/EOI, KwKwK, width growth). Per document a VALID
+    GIF89a is synthesized: header, logical screen descriptor, a
+    16-entry global color table derived from doc_id, a graphic
+    control extension (so the parser exercises extension skipping),
+    an image descriptor, the 4x4 palette-index raster LZW-compressed
+    and split across TWO data sub-blocks, block terminator, trailer.
+    The decoder is a genuine GIF parser: signature check, screen
+    descriptor + color-table walk, extension skip via sub-block
+    lengths, LZW decompress, palette mapping. The oracle re-derives
+    the palette-mapped channel sums from the integer pixel/palette
+    formulas in pure SQL, so a green match proves the LZW
+    encode->pack->sub-block->decode round-trip is lossless.
+    Same two-mapInPandas shape as the BMP/WAV/PNG decoders: payloads
+    cross the Arrow boundary between synthesis and decode; per-batch
+    yields keep task memory bounded at any corpus size."""
+    import struct
+
+    W = H = 4
+    NCOL = 16  # global color table entries (min code size 4)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                palette = bytearray()
+                for j in range(NCOL):
+                    palette += bytes((
+                        (did * 3 + 7 * j) % 256,
+                        (did * 5 + 11 * j) % 256,
+                        (did * 7 + 13 * j) % 256,
+                    ))
+                indices = [
+                    (did + 3 * x + 5 * y) % NCOL
+                    for y in range(H)
+                    for x in range(W)
+                ]
+                comp = _lzw_encode(indices, 4)
+                mid = max(1, len(comp) // 2)  # exercise sub-block reassembly
+                gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # skipped by decode
+                payloads.append(
+                    b"GIF89a"
+                    # logical screen: size, GCT flag set, 16-entry table
+                    + struct.pack("<HHBBB", W, H, 0x80 | 0x03, 0, 0)
+                    + bytes(palette)
+                    + gce
+                    + struct.pack("<BHHHHB", 0x2C, 0, 0, W, H, 0)
+                    + bytes([4])  # LZW minimum code size
+                    + bytes([mid]) + comp[:mid]
+                    + bytes([len(comp) - mid]) + comp[mid:]
+                    + b"\x00\x3b"
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "doc_id long, payload binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                assert b[:6] in (b"GIF87a", b"GIF89a"), "not a GIF"
+                sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+                pos = 13
+                palette = b""
+                if packed & 0x80:
+                    n = 2 ** ((packed & 0x07) + 1)
+                    palette = b[pos : pos + 3 * n]
+                    pos += 3 * n
+                w = h = n_sub = None
+                pixels: list[int] = []
+                while pos < len(b):
+                    block = b[pos]
+                    pos += 1
+                    if block == 0x21:  # extension: label + sub-blocks
+                        pos += 1
+                        while b[pos]:
+                            pos += 1 + b[pos]
+                        pos += 1
+                    elif block == 0x2C:  # image descriptor
+                        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+                        pos += 9
+                        assert not (ipacked & 0x80), "local color tables unused"
+                        min_cs = b[pos]
+                        pos += 1
+                        lzw, n_sub = b"", 0
+                        while b[pos]:
+                            ln = b[pos]
+                            lzw += b[pos + 1 : pos + 1 + ln]
+                            n_sub += 1
+                            pos += 1 + ln
+                        pos += 1
+                        pixels = _lzw_decode(lzw, min_cs)
+                    elif block == 0x3B:  # trailer
+                        break
+                    else:
+                        raise AssertionError(f"unknown block 0x{block:02x}")
+                assert w == sw and h == sh and len(pixels) == w * h
+                sr = sg = sb = 0
+                for idx in pixels:
+                    sr += palette[idx * 3]
+                    sg += palette[idx * 3 + 1]
+                    sb += palette[idx * 3 + 2]
+                out.append((doc_id, w, h, w * h, n_sub, sr, sg, sb))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "n_subblocks", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_pixels long, n_subblocks int, "
         "sum_r long, sum_g long, sum_b long",
     )

@@ -445,3 +445,34 @@ def test_sequence_pack_interval_math(budget, sizes, spark):
             want[s][0] += 1
         cursor += n
     assert got == {s: tuple(v) for s, v in want.items()}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    m=st.sampled_from([2, 3, 4, 8]),
+    data=st.data(),
+)
+def test_lzw_round_trip(m, data):
+    """The from-scratch GIF LZW codec pair must be a true inverse on
+    arbitrary index streams — including all-equal runs (the KwKwK
+    decoder case) and long streams that force variable-width code
+    growth. No Spark session: the codec is plain Python shared by
+    encoder and decoder tasks."""
+    from pydra_map_reduce_spark.plans.multimodal import _lzw_decode, _lzw_encode
+
+    seq = data.draw(
+        st.lists(st.integers(0, (1 << m) - 1), min_size=1, max_size=300)
+    )
+    assert _lzw_decode(_lzw_encode(seq, m), m) == seq
+
+
+def test_lzw_known_bitstream_anchor():
+    """Encoder-independent anchor: a GIF LZW stream hand-packed from
+    the spec (min code size 2, pixels [1,2,2,1] -> codes CLEAR(4)@3,
+    1@3, 2@3, 2@3, 1@4, EOI(5)@4 -> LSB-first bytes 140,20,5). Guards
+    against a *symmetric* encoder/decoder deviation from the GIF
+    wire format, which a round-trip property alone cannot see."""
+    from pydra_map_reduce_spark.plans.multimodal import _lzw_decode, _lzw_encode
+
+    assert list(_lzw_encode([1, 2, 2, 1], 2)) == [140, 20, 5]
+    assert _lzw_decode(bytes([140, 20, 5]), 2) == [1, 2, 2, 1]
