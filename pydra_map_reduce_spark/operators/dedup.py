@@ -124,6 +124,52 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    index_hashes: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Classify each document of a NEW batch against the hash index of
+    an existing corpus: all of ``new_df``'s columns with ``text_col``
+    replaced by ``content_hash`` plus ``status`` in
+    {'kept', 'dup_index', 'dup_batch'}.
+
+    The production incremental-crawl shape: prior crawls are
+    represented ONLY by their distinct content hashes
+    (``index_hashes``, one ``content_hash`` column — at 100 TB a
+    stored narrow index table, never the old payloads), so adding a
+    new crawl costs one pass over the new data plus a hash-keyed
+    join, not a re-dedup of the union. Within-batch ties go to the
+    min id ('kept'); later copies are 'dup_batch'; anything already
+    indexed is 'dup_index' (min-id included — the index copy wins).
+
+    Shuffle accounting: ONE hash-keyed exchange per side for the left
+    join; the within-batch min-id window partitions on the same key,
+    so it reuses the join's partitioning without a further exchange.
+    The shuffle carries only ``new_df``'s selected columns — callers
+    pre-select id + grouping metadata, never the payload; the text
+    itself dies at the map side, hashed. ``index_hashes`` must
+    already be distinct (it is an index); the operator does not add a
+    dedup exchange on it.
+    """
+    from pyspark.sql.window import Window
+
+    hashed = new_df.withColumn("content_hash", F.md5(text_col)).drop(text_col)
+    joined = hashed.join(
+        index_hashes.select("content_hash").withColumn("_in_idx", F.lit(True)),
+        "content_hash",
+        "left",
+    )
+    first_id = F.min(id_col).over(Window.partitionBy("content_hash"))
+    return joined.withColumn(
+        "status",
+        F.when(F.col("_in_idx").isNotNull(), F.lit("dup_index"))
+        .when(F.col(id_col) == first_id, F.lit("kept"))
+        .otherwise(F.lit("dup_batch")),
+    ).drop("_in_idx")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

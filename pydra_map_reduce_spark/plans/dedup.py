@@ -35,6 +35,73 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("keep_id", F.col("keep_id").cast("bigint"))
 
 
+@query(
+    "incremental_dedup",
+    oracle="""
+    WITH existing AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 3 <> 0
+    ), fresh AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0
+    ), new_batch AS (
+        SELECT doc_id, source, text FROM fresh
+        UNION ALL
+        SELECT doc_id + 10000000, source, text FROM existing WHERE doc_id % 5 = 1
+        UNION ALL
+        SELECT doc_id + 20000000, source, text FROM fresh WHERE doc_id % 7 = 2
+    ), idx AS (
+        SELECT DISTINCT md5(text) AS content_hash FROM existing
+    ), cls AS (
+        SELECT n.doc_id, n.source,
+               (i.content_hash IS NOT NULL)                   AS in_idx,
+               min(n.doc_id) OVER (PARTITION BY md5(n.text))  AS first_id
+        FROM new_batch n LEFT JOIN idx i ON md5(n.text) = i.content_hash
+    )
+    SELECT source,
+           count(*) AS n_new,
+           CAST(sum(CASE WHEN NOT in_idx AND doc_id = first_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN in_idx THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_index,
+           CAST(sum(CASE WHEN NOT in_idx AND doc_id <> first_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch
+    FROM cls GROUP BY source
+    """,
+    section="2.11 incremental dedup (new crawl vs stored corpus hash index)",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production incremental-crawl shape: dedup a NEW batch
+    against the narrow hash index of everything already ingested —
+    one pass over new data + a hash join, never a re-dedup of the
+    union. The fixture's texts are all unique, so a no-op classifier
+    would trivially pass; both engines therefore inject the same
+    deterministic duplicates into the 'new crawl': re-crawled copies
+    of existing docs (doc_id%5==1, re-keyed +10M → must come back
+    'dup_index') and second fetches of new docs (doc_id%7==2,
+    re-keyed +20M → the lower-id original is 'kept', the copy
+    'dup_batch'). Per-source report proves all three statuses are
+    exercised with non-zero counts."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    existing = d.filter(F.col("doc_id") % 3 != 0)
+    fresh = d.filter(F.col("doc_id") % 3 == 0)
+    new_batch = fresh.unionByName(
+        existing.filter(F.col("doc_id") % 5 == 1).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "source", "text"
+        )
+    ).unionByName(
+        fresh.filter(F.col("doc_id") % 7 == 2).select(
+            (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"), "source", "text"
+        )
+    )
+    idx = existing.select(F.md5("text").alias("content_hash")).distinct()
+    cls = ops.incremental_dedup(new_batch, idx, "doc_id", "text")
+    return cls.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.count_if(F.col("status") == "kept").alias("n_kept"),
+        F.count_if(F.col("status") == "dup_index").alias("n_dup_index"),
+        F.count_if(F.col("status") == "dup_batch").alias("n_dup_batch"),
+    )
+
+
 def _ngram_pair_ctes(threshold: float, max_df: int, *, recursive: bool = False) -> str:
     """THE n-gram Jaccard pair-graph oracle (shingles → df-cap →
     inverted-index self-join → rounded 4dp jaccard → threshold),

@@ -762,3 +762,22 @@ def test_shuffle_hash_hint_engages(spark):
     assert "ShuffledHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "BroadcastHashJoin" not in plan, plan[:3000]
+
+
+def test_incremental_dedup_statuses_all_fire(spark):
+    """Falsifiability anchor: the fixture's texts are unique, so the
+    query injects re-crawls and within-batch copies — if that
+    injection (or the classifier) silently breaks, dup_index /
+    dup_batch collapse to zero and a no-op 'classifier' would pass
+    the oracle. Also pins the plan: equi-joins only, no nested-loop."""
+    df = REGISTRY["incremental_dedup"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan[:3000]
+    import pyspark.sql.functions as F
+
+    tot = df.agg(
+        F.sum("n_kept").alias("k"),
+        F.sum("n_dup_index").alias("i"),
+        F.sum("n_dup_batch").alias("b"),
+    ).first()
+    assert tot["k"] > 0 and tot["i"] > 0 and tot["b"] > 0, tuple(tot)
