@@ -38,9 +38,9 @@ _DRIVER_PRIORITY = [
     # (a) re-typed this round (DECIMAL -> BIGINT minor units / string) — 5
     "pricing_summary_decimal", "decimal_threshold_cut",
     "nation_revenue_decimal", "decimal_running_total", "table_checksum",
-    # (b) new in round 8 — 5
+    # (b) new in round 8 — 6
     "multimodal_png_decode", "ivf_ann_serve", "semantic_dedup",
-    "multimodal_gif_decode", "incremental_dedup",
+    "multimodal_gif_decode", "incremental_dedup", "chunk_dedup_scrub",
     # (c) late round-7 additions — 9
     "linear_quality_score", "inverted_index", "xml_roundtrip",
     "binaryfile_scan", "sequence_pack", "multimodal_image_decode",
@@ -57,8 +57,6 @@ _DRIVER_PRIORITY = [
     "basket_pairs", "rollup_grouping_id", "nested_line_stats",
     "table_diff", "not_in_null_semantics", "bm25_topk",
     "window_time_range_avg", "feature_hashing",
-    # (e) backfill: stalest r3/r4-era greens — 1
-    "allpairs_similarity",
 ]
 
 

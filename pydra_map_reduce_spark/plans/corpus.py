@@ -869,6 +869,88 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "chunk_dedup_scrub",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id, o,
+               substr(text, o, {_DDC_SIZE})      AS chunk,
+               md5(substr(text, o, {_DDC_SIZE})) AS fp
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text), {_DDC_SIZE})) AS o
+            FROM documents WHERE length(text) > 0
+        )
+    ), k AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, o) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(length(COALESCE(
+               string_agg(CASE WHEN rn = 1 THEN chunk END, '' ORDER BY o), ''))
+               AS BIGINT) AS scrubbed_len,
+           md5(COALESCE(
+               string_agg(CASE WHEN rn = 1 THEN chunk END, '' ORDER BY o), ''))
+               AS scrubbed_md5
+    FROM k GROUP BY doc_id
+    """,
+    section="2.11 span-level dedup SCRUB (drop repeated chunks, reassemble docs)",
+)
+def chunk_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM companion to `chunk_dedup_ratio`'s diagnostic:
+    actually remove every repeated span and emit the cleaned corpus —
+    the line-dedup scrub of CCNet/RefinedWeb-style web pipelines.
+    First occurrence corpus-wide wins, deterministically ordered by
+    (doc_id, offset); every later occurrence of the same 100-char
+    fingerprint is dropped, and each document's surviving chunks are
+    reassembled in offset order. The result carries the scrubbed
+    text's md5 + length rather than the text itself, so the oracle
+    proves EXACT reassembly (same bytes, same order) with a compact
+    result. Two keyed shuffles: the fp window (first-wins needs the
+    occurrence list per fingerprint) and the doc-keyed reassembly —
+    the latter carries each surviving chunk exactly once, which is
+    the scrub's inherent floor: the output IS the corpus. All
+    expressions JVM-side (window, array_sort on (off,chunk) structs,
+    transform + array_join); collect_list drops the when()'s NULLs,
+    so dropped chunks never travel to the reassembly."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text"), F.lit(_DDC_SIZE))
+        ).alias("off"),
+        "text",
+    ).select(
+        "doc_id",
+        "off",
+        F.substring(F.col("text"), F.col("off"), _DDC_SIZE).alias("chunk"),
+        F.md5(F.substring(F.col("text"), F.col("off"), _DDC_SIZE)).alias("fp"),
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id", "off")
+    )
+    flagged = chunks.withColumn("kept", rn == 1)
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(F.col("kept"), F.struct("off", "chunk")))
+            ),
+            lambda x: x["chunk"],
+        ),
+        "",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_if(~F.col("kept")).alias("n_dropped"),
+        F.length(joined).cast("bigint").alias("scrubbed_len"),
+        F.md5(joined).alias("scrubbed_md5"),
+    )
+
+
 _SEQ_LEN = 512  # token budget per packed training sequence
 
 
