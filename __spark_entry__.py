@@ -38,9 +38,10 @@ _DRIVER_PRIORITY = [
     # (a) re-typed this round (DECIMAL -> BIGINT minor units / string) — 5
     "pricing_summary_decimal", "decimal_threshold_cut",
     "nation_revenue_decimal", "decimal_running_total", "table_checksum",
-    # (b) new in round 8 — 6
+    # (b) new in round 8 — 7
     "multimodal_png_decode", "ivf_ann_serve", "semantic_dedup",
     "multimodal_gif_decode", "incremental_dedup", "chunk_dedup_scrub",
+    "multimodal_jpeg_decode",
     # (c) late round-7 additions — 9
     "linear_quality_score", "inverted_index", "xml_roundtrip",
     "binaryfile_scan", "sequence_pack", "multimodal_image_decode",
@@ -56,16 +57,17 @@ _DRIVER_PRIORITY = [
     "unpivot_melt", "percentile_binned", "weighted_median",
     "basket_pairs", "rollup_grouping_id", "nested_line_stats",
     "table_diff", "not_in_null_semantics", "bm25_topk",
-    "window_time_range_avg", "feature_hashing",
+    "window_time_range_avg",
 ]
 
 
 # Round-9 rotation queue: after this window lands, every oracle-backed
-# query except round-8 in-round additions has driver evidence in some
-# ledger. Compose the r9 window from (1) any queries added after this
-# window froze, (2) any r8 reds, then (3) the stalest greens oldest-
-# first (r3/r4-era function families, the window family, the setops
-# family). Keep rows-only queries out of the window.
+# query except `feature_hashing` (displaced by multimodal_jpeg_decode)
+# and round-8 in-round additions has driver evidence in some ledger.
+# Compose the r9 window from (1) feature_hashing + any queries added
+# after this window froze, (2) any r8 reds, then (3) the stalest
+# greens oldest-first (r3/r4-era function families, the window family,
+# the setops family). Keep rows-only queries out of the window.
 
 
 def _ordered() -> list[str]:
