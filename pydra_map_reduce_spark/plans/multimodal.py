@@ -26,8 +26,11 @@ real too: `multimodal_jpeg_decode` runs a genuine baseline-JPEG round
 trip (float DCT, zigzag quantization, canonical Huffman from DHT
 fields, byte stuffing; decoder with general run/size AC loop and
 IDCT), oracle-verified bit-exactly on DC-exact images where the
-quantization loss is provably zero. Only lossy AUDIO/VIDEO codecs
-(MP3/AAC, H.264) remain environment-stubbed in `_decode_stub` —
+quantization loss is provably zero — and `multimodal_mulaw_decode`
+covers lossy AUDIO with from-scratch G.711 mu-law companding,
+verified against a closed-form SQL oracle over the full sample
+domain. Only PERCEPTUAL codecs (MP3/AAC, H.264) remain
+environment-stubbed in `_decode_stub` —
 those genuinely require codec libraries the container doesn't ship, a
 boundary of the environment, not the engine; swapping one in changes
 only that function, the schema/partitioning/batch shape is what these
@@ -50,10 +53,10 @@ from .registry import query
 def _decode_stub(payload: bytes, kind: str) -> tuple[int, int]:
     """Deterministic fake 'decode': (byte_len, first_byte).
 
-    Scope (round 8): lossy AUDIO/VIDEO codecs only — MP3/AAC/H.264
-    need codec libraries (soundfile / ffmpeg) absent here by design.
-    BMP, PCM WAV, PNG, GIF, and baseline JPEG are decoded for REAL by
-    the pure-stdlib parsers below.
+    Scope (round 8): PERCEPTUAL codecs only — MP3/AAC/H.264 need
+    codec libraries (soundfile / ffmpeg) absent here by design. BMP,
+    PCM WAV, PNG, GIF, baseline JPEG, and G.711 mu-law are decoded
+    for REAL by the pure-stdlib parsers below.
     """
     if kind != "text/plain":
         raise NotImplementedError(f"no codec for {kind!r} in this environment")
@@ -1117,6 +1120,128 @@ def _jpeg_decode_gray(data: bytes) -> tuple[int, int, list[int]]:
                     val = int(math.floor(grid[y][x] + 128 + 0.5))
                     pixels[row + x] = min(255, max(0, val))
     return w, h, pixels
+
+
+def _mulaw_encode(s: int) -> int:
+    """G.711 mu-law compress one 16-bit PCM sample to one byte (sign,
+    3-bit exponent, 4-bit mantissa, all bits complemented on the
+    wire). Clips at 32635 per the standard."""
+    sign = 0x80 if s < 0 else 0
+    s = min(abs(s), 32635) + 0x84
+    e, mask = 7, 0x4000
+    while e > 0 and not (s & mask):
+        mask >>= 1
+        e -= 1
+    m = (s >> (e + 3)) & 0x0F
+    return ~(sign | (e << 4) | m) & 0xFF
+
+
+def _mulaw_decode(b: int) -> int:
+    """G.711 mu-law expand one wire byte back to PCM — the exact
+    inverse of _mulaw_encode onto the codec's quantization grid."""
+    b = ~b & 0xFF
+    e, m = (b >> 4) & 7, b & 0x0F
+    v = (((m << 3) + 0x84) << e) - 0x84
+    return -v if b & 0x80 else v
+
+
+@query(
+    "multimodal_mulaw_decode",
+    oracle="""
+    WITH smp AS (
+        SELECT e.vec_id,
+               ((e.vec_id * 9973 + i.i * 577) % 65536) - 32768 AS s
+        FROM embeddings e, range(64) i(i)
+    ), q AS (
+        SELECT vec_id,
+               CASE WHEN s < 0 THEN -1 ELSE 1 END AS sgn,
+               least(abs(s), 32635) + 132   AS b
+        FROM smp
+    ), v AS (
+        SELECT vec_id,
+               sgn * ((((b >> (CAST(floor(log2(b)) AS INT) - 7 + 3)) & 15) * 8
+                       + 132)
+                      * (1 << (CAST(floor(log2(b)) AS INT) - 7)) - 132) AS dec
+        FROM q
+    )
+    SELECT vec_id,
+           CAST(7 AS INT)      AS fmt_tag,
+           CAST(64 AS BIGINT)  AS n_samples,
+           CAST(sum(dec) AS BIGINT)      AS sum_dec,
+           CAST(sum(abs(dec)) AS BIGINT) AS sum_abs_dec
+    FROM v GROUP BY vec_id
+    """,
+    section="2.11 multimodal: REAL lossy audio decode (G.711 mu-law WAV)",
+)
+def multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL lossy AUDIO codec, zero external libraries: G.711 mu-law
+    — logarithmic companding used by actual telephony — implemented
+    from scratch in both directions. Per embedding row a valid WAV
+    with format tag 7 (mu-law, 8 kHz, 8-bit) is synthesized: 64
+    full-range 16-bit samples (the formula sweeps through the clip
+    region, so clipping is exercised) compressed by the real encoder;
+    the decoder walks the RIFF chunks generically, checks the format
+    tag, and expands each wire byte. Like JPEG, the lossy output IS
+    deterministic — companding quantizes onto a fixed grid — so the
+    oracle recomputes the decoded values in closed form
+    (sign/exponent/mantissa via log2 + bit ops in pure SQL) and the
+    match proves encode->WAV->decode lands on exactly the standard's
+    grid. Same two-mapInPandas shape as the other decoders."""
+    import struct
+
+    N = 64
+    d = load_table(spark, sf_dir, "embeddings").select("vec_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for vec_id in pdf["vec_id"]:
+                vid = int(vec_id)
+                enc = bytes(
+                    _mulaw_encode(((vid * 9973 + i * 577) % 65536) - 32768)
+                    for i in range(N)
+                )
+                fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+                payloads.append(
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(enc))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(enc)) + enc
+                )
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "vec_id long, payload binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for vec_id, payload in zip(pdf["vec_id"], pdf["payload"]):
+                b = bytes(payload)
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "not a WAV"
+                pos, tag, data = 12, None, None
+                while pos + 8 <= len(b):
+                    cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+                    body = b[pos + 8 : pos + 8 + size]
+                    if cid == b"fmt ":
+                        tag = struct.unpack_from("<H", body, 0)[0]
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + size + (size & 1)
+                assert tag == 7 and data is not None, "mu-law WAV expected"
+                dec = [_mulaw_decode(x) for x in data]
+                out.append(
+                    (vec_id, tag, len(dec), sum(dec), sum(abs(v) for v in dec))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["vec_id", "fmt_tag", "n_samples", "sum_dec", "sum_abs_dec"],
+            )
+
+    return media.mapInPandas(
+        decode,
+        "vec_id long, fmt_tag int, n_samples long, sum_dec long, sum_abs_dec long",
+    )
 
 
 @query(

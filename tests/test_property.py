@@ -534,3 +534,20 @@ def test_jpeg_byte_stuffing_path():
     flat, out = _jpeg_rt(px)
     errs = [abs(a - c) for a, c in zip(flat, out)]
     assert sum(errs) / len(errs) < 6.0, sum(errs) / len(errs)
+
+
+def test_mulaw_codec_grid_and_anchors():
+    """G.711 mu-law: companding must be idempotent on its own
+    quantization grid (dec(enc(dec(enc(s)))) == dec(enc(s))), and hit
+    the standard's known anchors — enc(0) is the all-complemented
+    0xFF, the max-magnitude decode is +/-32124, and both zero codes
+    (0x7F/0xFF) expand to 0."""
+    from pydra_map_reduce_spark.plans.multimodal import _mulaw_decode, _mulaw_encode
+
+    assert _mulaw_encode(0) == 0xFF
+    assert _mulaw_decode(0xFF) == 0 and _mulaw_decode(0x7F) == 0
+    assert _mulaw_decode(_mulaw_encode(32767)) == 32124
+    assert _mulaw_decode(_mulaw_encode(-32768)) == -32124
+    for s in range(-32768, 32768, 257):
+        d1 = _mulaw_decode(_mulaw_encode(s))
+        assert _mulaw_decode(_mulaw_encode(d1)) == d1, s
