@@ -671,3 +671,130 @@ def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.mapInPandas(
         decode, "vec_id long, n_bytes long, first_word long, byte_sum long"
     )
+
+
+def _warc_fixture_dir(sf_dir: str) -> str:
+    """Write the documents table as 4 deterministic .warc.gz shards —
+    Common Crawl's actual wire format: each WARC record is its OWN
+    gzip member (mtime pinned to 0 so bytes are reproducible), shard
+    0 leads with a warcinfo record so readers must filter by
+    WARC-Type. Pure pyarrow + stdlib from the parquet fixture (no
+    Spark collect); idempotent per (sf basename, row count)."""
+    import gzip
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n = tbl.num_rows
+    d = _tmp(f"warc_{os.path.basename(os.path.normpath(sf_dir))}_{n}")
+    done = os.path.join(d, "_COMPLETE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+
+    def record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+        head = "".join(f"{k}: {v}\r\n" for k, v in headers)
+        return (
+            f"WARC/1.0\r\n{head}Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload
+            + b"\r\n\r\n"
+        )
+
+    rows = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    shards: list[list[bytes]] = [[] for _ in range(4)]
+    info = record(
+        [("WARC-Type", "warcinfo"), ("WARC-Record-ID", "<urn:uuid:info>")],
+        b"software: pydra-map-reduce-spark fixture\r\n",
+    )
+    shards[0].append(gzip.compress(info, mtime=0))
+    for doc_id, text in rows:
+        payload = (text or "").encode("utf-8")
+        rec = record(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Record-ID", f"<urn:uuid:{doc_id}>"),
+                ("WARC-Target-URI", f"http://example.com/doc/{doc_id}"),
+            ],
+            payload,
+        )
+        shards[doc_id % 4].append(gzip.compress(rec, mtime=0))
+    for i, members in enumerate(shards):
+        with open(os.path.join(d, f"part-{i}.warc.gz"), "wb") as f:
+            f.write(b"".join(members))
+    with open(done, "w") as f:
+        f.write(str(n))
+    return d
+
+
+@query(
+    "warc_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS content_len,
+           md5(text)                    AS payload_md5
+    FROM documents
+    """,
+    section="2.1 WARC source (Common Crawl wire format: per-record gzip members)",
+)
+def warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest the web-archive format LLM corpora actually start from:
+    .warc.gz shards whose records are INDIVIDUAL gzip members (the
+    Common Crawl convention — it makes records seekable without
+    inflating the whole shard). The fixture writes the documents
+    table as 4 such shards (deterministic bytes, warcinfo record
+    first in shard 0); the reader is real: binaryFile ingestion, a
+    multi-member gunzip walk (zlib decompressobj + unused_data — a
+    whole-file gzip.decompress would silently stop after member 1),
+    WARC/1.0 version-line check, header parse, WARC-Type filtering,
+    Content-Length framing, and doc-id recovery from the Target-URI.
+    The oracle recomputes length+md5 from the source table, so a
+    green match proves text -> WARC -> gzip members -> parse is
+    byte-lossless end to end. Scale shape: per-FILE parallelism is
+    the production posture (thousands of ~1 GB shards); records
+    stream member-by-member, so task memory is one record, not one
+    shard."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = _warc_fixture_dir(sf_dir)
+    files = spark.read.format("binaryFile").load(d).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                buf = bytes(content)
+                while buf:
+                    z = zlib.decompressobj(wbits=31)
+                    rec = z.decompress(buf)
+                    buf = z.unused_data
+                    head, _, rest = rec.partition(b"\r\n\r\n")
+                    lines = head.decode("utf-8").split("\r\n")
+                    assert lines[0] == "WARC/1.0", "bad WARC version"
+                    hdrs = dict(
+                        ln.split(": ", 1) for ln in lines[1:] if ": " in ln
+                    )
+                    if hdrs.get("WARC-Type") != "response":
+                        continue
+                    n = int(hdrs["Content-Length"])
+                    payload = rest[:n]
+                    assert rest[n : n + 4] == b"\r\n\r\n", "bad record framing"
+                    doc_id = int(hdrs["WARC-Target-URI"].rsplit("/", 1)[1])
+                    rows.append(
+                        (doc_id, n, hashlib.md5(payload).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content_len", "payload_md5"]
+            )
+
+    return files.mapInPandas(
+        parse, "doc_id long, content_len long, payload_md5 string"
+    )
