@@ -26,11 +26,13 @@ from pydra_map_reduce_spark.plans import REGISTRY
 # terminal schemas were re-typed this round (the r7 DECIMAL hash trap:
 # values were proven identical, the driver's hash canonicalization of
 # DECIMAL cells diverged; all five now emit BIGINT minor units or
-# string digits and need fresh driver evidence), then (b) the queries
-# added in round 8, (c) the ten added late in round 7 after that
-# window froze, (d) the full 30-query remainder of the never-checked
-# queue, and (e) backfills the last slots with the stalest r3/r4-era
-# greens. Rows-only queries stay excluded (the driver can only record
+# string digits and need fresh driver evidence), then (b) the seven
+# queries added in round 8, (c) the nine added late in round 7 after
+# that window froze, and (d) the 29-query remainder of the
+# never-checked queue (feature_hashing was displaced to the r9 queue
+# by multimodal_jpeg_decode; the stale-green backfill slots are gone —
+# every slot carries a query with zero prior driver evidence).
+# Rows-only queries stay excluded (the driver can only record
 # `err: no_oracle` for them, wasting the slot). Everything previously
 # green moves behind the window and stays covered by the local suite,
 # which replays the identical differential over all of them.
@@ -47,7 +49,7 @@ _DRIVER_PRIORITY = [
     "binaryfile_scan", "sequence_pack", "multimodal_image_decode",
     "multimodal_audio_decode", "join_hint_shuffle_hash",
     "cdc_apply_deletes",
-    # (d) the never-driver-checked remainder — 30
+    # (d) the never-driver-checked remainder — 29
     "variant_extract", "python_datasource_scan", "mr_grouped_arrow",
     "udtf_polymorphic", "fuzzy_blocked_join", "waiting_suppliers_agg",
     "yoy_growth", "revenue_share", "jsonl_export", "dedup_report",

@@ -599,13 +599,16 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
+    # the try must open BEFORE the eager checkpoint below — that is
+    # the first job over the persisted edges frame; failing there
+    # would pin the cache the finally exists to release
     try:
+        labels = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("cluster_id", F.col("doc_id"))
+            .localCheckpoint(eager=True)
+        )
         for _ in range(max_iter):
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.doc_id)

@@ -53,7 +53,6 @@ def pagerank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_total = nodes.count()  # 1 scalar, fixed for the whole run
     # the dangling node SET (no out-edges) is loop-invariant: compute
     # and persist it once — deriving it from out_deg inside the loop
     # would replay the edge scan + distinct + degree agg every round
@@ -61,8 +60,14 @@ def pagerank(
         out_deg, nodes.node == out_deg.src, "left_anti"
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+    # the try must open BEFORE the first materializing action — the
+    # count and the eager checkpoint below are the jobs that populate
+    # the three caches, and a failure there would otherwise pin them
     try:
+        n_total = nodes.count()  # 1 scalar, fixed for the whole run
+        ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(
+            eager=True
+        )
         for _ in range(n_iter):
             contribs = (
                 ed.join(ranks, ed.src == ranks.node)

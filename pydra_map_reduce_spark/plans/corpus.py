@@ -808,20 +808,47 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.weighted_sample(d, "doc_id", "n_chars", 20)
 
 
-_DDC_SIZE = 100  # chunk_dedup_ratio: non-overlapping 100-char windows
+_DDC_SIZE = 100  # chunk dedup family: non-overlapping 100-char windows
+
+# THE chunk/fingerprint oracle CTE — one generator feeds both
+# chunk_dedup_ratio and chunk_dedup_scrub so their chunking stays
+# bit-identical (the scrub is the ratio's transform companion; a
+# one-sided edit to offsets or width would silently desynchronize
+# them — same single-definition rule as the WARC `_warc_records`).
+_DDC_CHUNKS_CTE = f"""chunks AS (
+        SELECT doc_id, o,
+               substr(text, o, {_DDC_SIZE})      AS chunk,
+               md5(substr(text, o, {_DDC_SIZE})) AS fp
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text), {_DDC_SIZE})) AS o
+            FROM documents WHERE length(text) > 0
+        )
+    )"""
+
+
+def _ddc_chunks(d: DataFrame) -> DataFrame:
+    """Spark twin of _DDC_CHUNKS_CTE: (doc_id, off, chunk, fp), one
+    row per non-overlapping 100-char window. Column pruning drops
+    off/chunk for consumers that only need fingerprints."""
+    return d.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text"), F.lit(_DDC_SIZE))
+        ).alias("off"),
+        "text",
+    ).select(
+        "doc_id",
+        "off",
+        F.substring(F.col("text"), F.col("off"), _DDC_SIZE).alias("chunk"),
+        F.md5(F.substring(F.col("text"), F.col("off"), _DDC_SIZE)).alias("fp"),
+    )
 
 
 @query(
     "chunk_dedup_ratio",
     oracle=f"""
-    WITH chunks AS (
-        SELECT doc_id, md5(substr(text, off, {_DDC_SIZE})) AS fp
-        FROM (
-            SELECT doc_id, text,
-                   unnest(generate_series(1, length(text), {_DDC_SIZE})) AS off
-            FROM documents WHERE length(text) > 0
-        )
-    ), freq AS (
+    WITH {_DDC_CHUNKS_CTE}, freq AS (
         SELECT fp, count(*) AS n_occ FROM chunks GROUP BY fp
     )
     SELECT c.doc_id,
@@ -846,15 +873,8 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     build side, never all-pairs). All three steps are keyed shuffles
     that scale linearly; at 100 TB this is exactly the suffix-chunk
     dedup pass in large-corpus pipelines."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    chunks = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text"), F.lit(_DDC_SIZE))).alias("off"),
-        "text",
-    ).select(
-        "doc_id",
-        F.md5(F.substring(F.col("text"), F.col("off"), _DDC_SIZE)).alias("fp"),
-    )
+    d = load_table(spark, sf_dir, "documents")
+    chunks = _ddc_chunks(d).select("doc_id", "fp")
     freq = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
 
     dup = (F.col("n_occ") >= 2).cast("int")
@@ -872,16 +892,7 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "chunk_dedup_scrub",
     oracle=f"""
-    WITH chunks AS (
-        SELECT doc_id, o,
-               substr(text, o, {_DDC_SIZE})      AS chunk,
-               md5(substr(text, o, {_DDC_SIZE})) AS fp
-        FROM (
-            SELECT doc_id, text,
-                   unnest(generate_series(1, length(text), {_DDC_SIZE})) AS o
-            FROM documents WHERE length(text) > 0
-        )
-    ), k AS (
+    WITH {_DDC_CHUNKS_CTE}, k AS (
         SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, o) AS rn
         FROM chunks
     )
@@ -915,19 +926,7 @@ def chunk_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions JVM-side (window, array_sort on (off,chunk) structs,
     transform + array_join); collect_list drops the when()'s NULLs,
     so dropped chunks never travel to the reassembly."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    chunks = d.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text"), F.lit(_DDC_SIZE))
-        ).alias("off"),
-        "text",
-    ).select(
-        "doc_id",
-        "off",
-        F.substring(F.col("text"), F.col("off"), _DDC_SIZE).alias("chunk"),
-        F.md5(F.substring(F.col("text"), F.col("off"), _DDC_SIZE)).alias("fp"),
-    )
+    chunks = _ddc_chunks(load_table(spark, sf_dir, "documents"))
     from pyspark.sql.window import Window
 
     rn = F.row_number().over(

@@ -734,7 +734,7 @@ def _warc_fixture_dir(sf_dir: str) -> str:
     "warc_scan",
     oracle="""
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS content_len,
+           CAST(strlen(text) AS BIGINT) AS content_len,
            md5(text)                    AS payload_md5
     FROM documents
     """,
@@ -751,12 +751,16 @@ def warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-file gzip.decompress would silently stop after member 1),
     WARC/1.0 version-line check, header parse, WARC-Type filtering,
     Content-Length framing, and doc-id recovery from the Target-URI.
-    The oracle recomputes length+md5 from the source table, so a
-    green match proves text -> WARC -> gzip members -> parse is
-    byte-lossless end to end. Scale shape: per-FILE parallelism is
-    the production posture (thousands of ~1 GB shards); records
-    stream member-by-member, so task memory is one record, not one
-    shard."""
+    The oracle recomputes byte-length (strlen) + md5 from the source
+    table — Content-Length is OCTETS per the WARC spec, so the byte
+    convention holds even for non-ASCII payloads — and a green match
+    proves text -> WARC -> gzip members -> parse is byte-lossless end
+    to end. Scale shape: per-FILE parallelism is the production
+    posture (thousands of ~1 GB shards); the honest memory envelope
+    is one shard per task (binaryFile materializes the file's bytes,
+    and each shard's parsed records are emitted as one frame) — the
+    gzip-member walk streams, but per-record task memory would need a
+    custom datasource, not binaryFile."""
     return _warc_records(spark, sf_dir).select(
         "doc_id", "content_len", "payload_md5"
     )
@@ -778,9 +782,13 @@ def _warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         import hashlib
         import zlib
 
+        cols = ["doc_id", "content_len", "payload_md5", "text"]
         for pdf in batches:
-            rows = []
             for content in pdf["content"]:
+                # yield per FILE: a batch of shards never accumulates
+                # into one list, bounding task memory at one shard's
+                # parsed records
+                rows = []
                 buf = bytes(content)
                 while buf:
                     z = zlib.decompressobj(wbits=31)
@@ -806,9 +814,7 @@ def _warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                             payload.decode("utf-8"),
                         )
                     )
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "content_len", "payload_md5", "text"]
-            )
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(
         parse, "doc_id long, content_len long, payload_md5 string, text string"

@@ -645,10 +645,16 @@ def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
             prev = table[(prev, k)]
         else:
             emit(prev, size)
-            table[(prev, k)] = next_code
-            next_code += 1
-            if next_code == (1 << size) + 1 and size < 12:
-                size += 1
+            # freeze at the 12-bit ceiling: codes are capped at 4095,
+            # so a full table keeps emitting with existing entries
+            # (spec-legal deferred-clear behavior); without the guard
+            # the encoder emits codes >= 4096 truncated to 12 bits and
+            # any raster with ~4k distinct strings decodes to garbage
+            if next_code < 4096:
+                table[(prev, k)] = next_code
+                next_code += 1
+                if next_code == (1 << size) + 1 and size < 12:
+                    size += 1
             prev = k
     emit(prev, size)
     emit(eoi, size)
@@ -703,7 +709,9 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
         else:
             raise AssertionError(f"LZW code {code} out of range")
         out.extend(seq)
-        if prev_seq is not None:
+        if prev_seq is not None and next_code < 4096:
+            # mirror the encoder's 12-bit freeze: once 4095 is taken,
+            # no side inserts, so code/width sequences stay aligned
             table[next_code] = prev_seq + (seq[0],)
             next_code += 1
             if next_code == (1 << size) and size < 12:

@@ -551,3 +551,19 @@ def test_mulaw_codec_grid_and_anchors():
     for s in range(-32768, 32768, 257):
         d1 = _mulaw_decode(_mulaw_encode(s))
         assert _mulaw_decode(_mulaw_encode(d1)) == d1, s
+
+
+def test_lzw_table_overflow_regime():
+    """Streams whose string table would exceed the 12-bit code space
+    must still round-trip: both sides freeze insertions at 4096
+    entries (spec-legal deferred-clear behavior). Before the freeze
+    guard, a ~4k-distinct-string stream emitted codes >= 4096
+    truncated to 12 bits and decoded to garbage."""
+    import random
+
+    from pydra_map_reduce_spark.plans.multimodal import _lzw_decode, _lzw_encode
+
+    rng = random.Random(7)
+    for n in (4025, 9000):
+        seq = [rng.randrange(256) for _ in range(n)]
+        assert _lzw_decode(_lzw_encode(seq, 8), 8) == seq, n
