@@ -938,26 +938,32 @@ def _jpeg_encode_gray(pixels: list[list[int]]) -> bytes:
                     out.append(0x00)  # byte stuffing
                 acc, nbits = 0, 0
 
-    cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)]
-    cu = [1 / math.sqrt(2)] + [1.0] * 7
+    import numpy as np
+
+    # vectorized 2D DCT: S = 0.25 * c(u)c(v) * (M @ B @ M.T) — matmul
+    # reassociation shifts sums by ~1e-13, far inside the 0.5
+    # quantization margin that makes DC-exact blocks exact (the pure
+    # per-coefficient loop was ~100x slower: 10 s for 5000 docs)
+    M = np.cos(
+        (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * math.pi / 16
+    )
+    cu_v = np.full(8, 1.0)
+    cu_v[0] = 1 / math.sqrt(2)
+    scale = 0.25 * np.outer(cu_v, cu_v)
+    qz = np.array(quant, dtype=np.float64)
+    zrows = np.array([u for u, _ in _ZIGZAG])
+    zcols = np.array([v for _, v in _ZIGZAG])
+    px = np.asarray(pixels, dtype=np.float64) - 128.0
 
     prev_dc = 0
     for by in range(h // 8):
         for bx in range(w // 8):
-            block = [
-                [pixels[by * 8 + y][bx * 8 + x] - 128 for x in range(8)]
-                for y in range(8)
+            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            S = scale * (M @ block @ M.T)
+            coefs = [
+                int(v)
+                for v in np.floor(S[zrows, zcols] / qz + 0.5).astype(np.int64)
             ]
-            coefs = []
-            for zi, (u, v) in enumerate(_ZIGZAG):
-                s = sum(
-                    block[y][x] * cos[u][y] * cos[v][x]
-                    for y in range(8)
-                    for x in range(8)
-                )
-                s *= 0.25 * cu[u] * cu[v]
-                q = quant[zi]
-                coefs.append(int(math.floor(s / q + 0.5)))
             diff = coefs[0] - prev_dc
             prev_dc = coefs[0]
             t = abs(diff).bit_length()
@@ -1092,12 +1098,23 @@ def _jpeg_decode_gray(data: bytes) -> tuple[int, int, list[int]]:
             v = (v << 1) | read_bit()
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
-    cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)]
-    cu = [1 / math.sqrt(2)] + [1.0] * 7
+    import numpy as np
+
+    # vectorized IDCT, mirror of the encoder's matmul form:
+    # f = M.T @ (0.25 c(u)c(v) G) @ M — same ~1e-13 reassociation
+    # error, same 0.5 rounding margin
+    M = np.cos(
+        (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * math.pi / 16
+    )
+    cu_v = np.full(8, 1.0)
+    cu_v[0] = 1 / math.sqrt(2)
+    scale = 0.25 * np.outer(cu_v, cu_v)
+    zrows = np.array([u for u, _ in _ZIGZAG])
+    zcols = np.array([v for _, v in _ZIGZAG])
     q = quant[0]
     dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
 
-    pixels = [0] * (w * h)
+    out = np.empty((h, w), dtype=np.int64)
     prev_dc = 0
     for by in range(h // 8):
         for bx in range(w // 8):
@@ -1115,19 +1132,14 @@ def _jpeg_decode_gray(data: bytes) -> tuple[int, int, list[int]]:
                 k += sym >> 4
                 coefs[k] = receive_extend(sym & 15) * q[k]
                 k += 1
-            grid = [[0.0] * 8 for _ in range(8)]
-            for zi, (u, v) in enumerate(_ZIGZAG):
-                if coefs[zi]:
-                    c = 0.25 * cu[u] * cu[v] * coefs[zi]
-                    for y in range(8):
-                        for x in range(8):
-                            grid[y][x] += c * cos[u][y] * cos[v][x]
-            for y in range(8):
-                row = (by * 8 + y) * w + bx * 8
-                for x in range(8):
-                    val = int(math.floor(grid[y][x] + 128 + 0.5))
-                    pixels[row + x] = min(255, max(0, val))
-    return w, h, pixels
+            G = np.zeros((8, 8))
+            G[zrows, zcols] = coefs  # dezigzag
+            grid = M.T @ (scale * G) @ M
+            vals = np.floor(grid + 128.5).astype(np.int64)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                vals, 0, 255
+            )
+    return w, h, [int(v) for v in out.ravel()]
 
 
 def _mulaw_encode(s: int) -> int:
