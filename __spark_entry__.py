@@ -66,10 +66,10 @@ _DRIVER_PRIORITY = [
 # Round-9 rotation queue: after this window lands, every oracle-backed
 # query except `feature_hashing` (displaced by multimodal_jpeg_decode)
 # and the post-freeze round-8 additions (`multimodal_mulaw_decode`,
-# `warc_scan`, `warc_pipeline`) has driver evidence in some ledger.
-# Compose the r9 window from (1) feature_hashing +
-# multimodal_mulaw_decode + warc_scan + warc_pipeline + any queries
-# added after this window froze, (2) any r8 reds, then (3) the stalest
+# `warc_scan`, `warc_pipeline`, `embedding_covariance`,
+# `pca_power_component`) has driver evidence in some ledger.
+# Compose the r9 window from (1) feature_hashing + those five + any
+# queries added after this window froze, (2) any r8 reds, then (3) the stalest
 # greens oldest-first (r3/r4-era function families, the window family,
 # the setops family). Keep rows-only queries out of the window.
 

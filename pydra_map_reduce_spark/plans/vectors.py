@@ -519,3 +519,149 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         dim=64, threshold=0.4, index=_ivf_index(spark, sf_dir),
     )
+
+
+_COV_CTE = """cells AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    ), cov AS (
+        SELECT a.i AS i, b.i AS j,
+               sum(a.v * b.v) / count(*)
+                 - (sum(a.v) / count(*)) * (sum(b.v) / count(*)) AS c
+        FROM cells a JOIN cells b USING (vec_id)
+        GROUP BY a.i, b.i
+    )"""
+
+_EMB_DIM = 64  # fixture embedding dimensionality
+
+
+def _cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNROUNDED covariance frame (i, j, c), the shared core of both
+    linear-algebra queries (single-definition rule: the PCA iteration
+    must run on exactly the matrix the covariance query grades).
+    Scale shape: each Arrow batch reduces to ONE partial — (count,
+    column sums, dxd Gram via numpy matmul) — so the only wide
+    exchange carries d^2 rows PER BATCH, never per vector: the
+    treeAggregate-of-Gram pattern of MLlib's RowMatrix. cov =
+    E[xy] - E[x]E[y] assembled from the merged partials."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    d = _EMB_DIM
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ii, jj = np.indices((d, d))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            s = arr.sum(axis=0)
+            g = arr.T @ arr
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel() + 1,
+                    "j": jj.ravel() + 1,
+                    "sxy": g.ravel(),
+                    "sx": s[ii.ravel()],
+                    "sy": s[jj.ravel()],
+                    "n": np.full(d * d, len(arr), dtype=np.int64),
+                }
+            )
+
+    p = e.mapInPandas(
+        partials, "i int, j int, sxy double, sx double, sy double, n long"
+    )
+    m = p.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("n").alias("n"),
+    )
+    return m.select(
+        "i",
+        "j",
+        (
+            F.col("sxy") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+        ).alias("c"),
+    )
+
+
+@query(
+    "embedding_covariance",
+    oracle=f"""
+    WITH {_COV_CTE}
+    SELECT i, j, round(c, 6) + 0.0 AS cov FROM cov
+    """,
+    section="2.11 distributed linear algebra: embedding covariance (one-pass Gram)",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The covariance matrix of the embedding column, one corpus pass
+    (see _cov_matrix for the Gram-partial scale shape). The oracle
+    computes the same matrix the readable-but-quadratic way (explode
+    to cells, self-join on vec_id) — the answers must agree, the
+    access patterns deliberately do not: the engine side never
+    materializes N*d^2 rows. Rounded at 6dp both sides (+0.0
+    normalizes any -0.0 before the driver hash)."""
+    return _cov_matrix(spark, sf_dir).select(
+        "i", "j", (F.round(F.col("c"), 6) + F.lit(0.0)).alias("cov")
+    )
+
+
+@query(
+    "pca_power_component",
+    oracle=f"""
+    WITH {_COV_CTE}, x0 AS (
+        SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v
+        FROM (SELECT DISTINCT i FROM cov)
+    ), y1 AS (
+        SELECT c.i, sum(c.c * x.v) AS v FROM cov c JOIN x0 x ON x.i = c.j GROUP BY c.i
+    ), x1 AS (
+        SELECT i, v / (SELECT sqrt(sum(v * v)) FROM y1) AS v FROM y1
+    ), y2 AS (
+        SELECT c.i, sum(c.c * x.v) AS v FROM cov c JOIN x1 x ON x.i = c.j GROUP BY c.i
+    ), x2 AS (
+        SELECT i, v / (SELECT sqrt(sum(v * v)) FROM y2) AS v FROM y2
+    ), y3 AS (
+        SELECT c.i, sum(c.c * x.v) AS v FROM cov c JOIN x2 x ON x.i = c.j GROUP BY c.i
+    ), x3 AS (
+        SELECT i, v / (SELECT sqrt(sum(v * v)) FROM y3) AS v FROM y3
+    )
+    SELECT i, round(v, 6) + 0.0 AS loading FROM x3
+    """,
+    section="2.11 distributed linear algebra: PCA top component (power iteration)",
+)
+def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by THREE fixed power-iteration rounds
+    (x <- normalize(C x), x0 = e_1) over the distributed covariance:
+    the corpus is touched exactly once (the Gram partials of
+    _cov_matrix, localCheckpointed so iterations don't replay it);
+    every iteration then runs on the d^2-row covariance frame —
+    matvec = broadcast-join the d-row vector on j + i-keyed sum,
+    the pagerank shape at matrix scale. Fixed iteration count keeps
+    the plan static and the oracle expressible as three unrolled
+    matvec CTEs. Deterministic without a sign convention: both
+    engines start from the same x0 and the iterate's sign evolves
+    identically (float divergence ~1e-15 cannot flip it; components
+    near zero are normalized by round+0.0 on both sides)."""
+    cmat = _cov_matrix(spark, sf_dir).localCheckpoint(eager=True)
+    x = cmat.select("i").distinct().select(
+        "i", F.when(F.col("i") == 1, F.lit(1.0)).otherwise(F.lit(0.0)).alias("v")
+    )
+    for _ in range(3):
+        y = (
+            cmat.join(F.broadcast(x.withColumnRenamed("i", "j")), "j")
+            .select("i", (F.col("c") * F.col("v")).alias("t"))
+            .groupBy("i")
+            .agg(F.sum("t").alias("v"))
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("s"))
+        x = y.crossJoin(F.broadcast(norm)).select(
+            "i", (F.col("v") / F.col("s")).alias("v")
+        )
+    return x.select("i", (F.round(F.col("v"), 6) + F.lit(0.0)).alias("loading"))
