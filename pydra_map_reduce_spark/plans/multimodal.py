@@ -890,6 +890,25 @@ _ZIGZAG = sorted(
 )
 
 
+def _dct_basis():
+    """(M, scale) for the 8x8 DCT-II pair: M[u][x] = cos((2x+1)u*pi/16),
+    scale = 0.25*c(u)c(v). ONE constructor shared by encoder (forward
+    S = scale*(M @ B @ M.T)) and decoder (inverse f = M.T@(scale*G)@M)
+    — same single-definition rule as the Huffman tables: a one-sided
+    basis tweak must break loudly, not drift the round-trip apart at
+    the DC-exact verification boundary."""
+    import math
+
+    import numpy as np
+
+    M = np.cos(
+        (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * math.pi / 16
+    )
+    cu = np.full(8, 1.0)
+    cu[0] = 1 / math.sqrt(2)
+    return M, 0.25 * np.outer(cu, cu)
+
+
 def _jpeg_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) per the JPEG canonical construction:
     codes of each length are consecutive, doubling when the length
@@ -940,16 +959,11 @@ def _jpeg_encode_gray(pixels: list[list[int]]) -> bytes:
 
     import numpy as np
 
-    # vectorized 2D DCT: S = 0.25 * c(u)c(v) * (M @ B @ M.T) — matmul
+    # vectorized 2D DCT: S = scale * (M @ B @ M.T) — matmul
     # reassociation shifts sums by ~1e-13, far inside the 0.5
     # quantization margin that makes DC-exact blocks exact (the pure
     # per-coefficient loop was ~100x slower: 10 s for 5000 docs)
-    M = np.cos(
-        (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * math.pi / 16
-    )
-    cu_v = np.full(8, 1.0)
-    cu_v[0] = 1 / math.sqrt(2)
-    scale = 0.25 * np.outer(cu_v, cu_v)
+    M, scale = _dct_basis()
     qz = np.array(quant, dtype=np.float64)
     zrows = np.array([u for u, _ in _ZIGZAG])
     zcols = np.array([v for _, v in _ZIGZAG])
@@ -960,10 +974,7 @@ def _jpeg_encode_gray(pixels: list[list[int]]) -> bytes:
         for bx in range(w // 8):
             block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             S = scale * (M @ block @ M.T)
-            coefs = [
-                int(v)
-                for v in np.floor(S[zrows, zcols] / qz + 0.5).astype(np.int64)
-            ]
+            coefs = np.floor(S[zrows, zcols] / qz + 0.5).astype(np.int64).tolist()
             diff = coefs[0] - prev_dc
             prev_dc = coefs[0]
             t = abs(diff).bit_length()
@@ -1101,20 +1112,18 @@ def _jpeg_decode_gray(data: bytes) -> tuple[int, int, list[int]]:
     import numpy as np
 
     # vectorized IDCT, mirror of the encoder's matmul form:
-    # f = M.T @ (0.25 c(u)c(v) G) @ M — same ~1e-13 reassociation
+    # f = M.T @ (scale * G) @ M — same ~1e-13 reassociation
     # error, same 0.5 rounding margin
-    M = np.cos(
-        (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * math.pi / 16
-    )
-    cu_v = np.full(8, 1.0)
-    cu_v[0] = 1 / math.sqrt(2)
-    scale = 0.25 * np.outer(cu_v, cu_v)
+    M, scale = _dct_basis()
     zrows = np.array([u for u, _ in _ZIGZAG])
     zcols = np.array([v for _, v in _ZIGZAG])
     q = quant[0]
     dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
 
-    out = np.empty((h, w), dtype=np.int64)
+    # zeros, not empty: a non-8-aligned SOF leaves margin pixels
+    # unwritten by the block loops — they must decode as the
+    # deterministic zeros the pre-vectorization buffer guaranteed
+    out = np.zeros((h, w), dtype=np.int64)
     prev_dc = 0
     for by in range(h // 8):
         for bx in range(w // 8):
@@ -1139,7 +1148,7 @@ def _jpeg_decode_gray(data: bytes) -> tuple[int, int, list[int]]:
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
                 vals, 0, 255
             )
-    return w, h, [int(v) for v in out.ravel()]
+    return w, h, out.ravel().tolist()
 
 
 def _mulaw_encode(s: int) -> int:

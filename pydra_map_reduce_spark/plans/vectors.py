@@ -13,6 +13,8 @@ from ..operators import similarity as ops
 from ..sources.tables import load_table
 from .registry import query
 
+_EMB_DIM = 64  # fixture embedding dimensionality (single source of truth)
+
 
 @query(
     "cosine_topk",
@@ -89,7 +91,7 @@ _ALLPAIRS_ROUNDED_SQL = (
 )
 def allpairs_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.allpairs_cosine(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64, threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=_EMB_DIM, threshold=0.4
     )
 
 
@@ -105,7 +107,7 @@ def lsh_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to `allpairs_similarity` (miss prob ≤ 1.1e-7 per pair at
     the 0.4 threshold; see operators/similarity.py for the math)."""
     return ops.lsh_allpairs_cosine(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64, threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=_EMB_DIM, threshold=0.4
     )
 
 
@@ -129,7 +131,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator, so the whole pipeline — generate → rescore → decide —
     is equi-join-only and carries to corpus scale."""
     pairs = ops.lsh_allpairs_cosine(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64, threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=_EMB_DIM, threshold=0.4
     )
     return pairs.groupBy(F.col("id_b").alias("dup_id")).agg(
         F.min("id_a").cast("bigint").alias("keep_id"),
@@ -385,7 +387,7 @@ def ivf_ann_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         query_id=0,
-        dim=64,
+        dim=_EMB_DIM,
         n_clusters=64,
         lloyd_iters=2,
         n_probe=4,
@@ -435,7 +437,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> "ops.IvfIndex":
             load_table(spark, sf_dir, "embeddings"),
             "vec_id",
             "embedding",
-            dim=64,
+            dim=_EMB_DIM,
             n_clusters=64,
             lloyd_iters=2,
             materialize=True,
@@ -517,7 +519,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on operators/similarity.semantic_dedup."""
     return ops.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        dim=64, threshold=0.4, index=_ivf_index(spark, sf_dir),
+        dim=_EMB_DIM, threshold=0.4, index=_ivf_index(spark, sf_dir),
     )
 
 
@@ -534,7 +536,6 @@ _COV_CTE = """cells AS (
         GROUP BY a.i, b.i
     )"""
 
-_EMB_DIM = 64  # fixture embedding dimensionality
 
 
 def _cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,7 +597,9 @@ def _cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_covariance",
     oracle=f"""
     WITH {_COV_CTE}
-    SELECT i, j, round(c, 6) + 0.0 AS cov FROM cov
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           round(c, 6) + 0.0 AS cov
+    FROM cov
     """,
     section="2.11 distributed linear algebra: embedding covariance (one-pass Gram)",
 )
@@ -632,7 +635,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), x3 AS (
         SELECT i, v / (SELECT sqrt(sum(v * v)) FROM y3) AS v FROM y3
     )
-    SELECT i, round(v, 6) + 0.0 AS loading FROM x3
+    SELECT CAST(i AS INT) AS i, round(v, 6) + 0.0 AS loading FROM x3
     """,
     section="2.11 distributed linear algebra: PCA top component (power iteration)",
 )
