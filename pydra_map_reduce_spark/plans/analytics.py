@@ -771,3 +771,61 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("c_nationkey").agg(
         n.alias("n_cust"), round_half_up(gini, 4).alias("gini")
     )
+
+
+@query(
+    "mutual_information",
+    oracle="""
+    WITH joint AS (
+        SELECT lang, source, count(*) AS n_xy
+        FROM documents GROUP BY lang, source
+    ), nx AS (
+        SELECT lang, sum(n_xy) AS n_x FROM joint GROUP BY lang
+    ), ny AS (
+        SELECT source, sum(n_xy) AS n_y FROM joint GROUP BY source
+    ), tot AS (
+        SELECT sum(n_xy) AS n FROM joint
+    )
+    SELECT j.lang,
+           CAST(max(nx.n_x) AS BIGINT) AS n_lang,
+           floor(sum((j.n_xy * 1.0 / tot.n)
+                     * ln((j.n_xy * 1.0 * tot.n)
+                          / (nx.n_x * 1.0 * ny.n_y)))
+                 * 1000000 + 0.5) / 1000000 AS mi_part
+    FROM joint j
+    JOIN nx USING (lang) JOIN ny USING (source) CROSS JOIN tot
+    GROUP BY j.lang
+    """,
+    section="2.11 feature diagnostics: mutual information (lang ; source)",
+)
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the lang and source columns,
+    reported as per-lang contributions (their sum is I(lang;source)
+    in nats) — the information-theoretic sibling of
+    `chi2_independence` over the same contingency table, and the
+    standard 'is this metadata column informative about that one'
+    corpus diagnostic. One scan: the joint contingency groupBy; the
+    marginals derive from the joint frame (agg-sized, broadcast back)
+    so the raw table is never re-read, and the grand total rides a
+    1-row broadcast — no global window. Both engines feed ln() the
+    bit-identical double (n_xy*N)/(n_x*n_y) (integer products below
+    2^53 are exact in doubles); summation-order ulps are crushed by
+    the 6dp half-up round."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "source")
+    joint = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_xy"))
+    nx = joint.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    ny = joint.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
+    g = (
+        joint.join(F.broadcast(nx), "lang")
+        .join(F.broadcast(ny), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (F.col("n_xy") / F.col("n")) * F.log(
+        (F.col("n_xy") * F.lit(1.0) * F.col("n"))
+        / (F.col("n_x") * F.lit(1.0) * F.col("n_y"))
+    )
+    return g.groupBy("lang").agg(
+        F.max("n_x").cast("bigint").alias("n_lang"),
+        round_half_up(F.sum(term), 6).alias("mi_part"),
+    )
