@@ -23,6 +23,7 @@ from . import (  # noqa: F401  (import-for-side-effect: registry population)
     relational,
     scalar,
     setops,
+    sketches,
     streaming,
     text,
     vectors,

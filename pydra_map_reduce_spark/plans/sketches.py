@@ -1,0 +1,294 @@
+"""Portable probabilistic sketches over the documents corpus.
+SURVEY.md §2.11 (approximate structures with exact oracles).
+
+The JVM's own sketch aggregates (`approx_count_distinct`,
+`count_min_sketch`) hash with JVM-private families, so their graded
+queries are rows-only (`plans/relational.py`). These twins rebuild the
+same structures from the repo's PORTABLE md5-slice hash convention
+(`minhash_lsh_portable` / `simhash_portable` precedent): every
+register / counter value is a pure function of md5 hex that DuckDB
+reproduces bit-for-bit, upgrading the sketch class itself from
+rows-only to oracle-backed. The accuracy REPORT is the graded output —
+sketch estimate next to exact truth — because that is what a user
+tunes a sketch against, and because it makes both code paths (sketch
+build and exact baseline) load-bearing in one query.
+
+100 TB posture: both sketches are classic bounded-state map-reduce.
+The HLL register table is at most (sources x 64) rows after one
+distinct-shuffle + one max-agg; the CMS table is at most (4 x 512)
+cells after one word-count shuffle + one sum-agg over the vocab frame.
+Neither carries document payloads past the first aggregation, and both
+merge associatively (max / sum), so partial aggregation does the heavy
+lifting map-side exactly like the JVM-native versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import tokens
+from ..operators.textops import round_half_up
+from ..sources.tables import load_table
+from .registry import query
+
+# --- HyperLogLog geometry (Flajolet-Fuser-Gandouet-Meunier 2007) ----
+# m = 64 registers (p = 6 index bits) keeps the register table tiny at
+# any corpus scale while the ~1.04/sqrt(64) = 13% stderr stays honest
+# in the rel_err report column. alpha_64 = 0.709 is the paper's small-m
+# constant (the 0.7213/(1+1.079/m) asymptote applies at m >= 128).
+_HLL_M = 64
+_HLL_ALPHA = 0.709
+# md5 prefix budget: 15 hex chars = 60 bits, the largest slice that
+# stays positive in a signed BIGINT on both engines. 6 index bits
+# leave 54 bits for the rank-of-first-one geometric observable.
+_HLL_REST_BITS = 54
+
+# --- Count-Min geometry (Cormode-Muthukrishnan 2005) ----------------
+# d = 4 independent rows from the four disjoint 8-hex (32-bit) slices
+# of one md5 — the simhash_portable slicing convention — and w = 512
+# buckets per row: 2048 bounded cells total.
+_CMS_D = 4
+_CMS_W = 512
+
+
+def _hll_terms(word_col: str) -> tuple[F.Column, F.Column]:
+    """(bucket, rho) of the portable HLL observable for one item.
+
+    bucket = top 6 bits of the 60-bit md5 prefix; rho = 1 + number of
+    leading zeros of the remaining 54-bit field (the all-zero field —
+    probability 2^-54 — takes the defined maximum 55 so both engines
+    agree even on that never-in-fixture branch). Bit length comes from
+    length(bin(x)), an exact integer path on both engines — never
+    floor(log2(x)), whose float rounding can misclassify exact powers
+    of two.
+    """
+    h = F.conv(F.substring(F.md5(F.col(word_col)), 1, 15), 16, 10).cast("bigint")
+    bucket = F.shiftright(h, _HLL_REST_BITS)
+    rest = h.bitwiseAND(F.lit((1 << _HLL_REST_BITS) - 1))
+    rho = F.when(rest == 0, F.lit(_HLL_REST_BITS + 1)).otherwise(
+        F.lit(_HLL_REST_BITS + 1) - F.length(F.bin(rest))
+    )
+    return bucket, rho
+
+
+_HLL_ORACLE = f"""
+    WITH items AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), clean AS (
+        SELECT source, word,
+               CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
+        FROM items WHERE word <> ''
+    ), obs AS (
+        SELECT source,
+               h >> {_HLL_REST_BITS} AS bucket,
+               CASE WHEN (h & {(1 << _HLL_REST_BITS) - 1}) = 0
+                    THEN {_HLL_REST_BITS + 1}
+                    ELSE {_HLL_REST_BITS + 1}
+                         - length(bin(h & {(1 << _HLL_REST_BITS) - 1}))
+               END AS rho
+        FROM clean
+    ), regs AS (
+        SELECT source, bucket, max(rho) AS m_j FROM obs GROUP BY source, bucket
+    ), per_src AS (
+        SELECT source,
+               count(*) AS n_occ,
+               sum(power(2.0, -m_j)) AS s_occ
+        FROM regs GROUP BY source
+    ), exact AS (
+        SELECT source, count(*) AS exact_distinct FROM clean GROUP BY source
+    ), est AS (
+        SELECT p.source,
+               CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                         / (p.s_occ + ({_HLL_M} - p.n_occ)) <= 2.5 * {_HLL_M}
+                         AND p.n_occ < {_HLL_M}
+                    THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                       / ({_HLL_M} - p.n_occ))
+                    ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                         / (p.s_occ + ({_HLL_M} - p.n_occ))
+               END AS raw_est
+        FROM per_src p
+    )
+    SELECT e.source,
+           CAST(x.exact_distinct AS BIGINT)                    AS exact_distinct,
+           floor(e.raw_est * 10000 + 0.5) / 10000              AS hll_estimate,
+           floor(abs(e.raw_est - x.exact_distinct)
+                 / x.exact_distinct * 10000 + 0.5) / 10000     AS rel_err
+    FROM est e JOIN exact x ON e.source = x.source
+    ORDER BY e.source
+"""
+
+
+@query(
+    "hll_portable",
+    oracle=_HLL_ORACLE,
+    section="2.11 portable HyperLogLog distinct-count sketch (accuracy report)",
+)
+def hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-word HLL, rebuilt portably so the oracle
+    verifies every register: md5-prefix hash -> 6-bit register index +
+    rank-of-first-one observable -> max-per-register -> the FFGM
+    harmonic-mean estimator with the small-range linear-counting
+    correction (E <= 2.5m with empty registers -> m*ln(m/V)). Output =
+    exact distinct count next to the estimate and its relative error.
+
+    Plan: one (source, word) distinct feeds BOTH the register build
+    and the exact baseline (one shuffle, two cheap aggs); registers
+    merge by max, so the 100 TB state is 64 rows per source however
+    many tokens flow in. Float determinism: sum(2^-M_j) adds exact
+    dyadic rationals whose exponent span is far inside double
+    precision (register values sit in 1..~25), so the harmonic sum is
+    EXACT and order-independent on both engines; the one ln() in the
+    linear-counting branch is rounded half-up at 4dp, the repo's
+    convention for irrational scores (ln outputs never sit on decimal
+    midpoints). rest=0 (probability 2^-54) takes the defined max rho
+    so even that branch is engine-identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    items = (
+        d.select("source", F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    bucket, rho = _hll_terms("word")
+    regs = (
+        items.select("source", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    per_src = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s_occ"),
+    )
+    exact = items.groupBy("source").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    v_empty = F.lit(_HLL_M) - F.col("n_occ")
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / (F.col("s_occ") + v_empty)
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("n_occ") < _HLL_M),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v_empty),
+    ).otherwise(raw)
+    return (
+        per_src.withColumn("raw_est", est)
+        .join(exact, "source")
+        .select(
+            "source",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            round_half_up(F.col("raw_est"), 4).alias("hll_estimate"),
+            round_half_up(
+                F.abs(F.col("raw_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+def _cms_bucket_sql(i: int) -> str:
+    """DuckDB text of CMS row i's bucket for a word column."""
+    return (
+        f"CAST(('0x' || substr(md5(word), {1 + 8 * i}, 8)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_buckets(word_col: str) -> F.Column:
+    """Array of the d=4 row buckets (posexplode gives (row, bucket))."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.col(word_col)), 1 + 8 * i, 8), 16, 10
+            ).cast("bigint")
+            % _CMS_W
+            for i in range(_CMS_D)
+        ]
+    )
+
+
+_CMS_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS i, {_cms_bucket_sql(i)} AS bucket, word, n FROM wc"
+    for i in range(_CMS_D)
+)
+
+_CMS_ORACLE = f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+        SELECT word, count(*) AS n FROM tok WHERE word <> '' GROUP BY word
+    ), cells AS (
+        {_CMS_ROWS_SQL}
+    ), sketch AS (
+        SELECT i, bucket, CAST(sum(n) AS BIGINT) AS cnt
+        FROM cells GROUP BY i, bucket
+    ), top10 AS (
+        SELECT word, n FROM wc ORDER BY n DESC, word LIMIT 10
+    ), probe AS (
+        SELECT t.word, min(s.cnt) AS cm_estimate
+        FROM (SELECT word, i, bucket FROM cells
+              WHERE word IN (SELECT word FROM top10)) t
+        JOIN sketch s ON s.i = t.i AND s.bucket = t.bucket
+        GROUP BY t.word
+    )
+    SELECT t.word,
+           CAST(t.n AS BIGINT)            AS exact_n,
+           p.cm_estimate                  AS cm_estimate,
+           p.cm_estimate - CAST(t.n AS BIGINT) AS overcount
+    FROM top10 t JOIN probe p ON t.word = p.word
+    ORDER BY t.n DESC, t.word
+"""
+
+
+@query(
+    "count_min_sketch",
+    oracle=_CMS_ORACLE,
+    section="2.11 portable Count-Min frequency sketch (heavy-hitter probe)",
+)
+def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min word-frequency sketch (d=4 rows x w=512 buckets from
+    the four disjoint 32-bit md5 slices), probed at the 10 exact
+    heavy hitters: estimate = min over rows of the hashed cell, which
+    the CM guarantee bounds BELOW by the true count — the `overcount`
+    column is the one-sided error a user sizes w against, and it is
+    provably >= 0 (a property test pins that). Every output cell is a
+    BIGINT: sketches of counts need no float anywhere.
+
+    Plan: tokenize once into the exact (word, n) vocab frame (the one
+    corpus shuffle, partial-aggregated map-side); the sketch build
+    explodes the VOCAB frame — 4 rows per distinct word, never per
+    token occurrence — and sums into <= 2048 cells; the probe side
+    joins the 40 (word, row, bucket) probe cells to the sketch with a
+    broadcast. At 100 TB the sketch is still 2048 cells, the
+    definition of sublinear sketch state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = wc.select(
+        "word", "n", F.posexplode(_cms_buckets("word")).alias("i", "bucket")
+    )
+    sketch = cells.groupBy("i", "bucket").agg(F.sum("n").alias("cnt"))
+    top10 = wc.orderBy(F.col("n").desc(), "word").limit(10)
+    probe_cells = top10.select(
+        "word", F.posexplode(_cms_buckets("word")).alias("i", "bucket")
+    )
+    probe = (
+        probe_cells.join(sketch, ["i", "bucket"])
+        .groupBy("word")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return (
+        top10.join(F.broadcast(probe), "word")
+        .select(
+            "word",
+            F.col("n").alias("exact_n"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "word")
+    )

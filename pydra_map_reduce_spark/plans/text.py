@@ -540,10 +540,22 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bm25_topk",
-    oracle="""
-    WITH tok AS (
+# THE Okapi BM25 per-(doc, query-term) score (k1=1.2, b=0.75), written
+# once for both engines: the Column form scores every BM25-family
+# query (bm25_topk, rrf_fusion's lexical leg) and the SQL text is
+# embedded verbatim in their oracles. Literal constants (2.2, 0.25)
+# are spelled identically on both sides — 1.2+1.0 computed at runtime
+# can land one ulp from the literal 2.2 double, which is exactly the
+# kind of silent pairwise drift the single-definition discipline
+# exists to prevent.
+_OKAPI_TERM_SQL = """ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / s.avglen))"""
+
+# The shared BM25 statistics pipeline as oracle CTE text: per-doc term
+# frequencies, doc lengths, the 1-row corpus stats, and document
+# frequencies — the SQL twin of :func:`_bm25_frames`.
+_BM25_CTES_SQL = """tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS word
         FROM documents
     ), tf AS (
@@ -557,14 +569,47 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lens
     ), dfr AS (
         SELECT word, count(*) AS df FROM tf GROUP BY word
-    ), qterms AS (
+    )"""
+
+
+def _okapi_score() -> F.Column:
+    """Column twin of :data:`_OKAPI_TERM_SQL` over the joined frame's
+    tf / df / len / n_docs / avglen columns."""
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    return (
+        idf * F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avglen")))
+    )
+
+
+def _bm25_frames(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(tf, lens, stats, dfr) — the BM25 statistics pipeline: one
+    tokenize feeding the per-(doc, word) tf shuffle; lens reuses the
+    same exchange key; stats collapses to one broadcastable row; dfr
+    is vocab-sized. Shared by bm25_topk and rrf_fusion so the scoring
+    inputs cannot drift between the plain and fused retrievers."""
+    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avglen"),
+    )
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return tf, lens, stats, dfr
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES_SQL}, qterms AS (
         SELECT word, df FROM dfr ORDER BY df, word LIMIT 3
     )
     SELECT tf.doc_id,
            round(sum(
-               ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
-               * tf.tf * 2.2
-               / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / s.avglen))
+               {_OKAPI_TERM_SQL}
            ), 4) AS bm25
     FROM tf
     JOIN qterms q ON tf.word = q.word
@@ -572,9 +617,7 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN stats s
     GROUP BY tf.doc_id
     ORDER BY floor(sum(
-               ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
-               * tf.tf * 2.2
-               / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / s.avglen))
+               {_OKAPI_TERM_SQL}
            ) * 1e9 + 0.5) / 1e9 DESC, tf.doc_id
     LIMIT 10
     """,
@@ -603,31 +646,160 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort)."""
 
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("word")).filter(
-        F.col("word") != ""
-    )
-    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avglen"),
-    )
-    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    tf, lens, stats, dfr = _bm25_frames(d)
     qterms = dfr.orderBy("df", "word").limit(3)
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    score_term = (
-        idf * F.col("tf") * 2.2
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avglen")))
-    )
     return (
         tf.join(F.broadcast(qterms.select("word", "df")), "word")
         .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.sum(score_term).alias("raw"))
+        .agg(F.sum(_okapi_score()).alias("raw"))
         .orderBy((F.floor(F.col("raw") * 1e9 + 0.5) / 1e9).desc(), "doc_id")
         .limit(10)
         .select("doc_id", F.round("raw", 4).alias("bm25"))
+    )
+
+
+@query(
+    "rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_CTES_SQL}, qterms AS (
+        SELECT d.word, d.df FROM dfr d
+        WHERE d.word IN (SELECT word FROM tf WHERE doc_id = 0)
+        ORDER BY d.df, d.word LIMIT 3
+    ), lex_scored AS (
+        SELECT tf.doc_id, sum(
+               {_OKAPI_TERM_SQL}
+           ) AS raw
+        FROM tf
+        JOIN qterms q ON tf.word = q.word
+        JOIN lens ON lens.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        WHERE tf.doc_id <> 0
+        GROUP BY tf.doc_id
+    ), lex_top AS (
+        SELECT doc_id, raw FROM lex_scored
+        ORDER BY floor(raw * 1e9 + 0.5) / 1e9 DESC, doc_id LIMIT 20
+    ), lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY floor(raw * 1e9 + 0.5) / 1e9 DESC,
+                                           doc_id) AS lex_rank
+        FROM lex_top
+    ), emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), dense_scored AS (
+        SELECT e.vec_id,
+               list_cosine_similarity(e.emb, q.emb) AS cos
+        FROM emb e CROSS JOIN (SELECT emb FROM emb WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+    ), dense_top AS (
+        SELECT vec_id, cos FROM dense_scored
+        ORDER BY floor(cos * 1e9 + 0.5) / 1e9 DESC, vec_id LIMIT 20
+    ), dense AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY floor(cos * 1e9 + 0.5) / 1e9 DESC,
+                                           vec_id) AS dense_rank
+        FROM dense_top
+    ), fused AS (
+        SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id,
+               l.lex_rank,
+               d.dense_rank,
+               COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+             + COALESCE(1.0 / (60 + d.dense_rank), 0.0) AS raw
+        FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.vec_id
+    )
+    SELECT doc_id, lex_rank, dense_rank,
+           floor(raw * 1e6 + 0.5) / 1e6 AS rrf
+    FROM fused
+    ORDER BY floor(raw * 1e9 + 0.5) / 1e9 DESC, doc_id
+    LIMIT 10
+    """,
+    section="2.11 hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine",
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for query-document 0: the lexical leg scores
+    BM25 with the 3 globally-rarest terms OF DOC 0 (data-driven, so
+    the query survives fixture regeneration and both legs answer
+    \"what is most like document 0\"); the dense leg is brute-force
+    cosine against doc 0's embedding. Each leg keeps its top 20, and
+    reciprocal-rank fusion (k=60, the Cormack et al. constant) merges
+    them: rrf = sum over legs of 1/(60+rank) — rank-based, so the two
+    legs' incomparable score scales never need calibration, which is
+    why RRF is the standard first fusion in hybrid search.
+
+    Plan: the BM25 statistics pipeline is shared with bm25_topk
+    (:func:`_bm25_frames` — one definition); both legs cut to their
+    top 20 with TakeOrdered per-partition heaps FIRST and only then
+    rank the bounded 20-row frames with a window (a global window,
+    but over a LIMIT-bounded frame — documented in the plan-test
+    allowlist), so no corpus-sized single-partition sort exists at
+    any scale. The fusion join touches at most 40 rows. Determinism:
+    both legs rank on the family-standard floor-form 9dp key; the
+    RRF score is a sum of two exact IEEE divisions of small integers,
+    identical in both engines, rendered half-up at 6dp. Ranks surface
+    as BIGINT (Spark row_number is int32, DuckDB's is int64 — the
+    cast keeps schemas aligned); a leg miss is a NULL rank and a zero
+    fusion contribution.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators import similarity as sim
+
+    d = load_table(spark, sf_dir, "documents")
+    tf, lens, stats, dfr = _bm25_frames(d)
+    doc0_words = tf.filter(F.col("doc_id") == 0).select("word")
+    qterms = dfr.join(doc0_words, "word").orderBy("df", "word").limit(3)
+    lex_key = (F.floor(F.col("raw") * 1e9 + 0.5) / 1e9).desc()
+    lex = (
+        tf.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qterms.select("word", "df")), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(_okapi_score()).alias("raw"))
+        .orderBy(lex_key, "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(lex_key, "doc_id"))
+            .cast("bigint")
+            .alias("lex_rank"),
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double("embedding").alias("emb")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    dense_key = sim.rank_key(F.col("cos")).desc()
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", sim.cosine(F.col("emb"), F.col("qv")).alias("cos"))
+        .orderBy(dense_key, "vec_id")
+        .limit(20)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(dense_key, "vec_id"))
+            .cast("bigint")
+            .alias("dense_rank"),
+        )
+    )
+    raw = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)
+    )
+    return (
+        lex.join(dense, lex["doc_id"] == dense["vec_id"], "full_outer")
+        .select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            "lex_rank",
+            "dense_rank",
+            raw.alias("raw"),
+        )
+        .orderBy((F.floor(F.col("raw") * 1e9 + 0.5) / 1e9).desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", "lex_rank", "dense_rank", round_half_up(F.col("raw"), 6).alias("rrf"))
     )
 
 

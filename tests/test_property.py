@@ -567,3 +567,26 @@ def test_lzw_table_overflow_regime():
     for n in (4025, 9000):
         seq = [rng.randrange(256) for _ in range(n)]
         assert _lzw_decode(_lzw_encode(seq, 8), 8) == seq, n
+
+
+def test_cms_one_sided_error_and_hll_accuracy(spark):
+    """The sketches' defining guarantees, pinned on the fixture:
+    Count-Min never UNDERestimates (estimate >= exact for every probed
+    word — the min-of-hashed-cells bound), and the m=64 HLL lands
+    within 4 standard errors (4 * 1.04/sqrt(64) = 52%) of the exact
+    per-source distinct count. Both checks are deterministic (portable
+    md5 hashing, fixed fixture), so a hash-slicing or estimator bug
+    fails them reproducibly rather than probabilistically."""
+    from pydra_map_reduce_spark.plans import REGISTRY
+
+    cms = REGISTRY["count_min_sketch"].fn(spark, SF_DIR).collect()
+    assert len(cms) == 10
+    for r in cms:
+        assert r.cm_estimate >= r.exact_n, r
+        assert r.overcount == r.cm_estimate - r.exact_n, r
+
+    hll = REGISTRY["hll_portable"].fn(spark, SF_DIR).collect()
+    assert len(hll) == 20
+    for r in hll:
+        assert r.rel_err <= 0.52, r
+        assert abs(r.hll_estimate - r.exact_distinct) / r.exact_distinct <= 0.52, r
