@@ -803,6 +803,157 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE tokenizer training (Sennrich et al. 2016) -------------------
+# One merge round's SQL, written once and unrolled: pk counts adjacent
+# symbol pairs weighted by word frequency; bk is the arg-max pair
+# (count desc, pair asc — the deterministic tie-break both engines
+# share); spk applies the merge with list_reduce, the EXACT canonical
+# left-to-right fold (a plain string replace() diverges from BPE on
+# overlapping runs like "x y x y": its first match consumes the shared
+# boundary space, so the second occurrence no longer matches — the
+# fold carries the accumulator and cannot skip).
+
+_BPE_PAIRS_SQL = """SELECT unnest(list_transform(
+               generate_series(1, len(string_split(sp, ' ')) - 1),
+               i -> string_split(sp, ' ')[i] || ' ' || string_split(sp, ' ')[i+1]
+           )) AS pair, cnt FROM {src}"""
+
+_BPE_BEST_SQL = """SELECT pair,
+           string_split(pair, ' ')[1] AS x,
+           string_split(pair, ' ')[2] AS y,
+           replace(pair, ' ', '')     AS xy,
+           CAST(sum_cnt AS BIGINT)    AS c
+    FROM (SELECT pair, sum(cnt) AS sum_cnt FROM {pairs} GROUP BY pair)
+    ORDER BY sum_cnt DESC, pair LIMIT 1"""
+
+_BPE_FOLD_SQL = """SELECT list_reduce(string_split(s.sp, ' '), (acc, t) ->
+           CASE WHEN (acc = b.x OR right(acc, length(b.x) + 1) = (' ' || b.x))
+                     AND t = b.y
+                THEN CASE WHEN acc = b.x THEN b.xy
+                     ELSE left(acc, length(acc) - length(b.x)) || b.xy END
+                ELSE acc || ' ' || t END) AS sp, s.cnt
+    FROM {src} s CROSS JOIN {best} b"""
+
+
+def _bpe_oracle(rounds: int) -> str:
+    ctes = [
+        """tok AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    )""",
+        """v0 AS (
+        SELECT word, count(*) AS cnt FROM tok WHERE word <> '' GROUP BY word
+    )""",
+        """sp0 AS (
+        SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sp, cnt FROM v0
+    )""",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"p{k} AS ({_BPE_PAIRS_SQL.format(src=f'sp{k - 1}')})")
+        ctes.append(f"b{k} AS ({_BPE_BEST_SQL.format(pairs=f'p{k}')})")
+        if k < rounds:
+            ctes.append(
+                f"sp{k} AS ({_BPE_FOLD_SQL.format(src=f'sp{k - 1}', best=f'b{k}')})"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, pair, xy AS merged, "
+        f"c AS pair_count FROM b{k}"
+        for k in range(1, rounds + 1)
+    )
+    return f"WITH {', '.join(ctes)} {selects} ORDER BY merge_rank"
+
+
+# Column-side twins of the oracle fragments (split/zip_with/aggregate
+# are Spark's names for string_split/list_transform/list_reduce).
+_BPE_PAIRS_EXPR = (
+    "zip_with(slice(split(sp, ' '), 1, size(split(sp, ' ')) - 1),"
+    "         slice(split(sp, ' '), 2, size(split(sp, ' ')) - 1),"
+    "         (a, b) -> concat(a, ' ', b))"
+)
+
+_BPE_FOLD_EXPR = """aggregate(split(sp, ' '), '', (acc, t) ->
+    CASE WHEN acc = '' THEN t
+         WHEN (acc = bx OR right(acc, length(bx) + 1) = (' ' || bx)) AND t = by
+         THEN CASE WHEN acc = bx THEN bxy
+              ELSE left(acc, length(acc) - length(bx)) || bxy END
+         ELSE acc || ' ' || t END)"""
+
+
+@query(
+    "bpe_merges",
+    oracle=_bpe_oracle(3),
+    section="2.11 BPE tokenizer training: first 3 merge rules (exact Sennrich fold)",
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus's first 3 BPE merge rules — the tokenizer-
+    TRAINING step of an LLM data pipeline, not just token counting:
+    start from the character-level vocabulary, and per round (a) count
+    adjacent symbol pairs weighted by word frequency, (b) take the
+    most frequent pair (count desc, pair asc tie-break), (c) merge
+    every left-to-right non-overlapping occurrence in the vocabulary.
+    Output = (merge_rank, pair, merged, pair_count), the head of the
+    merge table a real BPE tokenizer would ship.
+
+    The merge is the EXACT canonical Sennrich fold, expressed as
+    `aggregate()` over the symbol list (DuckDB mirrors with
+    `list_reduce`): the accumulator merges t into its last symbol only
+    when that symbol equals x AND t = y, so overlapping runs behave
+    like the reference algorithm ("l o l o l" -> "lo lo l"), where a
+    naive string replace() silently skips every second occurrence
+    (its first match consumes the shared boundary space).
+
+    100 TB posture: this is word-level BPE training as production
+    tokenizers run it — ONE corpus scan builds the (word, count)
+    vocabulary (map-side combined), localCheckpoint'd so the 3 merge
+    rounds replay vocab-sized work only; each round is a vocab-sized
+    pair explode + keyed agg, a 1-row TakeOrdered arg-max broadcast
+    back with crossJoin, and a codegen string fold — no round touches
+    the corpus or the driver. Pair counts are exact integers, so the
+    arg-max and its tie-break are engine-identical by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(textops.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sp = vocab.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sp"), "cnt"
+    ).localCheckpoint(eager=True)
+    rounds = []
+    for k in (1, 2, 3):
+        best = (
+            sp.select(F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "pair")
+            .limit(1)
+            .select(
+                F.col("pair").alias("bpair"),
+                F.split("pair", " ")[0].alias("bx"),
+                F.split("pair", " ")[1].alias("by"),
+                F.regexp_replace("pair", " ", "").alias("bxy"),
+                F.col("c").alias("bc"),
+            )
+        )
+        rounds.append(
+            best.select(
+                F.lit(k).cast("bigint").alias("merge_rank"),
+                F.col("bpair").alias("pair"),
+                F.col("bxy").alias("merged"),
+                F.col("bc").alias("pair_count"),
+            )
+        )
+        if k < 3:
+            sp = sp.crossJoin(F.broadcast(best)).select(
+                F.expr(_BPE_FOLD_EXPR).alias("sp"), "cnt"
+            )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("merge_rank")
+
+
 @query(
     "token_entropy",
     oracle="""

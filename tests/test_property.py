@@ -590,3 +590,60 @@ def test_cms_one_sided_error_and_hll_accuracy(spark):
     for r in hll:
         assert r.rel_err <= 0.52, r
         assert abs(r.hll_estimate - r.exact_distinct) / r.exact_distinct <= 0.52, r
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_bpe_fold_is_canonical_sennrich(words, spark):
+    """The engine's aggregate() merge fold must equal the canonical
+    left-to-right BPE merge (Sennrich et al.) on adversarial two-letter
+    words — exactly the overlapping-run regime ('a b a b', 'a a a a')
+    where a naive string replace() diverges by consuming the shared
+    boundary space. The reference is an independent pure-Python scan;
+    the pair under merge is the corpus's own arg-max, like the query's
+    first round."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.plans.text import _BPE_FOLD_EXPR, _BPE_PAIRS_EXPR
+
+    # reference: canonical LTR merge of pair (x, y) over a symbol list
+    def ltr_merge(syms, x, y):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    pair_counts = Counter()
+    for w in words:
+        for a, b in zip(w, w[1:]):
+            pair_counts[(a, b)] += 1
+    if not pair_counts:
+        return
+    (x, y), _ = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    df = spark.createDataFrame([(w,) for w in words], ["word"]).select(
+        F.col("word"),
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sp"),
+        F.lit(x).alias("bx"),
+        F.lit(y).alias("by"),
+        F.lit(x + y).alias("bxy"),
+    )
+    got = {
+        r.word: r.m for r in df.select("word", F.expr(_BPE_FOLD_EXPR).alias("m")).collect()
+    }
+    for w in words:
+        assert got[w] == " ".join(ltr_merge(list(w), x, y)), (w, x, y, got[w])
