@@ -88,6 +88,11 @@ HEADLINE = [
     "multimodal_png_decode", # REAL compressed-codec decode (zlib inflate + unfilter)
     "linear_quality_score",  # model inference (hashed features x broadcast weights)
     "sequence_pack",         # concat-and-chunk token packing (closed-form spans)
+    "hll_portable",          # portable HLL registers + accuracy report
+    "count_min_sketch",      # portable CMS build + heavy-hitter probe
+    "rrf_fusion",            # hybrid retrieval (BM25 + dense legs, RRF merge)
+    "bpe_merges",            # tokenizer training (3 merge rounds over vocab)
+    "random_projection",     # JL 16-dim sketch + corpus distortion report
 ]
 
 

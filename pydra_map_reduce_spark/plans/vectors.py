@@ -668,3 +668,192 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", (F.col("v") / F.col("s")).alias("v")
         )
     return x.select("i", (F.round(F.col("v"), 6) + F.lit(0.0)).alias("loading"))
+
+
+# --- Johnson-Lindenstrauss random projection --------------------------
+# Deterministic sign matrix (Achlioptas 2003 ±1 variant): the sign of
+# R[c][j] is the first md5 nibble of "rp:<j>:<c>" — computed ONCE here
+# in Python (hashlib md5 == Spark md5 == DuckDB md5) and embedded as
+# literals in BOTH the Column plan and the oracle SQL, so neither
+# engine hashes at runtime and the matrix cannot drift between them.
+_RP_K = 16  # projected dimensionality
+
+
+def _rp_signs(dim: int, k: int) -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp:{j}:{c}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for j in range(dim)
+        ]
+        for c in range(k)
+    ]
+
+
+def _rp_proj_expr(signs_c: list[int]) -> str:
+    """Spark SQL text of one projected coordinate: the LTR fold
+    sum_j v[j]*s[j] (aggregate seeds 0.0; 0.0+x == x in IEEE, so the
+    grouping matches DuckDB's first-element-seeded list_reduce
+    bit-for-bit)."""
+    arr = ", ".join(str(s) for s in signs_c)
+    return (
+        f"aggregate(zip_with(cast(embedding as array<double>), array({arr}),"
+        f" (x, s) -> x * s), cast(0.0 as double), (a, b) -> a + b)"
+    )
+
+
+def _rp_proj_sql(signs_c: list[int]) -> str:
+    """DuckDB twin of :func:`_rp_proj_expr` (same products, same LTR
+    sum; the embedding cast drives DOUBLE so the integer sign literals
+    never pull the fold into DECIMAL)."""
+    arr = ", ".join(str(s) for s in signs_c)
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_EMB_DIM}),"
+        f" j -> (CAST(embedding AS DOUBLE[]))[j] * ([{arr}])[j]),"
+        f" (a, b) -> a + b)"
+    )
+
+
+def _chain_sql(terms: list[str]) -> str:
+    """Left-associated + chain (SQL's own grammar associativity —
+    spelled out so the Spark twin builds the identical tree)."""
+    return " + ".join(terms)
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs(_EMB_DIM, _RP_K)
+    proj_cols = ", ".join(
+        f"{_rp_proj_sql(signs[c])} AS p{c}" for c in range(_RP_K)
+    )
+    dot_pp = _chain_sql([f"a.p{c} * b.p{c}" for c in range(_RP_K)])
+    norm_a = _chain_sql([f"a.p{c} * a.p{c}" for c in range(_RP_K)])
+    norm_b = _chain_sql([f"b.p{c} * b.p{c}" for c in range(_RP_K)])
+    sq_norm_p = _chain_sql([f"p{c} * p{c}" for c in range(_RP_K)])
+    dot_vv = (
+        "list_reduce(list_transform(generate_series(1, 64),"
+        " j -> (CAST(embedding AS DOUBLE[]))[j] * (CAST(embedding AS DOUBLE[]))[j]),"
+        " (a, b) -> a + b)"
+    )
+    dot_ab = (
+        "list_reduce(list_transform(generate_series(1, 64),"
+        " j -> (CAST(a.embedding AS DOUBLE[]))[j] * (CAST(b.embedding AS DOUBLE[]))[j]),"
+        " (a, b) -> a + b)"
+    )
+    dot_aa = dot_ab.replace("b.embedding", "a.embedding")
+    dot_bb = dot_ab.replace("a.embedding", "b.embedding")
+    return f"""
+    WITH proj AS (
+        SELECT vec_id, embedding, {proj_cols} FROM embeddings
+    ), ratio AS (
+        SELECT avg(({sq_norm_p}) / ({_RP_K} * ({dot_vv}))) AS r FROM proj
+    ), pairs AS (
+        SELECT a.vec_id // 2 AS pair_id,
+               {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS cos_orig,
+               ({dot_pp}) / (sqrt({norm_a}) * sqrt({norm_b})) AS cos_proj
+        FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < 16 AND a.vec_id % 2 = 0
+    )
+    SELECT p.pair_id,
+           floor(p.cos_orig * 10000 + 0.5) / 10000 AS cos_orig,
+           floor(p.cos_proj * 10000 + 0.5) / 10000 AS cos_proj,
+           floor(abs(p.cos_proj - p.cos_orig) * 10000 + 0.5) / 10000 AS abs_err,
+           floor(r.r * 10000 + 0.5) / 10000 AS mean_norm_ratio
+    FROM pairs p CROSS JOIN ratio r
+    ORDER BY p.pair_id
+    """
+
+
+@query(
+    "random_projection",
+    oracle=_rp_oracle(),
+    section="2.11 JL random projection to 16 dims + corpus distortion report",
+)
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project every 64-dim embedding to
+    16 dims with the deterministic Achlioptas ±1 matrix (signs from
+    md5, embedded as literals on both sides — see `_rp_signs`), then
+    report the distortion a user would check before trusting the
+    sketch for ANN prefiltering: per projected dimension E[|p|²] =
+    ||v||², so mean_norm_ratio = avg over the FULL corpus of
+    ||p||² / (16·||v||²) ≈ 1 (the JL norm-preservation statistic —
+    this aggregate forces the projection of every vector, keeping the
+    whole-corpus operator load-bearing, not just the report rows),
+    plus original-vs-projected cosine for the first 8 vector pairs.
+
+    100 TB posture: the projection is a narrow per-row map (16 LTR
+    folds over the embedding array, no shuffle, no UDF); the norm
+    ratio is one scalar aggregate; the pair report joins 16 rows.
+    Determinism: every fold is the same left-to-right sum on both
+    engines (aggregate seeded 0.0 ≡ list_reduce seeded with the first
+    element, since 0.0 + x == x in IEEE); the only cross-engine float
+    freedom is the 500-term corpus avg, rounded half-up at 4dp with
+    ~1e-13 relative noise — nine orders below the rounding grain.
+    """
+    signs = _rp_signs(_EMB_DIM, _RP_K)
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = e.select(
+        "vec_id",
+        "embedding",
+        *[F.expr(_rp_proj_expr(signs[c])).alias(f"p{c}") for c in range(_RP_K)],
+    )
+    sq_norm_p = F.expr(_chain_sql([f"p{c} * p{c}" for c in range(_RP_K)]))
+    dot_vv = F.expr(
+        "aggregate(zip_with(cast(embedding as array<double>),"
+        " cast(embedding as array<double>), (x, s) -> x * s),"
+        " cast(0.0 as double), (a, b) -> a + b)"
+    )
+    ratio = proj.agg(
+        F.avg(sq_norm_p / (F.lit(_RP_K) * dot_vv)).alias("r")
+    )
+    a = proj.filter((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0)).select(
+        (F.col("vec_id") / 2).cast("bigint").alias("pair_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        *[F.col(f"p{c}").alias(f"a_p{c}") for c in range(_RP_K)],
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("a_id"),
+        F.col("embedding").alias("b_emb"),
+        *[F.col(f"p{c}").alias(f"b_p{c}") for c in range(_RP_K)],
+    )
+    dot_ab = F.expr(
+        "aggregate(zip_with(cast(a_emb as array<double>),"
+        " cast(b_emb as array<double>), (x, s) -> x * s),"
+        " cast(0.0 as double), (a, b) -> a + b)"
+    )
+    dot_aa = F.expr(
+        "aggregate(zip_with(cast(a_emb as array<double>),"
+        " cast(a_emb as array<double>), (x, s) -> x * s),"
+        " cast(0.0 as double), (a, b) -> a + b)"
+    )
+    dot_bb = F.expr(
+        "aggregate(zip_with(cast(b_emb as array<double>),"
+        " cast(b_emb as array<double>), (x, s) -> x * s),"
+        " cast(0.0 as double), (a, b) -> a + b)"
+    )
+    dot_pp = F.expr(_chain_sql([f"a_p{c} * b_p{c}" for c in range(_RP_K)]))
+    norm_a = F.expr(_chain_sql([f"a_p{c} * a_p{c}" for c in range(_RP_K)]))
+    norm_b = F.expr(_chain_sql([f"b_p{c} * b_p{c}" for c in range(_RP_K)]))
+    from ..operators.textops import round_half_up
+
+    pairs = a.join(b, "a_id").select(
+        "pair_id",
+        (dot_ab / (F.sqrt(dot_aa) * F.sqrt(dot_bb))).alias("cos_orig_raw"),
+        ((dot_pp) / (F.sqrt(norm_a) * F.sqrt(norm_b))).alias("cos_proj_raw"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(ratio))
+        .select(
+            "pair_id",
+            round_half_up(F.col("cos_orig_raw"), 4).alias("cos_orig"),
+            round_half_up(F.col("cos_proj_raw"), 4).alias("cos_proj"),
+            round_half_up(
+                F.abs(F.col("cos_proj_raw") - F.col("cos_orig_raw")), 4
+            ).alias("abs_err"),
+            round_half_up(F.col("r"), 4).alias("mean_norm_ratio"),
+        )
+        .orderBy("pair_id")
+    )
