@@ -93,6 +93,7 @@ HEADLINE = [
     "rrf_fusion",            # hybrid retrieval (BM25 + dense legs, RRF merge)
     "bpe_merges",            # tokenizer training (3 merge rounds over vocab)
     "random_projection",     # JL 16-dim sketch + corpus distortion report
+    "dsir_selection",        # DSIR importance weights (hashed-bigram domains)
 ]
 
 

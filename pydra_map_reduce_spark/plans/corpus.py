@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..operators.textops import round_half_up
+from ..operators.textops import hash_bucket_sql, round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -1013,3 +1013,144 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(textops.tokens("text")).cast("bigint").alias("n_tokens"),
     )
     return pack_sequences(d, "source", "doc_id", "n_tokens", budget=_SEQ_LEN)
+
+
+# --- DSIR-style data selection (Xie et al. 2023) ----------------------
+# Hashed-bigram importance resampling: score every out-of-domain
+# document by how much its hashed n-gram feature distribution looks
+# like the target domain. The feature space is the repo's ONE
+# hashing-trick bucket (textops.hash_bucket) at 64 dims; both bigram
+# unigram-style distributions are Laplace-smoothed so absent buckets
+# never divide by zero.
+_DSIR_DIM = 64
+_DSIR_TARGET = "src0"  # the "domain" to select for (uniform sources -> any works)
+
+# word-level adjacent pairs from the raw text (the BPE pair shape, one
+# level up: words instead of characters)
+_DSIR_BIGRAMS_EXPR = (
+    "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+    "         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),"
+    "         (a, b) -> concat(a, ' ', b))"
+)
+
+
+@query(
+    "dsir_selection",
+    oracle=f"""
+    WITH bg AS (
+        SELECT doc_id, source,
+               {hash_bucket_sql('g', _DSIR_DIM)} AS bucket
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1])) AS g
+            FROM documents
+        )
+    ), tgt AS (
+        SELECT bucket, count(*) AS tc FROM bg
+        WHERE source = '{_DSIR_TARGET}' GROUP BY bucket
+    ), raw AS (
+        SELECT bucket, count(*) AS rc FROM bg GROUP BY bucket
+    ), tot AS (
+        SELECT (SELECT count(*) FROM bg WHERE source = '{_DSIR_TARGET}') AS nt,
+               (SELECT count(*) FROM bg) AS nr
+    ), lr AS (
+        SELECT r.bucket,
+               ln(CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE) / (tot.nt + {_DSIR_DIM}))
+             - ln(CAST(r.rc + 1 AS DOUBLE) / (tot.nr + {_DSIR_DIM})) AS lw
+        FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket CROSS JOIN tot
+    ), per_doc AS (
+        SELECT b.doc_id, b.source, sum(cnt * lw) AS w
+        FROM (SELECT doc_id, source, bucket, count(*) AS cnt
+              FROM bg GROUP BY doc_id, source, bucket) b
+        JOIN lr ON b.bucket = lr.bucket
+        GROUP BY b.doc_id, b.source
+    )
+    SELECT doc_id, source,
+           sign(w) * floor(abs(w) * 10000 + 0.5) / 10000 AS dsir_weight
+    FROM per_doc
+    WHERE source <> '{_DSIR_TARGET}'
+    ORDER BY floor(w * 1e9 + 0.5) / 1e9 DESC, doc_id
+    LIMIT 10
+    """,
+    section="2.11 DSIR data selection: hashed-bigram importance weights",
+)
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling, the hashed-n-gram
+    variant (Xie et al. 2023): estimate Laplace-smoothed hashed-bigram
+    distributions for the TARGET domain (source = src0) and the RAW
+    pool, give every document the importance weight
+    sum over its bigrams of ln(p_target(bucket) / p_raw(bucket)),
+    and return the 10 highest-weighted out-of-domain documents — the
+    ones importance resampling would pull into a src0-flavored
+    training mix. This is document-level selection; `mix_weights` /
+    `mix_apply` are its source-level coarse cousins.
+
+    100 TB posture: one tokenize-and-hash pass (zip_with word pairs —
+    never F.sequence, which raises on single-word docs where DuckDB's
+    generate_series is empty), one (doc, bucket) count shuffle keyed
+    like the final per-doc sum, and two bucket histograms that are
+    64-row broadcasts; the arg-top-10 is a TakeOrdered heap.
+    Determinism: bucket counts are exact integers; the two ln() terms
+    per bucket are computed on identical doubles in both engines; the
+    per-doc sum spans <= 64 such terms, so the floor-form 9dp rank key
+    absorbs the accumulation-order ulps and the rendered weight is
+    rounded half-up at 4dp like the repo's other ln-based scores
+    (bm25, perplexities).
+    """
+    from ..operators.textops import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(_DSIR_BIGRAMS_EXPR)).alias("g"),
+    ).select("doc_id", "source", hash_bucket("g", _DSIR_DIM).alias("bucket"))
+    tgt = (
+        bg.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    raw = bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tot = bg.agg(
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + _DSIR_DIM)
+                )
+                - F.log((F.col("rc") + 1).cast("double") / (F.col("nr") + _DSIR_DIM))
+            ).alias("lw"),
+        )
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("cnt") * F.col("lw")).alias("w"))
+    )
+    return (
+        per_doc.filter(F.col("source") != _DSIR_TARGET)
+        .orderBy((F.floor(F.col("w") * 1e9 + 0.5) / 1e9).desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "source",
+            # SIGN-AWARE half-up (the zipf/sentiment form): log-ratio
+            # weights go negative, where plain floor-form rounds
+            # midpoints toward +inf against the half-up convention
+            (F.signum("w") * F.floor(F.abs("w") * 10000 + 0.5) / 10000).alias(
+                "dsir_weight"
+            ),
+        )
+    )
