@@ -145,3 +145,29 @@ def hash_uniform(id_col: str | Column) -> Column:
         .cast("double")
         / F.lit(4294967296.0)
     )
+
+
+def adjacent_pairs_expr(col: str) -> str:
+    """Spark SQL text of the adjacent-pairs idiom: all consecutive
+    element pairs of ``split(col, ' ')`` as 'a b' strings. THE one
+    definition of the pair generator (BPE merge rounds pair symbols,
+    DSIR pairs words — same shape, one level apart); zip_with over
+    two slices, never F.sequence, which RAISES on one-element arrays
+    where the DuckDB twin's generate_series is just empty. SQL mirror:
+    :func:`adjacent_pairs_sql`."""
+    arr = f"split({col}, ' ')"
+    return (
+        f"zip_with(slice({arr}, 1, size({arr}) - 1),"
+        f"         slice({arr}, 2, size({arr}) - 1),"
+        f"         (a, b) -> concat(a, ' ', b))"
+    )
+
+
+def adjacent_pairs_sql(col: str) -> str:
+    """DuckDB twin of :func:`adjacent_pairs_expr` (an unnest-ready
+    list; generate_series(1, 0) is empty for one-element arrays)."""
+    arr = f"string_split({col}, ' ')"
+    return (
+        f"list_transform(generate_series(1, len({arr}) - 1),"
+        f" i -> {arr}[i] || ' ' || {arr}[i+1])"
+    )

@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..operators.textops import hash_bucket_sql, round_half_up
+from ..operators.textops import (
+    adjacent_pairs_expr,
+    adjacent_pairs_sql,
+    hash_bucket_sql,
+    round_half_up,
+)
 from ..sources.tables import load_table
 from .registry import query
 
@@ -1025,13 +1030,10 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_DIM = 64
 _DSIR_TARGET = "src0"  # the "domain" to select for (uniform sources -> any works)
 
-# word-level adjacent pairs from the raw text (the BPE pair shape, one
-# level up: words instead of characters)
-_DSIR_BIGRAMS_EXPR = (
-    "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-    "         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),"
-    "         (a, b) -> concat(a, ' ', b))"
-)
+# word-level adjacent pairs from the raw text: the repo-wide shared
+# pair idiom (textops.adjacent_pairs_expr — the BPE merge rounds use
+# the same generator one level down, on symbols)
+_DSIR_BIGRAMS_EXPR = adjacent_pairs_expr("text")
 
 
 @query(
@@ -1042,20 +1044,23 @@ _DSIR_BIGRAMS_EXPR = (
                {hash_bucket_sql('g', _DSIR_DIM)} AS bucket
         FROM (
             SELECT doc_id, source,
-                   unnest(list_transform(
-                       generate_series(1, len(string_split(text, ' ')) - 1),
-                       i -> string_split(text, ' ')[i] || ' ' ||
-                            string_split(text, ' ')[i+1])) AS g
+                   unnest({adjacent_pairs_sql('text')}) AS g
             FROM documents
         )
+    ), doc_bucket AS (
+        SELECT doc_id, source, bucket, count(*) AS cnt
+        FROM bg GROUP BY doc_id, source, bucket
     ), tgt AS (
-        SELECT bucket, count(*) AS tc FROM bg
+        SELECT bucket, CAST(sum(cnt) AS BIGINT) AS tc FROM doc_bucket
         WHERE source = '{_DSIR_TARGET}' GROUP BY bucket
     ), raw AS (
-        SELECT bucket, count(*) AS rc FROM bg GROUP BY bucket
+        SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc
+        FROM doc_bucket GROUP BY bucket
     ), tot AS (
-        SELECT (SELECT count(*) FROM bg WHERE source = '{_DSIR_TARGET}') AS nt,
-               (SELECT count(*) FROM bg) AS nr
+        SELECT CAST(sum(CASE WHEN source = '{_DSIR_TARGET}' THEN cnt ELSE 0 END)
+                    AS BIGINT) AS nt,
+               CAST(sum(cnt) AS BIGINT) AS nr
+        FROM doc_bucket
     ), lr AS (
         SELECT r.bucket,
                ln(CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE) / (tot.nt + {_DSIR_DIM}))
@@ -1063,8 +1068,7 @@ _DSIR_BIGRAMS_EXPR = (
         FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket CROSS JOIN tot
     ), per_doc AS (
         SELECT b.doc_id, b.source, sum(cnt * lw) AS w
-        FROM (SELECT doc_id, source, bucket, count(*) AS cnt
-              FROM bg GROUP BY doc_id, source, bucket) b
+        FROM doc_bucket b
         JOIN lr ON b.bucket = lr.bucket
         GROUP BY b.doc_id, b.source
     )
@@ -1108,15 +1112,31 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.expr(_DSIR_BIGRAMS_EXPR)).alias("g"),
     ).select("doc_id", "source", hash_bucket("g", _DSIR_DIM).alias("bucket"))
-    tgt = (
-        bg.filter(F.col("source") == _DSIR_TARGET)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # ONE tokenize-and-hash pass: every downstream distribution is a
+    # re-aggregation of this per-(doc, bucket) count frame (the
+    # histograms sum cnt instead of re-counting the token stream).
+    # localCheckpoint is what makes that true — Catalyst pushes tgt's
+    # source filter below the shared aggregate, so the four consumers
+    # plan four DIFFERENT exchanges and ReuseExchange never fires
+    # (measured: 4 parquet scans without the checkpoint, 1 with). The
+    # pinned frame is narrow and bucket-bounded (≤ 64 rows per doc vs
+    # the full bigram stream), the bpe_merges vocab precedent.
+    doc_bucket = (
+        bg.groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    raw = bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
-    tot = bg.agg(
-        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)).alias("nt"),
-        F.count(F.lit(1)).alias("nr"),
+    tgt = (
+        doc_bucket.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("tc"))
+    )
+    raw = doc_bucket.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    tot = doc_bucket.agg(
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, F.col("cnt")).otherwise(0)).alias(
+            "nt"
+        ),
+        F.sum("cnt").alias("nr"),
     )
     lr = (
         raw.join(tgt, "bucket", "left")
@@ -1133,9 +1153,7 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = (
-        bg.groupBy("doc_id", "source", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .join(F.broadcast(lr), "bucket")
+        doc_bucket.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id", "source")
         .agg(F.sum(F.col("cnt") * F.col("lw")).alias("w"))
     )

@@ -813,10 +813,10 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundary space, so the second occurrence no longer matches — the
 # fold carries the accumulator and cannot skip).
 
-_BPE_PAIRS_SQL = """SELECT unnest(list_transform(
-               generate_series(1, len(string_split(sp, ' ')) - 1),
-               i -> string_split(sp, ' ')[i] || ' ' || string_split(sp, ' ')[i+1]
-           )) AS pair, cnt FROM {src}"""
+_BPE_PAIRS_SQL = (
+    f"SELECT unnest({textops.adjacent_pairs_sql('sp')}) AS pair, cnt"
+    " FROM {src}"
+)
 
 _BPE_BEST_SQL = """SELECT pair,
            string_split(pair, ' ')[1] AS x,
@@ -863,12 +863,9 @@ def _bpe_oracle(rounds: int) -> str:
 
 
 # Column-side twins of the oracle fragments (split/zip_with/aggregate
-# are Spark's names for string_split/list_transform/list_reduce).
-_BPE_PAIRS_EXPR = (
-    "zip_with(slice(split(sp, ' '), 1, size(split(sp, ' ')) - 1),"
-    "         slice(split(sp, ' '), 2, size(split(sp, ' ')) - 1),"
-    "         (a, b) -> concat(a, ' ', b))"
-)
+# are Spark's names for string_split/list_transform/list_reduce); the
+# pair generator is the repo-wide shared idiom (textops).
+_BPE_PAIRS_EXPR = textops.adjacent_pairs_expr("sp")
 
 _BPE_FOLD_EXPR = """aggregate(split(sp, ' '), '', (acc, t) ->
     CASE WHEN acc = '' THEN t

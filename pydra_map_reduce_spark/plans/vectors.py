@@ -733,12 +733,12 @@ def _rp_oracle() -> str:
     norm_b = _chain_sql([f"b.p{c} * b.p{c}" for c in range(_RP_K)])
     sq_norm_p = _chain_sql([f"p{c} * p{c}" for c in range(_RP_K)])
     dot_vv = (
-        "list_reduce(list_transform(generate_series(1, 64),"
+        f"list_reduce(list_transform(generate_series(1, {_EMB_DIM}),"
         " j -> (CAST(embedding AS DOUBLE[]))[j] * (CAST(embedding AS DOUBLE[]))[j]),"
         " (a, b) -> a + b)"
     )
     dot_ab = (
-        "list_reduce(list_transform(generate_series(1, 64),"
+        f"list_reduce(list_transform(generate_series(1, {_EMB_DIM}),"
         " j -> (CAST(a.embedding AS DOUBLE[]))[j] * (CAST(b.embedding AS DOUBLE[]))[j]),"
         " (a, b) -> a + b)"
     )
@@ -757,8 +757,8 @@ def _rp_oracle() -> str:
         WHERE a.vec_id < 16 AND a.vec_id % 2 = 0
     )
     SELECT p.pair_id,
-           floor(p.cos_orig * 10000 + 0.5) / 10000 AS cos_orig,
-           floor(p.cos_proj * 10000 + 0.5) / 10000 AS cos_proj,
+           sign(p.cos_orig) * floor(abs(p.cos_orig) * 10000 + 0.5) / 10000 AS cos_orig,
+           sign(p.cos_proj) * floor(abs(p.cos_proj) * 10000 + 0.5) / 10000 AS cos_proj,
            floor(abs(p.cos_proj - p.cos_orig) * 10000 + 0.5) / 10000 AS abs_err,
            floor(r.r * 10000 + 0.5) / 10000 AS mean_norm_ratio
     FROM pairs p CROSS JOIN ratio r
@@ -848,8 +848,19 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.crossJoin(F.broadcast(ratio))
         .select(
             "pair_id",
-            round_half_up(F.col("cos_orig_raw"), 4).alias("cos_orig"),
-            round_half_up(F.col("cos_proj_raw"), 4).alias("cos_proj"),
+            # SIGN-AWARE half-up (the zipf/sentiment form): cosines go
+            # negative, where the plain floor-form round_half_up is
+            # documented non-negative-only
+            (
+                F.signum("cos_orig_raw")
+                * F.floor(F.abs("cos_orig_raw") * 10000 + 0.5)
+                / 10000
+            ).alias("cos_orig"),
+            (
+                F.signum("cos_proj_raw")
+                * F.floor(F.abs("cos_proj_raw") * 10000 + 0.5)
+                / 10000
+            ).alias("cos_proj"),
             round_half_up(
                 F.abs(F.col("cos_proj_raw") - F.col("cos_orig_raw")), 4
             ).alias("abs_err"),
