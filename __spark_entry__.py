@@ -68,9 +68,10 @@ _DRIVER_PRIORITY = [
 # and the post-freeze round-8 additions (`multimodal_mulaw_decode`,
 # `warc_scan`, `warc_pipeline`, `embedding_covariance`,
 # `pca_power_component`, `mutual_information`, `hll_portable`,
-# `count_min_sketch`, `rrf_fusion`, `bpe_merges`, `random_projection`,
-# `dsir_selection`) has driver evidence in some ledger.
-# Compose the r9 window from (1) feature_hashing + those twelve + any
+# `count_min_sketch`, `rrf_fusion`, `bpe_merges`, `bpe_encode`,
+# `random_projection`, `dsir_selection`) has driver evidence in some
+# ledger.
+# Compose the r9 window from (1) feature_hashing + those thirteen + any
 # queries added after this window froze, (2) any r8 reds, then (3) the stalest
 # greens oldest-first (r3/r4-era function families, the window family,
 # the setops family). Keep rows-only queries out of the window.

@@ -94,6 +94,7 @@ HEADLINE = [
     "bpe_merges",            # tokenizer training (3 merge rounds over vocab)
     "random_projection",     # JL 16-dim sketch + corpus distortion report
     "dsir_selection",        # DSIR importance weights (hashed-bigram domains)
+    "bpe_encode",            # tokenizer application (fertility after 3 merges)
 ]
 
 

@@ -826,7 +826,10 @@ _BPE_BEST_SQL = """SELECT pair,
     FROM (SELECT pair, sum(cnt) AS sum_cnt FROM {pairs} GROUP BY pair)
     ORDER BY sum_cnt DESC, pair LIMIT 1"""
 
-_BPE_FOLD_SQL = """SELECT list_reduce(string_split(s.sp, ' '), (acc, t) ->
+# the fold CTE carries `word` so the ENCODE consumer can map each
+# original word to its merged symbol sequence (the merges consumer
+# simply never reads it)
+_BPE_FOLD_SQL = """SELECT s.word, list_reduce(string_split(s.sp, ' '), (acc, t) ->
            CASE WHEN (acc = b.x OR right(acc, length(b.x) + 1) = (' ' || b.x))
                      AND t = b.y
                 THEN CASE WHEN acc = b.x THEN b.xy
@@ -835,7 +838,11 @@ _BPE_FOLD_SQL = """SELECT list_reduce(string_split(s.sp, ' '), (acc, t) ->
     FROM {src} s CROSS JOIN {best} b"""
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_ctes(rounds: int, *, apply_last: bool) -> list[str]:
+    """The shared unrolled-training CTE chain: vocabulary, spaced
+    representation, and per round the pair count + arg-max (+ fold,
+    applied through round `rounds` only when the consumer needs the
+    final encoded vocabulary)."""
     ctes = [
         """tok AS (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents
@@ -844,16 +851,22 @@ def _bpe_oracle(rounds: int) -> str:
         SELECT word, count(*) AS cnt FROM tok WHERE word <> '' GROUP BY word
     )""",
         """sp0 AS (
-        SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sp, cnt FROM v0
+        SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sp, cnt
+        FROM v0
     )""",
     ]
     for k in range(1, rounds + 1):
         ctes.append(f"p{k} AS ({_BPE_PAIRS_SQL.format(src=f'sp{k - 1}')})")
         ctes.append(f"b{k} AS ({_BPE_BEST_SQL.format(pairs=f'p{k}')})")
-        if k < rounds:
+        if k < rounds or apply_last:
             ctes.append(
                 f"sp{k} AS ({_BPE_FOLD_SQL.format(src=f'sp{k - 1}', best=f'b{k}')})"
             )
+    return ctes
+
+
+def _bpe_oracle(rounds: int) -> str:
+    ctes = _bpe_ctes(rounds, apply_last=False)
     selects = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_rank, pair, xy AS merged, "
         f"c AS pair_count FROM b{k}"
@@ -873,6 +886,49 @@ _BPE_FOLD_EXPR = """aggregate(split(sp, ' '), '', (acc, t) ->
          THEN CASE WHEN acc = bx THEN bxy
               ELSE left(acc, length(acc) - length(bx)) || bxy END
          ELSE acc || ' ' || t END)"""
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, rounds: int, *, apply_last: bool
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run `rounds` BPE merge rounds over the corpus vocabulary.
+    Returns (one 1-row best-pair frame per round, the vocabulary frame
+    (word, sp, cnt) with merges applied — through the last round when
+    `apply_last`, else through rounds-1 like the training loop, which
+    never needs the final application). ONE corpus scan builds the
+    localCheckpoint'd vocab; every round is vocab-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(textops.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sp = vocab.select(
+        "word", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sp"), "cnt"
+    ).localCheckpoint(eager=True)
+    bests = []
+    for k in range(1, rounds + 1):
+        best = (
+            sp.select(F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "pair")
+            .limit(1)
+            .select(
+                F.col("pair").alias("bpair"),
+                F.split("pair", " ")[0].alias("bx"),
+                F.split("pair", " ")[1].alias("by"),
+                F.regexp_replace("pair", " ", "").alias("bxy"),
+                F.col("c").alias("bc"),
+            )
+        )
+        bests.append(best)
+        if k < rounds or apply_last:
+            sp = sp.crossJoin(F.broadcast(best)).select(
+                "word", F.expr(_BPE_FOLD_EXPR).alias("sp"), "cnt"
+            )
+    return bests, sp
 
 
 @query(
@@ -907,48 +963,97 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus or the driver. Pair counts are exact integers, so the
     arg-max and its tie-break are engine-identical by construction.
     """
-    d = load_table(spark, sf_dir, "documents")
-    vocab = (
-        d.select(F.explode(textops.tokens("text")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    sp = vocab.select(
-        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sp"), "cnt"
-    ).localCheckpoint(eager=True)
-    rounds = []
-    for k in (1, 2, 3):
-        best = (
-            sp.select(F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("pair"), "cnt")
-            .groupBy("pair")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.col("c").desc(), "pair")
-            .limit(1)
-            .select(
-                F.col("pair").alias("bpair"),
-                F.split("pair", " ")[0].alias("bx"),
-                F.split("pair", " ")[1].alias("by"),
-                F.regexp_replace("pair", " ", "").alias("bxy"),
-                F.col("c").alias("bc"),
-            )
+    bests, _ = _bpe_learn(spark, sf_dir, 3, apply_last=False)
+    rounds = [
+        best.select(
+            F.lit(k).cast("bigint").alias("merge_rank"),
+            F.col("bpair").alias("pair"),
+            F.col("bxy").alias("merged"),
+            F.col("bc").alias("pair_count"),
         )
-        rounds.append(
-            best.select(
-                F.lit(k).cast("bigint").alias("merge_rank"),
-                F.col("bpair").alias("pair"),
-                F.col("bxy").alias("merged"),
-                F.col("bc").alias("pair_count"),
-            )
-        )
-        if k < 3:
-            sp = sp.crossJoin(F.broadcast(best)).select(
-                F.expr(_BPE_FOLD_EXPR).alias("sp"), "cnt"
-            )
+        for k, best in enumerate(bests, start=1)
+    ]
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionAll(r)
     return out.orderBy("merge_rank")
+
+
+@query(
+    "bpe_encode",
+    oracle=f"""
+    WITH {', '.join(_bpe_ctes(3, apply_last=True))}, wsrc AS (
+        SELECT source, word, count(*) AS cnt
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY source, word
+    ), enc AS (
+        SELECT word, len(string_split(sp, ' ')) AS n_sym FROM sp3
+    ), agg AS (
+        SELECT w.source,
+               CAST(sum(w.cnt) AS BIGINT)                 AS n_words,
+               CAST(sum(w.cnt * length(w.word)) AS BIGINT) AS n_chars,
+               CAST(sum(w.cnt * e.n_sym) AS BIGINT)        AS n_symbols
+        FROM wsrc w JOIN enc e ON w.word = e.word
+        GROUP BY w.source
+    )
+    SELECT source, n_words,
+           floor(CAST(n_chars AS DOUBLE) / n_words * 10000 + 0.5) / 10000
+               AS chars_per_word,
+           floor(CAST(n_symbols AS DOUBLE) / n_words * 10000 + 0.5) / 10000
+               AS symbols_per_word
+    FROM agg ORDER BY source
+    """,
+    section="2.11 BPE tokenizer application: per-source fertility after 3 merges",
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 3 learned BPE merges to the corpus and report
+    per-source tokenizer FERTILITY — symbols per word after merging vs
+    characters per word before — the metric LLM teams track when a
+    tokenizer under- or over-segments a domain (a source whose
+    fertility stays near chars_per_word gains nothing from the merge
+    table; one that drops is well-covered). Training and application
+    share the one `_bpe_learn` loop, so the encoder can never drift
+    from the merges `bpe_merges` reports.
+
+    100 TB posture: merges are applied to the VOCABULARY (word ->
+    merged symbol count, vocab-sized), then joined back to per-source
+    word counts — the corpus is scanned twice total (once for the
+    global vocab, once for per-source counts), never once per merge
+    round. Every output is an exact-integer sum; the two per-word
+    ratios divide exact BIGINTs once, so both engines floor the same
+    double and the 4dp rendering cannot sit on a divergent boundary.
+    """
+    _, sp_final = _bpe_learn(spark, sf_dir, 3, apply_last=True)
+    enc = sp_final.select(
+        "word", F.size(F.split("sp", " ")).alias("n_sym")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    wsrc = (
+        d.select("source", F.explode(textops.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = (
+        wsrc.join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("word")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_sym")).alias("n_symbols"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        round_half_up(F.col("n_chars").cast("double") / F.col("n_words"), 4).alias(
+            "chars_per_word"
+        ),
+        round_half_up(F.col("n_symbols").cast("double") / F.col("n_words"), 4).alias(
+            "symbols_per_word"
+        ),
+    ).orderBy("source")
 
 
 @query(
