@@ -95,6 +95,7 @@ HEADLINE = [
     "random_projection",     # JL 16-dim sketch + corpus distortion report
     "dsir_selection",        # DSIR importance weights (hashed-bigram domains)
     "bpe_encode",            # tokenizer application (fertility after 3 merges)
+    "hll_merge",             # HLL register merge (union + inclusion-exclusion)
 ]
 
 

@@ -72,6 +72,29 @@ def _hll_terms(word_col: str) -> tuple[F.Column, F.Column]:
     return bucket, rho
 
 
+def _hll_est_sql(n_occ: str, s_occ: str) -> str:
+    """DuckDB text of the FFGM estimator over a register aggregate
+    (n_occ = occupied registers, s_occ = sum of 2^-M over them):
+    harmonic-mean raw estimate with the small-range linear-counting
+    branch. ONE definition shared by every HLL query's oracle."""
+    raw = f"{_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / ({s_occ} + ({_HLL_M} - {n_occ}))"
+    return (
+        f"CASE WHEN {raw} <= 2.5 * {_HLL_M} AND {n_occ} < {_HLL_M} "
+        f"THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - {n_occ})) "
+        f"ELSE {raw} END"
+    )
+
+
+def _hll_est_col() -> F.Column:
+    """Column twin of :func:`_hll_est_sql` over n_occ / s_occ columns."""
+    v_empty = F.lit(_HLL_M) - F.col("n_occ")
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / (F.col("s_occ") + v_empty)
+    return F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("n_occ") < _HLL_M),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v_empty),
+    ).otherwise(raw)
+
+
 _HLL_ORACLE = f"""
     WITH items AS (
         SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
@@ -99,15 +122,7 @@ _HLL_ORACLE = f"""
     ), exact AS (
         SELECT source, count(*) AS exact_distinct FROM clean GROUP BY source
     ), est AS (
-        SELECT p.source,
-               CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
-                         / (p.s_occ + ({_HLL_M} - p.n_occ)) <= 2.5 * {_HLL_M}
-                         AND p.n_occ < {_HLL_M}
-                    THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
-                                       / ({_HLL_M} - p.n_occ))
-                    ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
-                         / (p.s_occ + ({_HLL_M} - p.n_occ))
-               END AS raw_est
+        SELECT p.source, {_hll_est_sql('p.n_occ', 'p.s_occ')} AS raw_est
         FROM per_src p
     )
     SELECT e.source,
@@ -162,16 +177,8 @@ def hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s_occ"),
     )
     exact = items.groupBy("source").agg(F.count(F.lit(1)).alias("exact_distinct"))
-    v_empty = F.lit(_HLL_M) - F.col("n_occ")
-    raw = (
-        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / (F.col("s_occ") + v_empty)
-    )
-    est = F.when(
-        (raw <= 2.5 * _HLL_M) & (F.col("n_occ") < _HLL_M),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v_empty),
-    ).otherwise(raw)
     return (
-        per_src.withColumn("raw_est", est)
+        per_src.withColumn("raw_est", _hll_est_col())
         .join(exact, "source")
         .select(
             "source",
@@ -291,4 +298,133 @@ def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_estimate") - F.col("n")).alias("overcount"),
         )
         .orderBy(F.col("exact_n").desc(), "word")
+    )
+
+
+_HLL_MERGE_ORACLE = f"""
+    WITH items AS (
+        SELECT DISTINCT source, word FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE source IN ('src0', 'src1')
+        ) WHERE word <> ''
+    ), obs AS (
+        SELECT source,
+               h >> {_HLL_REST_BITS} AS bucket,
+               CASE WHEN (h & {(1 << _HLL_REST_BITS) - 1}) = 0
+                    THEN {_HLL_REST_BITS + 1}
+                    ELSE {_HLL_REST_BITS + 1}
+                         - length(bin(h & {(1 << _HLL_REST_BITS) - 1}))
+               END AS rho
+        FROM (SELECT source, word,
+                     CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
+              FROM items)
+    ), regs AS (
+        SELECT source, bucket, max(rho) AS m_j FROM obs GROUP BY source, bucket
+    ), merged AS (
+        SELECT bucket, max(m_j) AS m_j FROM regs GROUP BY bucket
+    ), a0 AS (
+        SELECT count(*) AS n_occ, sum(power(2.0, -m_j)) AS s_occ
+        FROM regs WHERE source = 'src0'
+    ), a1 AS (
+        SELECT count(*) AS n_occ, sum(power(2.0, -m_j)) AS s_occ
+        FROM regs WHERE source = 'src1'
+    ), au AS (
+        SELECT count(*) AS n_occ, sum(power(2.0, -m_j)) AS s_occ FROM merged
+    ), e0 AS (SELECT {_hll_est_sql('n_occ', 's_occ')} AS est FROM a0),
+    e1 AS (SELECT {_hll_est_sql('n_occ', 's_occ')} AS est FROM a1),
+    eu AS (SELECT {_hll_est_sql('n_occ', 's_occ')} AS est FROM au),
+    u AS (SELECT word, count(*) AS ns FROM items GROUP BY word),
+    x AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_union,
+               CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_common
+        FROM u
+    )
+    SELECT x.exact_union,
+           floor(eu.est * 10000 + 0.5) / 10000 AS hll_union,
+           floor(abs(eu.est - x.exact_union) / x.exact_union * 10000 + 0.5)
+               / 10000 AS rel_err_union,
+           x.exact_common,
+           sign(e0.est + e1.est - eu.est)
+               * floor(abs(e0.est + e1.est - eu.est) * 10000 + 0.5) / 10000
+               AS hll_common
+    FROM x CROSS JOIN e0 CROSS JOIN e1 CROSS JOIN eu
+"""
+
+
+@query(
+    "hll_merge",
+    oracle=_HLL_MERGE_ORACLE,
+    section="2.11 HLL sketch MERGE: union/intersection estimates from per-source registers",
+)
+def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL the 100 TB distinct-counter:
+    registers built INDEPENDENTLY per source (per partition, per day,
+    per shard...) merge losslessly by per-register max — the merged
+    sketch is bit-identical to one built over the union, no rescan.
+    This query builds src0's and src1's register sets separately,
+    merges them, and reports the union estimate against the exact
+    union distinct count, plus the classic inclusion-exclusion
+    intersection estimate est0 + est1 - estU against the exact common
+    count (rendered sign-aware: inclusion-exclusion on sketches can
+    legitimately go negative when the true overlap is near zero).
+
+    Plan: one distinct shuffle over the two sources feeds registers,
+    exact counts, and overlap; every aggregate after that is <= 64
+    rows. Shares `_hll_terms` and the FFGM estimator (Column + SQL,
+    one definition each) with `hll_portable`. Float determinism is the
+    same exact-dyadic-sum argument; the three-estimate combination is
+    one fixed-order expression on identical doubles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    items = (
+        d.filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    bucket, rho = _hll_terms("word")
+    regs = (
+        items.select("source", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    merged = regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+
+    def estimate(frame: DataFrame, alias: str) -> DataFrame:
+        return (
+            frame.agg(
+                F.count(F.lit(1)).alias("n_occ"),
+                F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s_occ"),
+            )
+            .select(_hll_est_col().alias(alias))
+        )
+
+    e0 = estimate(regs.filter(F.col("source") == "src0"), "est0")
+    e1 = estimate(regs.filter(F.col("source") == "src1"), "est1")
+    eu = estimate(merged, "estu")
+    x = (
+        items.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.when(F.col("ns") == 2, 1).otherwise(0)).alias("exact_common"),
+        )
+    )
+    common = F.col("est0") + F.col("est1") - F.col("estu")
+    return (
+        x.crossJoin(F.broadcast(e0))
+        .crossJoin(F.broadcast(e1))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            F.col("exact_union").cast("bigint").alias("exact_union"),
+            round_half_up(F.col("estu"), 4).alias("hll_union"),
+            round_half_up(
+                F.abs(F.col("estu") - F.col("exact_union")) / F.col("exact_union"), 4
+            ).alias("rel_err_union"),
+            F.col("exact_common").cast("bigint").alias("exact_common"),
+            (F.signum(common) * F.floor(F.abs(common) * 10000 + 0.5) / 10000).alias(
+                "hll_common"
+            ),
+        )
     )
