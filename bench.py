@@ -96,6 +96,7 @@ HEADLINE = [
     "dsir_selection",        # DSIR importance weights (hashed-bigram domains)
     "bpe_encode",            # tokenizer application (fertility after 3 merges)
     "hll_merge",             # HLL register merge (union + inclusion-exclusion)
+    "hard_negatives",        # contrastive pair mining (pos + hard neg per query)
 ]
 
 

@@ -868,3 +868,107 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair_id")
     )
+
+
+@query(
+    "hard_negatives",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, label AS qlabel, emb AS qv FROM e
+        WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id,
+               (e.label = q.qlabel) AS is_pos,
+               list_cosine_similarity(e.emb, q.qv) AS cos,
+               row_number() OVER (
+                   PARTITION BY q.query_id, (e.label = q.qlabel)
+                   ORDER BY floor(list_cosine_similarity(e.emb, q.qv) * 1e9 + 0.5)
+                            / 1e9 DESC, e.vec_id) AS rn
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id,
+           CAST(qlabel AS BIGINT) AS label,
+           max(CASE WHEN is_pos THEN vec_id END)      AS pos_id,
+           sign(max(CASE WHEN is_pos THEN cos END))
+               * floor(abs(max(CASE WHEN is_pos THEN cos END)) * 10000 + 0.5)
+               / 10000                                AS pos_cos,
+           max(CASE WHEN NOT is_pos THEN vec_id END)  AS neg_id,
+           sign(max(CASE WHEN NOT is_pos THEN cos END))
+               * floor(abs(max(CASE WHEN NOT is_pos THEN cos END)) * 10000 + 0.5)
+               / 10000                                AS neg_cos
+    FROM scored WHERE rn = 1
+    GROUP BY query_id, qlabel
+    ORDER BY query_id
+    """,
+    section="2.11 contrastive pair mining: nearest positive + hard negative per query",
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine contrastive training pairs for an embedding model: for
+    each of 8 query vectors, the nearest SAME-label neighbor (the
+    positive) and the nearest DIFFERENT-label neighbor (the hard
+    negative — the pair that actually moves a contrastive loss, vs a
+    random negative that is already far). This is the batched-ANN
+    shape (`ann_batch_topk`) with the rank window additionally
+    partitioned by the label-match flag, so one corpus pass yields
+    both sides of every pair.
+
+    100 TB posture: broadcast the query block, one scan, per-(query,
+    side) window keeping row 1 (WindowGroupLimit-eligible); the final
+    pivot is a 16-row conditional agg. Ranking uses the family 9dp
+    floor key (fused vs composed cosine ulps); cosines render
+    sign-aware half-up at 4dp — similarity to a different-label
+    neighbor can be negative. A query whose class has no other member
+    yields NULL positive columns on both engines alike.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", sim.as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            (F.col("label") == F.col("qlabel")).alias("is_pos"),
+            sim.cosine(F.col("emb"), F.col("qv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id", "is_pos").orderBy(
+        sim.rank_key(F.col("cos")).desc(), "vec_id"
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    def _render(c: F.Column) -> F.Column:
+        return F.signum(c) * F.floor(F.abs(c) * 10000 + 0.5) / 10000
+
+    return (
+        top.groupBy("query_id", "qlabel")
+        .agg(
+            F.max(F.when(F.col("is_pos"), F.col("vec_id"))).alias("pos_id"),
+            F.max(F.when(F.col("is_pos"), F.col("cos"))).alias("pos_cos_raw"),
+            F.max(F.when(~F.col("is_pos"), F.col("vec_id"))).alias("neg_id"),
+            F.max(F.when(~F.col("is_pos"), F.col("cos"))).alias("neg_cos_raw"),
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").cast("bigint").alias("label"),
+            "pos_id",
+            _render(F.col("pos_cos_raw")).alias("pos_cos"),
+            "neg_id",
+            _render(F.col("neg_cos_raw")).alias("neg_cos"),
+        )
+        .orderBy("query_id")
+    )
