@@ -171,3 +171,25 @@ def adjacent_pairs_sql(col: str) -> str:
         f"list_transform(generate_series(1, len({arr}) - 1),"
         f" i -> {arr}[i] || ' ' || {arr}[i+1])"
     )
+
+
+def signed_round_half_up(c: str | Column, digits: int) -> Column:
+    """SIGN-AWARE half-up rendering for values that can go negative:
+    sign(x) * floor(|x|*10^d + 0.5)/10^d — plain :func:`round_half_up`
+    is floor-form and rounds negative midpoints toward +inf, violating
+    the half-up convention (the r7 advisor's yoy note). THE one Column
+    definition for every negative-capable score (sentiment, zipf
+    slope, DSIR weights, cosines, inclusion-exclusion sketch
+    estimates); the inline copies this replaces are exactly how a
+    convention change lands one-sided. SQL mirror:
+    :func:`signed_round_half_up_sql`."""
+    col = F.col(c) if isinstance(c, str) else c
+    p = 10**digits
+    return F.signum(col) * F.floor(F.abs(col) * p + 0.5) / p
+
+
+def signed_round_half_up_sql(expr: str, digits: int) -> str:
+    """DuckDB text of :func:`signed_round_half_up` for oracle
+    f-strings."""
+    p = 10**digits
+    return f"sign({expr}) * floor(abs({expr}) * {p} + 0.5) / {p}"

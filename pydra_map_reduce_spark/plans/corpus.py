@@ -29,6 +29,7 @@ from ..operators.textops import (
     adjacent_pairs_sql,
     hash_bucket_sql,
     round_half_up,
+    signed_round_half_up,
 )
 from ..sources.tables import load_table
 from .registry import query
@@ -1164,11 +1165,8 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            # SIGN-AWARE half-up (the zipf/sentiment form): log-ratio
-            # weights go negative, where plain floor-form rounds
-            # midpoints toward +inf against the half-up convention
-            (F.signum("w") * F.floor(F.abs("w") * 10000 + 0.5) / 10000).alias(
-                "dsir_weight"
-            ),
+            # SIGN-AWARE half-up: log-ratio weights go negative, where
+            # plain floor-form rounds midpoints toward +inf
+            signed_round_half_up("w", 4).alias("dsir_weight"),
         )
     )

@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import tokens
-from ..operators.textops import round_half_up
+from ..operators.textops import (
+    round_half_up,
+    signed_round_half_up,
+    signed_round_half_up_sql,
+)
 from ..sources.tables import load_table
 from .registry import query
 
@@ -72,6 +76,24 @@ def _hll_terms(word_col: str) -> tuple[F.Column, F.Column]:
     return bucket, rho
 
 
+def _hll_obs_sql(src: str) -> str:
+    """DuckDB text of the register-observable build over a
+    (source, word) relation: md5-prefix hash -> (source, bucket, rho).
+    ONE definition shared by every HLL query's oracle — the bit-level
+    portability of this fragment is what the family's oracle backing
+    rests on, so it must not exist twice."""
+    return f"""SELECT source,
+               h >> {_HLL_REST_BITS} AS bucket,
+               CASE WHEN (h & {(1 << _HLL_REST_BITS) - 1}) = 0
+                    THEN {_HLL_REST_BITS + 1}
+                    ELSE {_HLL_REST_BITS + 1}
+                         - length(bin(h & {(1 << _HLL_REST_BITS) - 1}))
+               END AS rho
+        FROM (SELECT source, word,
+                     CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
+              FROM {src})"""
+
+
 def _hll_est_sql(n_occ: str, s_occ: str) -> str:
     """DuckDB text of the FFGM estimator over a register aggregate
     (n_occ = occupied registers, s_occ = sum of 2^-M over them):
@@ -96,22 +118,13 @@ def _hll_est_col() -> F.Column:
 
 
 _HLL_ORACLE = f"""
-    WITH items AS (
+    WITH raw_items AS (
         SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
         FROM documents
     ), clean AS (
-        SELECT source, word,
-               CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
-        FROM items WHERE word <> ''
+        SELECT source, word FROM raw_items WHERE word <> ''
     ), obs AS (
-        SELECT source,
-               h >> {_HLL_REST_BITS} AS bucket,
-               CASE WHEN (h & {(1 << _HLL_REST_BITS) - 1}) = 0
-                    THEN {_HLL_REST_BITS + 1}
-                    ELSE {_HLL_REST_BITS + 1}
-                         - length(bin(h & {(1 << _HLL_REST_BITS) - 1}))
-               END AS rho
-        FROM clean
+        {_hll_obs_sql('clean')}
     ), regs AS (
         SELECT source, bucket, max(rho) AS m_j FROM obs GROUP BY source, bucket
     ), per_src AS (
@@ -308,16 +321,7 @@ _HLL_MERGE_ORACLE = f"""
             FROM documents WHERE source IN ('src0', 'src1')
         ) WHERE word <> ''
     ), obs AS (
-        SELECT source,
-               h >> {_HLL_REST_BITS} AS bucket,
-               CASE WHEN (h & {(1 << _HLL_REST_BITS) - 1}) = 0
-                    THEN {_HLL_REST_BITS + 1}
-                    ELSE {_HLL_REST_BITS + 1}
-                         - length(bin(h & {(1 << _HLL_REST_BITS) - 1}))
-               END AS rho
-        FROM (SELECT source, word,
-                     CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
-              FROM items)
+        {_hll_obs_sql('items')}
     ), regs AS (
         SELECT source, bucket, max(rho) AS m_j FROM obs GROUP BY source, bucket
     ), merged AS (
@@ -345,8 +349,7 @@ _HLL_MERGE_ORACLE = f"""
            floor(abs(eu.est - x.exact_union) / x.exact_union * 10000 + 0.5)
                / 10000 AS rel_err_union,
            x.exact_common,
-           sign(e0.est + e1.est - eu.est)
-               * floor(abs(e0.est + e1.est - eu.est) * 10000 + 0.5) / 10000
+           {signed_round_half_up_sql('e0.est + e1.est - eu.est', 4)}
                AS hll_common
     FROM x CROSS JOIN e0 CROSS JOIN e1 CROSS JOIN eu
 """
@@ -377,11 +380,18 @@ def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     one fixed-order expression on identical doubles.
     """
     d = load_table(spark, sf_dir, "documents")
+    # ONE distinct shuffle made true the dsir_selection way: the
+    # per-source filters below e0/e1 would otherwise push past the
+    # distinct to the scan and plan three separate corpus reads
+    # (ReuseExchange never fires on the diverged subplans). The pinned
+    # frame is the two sources' (source, word) vocabulary — bounded by
+    # vocab size, not corpus size.
     items = (
         d.filter(F.col("source").isin("src0", "src1"))
         .select("source", F.explode(tokens("text")).alias("word"))
         .filter(F.col("word") != "")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     bucket, rho = _hll_terms("word")
     regs = (
@@ -423,8 +433,6 @@ def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("estu") - F.col("exact_union")) / F.col("exact_union"), 4
             ).alias("rel_err_union"),
             F.col("exact_common").cast("bigint").alias("exact_common"),
-            (F.signum(common) * F.floor(F.abs(common) * 10000 + 0.5) / 10000).alias(
-                "hll_common"
-            ),
+            signed_round_half_up(common, 4).alias("hll_common"),
         )
     )

@@ -127,9 +127,7 @@ def sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
-            (
-                F.signum(avg) * F.floor(F.abs(avg) * 10000 + 0.5) / 10000
-            ).alias("avg_sentiment"),
+            textops.signed_round_half_up(avg, 4).alias("avg_sentiment"),
         )
     )
 
@@ -1155,9 +1153,7 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.groupBy("source").agg(
         k.alias("n_types"),
-        (F.signum(slope) * F.floor(F.abs(slope) * 10000 + 0.5) / 10000).alias(
-            "slope"
-        ),
+        textops.signed_round_half_up(slope, 4).alias("slope"),
     )
 
 

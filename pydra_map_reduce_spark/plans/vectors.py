@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as ops
+from ..operators.textops import signed_round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -848,19 +849,10 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.crossJoin(F.broadcast(ratio))
         .select(
             "pair_id",
-            # SIGN-AWARE half-up (the zipf/sentiment form): cosines go
-            # negative, where the plain floor-form round_half_up is
-            # documented non-negative-only
-            (
-                F.signum("cos_orig_raw")
-                * F.floor(F.abs("cos_orig_raw") * 10000 + 0.5)
-                / 10000
-            ).alias("cos_orig"),
-            (
-                F.signum("cos_proj_raw")
-                * F.floor(F.abs("cos_proj_raw") * 10000 + 0.5)
-                / 10000
-            ).alias("cos_proj"),
+            # SIGN-AWARE half-up: cosines go negative, where the plain
+            # floor-form round_half_up is documented non-negative-only
+            signed_round_half_up("cos_orig_raw", 4).alias("cos_orig"),
+            signed_round_half_up("cos_proj_raw", 4).alias("cos_proj"),
             round_half_up(
                 F.abs(F.col("cos_proj_raw") - F.col("cos_orig_raw")), 4
             ).alias("abs_err"),
@@ -925,10 +917,8 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from ..operators import similarity as sim
-
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", sim.as_double("embedding").alias("emb")
+        "vec_id", "label", ops.as_double("embedding").alias("emb")
     )
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
@@ -943,16 +933,13 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qlabel",
             "vec_id",
             (F.col("label") == F.col("qlabel")).alias("is_pos"),
-            sim.cosine(F.col("emb"), F.col("qv")).alias("cos"),
+            ops.cosine(F.col("emb"), F.col("qv")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id", "is_pos").orderBy(
-        sim.rank_key(F.col("cos")).desc(), "vec_id"
+        ops.rank_key(F.col("cos")).desc(), "vec_id"
     )
     top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-
-    def _render(c: F.Column) -> F.Column:
-        return F.signum(c) * F.floor(F.abs(c) * 10000 + 0.5) / 10000
 
     return (
         top.groupBy("query_id", "qlabel")
@@ -966,9 +953,9 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("qlabel").cast("bigint").alias("label"),
             "pos_id",
-            _render(F.col("pos_cos_raw")).alias("pos_cos"),
+            signed_round_half_up("pos_cos_raw", 4).alias("pos_cos"),
             "neg_id",
-            _render(F.col("neg_cos_raw")).alias("neg_cos"),
+            signed_round_half_up("neg_cos_raw", 4).alias("neg_cos"),
         )
         .orderBy("query_id")
     )
