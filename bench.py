@@ -97,6 +97,7 @@ HEADLINE = [
     "bpe_encode",            # tokenizer application (fertility after 3 merges)
     "hll_merge",             # HLL register merge (union + inclusion-exclusion)
     "hard_negatives",        # contrastive pair mining (pos + hard neg per query)
+    "trigram_perplexity_jm", # interpolated trigram LM (JM smoothing)
 ]
 
 

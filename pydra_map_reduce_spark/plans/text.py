@@ -538,6 +538,117 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "trigram_perplexity_jm",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), tg AS (
+        SELECT doc_id, tokens[i] AS w1, tokens[i+1] AS w2, tokens[i+2] AS w3
+        FROM (SELECT doc_id, tokens,
+                     unnest(generate_series(1, len(tokens) - 2)) AS i
+              FROM toks)
+    ), tri AS (
+        SELECT w1, w2, w3, count(*) AS nt FROM tg GROUP BY w1, w2, w3
+    ), tri_pre AS (
+        SELECT w1, w2, CAST(sum(nt) AS BIGINT) AS ntp FROM tri GROUP BY w1, w2
+    ), bi AS (
+        SELECT w2, w3, count(*) AS nb
+        FROM (SELECT tokens[i] AS w2, tokens[i+1] AS w3
+              FROM (SELECT tokens,
+                           unnest(generate_series(1, len(tokens) - 1)) AS i
+                    FROM toks))
+        GROUP BY w2, w3
+    ), bi_pre AS (
+        SELECT w2, CAST(sum(nb) AS BIGINT) AS nbp FROM bi GROUP BY w2
+    ), uni AS (
+        SELECT w3, count(*) AS nu
+        FROM (SELECT unnest(tokens) AS w3 FROM toks) GROUP BY w3
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(tokens) AS w FROM toks)
+    )
+    SELECT tg.doc_id,
+           count(*) AS n_trigrams,
+           round(exp(-avg(ln(
+               0.6 * (tri.nt / tri_pre.ntp)
+             + 0.3 * (bi.nb / bi_pre.nbp)
+             + 0.1 * (uni.nu / tot.n)
+           ))), 2) AS ppl
+    FROM tg
+    JOIN tri ON tri.w1 = tg.w1 AND tri.w2 = tg.w2 AND tri.w3 = tg.w3
+    JOIN tri_pre ON tri_pre.w1 = tg.w1 AND tri_pre.w2 = tg.w2
+    JOIN bi ON bi.w2 = tg.w2 AND bi.w3 = tg.w3
+    JOIN bi_pre ON bi_pre.w2 = tg.w2
+    JOIN uni ON uni.w3 = tg.w3
+    CROSS JOIN tot
+    GROUP BY tg.doc_id
+    """,
+    section="2.11 interpolated trigram-LM perplexity (Jelinek-Mercer smoothing)",
+)
+def trigram_perplexity_jm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a Jelinek-Mercer interpolated
+    trigram LM: p(w3|w1,w2) = 0.6·p_tri + 0.3·p_bi + 0.1·p_uni —
+    the classic smoothing that keeps unseen-context probability mass
+    finite, completing the LM-quality ladder above `unigram_perplexity`
+    and `bigram_perplexity` (which assign 0 to any unseen n-gram and
+    so can only score the corpus they were counted on). All context
+    denominators are continuation totals (sum of the higher-order
+    table), so every interpolation weight multiplies an exact-integer
+    ratio; the three lambda literals are spelled identically on both
+    sides and the mixture is one fixed-order expression.
+
+    100 TB posture: the model tables are keyed aggs over the token
+    stream (trigram/bigram tables exceed broadcast size at corpus
+    scale, so the scoring joins stay shuffle joins co-partitioned
+    with the stream's own grouping, like bigram_perplexity); the
+    1-row corpus total is a broadcast cross join. Determinism: exp of
+    an order-dependent avg amplifies ~1e-13 mean noise to ~1e-8
+    (round-3 gotcha), so ppl is rounded at 2dp like its siblings.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(textops.tokens("text")).alias("pos", "w1"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.select(
+        "doc_id",
+        "w1",
+        F.lead("w1", 1).over(wdoc).alias("w2"),
+        F.lead("w1", 2).over(wdoc).alias("w3"),
+    )
+    tg = seq.filter(F.col("w3").isNotNull())
+    bg = seq.select("w1", "w2").filter(F.col("w2").isNotNull()).select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3")
+    )
+    tri = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("nt"))
+    tri_pre = tri.groupBy("w1", "w2").agg(F.sum("nt").alias("ntp"))
+    bi = bg.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nb"))
+    bi_pre = bi.groupBy("w2").agg(F.sum("nb").alias("nbp"))
+    uni = toks.select(F.col("w1").alias("w3")).groupBy("w3").agg(
+        F.count(F.lit(1)).alias("nu")
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    p_jm = (
+        0.6 * (F.col("nt") / F.col("ntp"))
+        + 0.3 * (F.col("nb") / F.col("nbp"))
+        + 0.1 * (F.col("nu") / F.col("n"))
+    )
+    return (
+        tg.join(tri, ["w1", "w2", "w3"])
+        .join(tri_pre, ["w1", "w2"])
+        .join(bi, ["w2", "w3"])
+        .join(bi_pre, ["w2"])
+        .join(uni, ["w3"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.exp(-F.avg(F.log(p_jm))), 2).alias("ppl"),
+        )
+    )
+
+
 # THE Okapi BM25 per-(doc, query-term) score (k1=1.2, b=0.75), written
 # once for both engines: the Column form scores every BM25-family
 # query (bm25_topk, rrf_fusion's lexical leg) and the SQL text is
