@@ -98,6 +98,7 @@ HEADLINE = [
     "hll_merge",             # HLL register merge (union + inclusion-exclusion)
     "hard_negatives",        # contrastive pair mining (pos + hard neg per query)
     "trigram_perplexity_jm", # interpolated trigram LM (JM smoothing)
+    "filter_funnel",         # cumulative quality-gate attrition report
 ]
 
 

@@ -159,10 +159,11 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "gopher_rules",
-    oracle="""
-    WITH toks AS (
+# The Gopher per-document gate flags as shared CTE text: ONE
+# definition feeding both gopher_rules (per-source pass counts) and
+# filter_funnel (cumulative attrition). SQL twin of
+# :func:`_gopher_flags`.
+_GOPHER_FLAGS_CTES = """toks AS (
         SELECT source,
                string_split_regex(trim(text), '\\s+') AS ws,
                len(string_split_regex(trim(text), '\\s+')) AS n_words,
@@ -183,7 +184,41 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END) >= 2
                     THEN 1 ELSE 0 END AS ok_stop
         FROM toks
+    )"""
+
+
+def _gopher_flags(d: DataFrame) -> DataFrame:
+    """(source, ok_nwords, ok_meanlen, ok_maxlen, ok_stop) — the
+    Gopher gate flags per document. Column twin of
+    :data:`_GOPHER_FLAGS_CTES`; gopher_rules aggregates them per
+    source, filter_funnel folds them into cumulative survivors."""
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    toks = d.select(
+        "source",
+        ws.alias("ws"),
+        F.size(ws).alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).alias("n_alpha"),
     )
+    mean_len = F.col("n_alpha") * 1.0 / F.col("n_words")
+    stop_hits = sum(
+        F.when(F.array_contains(F.col("ws"), s), 1).otherwise(0)
+        for s in ("the", "a", "of", "and", "to")
+    )
+    return toks.select(
+        "source",
+        F.when(F.col("n_words").between(20, 100000), 1).otherwise(0).alias("ok_nwords"),
+        F.when((mean_len >= 3) & (mean_len <= 10), 1).otherwise(0).alias("ok_meanlen"),
+        F.when(
+            F.array_max(F.transform(F.col("ws"), F.length)) <= 15, 1
+        ).otherwise(0).alias("ok_maxlen"),
+        F.when(stop_hits >= 2, 1).otherwise(0).alias("ok_stop"),
+    )
+
+
+@query(
+    "gopher_rules",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_CTES}
     SELECT source,
            count(*)                                               AS n_docs,
            CAST(sum(ok_nwords) AS BIGINT)                         AS pass_nwords,
@@ -205,28 +240,7 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, one scan, one keyed agg; the mean-length
     band compares an exact integer ratio, so the [3,10] cut is
     engine-independent."""
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
-    toks = d.select(
-        "source",
-        ws.alias("ws"),
-        F.size(ws).alias("n_words"),
-        F.length(F.regexp_replace(F.col("text"), r"\s", "")).alias("n_alpha"),
-    )
-    mean_len = F.col("n_alpha") * 1.0 / F.col("n_words")
-    stop_hits = sum(
-        F.when(F.array_contains(F.col("ws"), s), 1).otherwise(0)
-        for s in ("the", "a", "of", "and", "to")
-    )
-    flags = toks.select(
-        "source",
-        F.when(F.col("n_words").between(20, 100000), 1).otherwise(0).alias("ok_nwords"),
-        F.when((mean_len >= 3) & (mean_len <= 10), 1).otherwise(0).alias("ok_meanlen"),
-        F.when(
-            F.array_max(F.transform(F.col("ws"), F.length)) <= 15, 1
-        ).otherwise(0).alias("ok_maxlen"),
-        F.when(stop_hits >= 2, 1).otherwise(0).alias("ok_stop"),
-    )
+    flags = _gopher_flags(load_table(spark, sf_dir, "documents"))
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ok_nwords").cast("bigint").alias("pass_nwords"),
@@ -238,6 +252,102 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("pass_all"),
+    )
+
+
+@query(
+    "filter_funnel",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_CTES},
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ok_nwords) AS BIGINT) AS s1,
+               CAST(sum(ok_nwords * ok_meanlen) AS BIGINT) AS s2,
+               CAST(sum(ok_nwords * ok_meanlen * ok_maxlen) AS BIGINT) AS s3,
+               CAST(sum(ok_nwords * ok_meanlen * ok_maxlen * ok_stop)
+                    AS BIGINT) AS s4
+        FROM flags
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'word_count' AS gate,
+               n AS docs_in, s1 AS docs_out,
+               floor((n - s1) * 1.0 / n * 10000 + 0.5) / 10000 AS drop_pct
+        FROM agg
+        UNION ALL
+        SELECT 2, 'mean_word_length', s1, s2,
+               floor((s1 - s2) * 1.0 / s1 * 10000 + 0.5) / 10000 FROM agg
+        UNION ALL
+        SELECT 3, 'max_word_length', s2, s3,
+               floor((s2 - s3) * 1.0 / s2 * 10000 + 0.5) / 10000 FROM agg
+        UNION ALL
+        SELECT 4, 'stopword_presence', s3, s4,
+               floor((s3 - s4) * 1.0 / s3 * 10000 + 0.5) / 10000 FROM agg
+    ) ORDER BY stage
+    """,
+    section="2.11 filter-funnel attrition report (cumulative quality gates)",
+)
+def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability for the quality gates: apply the Gopher
+    rules CUMULATIVELY (word-count -> mean-word-length ->
+    max-word-length -> stopword presence) and report per stage how
+    many documents enter, how many survive, and the drop rate — the
+    attrition funnel a data team reads before shipping a filter
+    config (per-rule pass counts alone, gopher_rules' output, hide
+    which gate does the killing in sequence). Gate definitions are
+    the SHARED `_gopher_flags` / `_GOPHER_FLAGS_CTES` pair, so the
+    funnel can never disagree with the per-rule report.
+
+    Plan: one scan, one 1-row aggregate of cumulative-product flags,
+    then a 4-row stack — no second pass per stage. Drop rates divide
+    exact BIGINTs once and floor identically on both engines. A
+    stage with zero entrants would divide by zero: both engines
+    yield NULL there alike (n >= 1 at every fixture SF, so the branch
+    is structural, not exercised).
+    """
+    flags = _gopher_flags(load_table(spark, sf_dir, "documents"))
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ok_nwords").cast("bigint").alias("s1"),
+        F.sum(F.col("ok_nwords") * F.col("ok_meanlen")).cast("bigint").alias("s2"),
+        F.sum(F.col("ok_nwords") * F.col("ok_meanlen") * F.col("ok_maxlen"))
+        .cast("bigint")
+        .alias("s3"),
+        F.sum(
+            F.col("ok_nwords")
+            * F.col("ok_meanlen")
+            * F.col("ok_maxlen")
+            * F.col("ok_stop")
+        )
+        .cast("bigint")
+        .alias("s4"),
+    )
+    stack = F.expr(
+        "stack(4,"
+        " cast(1 as bigint), 'word_count', n, s1,"
+        " cast(2 as bigint), 'mean_word_length', s1, s2,"
+        " cast(3 as bigint), 'max_word_length', s2, s3,"
+        " cast(4 as bigint), 'stopword_presence', s3, s4"
+        ") as (stage, gate, docs_in, docs_out)"
+    )
+    return (
+        agg.select(stack)
+        .select(
+            "stage",
+            "gate",
+            "docs_in",
+            "docs_out",
+            (
+                F.floor(
+                    (F.col("docs_in") - F.col("docs_out"))
+                    * 1.0
+                    / F.col("docs_in")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("drop_pct"),
+        )
+        .orderBy("stage")
     )
 
 
