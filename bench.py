@@ -99,6 +99,7 @@ HEADLINE = [
     "hard_negatives",        # contrastive pair mining (pos + hard neg per query)
     "trigram_perplexity_jm", # interpolated trigram LM (JM smoothing)
     "filter_funnel",         # cumulative quality-gate attrition report
+    "ann_recall",            # IVF recall@5 vs exact top-5 (index evaluation)
 ]
 
 

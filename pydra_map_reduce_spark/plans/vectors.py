@@ -959,3 +959,110 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _ann_recall_oracle(n_clusters: int, lloyd_iters: int, n_probe: int, k: int, n_queries: int) -> str:
+    """Multi-query generalization of `_ivf_oracle`: the same unrolled-
+    Lloyd training CTEs, probe/rescore PARTITIONED per query, then
+    recall@k against the exact per-query top-k."""
+    ctes, prev_c = _ivf_train_ctes(n_clusters, lloyd_iters)
+    return f"""
+    WITH {ctes},
+    qpt AS (SELECT vec_id AS query_id, pos, v FROM pt WHERE vec_id < {n_queries}),
+    qv AS (SELECT vec_id AS query_id, emb AS qvec FROM e WHERE vec_id < {n_queries}),
+    probe AS (
+        SELECT query_id, cid FROM (
+            SELECT dd.query_id, dd.cid,
+                   row_number() OVER (PARTITION BY dd.query_id
+                                      ORDER BY dd.d2, dd.cid) AS rn
+            FROM (SELECT qp.query_id, c.cid,
+                         sum((c.m - qp.v) * (c.m - qp.v)) AS d2
+                  FROM {prev_c} c JOIN qpt qp ON c.pos = qp.pos
+                  GROUP BY qp.query_id, c.cid) dd
+        ) WHERE rn <= {n_probe}
+    ),
+    ivf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT pr.query_id, a.vec_id,
+                   row_number() OVER (PARTITION BY pr.query_id
+                                      ORDER BY floor(list_cosine_similarity(e2.emb, q.qvec)
+                                                     * 1e9 + 0.5) / 1e9 DESC,
+                                               a.vec_id) AS rn
+            FROM af a
+            JOIN probe pr ON a.cid = pr.cid
+            JOIN e e2 ON e2.vec_id = a.vec_id
+            JOIN qv q ON q.query_id = pr.query_id
+            WHERE a.vec_id <> pr.query_id
+        ) WHERE rn <= {k}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e2.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY floor(list_cosine_similarity(e2.emb, q.qvec)
+                                                     * 1e9 + 0.5) / 1e9 DESC,
+                                               e2.vec_id) AS rn
+            FROM e e2 CROSS JOIN qv q
+            WHERE e2.vec_id <> q.query_id
+        ) WHERE rn <= {k}
+    )
+    SELECT x.query_id,
+           CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           floor(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / {k} * 10000 + 0.5) / 10000 AS recall
+    FROM exact x
+    LEFT JOIN ivf i ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id
+    """
+
+
+@query(
+    "ann_recall",
+    oracle=_ann_recall_oracle(n_clusters=64, lloyd_iters=2, n_probe=4, k=5, n_queries=8),
+    section="2.11 ANN index evaluation: IVF recall@5 against exact top-5",
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metric an ANN deployment is judged by: recall@k of the
+    served IVF index against the exact brute-force top-k, per query —
+    the number a team reads before trading n_probe against latency.
+    Serves 8 queries from the SAME cached train-once index as
+    `ivf_ann_serve` (so the evaluation measures the index a user
+    would actually hit, not a fresh retrain), unions the per-query
+    top-5 sets, and left-joins them against `batch_cosine_topk`'s
+    exact sets: n_hits = |IVF ∩ exact| per query, recall = n_hits/5.
+
+    100 TB posture: the exact side is the one corpus-pass batched
+    scorer (at real scale you'd sample queries, not skip the exact
+    pass — recall without ground truth is not recall); the IVF side
+    is 8 probe+rescore serves over the persisted index, each touching
+    ~n_probe/n_clusters of the corpus. Counts are exact integers; the
+    only float is the rendered n_hits/5 ratio, floored identically at
+    4dp on identical doubles. The oracle re-derives training, probes,
+    both top-5 sets, and the intersection from scratch (multi-query
+    generalization of the unrolled-Lloyd CTEs), so a silent recall
+    regression in EITHER the index or the serve path grades red.
+    """
+    idx = _ivf_index(spark, sf_dir)
+    ivf = None
+    for q in range(8):
+        f = ops.ivf_serve_distributed(idx, q, n_probe=4, k=5).select(
+            F.lit(q).cast("bigint").alias("query_id"), "vec_id"
+        )
+        ivf = f if ivf is None else ivf.unionAll(f)
+    exact = ops.batch_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_queries=8, k=5,
+    ).select("query_id", "vec_id")
+    return (
+        exact.join(ivf.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.floor(F.col("n_hits") * 1.0 / 5 * 10000 + 0.5) / 10000).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
