@@ -100,6 +100,7 @@ HEADLINE = [
     "trigram_perplexity_jm", # interpolated trigram LM (JM smoothing)
     "filter_funnel",         # cumulative quality-gate attrition report
     "ann_recall",            # IVF recall@5 vs exact top-5 (index evaluation)
+    "mix_temperature",       # temperature-scaled multilingual sampling weights
 ]
 
 

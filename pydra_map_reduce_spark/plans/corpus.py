@@ -1170,3 +1170,79 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             signed_round_half_up("w", 4).alias("dsir_weight"),
         )
     )
+
+
+@query(
+    "mix_temperature",
+    oracle="""
+    WITH lt AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY lang
+    ), tot0 AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS n FROM lt
+    ), tot AS (
+        SELECT t.n, sum(power(lt.n_tokens * 1.0 / t.n, 0.7)) AS z
+        FROM lt CROSS JOIN tot0 t GROUP BY t.n
+    )
+    SELECT lt.lang,
+           lt.n_tokens,
+           floor(lt.n_tokens * 1.0 / tot.n * 10000 + 0.5) / 10000 AS p_raw,
+           floor(power(lt.n_tokens * 1.0 / tot.n, 0.7) / tot.z * 10000 + 0.5)
+               / 10000 AS p_tau,
+           floor(power(lt.n_tokens * 1.0 / tot.n, 0.7) / tot.z
+                 / (lt.n_tokens * 1.0 / tot.n) * 10000 + 0.5) / 10000
+               AS upsample
+    FROM lt CROSS JOIN tot
+    ORDER BY lt.lang
+    """,
+    section="2.11 temperature-scaled multilingual sampling weights (alpha=0.7)",
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilingual sampling formula (Conneau et al., XLM-R,
+    public): q_i = p_i^alpha / sum_j p_j^alpha at alpha = 0.7 — the
+    standard rebalancing that upsamples low-resource languages
+    without flattening the mix entirely. Per language: raw token
+    share, temperature-scaled sampling probability, and the implied
+    upsample factor q_i/p_i a data loader would apply.
+    `mix_weights`/`mix_apply` are the per-source mechanics; this is
+    the per-LANGUAGE policy knob upstream of them.
+
+    Plan: one token-count agg (map-side combined), a 1-row broadcast
+    for the total and the normalizer, pure arithmetic after.
+    Determinism: the shares are exact-integer ratios; pow(x, 0.7) is
+    the one transcendental — Java and C libm can differ by an ulp, so
+    every pow-derived column renders at 4dp where ulp noise is nine
+    orders below the grain (the bm25/ln convention). The normalizer
+    z sums 5 pow terms in engine order; same 4dp argument.
+    """
+    from ..operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    lt = (
+        d.select("lang", F.explode(textops.tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    tot0 = lt.agg(F.sum("n_tokens").alias("n"))
+    tot = (
+        lt.crossJoin(F.broadcast(tot0))
+        .groupBy("n")
+        .agg(F.sum(F.pow(F.col("n_tokens") * 1.0 / F.col("n"), 0.7)).alias("z"))
+    )
+    p_raw = F.col("n_tokens") * 1.0 / F.col("n")
+    p_tau = F.pow(p_raw, 0.7) / F.col("z")
+    return (
+        lt.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            round_half_up(p_raw, 4).alias("p_raw"),
+            round_half_up(p_tau, 4).alias("p_tau"),
+            round_half_up(p_tau / p_raw, 4).alias("upsample"),
+        )
+        .orderBy("lang")
+    )
