@@ -101,6 +101,8 @@ HEADLINE = [
     "filter_funnel",         # cumulative quality-gate attrition report
     "ann_recall",            # IVF recall@5 vs exact top-5 (index evaluation)
     "mix_temperature",       # temperature-scaled multilingual sampling weights
+    "k_anonymity_audit",     # privacy audit (QI group sizes)
+    "shard_balance",         # packer skew report (per-writer fill)
 ]
 
 

@@ -829,3 +829,48 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_x").cast("bigint").alias("n_lang"),
         round_half_up(F.sum(term), 6).alias("mi_part"),
     )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS grp
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_groups,
+           CAST(min(grp) AS BIGINT)                       AS k_anonymity,
+           CAST(sum(CASE WHEN grp < 5 THEN 1 ELSE 0 END)
+                AS BIGINT)                                AS groups_below_5,
+           CAST(sum(CASE WHEN grp < 5 THEN grp ELSE 0 END)
+                AS BIGINT)                                AS customers_at_risk
+    FROM qi
+    """,
+    section="2.11 privacy audit: k-anonymity over quasi-identifiers",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance-style privacy audit before a table is released as
+    training data: group by the quasi-identifier tuple (nation,
+    market segment) and report the dataset's k-anonymity (the
+    SMALLEST group — any individual is hidden among at least k
+    records), plus how many groups and records fall below the
+    conventional k=5 release threshold. One keyed agg (map-side
+    combined) and a 125-group rollup — the shape is identical at any
+    record count because the group space is the QI domain, not the
+    row count. All outputs are exact integers.
+    """
+    d = load_table(spark, sf_dir, "customer")
+    qi = d.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp")
+    )
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("grp").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(F.col("grp") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_below_5"),
+        F.sum(F.when(F.col("grp") < 5, F.col("grp")).otherwise(0))
+        .cast("bigint")
+        .alias("customers_at_risk"),
+    )

@@ -207,38 +207,31 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_WRITERS = 8  # parallel shard-writer partitions in the scale path
 
-
-@query(
-    "shard_pack_partitioned",
-    oracle=f"""
-    WITH packed AS (
+# ONE definition of the partitioned packing (CTE text + Column
+# helper), shared by shard_pack_partitioned and the shard_balance
+# report so the packer being measured and the packer being shipped
+# cannot drift.
+_PACKED_SHARDS_CTE = f"""packed AS (
         SELECT doc_id % {_N_WRITERS} AS writer_id, n_chars,
                CAST(floor((sum(n_chars) OVER (PARTITION BY doc_id % {_N_WRITERS}
                            ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                            - n_chars) / {_SHARD_CAPACITY}) AS BIGINT) AS local_shard
         FROM documents
-    )
-    SELECT writer_id, local_shard,
-           count(*)                     AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS shard_chars
-    FROM packed
-    GROUP BY writer_id, local_shard
-    """,
-    section="2.11 shard packing, partitioned (the 100 TB path: no global order)",
-)
-def shard_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale form of `shard_pack`: documents hash to one of N
-    writer partitions (deterministic `doc_id % N` so the oracle can
-    mirror it; production would use any stable hash) and each writer
-    packs *its own* stream to capacity with a per-partition window.
-    N windows run in parallel after a single hash exchange — no global
-    order, no single-partition WindowExec — so packing throughput
-    scales with the writer count. Shard identity is (writer_id,
-    local_shard)."""
+    ), shards AS (
+        SELECT writer_id, local_shard,
+               count(*)                     AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS shard_chars
+        FROM packed
+        GROUP BY writer_id, local_shard
+    )"""
+
+
+def _packed_shards(d: DataFrame) -> DataFrame:
+    """(writer_id, local_shard, n_docs, shard_chars) — the partitioned
+    packer's shard table. Column twin of :data:`_PACKED_SHARDS_CTE`."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
     writer = (F.col("doc_id") % _N_WRITERS).alias("writer_id")
     w = (
         Window.partitionBy("writer_id")
@@ -254,6 +247,84 @@ def shard_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("shard_chars"),
         )
+    )
+
+
+@query(
+    "shard_pack_partitioned",
+    oracle=f"""
+    WITH {_PACKED_SHARDS_CTE}
+    SELECT writer_id, local_shard, n_docs, shard_chars FROM shards
+    """,
+    section="2.11 shard packing, partitioned (the 100 TB path: no global order)",
+)
+def shard_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of `shard_pack`: documents hash to one of N
+    writer partitions (deterministic `doc_id % N` so the oracle can
+    mirror it; production would use any stable hash) and each writer
+    packs *its own* stream to capacity with a per-partition window.
+    N windows run in parallel after a single hash exchange — no global
+    order, no single-partition WindowExec — so packing throughput
+    scales with the writer count. Shard identity is (writer_id,
+    local_shard). Packing logic lives in the shared
+    :func:`_packed_shards` (the shard_balance report measures the
+    identical packer)."""
+    return _packed_shards(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "shard_balance",
+    oracle=f"""
+    WITH {_PACKED_SHARDS_CTE}
+    SELECT writer_id,
+           CAST(count(*) AS BIGINT)          AS n_shards,
+           CAST(sum(n_docs) AS BIGINT)       AS n_docs,
+           CAST(sum(shard_chars) AS BIGINT)  AS total_chars,
+           floor(sum(shard_chars) * 1.0
+                 / (count(*) * {_SHARD_CAPACITY}) * 10000 + 0.5) / 10000
+                                             AS fill_ratio
+    FROM shards
+    GROUP BY writer_id
+    ORDER BY writer_id
+    """,
+    section="2.11 shard-packing balance report (per-writer fill and skew)",
+)
+def shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the partitioned packer: per writer, how many
+    shards it cut, how many documents and characters it wrote, and
+    its mean fill ratio against capacity — the skew report that tells
+    a team whether the writer hash is balanced and how much capacity
+    the tail shards waste BEFORE a 1000-writer run bakes the layout
+    into storage. Measures the IDENTICAL packer as
+    shard_pack_partitioned (shared `_packed_shards` definition); one
+    extra 8-row aggregate on top. fill_ratio divides exact BIGINTs
+    once and floors identically on both engines.
+    """
+    shards = _packed_shards(load_table(spark, sf_dir, "documents"))
+    return (
+        shards.groupBy("writer_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("shard_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "writer_id",
+            "n_shards",
+            "n_docs",
+            "total_chars",
+            (
+                F.floor(
+                    F.col("total_chars")
+                    * 1.0
+                    / (F.col("n_shards") * _SHARD_CAPACITY)
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("fill_ratio"),
+        )
+        .orderBy("writer_id")
     )
 
 
