@@ -103,6 +103,7 @@ HEADLINE = [
     "mix_temperature",       # temperature-scaled multilingual sampling weights
     "k_anonymity_audit",     # privacy audit (QI group sizes)
     "shard_balance",         # packer skew report (per-writer fill)
+    "label_noise_detect",    # k-NN label QA (mislabel suspects)
 ]
 
 

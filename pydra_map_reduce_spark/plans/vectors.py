@@ -1066,3 +1066,98 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "label_noise_detect",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), nn AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e2.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY floor(list_cosine_similarity(e2.emb, q.emb)
+                                                     * 1e9 + 0.5) / 1e9 DESC,
+                                               e2.vec_id) AS rn
+            FROM e e2 CROSS JOIN e q
+            WHERE e2.vec_id <> q.vec_id
+        ) WHERE rn <= 5
+    ), votes AS (
+        SELECT nn.query_id, e.label AS nlabel, count(*) AS votes
+        FROM nn JOIN e ON e.vec_id = nn.vec_id
+        GROUP BY nn.query_id, e.label
+    ), majority AS (
+        SELECT query_id, nlabel AS knn_label FROM (
+            SELECT query_id, nlabel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY votes DESC, nlabel) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    ), agree AS (
+        SELECT q.vec_id, q.label, m.knn_label,
+               CAST(COALESCE(v.votes, 0) AS BIGINT) AS n_agree
+        FROM e q
+        JOIN majority m ON m.query_id = q.vec_id
+        LEFT JOIN votes v ON v.query_id = q.vec_id AND v.nlabel = q.label
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(knn_label AS BIGINT) AS knn_label, n_agree
+    FROM agree
+    ORDER BY n_agree, vec_id
+    LIMIT 10
+    """,
+    section="2.11 label-noise detection: k-NN neighborhood vs own label",
+)
+def label_noise_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-label QA in the confident-learning style: for every
+    vector, vote its 5 nearest neighbors' labels; the 10 vectors whose
+    neighborhoods agree LEAST with their own label (n_agree ascending)
+    are the mislabel suspects a human reviews first — with the
+    neighborhood's majority label as the suggested correction
+    (ties: vote count desc, label asc, both engines).
+
+    Plan: the all-queries batched scorer (`batch_cosine_topk` with the
+    whole corpus as the query block) -> per-query top-5 window ->
+    label vote aggregate -> two small joins; at 100 TB the scorer
+    swaps for the IVF router exactly as ann_batch_topk documents —
+    the voting/suspect logic downstream is unchanged. Counts are
+    exact integers; the only float is the rank key, the family 9dp
+    floor form. A vector whose label never appears among its
+    neighbors gets n_agree = 0 via the left join on both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    n_vecs = 1 << 62  # every vector is a query (vec_id < 2^62 always)
+    nn = ops.batch_cosine_topk(
+        e, "vec_id", "embedding", n_queries=n_vecs, k=5
+    ).select("query_id", "vec_id")
+    labels = e.select("vec_id", "label")
+    votes = (
+        nn.join(labels, "vec_id")
+        .groupBy("query_id", F.col("label").alias("nlabel"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "nlabel")
+    majority = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nlabel").alias("knn_label"))
+    )
+    own = labels.select(F.col("vec_id").alias("query_id"), F.col("label"))
+    agree = (
+        own.join(majority, "query_id")
+        .join(
+            votes.select("query_id", "nlabel", "votes"),
+            (votes["query_id"] == own["query_id"]) & (votes["nlabel"] == own["label"]),
+            "left",
+        )
+        .select(
+            own["query_id"].alias("vec_id"),
+            own["label"].cast("bigint").alias("label"),
+            F.col("knn_label").cast("bigint").alias("knn_label"),
+            F.coalesce(F.col("votes"), F.lit(0)).cast("bigint").alias("n_agree"),
+        )
+    )
+    return agree.orderBy("n_agree", "vec_id").limit(10)
