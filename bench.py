@@ -104,6 +104,7 @@ HEADLINE = [
     "k_anonymity_audit",     # privacy audit (QI group sizes)
     "shard_balance",         # packer skew report (per-writer fill)
     "label_noise_detect",    # k-NN label QA (mislabel suspects)
+    "lsh_recall",            # banding recall vs exact Jaccard ground truth
 ]
 
 

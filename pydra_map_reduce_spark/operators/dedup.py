@@ -251,6 +251,24 @@ def ngram_jaccard_pairs_capped(
     )
 
 
+def portable_shingle_ids(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, s): distinct md5-prefix shingle ids — THE portable
+    shingle identity (DuckDB twin: ('0x'||substr(md5(g),1,8))::BIGINT).
+    Distinct ONCE, after the md5-prefix collapse: shingle_rows' default
+    distinct on raw strings would add a second corpus-sized exchange
+    for an identical result (md5 is deterministic, so post-conv
+    distinct subsumes it; prefix collisions collapse identically in
+    any engine). One definition shared by the portable MinHash pipeline
+    and the LSH-recall evaluation's exact ground truth."""
+    raw = shingle_rows(df, id_col, text_col, shingle_n, hashed=False, distinct=False)
+    return raw.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("s"),
+    ).distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -290,15 +308,7 @@ def minhash_lsh_pairs(
     # persist: reused by signatures and by the exact rescore (same
     # evictability note as in ngram_jaccard_pairs)
     if portable_hash:
-        # distinct ONCE, after the md5-prefix collapse: shingle_rows'
-        # default distinct on raw strings would add a second
-        # corpus-sized exchange for an identical result (md5 is
-        # deterministic, so post-conv distinct subsumes it)
-        raw = shingle_rows(df, id_col, text_col, shingle_n, hashed=False, distinct=False)
-        sh_rows = raw.select(
-            "doc_id",
-            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("s"),
-        ).distinct()  # md5-prefix collisions collapse identically in any engine
+        sh_rows = portable_shingle_ids(df, id_col, text_col, shingle_n)
     else:
         sh_rows = shingle_rows(df, id_col, text_col, shingle_n)
     sh_rows = sh_rows.persist(StorageLevel.MEMORY_AND_DISK)

@@ -619,3 +619,84 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(retained * 1.0 / F.col("n_raw"), 4).alias("retention"),
         )
     )
+
+
+_LSH_EVAL_THRESHOLD = 0.05  # deliberately BELOW the banding design point
+
+
+@query(
+    "lsh_recall",
+    oracle=f"""
+    WITH {_minhash_portable_ctes(threshold=_LSH_EVAL_THRESHOLD)}, truth AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter)
+              >= {_LSH_EVAL_THRESHOLD}
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT)  AS n_true,
+           CAST((SELECT count(*) FROM mpairs) AS BIGINT) AS n_found,
+           CAST((SELECT count(*) FROM truth) AS BIGINT)
+             - CAST((SELECT count(*) FROM mpairs) AS BIGINT) AS n_missed,
+           floor((SELECT count(*) FROM mpairs) * 1.0
+                 / (SELECT count(*) FROM truth) * 10000 + 0.5) / 10000
+               AS recall
+    """,
+    section="2.11 LSH banding evaluation: recall vs exact Jaccard ground truth",
+)
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-family analogue of `ann_recall`: how many of the TRUE
+    near-duplicate pairs does MinHash banding actually surface? Ground
+    truth = exact brute-force Jaccard over the same portable shingle
+    ids (the deliberately-exact demonstrator role, like
+    allpairs_similarity); candidates = the production banding +
+    rescore pipeline. The threshold (0.05) sits deliberately BELOW the
+    8x4 banding design point (J >~ 0.85), so the S-curve's misses are
+    VISIBLE in the report — recall near 1.0 would only certify the
+    easy regime; a team tunes bands/rows against exactly this number.
+
+    Plan: truth is the posting-list self-join (quadratic in list
+    length — the evaluation pays for its ground truth, run sampled at
+    real scale); the found side is the registered scale pipeline.
+    Both sides share ONE shingle-id definition
+    (operators/dedup.portable_shingle_ids), so the evaluation cannot
+    drift from the pipeline it measures. All counts are exact
+    integers; recall divides them once, floored identically.
+    """
+    from ..operators.dedup import portable_shingle_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = portable_shingle_ids(d, "doc_id", "text")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            (F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("j")
+        )
+    )
+    truth_n = jac.filter(F.col("j") >= _LSH_EVAL_THRESHOLD).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    found_n = ops.minhash_lsh_pairs(
+        d, "doc_id", "text",
+        threshold=_LSH_EVAL_THRESHOLD, n_hashes=32, bands=8, portable_hash=True,
+    ).agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        truth_n.crossJoin(F.broadcast(found_n))
+        .select(
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_found").cast("bigint").alias("n_found"),
+            (F.col("n_true") - F.col("n_found")).cast("bigint").alias("n_missed"),
+            (
+                F.floor(F.col("n_found") * 1.0 / F.col("n_true") * 10000 + 0.5) / 10000
+            ).alias("recall"),
+        )
+    )
