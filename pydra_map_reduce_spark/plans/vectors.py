@@ -1117,20 +1117,40 @@ def label_noise_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood's majority label as the suggested correction
     (ties: vote count desc, label asc, both engines).
 
-    Plan: the all-queries batched scorer (`batch_cosine_topk` with the
-    whole corpus as the query block) -> per-query top-5 window ->
-    label vote aggregate -> two small joins; at 100 TB the scorer
+    Plan: every vector is a query, so the scorer is the FLAT-COLUMN
+    codegen path (the allpairs_similarity machinery: 64 projected
+    columns, dot as a whole-stage-codegen sum chain) — the
+    aggregate()-fold cosine that batch_cosine_topk uses is an
+    interpreted higher-order function, measured 75 s vs ~3 s here for
+    the corpus x corpus fan-out. Then the per-query top-5 window, the
+    label vote aggregate, and two small joins; at 100 TB the fan-out
     swaps for the IVF router exactly as ann_batch_topk documents —
     the voting/suspect logic downstream is unchanged. Counts are
     exact integers; the only float is the rank key, the family 9dp
-    floor form. A vector whose label never appears among its
-    neighbors gets n_agree = 0 via the left join on both engines.
+    floor form (which also absorbs flat-chain vs fold ulps). A vector
+    whose label never appears among its neighbors gets n_agree = 0
+    via the left join on both engines.
     """
+    from pyspark.sql.window import Window as _W
+
     e = load_table(spark, sf_dir, "embeddings")
-    n_vecs = 1 << 62  # every vector is a query (vec_id < 2^62 always)
-    nn = ops.batch_cosine_topk(
-        e, "vec_id", "embedding", n_queries=n_vecs, k=5
-    ).select("query_id", "vec_id")
+    fa = ops._flatten(e, "vec_id", "embedding", _EMB_DIM, "a_")
+    fq = ops._flatten(e, "vec_id", "embedding", _EMB_DIM, "q_")
+    scored = (
+        fa.crossJoin(F.broadcast(fq))
+        .filter(F.col("a_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("a_id").alias("vec_id"),
+            ops._flat_cosine("a_", "q_", _EMB_DIM).alias("cos"),
+        )
+    )
+    wq = _W.partitionBy("query_id").orderBy(ops.rank_key(F.col("cos")).desc(), "vec_id")
+    nn = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id")
+    )
     labels = e.select("vec_id", "label")
     votes = (
         nn.join(labels, "vec_id")
