@@ -664,10 +664,20 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift from the pipeline it measures. All counts are exact
     integers; recall divides them once, floored identically.
     """
-    from ..operators.dedup import portable_shingle_ids
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.dedup import _spread, portable_shingle_ids
 
     d = load_table(spark, sf_dir, "documents")
-    sh = portable_shingle_ids(d, "doc_id", "text")
+    # _spread + persist: the truth side references this frame in FOUR
+    # subplan instances (inter's two aliases, sizes twice) — without
+    # the pin the tokenize->window->md5->distinct lineage recomputes
+    # per instance, and without the spread the pre-shuffle shingling
+    # can run single-partition (the sibling operators' measured 6 s vs
+    # 0.3 s; same persist convention as minhash_lsh_pairs)
+    sh = portable_shingle_ids(_spread(d), "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

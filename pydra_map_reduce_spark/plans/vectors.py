@@ -1131,7 +1131,7 @@ def label_noise_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose label never appears among its neighbors gets n_agree = 0
     via the left join on both engines.
     """
-    from pyspark.sql.window import Window as _W
+    from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings")
     fa = ops._flatten(e, "vec_id", "embedding", _EMB_DIM, "a_")
@@ -1145,7 +1145,7 @@ def label_noise_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ops._flat_cosine("a_", "q_", _EMB_DIM).alias("cos"),
         )
     )
-    wq = _W.partitionBy("query_id").orderBy(ops.rank_key(F.col("cos")).desc(), "vec_id")
+    wq = Window.partitionBy("query_id").orderBy(ops.rank_key(F.col("cos")).desc(), "vec_id")
     nn = (
         scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= 5)
@@ -1157,8 +1157,6 @@ def label_noise_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("label").alias("nlabel"))
         .agg(F.count(F.lit(1)).alias("votes"))
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "nlabel")
     majority = (
         votes.withColumn("rn", F.row_number().over(w))
