@@ -105,6 +105,7 @@ HEADLINE = [
     "shard_balance",         # packer skew report (per-writer fill)
     "label_noise_detect",    # k-NN label QA (mislabel suspects)
     "lsh_recall",            # banding recall vs exact Jaccard ground truth
+    "dedup_cluster_stats",   # cluster-size histogram (dedup-run summary)
 ]
 
 
