@@ -72,9 +72,9 @@ _DRIVER_PRIORITY = [
 # `random_projection`, `dsir_selection`, `hll_merge`, `hard_negatives`,
 # `trigram_perplexity_jm`, `filter_funnel`, `ann_recall`,
 # `mix_temperature`, `k_anonymity_audit`, `shard_balance`,
-# `label_noise_detect`, `lsh_recall`, `dedup_cluster_stats`) has
-# driver evidence in some ledger.
-# Compose the r9 window from (1) feature_hashing + those twenty-four + any
+# `label_noise_detect`, `lsh_recall`, `dedup_cluster_stats`,
+# `referential_integrity_audit`) has driver evidence in some ledger.
+# Compose the r9 window from (1) feature_hashing + those twenty-five + any
 # queries added after this window froze, (2) any r8 reds, then (3) the stalest
 # greens oldest-first (r3/r4-era function families, the window family,
 # the setops family). Keep rows-only queries out of the window.

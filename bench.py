@@ -106,6 +106,7 @@ HEADLINE = [
     "label_noise_detect",    # k-NN label QA (mislabel suspects)
     "lsh_recall",            # banding recall vs exact Jaccard ground truth
     "dedup_cluster_stats",   # cluster-size histogram (dedup-run summary)
+    "referential_integrity_audit",  # FK orphan audit (per star-schema edge)
 ]
 
 

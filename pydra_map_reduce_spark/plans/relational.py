@@ -1142,3 +1142,68 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# The star schema's FK edges, named once: (edge label, child table,
+# child FK column, parent table, parent PK column). Both the Spark
+# plan and the oracle generate per-edge audits from this list.
+_FK_EDGES = [
+    ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey -> region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_RI_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{label}' AS edge,
+           CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_children,
+           CAST((SELECT count(*) FROM {child} c
+                 WHERE c.{fk} IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                   WHERE p.{pk} = c.{fk})) AS BIGINT)
+               AS n_orphans"""
+    for label, child, fk, parent, pk in _FK_EDGES
+) + " ORDER BY edge"
+
+
+@query(
+    "referential_integrity_audit",
+    oracle=_RI_ORACLE,
+    section="2.11 warehouse DQ: referential-integrity (FK orphan) audit",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic warehouse data-quality gate before a table set is
+    published: for every foreign-key edge of the star schema, how many
+    child rows point at a parent that does not exist. Complements
+    `data_quality_report` (column-level nulls/ranges) with the
+    CROSS-TABLE contract; a healthy snapshot is all-zero orphans, and
+    the per-edge layout pinpoints which ingest broke when it is not.
+
+    Plan: one LEFT ANTI join per edge (the parent key side is
+    dim-sized for four of the five edges -> broadcast; the
+    lineitem->orders edge is the one genuine shuffle), unioned into a
+    5-row report — exactly the per-edge cost a validity constraint
+    would pay. NULL FKs are not orphans (SQL FK semantics); the
+    fixture has none, but the filter keeps the contract honest.
+    """
+    out = None
+    for label, child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("_pk"))
+        orphans = (
+            c.filter(F.col(fk).isNotNull())
+            .join(p, F.col(fk) == F.col("_pk"), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        row = (
+            c.agg(F.count(F.lit(1)).alias("n_children"))
+            .crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(label).alias("edge"),
+                F.col("n_children").cast("bigint").alias("n_children"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("edge")
