@@ -79,14 +79,18 @@ _HASH_SAFE_ATOMIC = (
 
 
 def _unsafe_leaves(dt: T.DataType, path: str, out: list[str]) -> None:
-    if isinstance(dt, T.ArrayType):
-        _unsafe_leaves(dt.elementType, f"{path}[]", out)
-    elif isinstance(dt, T.StructType):
-        for f in dt.fields:
-            _unsafe_leaves(f.dataType, f"{path}.{f.name}", out)
-    elif isinstance(dt, T.MapType):
-        _unsafe_leaves(dt.keyType, f"{path}<key>", out)
-        _unsafe_leaves(dt.valueType, f"{path}<val>", out)
+    # Terminal columns must be ATOMIC, full stop. Round 8 proved that
+    # array-of-safe-atomic is NOT safe: the external harness
+    # canonicalizes results through pandas sort_values, which throws
+    # `TypeError: unhashable type: 'list'` on a list cell — the
+    # inverted_index red. List/struct/map-shaped results serialize via
+    # array_join / to_json with a documented delimiter (SURVEY §3.2).
+    if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+        out.append(
+            f"{path}: {dt.simpleString()} (non-atomic terminal: the "
+            "driver's pandas canonicalizer cannot sort container cells "
+            "— serialize with array_join/to_json)"
+        )
     elif not isinstance(dt, _HASH_SAFE_ATOMIC):
         out.append(f"{path}: {dt.simpleString()}")
 

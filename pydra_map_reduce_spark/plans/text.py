@@ -1272,8 +1272,8 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inverted_index",
     oracle="""
     SELECT tok AS term,
-           list_sort(list(DISTINCT doc_id)) AS doc_ids,
-           count(DISTINCT doc_id)           AS df
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids,
+           count(DISTINCT doc_id)                                 AS df
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
           FROM documents)
     WHERE tok <> ''
@@ -1288,8 +1288,12 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries ids only (never text), and collect_set +
     sort_array makes the posting list deterministic regardless of
     partitioning — the property that lets an array-valued result be
-    oracle-compared at all. Scale note: posting lists for stop terms
-    are corpus-sized — a real 100 TB index SHARDS long postings
+    oracle-compared at all. The posting list is SERIALIZED
+    (array_join, ',') because terminal columns must be atomic: the
+    external harness canonicalizes results through pandas sort_values,
+    which cannot sort list cells (SURVEY §3.2; the same convention
+    collect_values established). Scale note: posting lists for stop
+    terms are corpus-sized — a real 100 TB index SHARDS long postings
     (term, shard_no, ids) exactly like the df-capped near-dup bounds
     its buckets; at fixture vocabulary sizes the plain list is the
     honest demonstrator, and df is the diagnostic that tells you
@@ -1301,7 +1305,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return toks.groupBy("term").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
+        F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("doc_ids"),
         F.count(F.lit(1)).alias("df"),
     )
 

@@ -50,10 +50,17 @@ def canon_val(v):
         return v
     if isinstance(v, (str, bytes)):
         return v
-    if isinstance(v, (list, tuple)):
-        return tuple(canon_val(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, canon_val(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple, dict, set)):
+        # Round-8 driver red (inverted_index): the DRIVER's pandas
+        # canonicalizer crashes sorting list cells, so a container that
+        # this replica happily tuples is a latent driver err. The safe
+        # set must model what the driver survives — fail at authoring
+        # time and serialize (array_join / to_json) instead.
+        raise AssertionError(
+            f"container cell {type(v).__name__} ({v!r}): the driver's "
+            "pandas canonicalizer cannot sort container cells — "
+            "serialize the terminal column (array_join/to_json)"
+        )
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):

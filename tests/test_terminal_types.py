@@ -42,8 +42,10 @@ def test_decimal_cell_rejected_by_canon_val():
 
 
 def test_nested_decimal_rejected(spark):
-    """The lint must walk arrays/structs — a DECIMAL hiding inside a
-    container is just as unhashable as a top-level one."""
+    """Container terminals are rejected AS CONTAINERS (r8 tightening):
+    even array-of-safe-atomic crashed the driver's pandas
+    canonicalizer, so the lint no longer recurses — any top-level
+    array/struct/map is an error."""
     df = spark.range(3).selectExpr(
         "array(CAST(id AS DECIMAL(10,2))) AS monies",
         "named_struct('v', CAST(id AS DECIMAL(10,2))) AS rec",
@@ -51,4 +53,30 @@ def test_nested_decimal_rejected(spark):
     with pytest.raises(TypeError) as exc:
         assert_hash_safe_schema(df, "nested_probe")
     msg = str(exc.value)
-    assert "monies[]" in msg and "rec.v" in msg
+    assert "monies" in msg and "rec" in msg and "non-atomic" in msg
+
+
+def test_array_of_atomic_terminal_rejected(spark):
+    """The exact r8 driver red: inverted_index exposed array<bigint>
+    and the driver's pandas sort_values threw `unhashable type:
+    'list'`. Array-of-SAFE-atomic must now be rejected too — the
+    previous lint codified this known hazard as safe."""
+    df = spark.range(3).selectExpr("array(id, id + 1) AS doc_ids")
+    with pytest.raises(TypeError, match="non-atomic"):
+        assert_hash_safe_schema(df, "array_probe")
+
+
+def test_container_cell_rejected_by_canon_val():
+    """The replica's cell canonicalizer must FAIL on list cells
+    instead of tupling them (it compared list cells fine locally in
+    r8 while the driver crashed on them)."""
+    from .test_correctness import canon_val
+
+    with pytest.raises(AssertionError, match="container cell"):
+        canon_val([1, 2, 3])
+    with pytest.raises(AssertionError, match="container cell"):
+        canon_val({"k": 1})
+    # The full-registry sweep (zero non-atomic terminals across every
+    # registered plan) is covered by the suite itself: every
+    # oracle-backed query passes through assert_hash_safe_schema in
+    # test_differential and every rows-only query in test_rows_only.
