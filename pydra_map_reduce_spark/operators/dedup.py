@@ -45,12 +45,17 @@ def _spread(df: DataFrame) -> DataFrame:
     — and then the real action recomputes them. Those plans were
     shuffled into parallelism by their own exchange anyway, so the
     spread is skipped entirely; the partition probe only runs on
-    narrow scan-shaped plans, where resolving .rdd launches no jobs."""
+    narrow scan-shaped plans, where resolving .rdd launches no jobs.
+
+    The wide-operator check anchors to LINE-LEADING node names in the
+    analyzed tree string (each tree line starts with its node's class
+    name after the `:- `/`+- ` branch art) — a bare substring match
+    would trip on any column alias or literal containing 'Join' etc.
+    (e.g. a column named JoinDate) and silently disable the spread."""
+    import re
+
     plan = df._jdf.queryExecution().analyzed().toString()
-    if any(
-        k in plan
-        for k in ("Join", "Aggregate", "Window", "Repartition", "Sort")
-    ):
+    if re.search(r"^[ :+\-]*(Join|Aggregate|Window|Sort|Repartition)", plan, re.M):
         return df
     ncores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < ncores:

@@ -60,10 +60,23 @@ def funnel_steps(
     results are key-count-sized. This single fold serves both the
     2-step and 3-step registered queries — the strictly-after rule
     lives in exactly one place."""
+    import re
+
     if len(steps) < 2:
         raise ValueError(f"a funnel needs at least 2 steps, got {steps}")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps}")
+    # Output columns are named first_<step> and later RESOLVED with
+    # F.col(): a step value containing '.', '`', or other identifier
+    # specials would mis-resolve (dots parse as struct access) or
+    # collide, surfacing as an AnalysisException far from the misuse —
+    # fail here with the offending value named instead.
+    bad = [s for s in steps if not re.fullmatch(r"[A-Za-z0-9_]+", s)]
+    if bad:
+        raise ValueError(
+            f"funnel step values must be identifier-safe ([A-Za-z0-9_]+) "
+            f"because they become output column names; got {bad}"
+        )
     cols = [f"first_{s}" for s in steps]
     prev = (
         df.filter(F.col(type_col) == steps[0])

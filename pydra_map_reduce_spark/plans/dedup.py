@@ -635,11 +635,16 @@ _LSH_EVAL_THRESHOLD = 0.05  # deliberately BELOW the banding design point
         WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter)
               >= {_LSH_EVAL_THRESHOLD}
     )
+    , hits AS (
+        SELECT 1 FROM mpairs m
+        JOIN truth t ON m.doc_a = t.doc_a AND m.doc_b = t.doc_b
+    )
     SELECT CAST((SELECT count(*) FROM truth) AS BIGINT)  AS n_true,
            CAST((SELECT count(*) FROM mpairs) AS BIGINT) AS n_found,
+           CAST((SELECT count(*) FROM hits) AS BIGINT)   AS n_hits,
            CAST((SELECT count(*) FROM truth) AS BIGINT)
-             - CAST((SELECT count(*) FROM mpairs) AS BIGINT) AS n_missed,
-           floor((SELECT count(*) FROM mpairs) * 1.0
+             - CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_missed,
+           floor((SELECT count(*) FROM hits) * 1.0
                  / (SELECT count(*) FROM truth) * 10000 + 0.5) / 10000
                AS recall
     """,
@@ -657,11 +662,21 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     easy regime; a team tunes bands/rows against exactly this number.
 
     Plan: truth is the posting-list self-join (quadratic in list
-    length — the evaluation pays for its ground truth, run sampled at
-    real scale); the found side is the registered scale pipeline.
-    Both sides share ONE shingle-id definition
-    (operators/dedup.portable_shingle_ids), so the evaluation cannot
-    drift from the pipeline it measures. All counts are exact
+    length — the evaluation pays for its ground truth). The truth
+    side is deliberately UNCAPPED (exact recall w.r.t. full truth),
+    unlike the production pipeline's df-capped posting lists: a
+    capped truth would only certify the pairs the pipeline could
+    possibly find. At real scale you keep truth exact but SAMPLE the
+    query documents (the ann_recall strategy), never cap it. The
+    found side is the registered scale pipeline. Both sides share ONE
+    shingle-id definition (operators/dedup.portable_shingle_ids), so
+    the evaluation cannot drift from the pipeline it measures.
+
+    Recall counts the INTERSECTION found ∩ truth (n_hits), not the
+    raw found count: the two sides threshold independently, so a
+    boundary pair admitted by one and not the other would otherwise
+    push recall past 1.0 / n_missed negative — the metric must be a
+    true hit-rate (the ann_recall convention). All counts are exact
     integers; recall divides them once, floored identically.
     """
     from pyspark.storagelevel import StorageLevel
@@ -689,27 +704,43 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
         .select(
-            (F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("j")
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("j"),
         )
     )
-    truth_n = jac.filter(F.col("j") >= _LSH_EVAL_THRESHOLD).agg(
-        F.count(F.lit(1)).alias("n_true")
-    )
-    found_n = ops.minhash_lsh_pairs(
+    truth = jac.filter(F.col("j") >= _LSH_EVAL_THRESHOLD).select("doc_a", "doc_b")
+    found = ops.minhash_lsh_pairs(
         d, "doc_id", "text",
         threshold=_LSH_EVAL_THRESHOLD, n_hashes=32, bands=8, portable_hash=True,
-    ).agg(F.count(F.lit(1)).alias("n_found"))
-    return (
-        truth_n.crossJoin(F.broadcast(found_n))
-        .select(
-            F.col("n_true").cast("bigint").alias("n_true"),
-            F.col("n_found").cast("bigint").alias("n_found"),
-            (F.col("n_true") - F.col("n_found")).cast("bigint").alias("n_missed"),
-            (
-                F.floor(F.col("n_found") * 1.0 / F.col("n_true") * 10000 + 0.5) / 10000
-            ).alias("recall"),
-        )
+    ).select("doc_a", "doc_b")
+    truth_n = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    found_n = found.agg(F.count(F.lit(1)).alias("n_found"))
+    hits_n = found.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
     )
+    # localCheckpoint the one-row report so the shingle cache can be
+    # RELEASED before returning (the pagerank/dedup_clusters pattern —
+    # without it every invocation pins a corpus-sized shingle copy in
+    # the long-lived shared session's executor storage)
+    try:
+        return (
+            truth_n.crossJoin(F.broadcast(found_n))
+            .crossJoin(F.broadcast(hits_n))
+            .select(
+                F.col("n_true").cast("bigint").alias("n_true"),
+                F.col("n_found").cast("bigint").alias("n_found"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+                (F.col("n_true") - F.col("n_hits")).cast("bigint").alias("n_missed"),
+                (
+                    F.floor(F.col("n_hits") * 1.0 / F.col("n_true") * 10000 + 0.5)
+                    / 10000
+                ).alias("recall"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sh.unpersist()
 
 
 @query(

@@ -234,7 +234,19 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     s2 = _V2_SESSIONS.get(app)
     if s2 is None:
-        _V2_SESSIONS.clear()  # at most one live app per process
+        # Evict only entries whose SparkContext is actually STOPPED
+        # (the _IVF_SERVE_CACHE liveness pattern) — clearing
+        # unconditionally would discard a live sibling SessionState
+        # whenever two live apps alternate calls in one process,
+        # reintroducing the per-invocation rebuild this cache exists
+        # to avoid.
+        for k in list(_V2_SESSIONS):
+            try:
+                dead = _V2_SESSIONS[k].sparkContext._jsc is None
+            except Exception:
+                dead = True  # unreachable JVM handle == stopped session
+            if dead:
+                del _V2_SESSIONS[k]
         s2 = spark.newSession()
         s2.conf.set("spark.sql.sources.useV1SourceList", "")
         s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
