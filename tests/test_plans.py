@@ -396,6 +396,16 @@ def test_point_in_time_join_no_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
 
 
+def test_label_noise_detect_no_cross_join(spark):
+    """The r9 rework's contract: the kNN neighborhood search is routed
+    through the IVF index (probe fan-out + inverted-list equi-joins) —
+    the corpus×corpus crossJoin scorer must never come back."""
+    df = REGISTRY["label_noise_detect"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
 def test_interval_overlap_join_no_nested_loop(spark):
     """The day-bucketed interval overlap join must be an equi-join on
     the bucket day (that is its whole point) — no theta/nested-loop."""
