@@ -21,63 +21,50 @@ from pydra_map_reduce_spark.plans import REGISTRY
 # iteration order (observed: exactly the first 50 entries). Every query
 # is green in the full local suite (tests/test_correctness.py replays
 # the same differential check over ALL of them), so the dict is ordered
-# to rotate driver coverage round over round. Round-8 window: this
-# clears the rotation debt — (a) leads with the five queries whose
-# terminal schemas were re-typed this round (the r7 DECIMAL hash trap:
-# values were proven identical, the driver's hash canonicalization of
-# DECIMAL cells diverged; all five now emit BIGINT minor units or
-# string digits and need fresh driver evidence), then (b) the seven
-# queries added in round 8, (c) the nine added late in round 7 after
-# that window froze, and (d) the 29-query remainder of the
-# never-checked queue (feature_hashing was displaced to the r9 queue
-# by multimodal_jpeg_decode; the stale-green backfill slots are gone —
-# every slot carries a query with zero prior driver evidence).
+# to rotate driver coverage round over round. Round-9 window, exactly
+# as the r8 queue comment planned: (a) the one r8 red — inverted_index,
+# re-landed with a SERIALIZED posting list (the driver's pandas
+# canonicalizer crashes sorting array cells; terminal columns are now
+# lint-enforced atomic) — plus label_noise_detect and lsh_recall, both
+# REWORKED this round (IVF-blocked kNN; found∩truth recall) and needing
+# fresh evidence for the new shapes; (b) feature_hashing (displaced two
+# rounds running) and the 22 remaining post-r8-freeze additions, none
+# with any driver evidence; (c) 23 stale-green backfill slots, oldest
+# first — the r3/r4-era scalar function families, the window family,
+# and the set-operation trio, last driver-checked four-plus rounds ago.
 # Rows-only queries stay excluded (the driver can only record
 # `err: no_oracle` for them, wasting the slot). Everything previously
 # green moves behind the window and stays covered by the local suite,
 # which replays the identical differential over all of them.
 _DRIVER_PRIORITY = [
-    # (a) re-typed this round (DECIMAL -> BIGINT minor units / string) — 5
-    "pricing_summary_decimal", "decimal_threshold_cut",
-    "nation_revenue_decimal", "decimal_running_total", "table_checksum",
-    # (b) new in round 8 — 7
-    "multimodal_png_decode", "ivf_ann_serve", "semantic_dedup",
-    "multimodal_gif_decode", "incremental_dedup", "chunk_dedup_scrub",
-    "multimodal_jpeg_decode",
-    # (c) late round-7 additions — 9
-    "linear_quality_score", "inverted_index", "xml_roundtrip",
-    "binaryfile_scan", "sequence_pack", "multimodal_image_decode",
-    "multimodal_audio_decode", "join_hint_shuffle_hash",
-    "cdc_apply_deletes",
-    # (d) the never-driver-checked remainder — 29
-    "variant_extract", "python_datasource_scan", "mr_grouped_arrow",
-    "udtf_polymorphic", "fuzzy_blocked_join", "waiting_suppliers_agg",
-    "yoy_growth", "revenue_share", "jsonl_export", "dedup_report",
-    "anomaly_mad", "trend_regression", "funnel_3step",
-    "attribution_linear", "local_hour_histogram", "bfs_hops",
-    "jsonl_quarantine", "observed_metrics", "join_null_safe",
-    "unpivot_melt", "percentile_binned", "weighted_median",
-    "basket_pairs", "rollup_grouping_id", "nested_line_stats",
-    "table_diff", "not_in_null_semantics", "bm25_topk",
-    "window_time_range_avg",
+    # (a) the r8 red + the two r9-reworked evaluation queries — 3
+    "inverted_index", "label_noise_detect", "lsh_recall",
+    # (b) feature_hashing + post-freeze round-8 additions — 24
+    "feature_hashing", "multimodal_mulaw_decode", "warc_scan",
+    "warc_pipeline", "embedding_covariance", "pca_power_component",
+    "mutual_information", "hll_portable", "count_min_sketch",
+    "rrf_fusion", "bpe_merges", "bpe_encode", "random_projection",
+    "dsir_selection", "hll_merge", "hard_negatives",
+    "trigram_perplexity_jm", "filter_funnel", "ann_recall",
+    "mix_temperature", "k_anonymity_audit", "shard_balance",
+    "dedup_cluster_stats", "referential_integrity_audit",
+    # (c) stale-green backfill, oldest first — 23
+    "string_funcs", "date_funcs", "math_funcs", "array_funcs",
+    "json_extract", "map_funcs", "string_funcs2", "date_funcs2",
+    "array_funcs2", "split_part_funcs", "regex_funcs", "bitwise_funcs",
+    "window_ranking", "window_lag_lead", "window_running_sum",
+    "window_moving_avg", "pergroup_topk", "window_last_nth",
+    "window_range_frame", "window_distribution",
+    "union_all", "intersect_rows", "except_rows",
 ]
 
 
-# Round-9 rotation queue: after this window lands, every oracle-backed
-# query except `feature_hashing` (displaced by multimodal_jpeg_decode)
-# and the post-freeze round-8 additions (`multimodal_mulaw_decode`,
-# `warc_scan`, `warc_pipeline`, `embedding_covariance`,
-# `pca_power_component`, `mutual_information`, `hll_portable`,
-# `count_min_sketch`, `rrf_fusion`, `bpe_merges`, `bpe_encode`,
-# `random_projection`, `dsir_selection`, `hll_merge`, `hard_negatives`,
-# `trigram_perplexity_jm`, `filter_funnel`, `ann_recall`,
-# `mix_temperature`, `k_anonymity_audit`, `shard_balance`,
-# `label_noise_detect`, `lsh_recall`, `dedup_cluster_stats`,
-# `referential_integrity_audit`) has driver evidence in some ledger.
-# Compose the r9 window from (1) feature_hashing + those twenty-five + any
-# queries added after this window froze, (2) any r8 reds, then (3) the stalest
-# greens oldest-first (r3/r4-era function families, the window family,
-# the setops family). Keep rows-only queries out of the window.
+# Round-10 rotation queue: after this window lands, every oracle-backed
+# query has driver evidence in some ledger EXCEPT queries added after
+# this window froze. Compose the r10 window from (1) any queries added
+# in round 9 after the freeze, (2) any r9 reds, then (3) the stalest
+# greens oldest-first (r4-era window_distribution-adjacent leftovers,
+# the r5 io/join families). Keep rows-only queries out of the window.
 
 
 def _ordered() -> list[str]:
