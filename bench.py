@@ -107,6 +107,11 @@ HEADLINE = [
     "lsh_recall",            # banding recall vs exact Jaccard ground truth
     "dedup_cluster_stats",   # cluster-size histogram (dedup-run summary)
     "referential_integrity_audit",  # FK orphan audit (per star-schema edge)
+    "duplicate_spans",       # ExactSubstr-shape cross-doc span detection
+    "phrase_search",         # positional-index exact phrase query
+    "dedup_best_quality",    # quality-aware survivor selection over CC clusters
+    "bloom_filter_portable", # portable Bloom membership sketch + fp accounting
+    "stable_row_ids",        # two-pass contiguous id assignment (no global window)
 ]
 
 

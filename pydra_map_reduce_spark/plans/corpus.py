@@ -1317,3 +1317,57 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "stable_row_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rid
+    FROM documents
+    """,
+    section="2.11 scalable contiguous row-id assignment (two-pass, no global window)",
+)
+def stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign dense contiguous ids 0..n-1 in key order WITHOUT the two
+    non-answers Spark hands you: `monotonically_increasing_id` (sparse,
+    partition-layout-dependent — different every run) and
+    `row_number() OVER (ORDER BY ...)` with no partition key (correct
+    but moves the ENTIRE dataset through one task — the WindowExec
+    single-partition warning, a guaranteed 100 TB stall). This is the
+    shard-index/sample-number primitive every training pipeline needs
+    (examples must carry stable ids across re-runs for resumable
+    epochs and eval-set pinning).
+
+    The scalable two-pass shape: (1) range-repartition + sort WITHIN
+    partitions by the key — Spark's own global-sort machinery, so
+    partition p's keys all precede partition p+1's; (2) per-partition
+    local ranks from a window PARTITIONED by spark_partition_id (runs
+    parallel, no global collapse) and per-partition row counts rolled
+    into prefix-sum offsets — a frame bounded by the PARTITION COUNT,
+    not the data (its single-partition window is over ~hundreds of
+    rows by construction); (3) rid = partition offset + local rank,
+    via one broadcast join. Output is a pure function of the key
+    order — range boundaries (sampled, run-varying) shift work
+    between partitions but never change offset+rank — which is what
+    lets a global-sort-derived id be differential-tested at all.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    nparts = max(2, d.sparkSession.sparkContext.defaultParallelism)
+    parted = (
+        d.repartitionByRange(nparts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wlocal = Window.partitionBy("pid").orderBy("doc_id")
+    local = parted.withColumn("lrank", F.row_number().over(wlocal))
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("n").over(woff), F.lit(0))
+    ).select("pid", "off")
+    return local.join(F.broadcast(offsets), "pid").select(
+        "doc_id", (F.col("off") + F.col("lrank") - 1).cast("bigint").alias("rid")
+    )

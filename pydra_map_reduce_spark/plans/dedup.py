@@ -820,3 +820,175 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") - F.col("n_clusters")).cast("bigint").alias("removable"),
     )
     return singletons.unionAll(sized).orderBy("size")
+
+
+_SPAN_W = 4  # duplicated-span anchor width (tokens per rolling window)
+
+
+@query(
+    "duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(tokens) AS w,
+               generate_subscripts(tokens, 1) - 1 AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ), gram AS (
+        SELECT doc_id, pos,
+               w || ' ' || lead(w, 1) OVER win
+                 || ' ' || lead(w, 2) OVER win
+                 || ' ' || lead(w, 3) OVER win AS g,
+               lead(w, {_SPAN_W - 1}) OVER win AS lastw
+        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), gid AS (
+        SELECT doc_id, pos, ('0x' || substr(md5(g), 1, 8))::BIGINT AS s
+        FROM gram WHERE lastw IS NOT NULL
+    ), dup AS (
+        SELECT s FROM gid GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ), dp AS (
+        SELECT g.doc_id, g.pos FROM gid g JOIN dup d ON d.s = g.s
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dp
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT)                       AS span_start,
+           CAST(max(pos) + {_SPAN_W - 1} AS BIGINT)       AS span_end,
+           CAST(max(pos) + {_SPAN_W} - min(pos) AS BIGINT) AS span_len,
+           count(*)                                       AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+    section="2.11 cross-document duplicated-span detection (ExactSubstr shape)",
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup discovery in the ExactSubstr shape (Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better"): find every maximal token span that also occurs in
+    ANOTHER document. Doc-level dedup misses boilerplate embedded in
+    otherwise-unique pages; this is the operator that finds it, and
+    its spans are exactly what `chunk_dedup_scrub`-style span removal
+    consumes. Anchors are rolling W=4 token windows (md5-prefix ids,
+    the portable shingle identity); a window is duplicated iff its
+    gram occurs in >= 2 DISTINCT documents (within-doc repetition is
+    repetition_ratio's business, not dedup's); per document,
+    overlapping/adjacent duplicated windows merge into maximal spans
+    by islands-and-gaps (pos - row_number is constant within a
+    consecutive run). The paper builds suffix arrays; the rolling-
+    anchor + merge form finds the identical duplicated runs >= W with
+    only keyed shuffles: one groupBy on gram id (map-side-combined
+    distinct-doc count), one semi-join back, one per-doc window — no
+    pair fan-out anywhere, so the plan carries to corpus scale the
+    way the df-capped near-dup does. Output: one row per maximal
+    span (doc, start, end inclusive, length, contributing windows).
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ",
+            "w",
+            *[F.lead("w", i).over(win) for i in range(1, _SPAN_W)],
+        ).alias("g"),
+        F.lead("w", _SPAN_W - 1).over(win).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    gid = gram.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint").alias("s"),
+    )
+    dup = (
+        gid.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s")
+    )
+    dp = gid.join(dup, "s", "left_semi")
+    isl = dp.withColumn("grp", F.col("pos") - F.row_number().over(win))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + _SPAN_W - 1).cast("bigint").alias("span_end"),
+            (F.max("pos") + _SPAN_W - F.min("pos")).cast("bigint").alias("span_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
+    )
+
+
+@query(
+    "dedup_best_quality",
+    oracle=_ngram_pair_ctes(0.2, 100, recursive=True) + """,
+    e2 AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM e2
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+    ), labels AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    ), scored AS (
+        SELECT l.cluster_id, l.doc_id, d.n_chars
+        FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    ), best AS (
+        SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_n_chars FROM (
+            SELECT cluster_id, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT b.cluster_id, b.keep_id, b.keep_n_chars,
+           count(*) AS n_members
+    FROM best b JOIN scored s ON s.cluster_id = b.cluster_id
+    GROUP BY b.cluster_id, b.keep_id, b.keep_n_chars
+    """,
+    section="2.11 quality-aware dedup survivor selection (keep best, not first)",
+)
+def dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection the way production corpora actually do it:
+    min-id keep-first (exact_dedup/semantic_dedup's rule) is
+    deterministic but ARBITRARY — a real pipeline keeps the
+    highest-quality member of each near-dup cluster (the longest /
+    best-scored page, dropping the truncated mirror). Clusters come
+    from the SAME exact n-gram pair graph + iterative CC as
+    dedup_clusters_exact (one machinery, certified once); the quality
+    key here is n_chars (stand-in for any per-doc score — the
+    linear_quality_score column drops in unchanged), survivor =
+    argmax(quality, tie -> min doc_id) via one per-cluster window.
+    Everything after the certified CC is a keyed join against the
+    narrow (doc_id, n_chars) projection plus cluster-sized aggs — the
+    decision layer adds no shuffle wider than the labels frame.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ops.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2
+    ).select("doc_a", "doc_b")
+    labels = ops.dedup_clusters(pairs)
+    scored = labels.join(d.select("doc_id", "n_chars"), "doc_id")
+    wq = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+        )
+    )
+    sizes = scored.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return best.join(sizes, "cluster_id").select(
+        "cluster_id", "keep_id", "keep_n_chars", "n_members"
+    )

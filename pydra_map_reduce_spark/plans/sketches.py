@@ -436,3 +436,172 @@ def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             signed_round_half_up(common, 4).alias("hll_common"),
         )
     )
+
+
+# --- Bloom filter geometry ------------------------------------------
+# m = 4096 bits packed as 32-bit words in BIGINT cells (shifts <= 31:
+# every packed value stays positive, so no two's-complement divergence
+# between engines is possible); k = 3 hash functions from the three
+# disjoint leading 32-bit md5 slices (the CMS convention one section
+# up). At ~1000 member keys the load factor gives a deliberately
+# MEASURABLE false-positive rate (~0.14) so the fp columns are
+# load-bearing, not structurally zero.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def _bloom_positions(col: str) -> F.Column:
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.col(col).cast("string")), 1 + 8 * i, 8), 16, 10
+            ).cast("bigint")
+            % _BLOOM_M
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+def _bloom_pos_sql(col: str) -> str:
+    slices = ", ".join(
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), {1 + 8 * i}, 8)) AS BIGINT)"
+        f" % {_BLOOM_M}"
+        for i in range(_BLOOM_K)
+    )
+    return f"[{slices}]"
+
+
+_BLOOM_ORACLE = f"""
+    WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    mpos AS (SELECT unnest({_bloom_pos_sql('k')}) AS pos FROM members),
+    bloom AS (
+        SELECT pos // 32 AS widx,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bitmap
+        FROM mpos GROUP BY widx
+    ),
+    probes AS (SELECT c_custkey AS k FROM customer),
+    ppos AS (SELECT k, unnest({_bloom_pos_sql('k')}) AS pos FROM probes),
+    pj AS (
+        SELECT p.k,
+               CASE WHEN b.bitmap IS NOT NULL
+                         AND ((b.bitmap >> CAST(p.pos % 32 AS INT)) & 1) = 1
+                    THEN 1 ELSE 0 END AS s
+        FROM ppos p LEFT JOIN bloom b ON b.widx = p.pos // 32
+    ),
+    perkey AS (SELECT k, min(s) AS positive FROM pj GROUP BY k),
+    rep AS (
+        SELECT pk.k, pk.positive,
+               CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+        FROM perkey pk LEFT JOIN members m ON m.k = pk.k
+    )
+    SELECT CAST((SELECT count(*) FROM members) AS BIGINT)            AS n_keys,
+           CAST((SELECT sum(bit_count(bitmap)) FROM bloom) AS BIGINT) AS n_bits_set,
+           count(*)                                                  AS n_probes,
+           CAST(sum(positive) AS BIGINT)                             AS n_positive,
+           CAST(sum(CASE WHEN positive = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)               AS n_false_pos,
+           CAST(sum(CASE WHEN positive = 0 AND is_member = 1
+                         THEN 1 ELSE 0 END) AS BIGINT)               AS n_false_neg,
+           floor(sum(CASE WHEN positive = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                 * 1.0 / nullif(count(*) - sum(is_member), 0) * 10000 + 0.5)
+               / 10000                                               AS fp_rate
+    FROM rep
+"""
+
+
+@query(
+    "bloom_filter_portable",
+    oracle=_BLOOM_ORACLE,
+    section="2.11 portable Bloom filter (membership sketch, exact fp accounting)",
+)
+def bloom_filter_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership filter in its classic join-pruning role —
+    build over the DISTINCT order custkeys, probe every customer
+    (~1/3 of TPC-H customers place no orders, so the false-positive
+    columns measure real events) — completing the portable sketch
+    trio next to HLL (cardinality) and Count-Min (frequency). The
+    graded report is the sketch's own accuracy contract: n_false_neg
+    is PROVABLY zero (a Bloom filter never drops a member — both
+    engines must agree on exactly 0), n_false_pos / fp_rate is the
+    one-sided error a user sizes m and k against, and n_bits_set is
+    the load factor behind that rate.
+
+    Plan: build = one distinct on the member key, a 3-row explode per
+    key, and a bit_or aggregate into <= 128 packed words (map-side
+    partials; the filter is 4096 BITS of state at any corpus size —
+    this is what `join_bloom_pruned`'s runtime filter does inside the
+    JVM, rebuilt portably). Probe = 3 cells per key joined to the
+    BROADCAST bitmap, then a per-key min — no shuffle wider than the
+    probe keys. All arithmetic is md5-slice integer math mirrored
+    bit-for-bit by the oracle; shifts stay <= 31 so every packed cell
+    is positive in both engines.
+    """
+    members = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    mcells = members.select(F.explode(_bloom_positions("k")).alias("pos")).select(
+        F.expr("CAST(pos div 32 AS INT)").alias("widx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bv"),
+    )
+    bloom = mcells.groupBy("widx").agg(F.expr("bit_or(bv)").alias("bitmap"))
+    probes = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    pcells = probes.select("k", F.explode(_bloom_positions("k")).alias("pos")).select(
+        "k", "pos", F.expr("CAST(pos div 32 AS INT)").alias("widx")
+    )
+    pj = pcells.join(F.broadcast(bloom), "widx", "left").select(
+        "k",
+        F.when(
+            F.col("bitmap").isNotNull()
+            & (F.expr("(bitmap >> CAST(pos % 32 AS INT)) & 1") == 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("s"),
+    )
+    perkey = pj.groupBy("k").agg(F.min("s").alias("positive"))
+    rep = perkey.join(
+        members.withColumn("is_member", F.lit(1)), "k", "left"
+    ).select("positive", F.coalesce("is_member", F.lit(0)).alias("is_member"))
+    n_keys = members.agg(F.count(F.lit(1)).alias("n_keys"))
+    n_bits = bloom.agg(
+        F.sum(F.bit_count("bitmap")).cast("bigint").alias("n_bits_set")
+    )
+    fp = F.sum(
+        F.when((F.col("positive") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+    )
+    return (
+        rep.agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("positive").cast("bigint").alias("n_positive"),
+            fp.cast("bigint").alias("n_false_pos"),
+            F.sum(
+                F.when(
+                    (F.col("positive") == 0) & (F.col("is_member") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_neg"),
+            (
+                F.floor(
+                    fp
+                    * 1.0
+                    / F.nullif(
+                        F.count(F.lit(1)) - F.sum("is_member"), F.lit(0)
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_keys", "n_bits_set", "n_probes", "n_positive",
+            "n_false_pos", "n_false_neg", "fp_rate",
+        )
+    )

@@ -1388,3 +1388,62 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PHRASE = ("part", "filter", "scan")  # present at every fixture SF
+
+
+@query(
+    "phrase_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(tokens) AS w,
+               generate_subscripts(tokens, 1) - 1 AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ),
+    p0 AS (SELECT doc_id, pos FROM toks WHERE w = '{_PHRASE[0]}'),
+    p1 AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE w = '{_PHRASE[1]}'),
+    p2 AS (SELECT doc_id, pos - 2 AS pos FROM toks WHERE w = '{_PHRASE[2]}'),
+    hits AS (
+        SELECT p0.doc_id, p0.pos
+        FROM p0 JOIN p1 USING (doc_id, pos) JOIN p2 USING (doc_id, pos)
+    )
+    SELECT doc_id,
+           count(*)                  AS n_matches,
+           CAST(min(pos) AS BIGINT)  AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+    section="2.10/2.11 positional-index phrase search (exact phrase query)",
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query over a POSITIONAL inverted index — the
+    operator `inverted_index` graduates into once term lookup alone
+    isn't enough (contamination screens grep for benchmark phrases;
+    attribution tooling locates exact quotes). The index rows are
+    (term, doc_id, pos); a k-term phrase is k posting-list slices
+    aligned by offset: postings for term_i shifted by -i and
+    equi-joined on (doc_id, pos) — intersection semantics, never a
+    scan of the text column at query time. Each join input is first
+    FILTERED to one term, so at corpus scale every shuffle carries
+    only the queried terms' postings (df-sized, not corpus-sized),
+    and the alignment joins are keyed — the classic IR positional-
+    intersection plan, with Catalyst pushing the term predicates to
+    the index scan. Output: per matching document, match count and
+    first match position.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    slices = [
+        toks.filter(F.col("w") == term)
+        .select("doc_id", (F.col("pos") - i).alias("pos"))
+        for i, term in enumerate(_PHRASE)
+    ]
+    hits = slices[0]
+    for s in slices[1:]:
+        hits = hits.join(s, ["doc_id", "pos"])
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )

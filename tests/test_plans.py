@@ -239,6 +239,10 @@ _GLOBAL_WINDOW_ALLOWED = {
     # BEFORE their rank window, so each global window ranks a
     # 20-row frame at any corpus scale (documented in the docstring)
     "rrf_fusion",
+    # partition-count-bounded: the prefix-sum offsets window runs over
+    # one row PER PARTITION (~hundreds at any corpus scale), never base
+    # rows — that bound is the query's entire design (docstring)
+    "stable_row_ids",
 }
 
 
