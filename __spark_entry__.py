@@ -28,7 +28,7 @@ from pydra_map_reduce_spark.plans import REGISTRY
 # lint-enforced atomic) — plus label_noise_detect and lsh_recall, both
 # REWORKED this round (IVF-blocked kNN; found∩truth recall) and needing
 # fresh evidence for the new shapes; (b) feature_hashing (displaced two
-# rounds running) and the 22 remaining post-r8-freeze additions, none
+# rounds running) and the 23 remaining post-r8-freeze additions, none
 # with any driver evidence; (c) 23 stale-green backfill slots, oldest
 # first — the r3/r4-era scalar function families, the window family,
 # and the set-operation trio, last driver-checked four-plus rounds ago.

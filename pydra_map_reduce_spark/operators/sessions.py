@@ -67,14 +67,15 @@ def funnel_steps(
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps}")
     # Output columns are named first_<step> and later RESOLVED with
-    # F.col(): a step value containing '.', '`', or other identifier
-    # specials would mis-resolve (dots parse as struct access) or
-    # collide, surfacing as an AnalysisException far from the misuse —
-    # fail here with the offending value named instead.
-    bad = [s for s in steps if not re.fullmatch(r"[A-Za-z0-9_]+", s)]
+    # F.col(), whose only specials are '.' (parses as struct access)
+    # and '`' (quoting) — reject exactly those two, failing here with
+    # the offending value named instead of an AnalysisException far
+    # from the misuse. Anything else (hyphens, '+', unicode) resolves
+    # literally and keeps working as it always did.
+    bad = [s for s in steps if not s or re.search(r"[.`]", s)]
     if bad:
         raise ValueError(
-            f"funnel step values must be identifier-safe ([A-Za-z0-9_]+) "
+            f"funnel step values must be non-empty and free of '.' and '`' "
             f"because they become output column names; got {bad}"
         )
     cols = [f"first_{s}" for s in steps]

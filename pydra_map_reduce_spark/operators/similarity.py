@@ -404,6 +404,27 @@ def ivf_topk(
     )
 
 
+def sq_dist_sql(a_prefix: str, b_prefix: str, dim: int) -> str:
+    """Squared-L2 as a flat dim-term codegen chain over primitive
+    prefixed columns — ONE definition for the trainer's assignment,
+    the serve path's centroid ranking, and every multi-query probe
+    (symmetric, so argument order is cosmetic)."""
+    return " + ".join(
+        f"({a_prefix}{i} - {b_prefix}{i}) * ({a_prefix}{i} - {b_prefix}{i})"
+        for i in range(dim)
+    )
+
+
+def cosine_sql(a_prefix: str, b_prefix: str, dim: int) -> str:
+    """Raw cosine as the left-to-right flat chain every SQL oracle's
+    list_cosine_similarity folds — ONE definition for serve rescore,
+    semantic-dedup rescore, and the IVF-blocked kNN."""
+    dot = " + ".join(f"{a_prefix}{i} * {b_prefix}{i}" for i in range(dim))
+    an = " + ".join(f"{a_prefix}{i} * {a_prefix}{i}" for i in range(dim))
+    bn = " + ".join(f"{b_prefix}{i} * {b_prefix}{i}" for i in range(dim))
+    return f"(({dot}) / (sqrt({an}) * sqrt({bn})))"
+
+
 class IvfIndex(NamedTuple):
     """A trained distributed IVF index: the flat corpus projection
     (vec_id, v0..v{dim-1}), the trained centroid frame
@@ -417,6 +438,11 @@ class IvfIndex(NamedTuple):
     cents: DataFrame
     assigned: DataFrame
     dim: int
+    # the trained cell count: consumers that fan queries across cells
+    # (multi-query probes) must derive their fan bound from HERE, not
+    # re-state the trainer's default — a re-tuned n_clusters would
+    # otherwise silently leave cells unprobed (r9 review finding)
+    n_clusters: int
 
 
 def ivf_train_distributed(
@@ -512,7 +538,7 @@ def ivf_train_distributed(
         )
     )
 
-    d2_sql = " + ".join(f"(v{i} - m{i}) * (v{i} - m{i})" for i in range(dim))
+    d2_sql = sq_dist_sql("v", "m", dim)
 
     def assign(cents_df: DataFrame) -> DataFrame:
         """(vec_id, cid): narrow argmin — the fan-out rows project
@@ -551,7 +577,9 @@ def ivf_train_distributed(
         # assignment now — and, flowing through `flat`, fills its
         # cache), so serves replay probe + rescore only
         assigned = assigned.localCheckpoint(eager=True)
-    return IvfIndex(flat=flat, cents=cents, assigned=assigned, dim=dim)
+    return IvfIndex(
+        flat=flat, cents=cents, assigned=assigned, dim=dim, n_clusters=n_clusters
+    )
 
 
 def ivf_serve_distributed(
@@ -594,7 +622,7 @@ def ivf_serve_distributed(
     # full probe+rescore ran empty).
     if qf.isEmpty():
         raise ValueError(f"query_id={query_id} not present in the corpus")
-    qd2_sql = " + ".join(f"(m{i} - q{i}) * (m{i} - q{i})" for i in range(dim))
+    qd2_sql = sq_dist_sql("m", "q", dim)
     probe = (
         cents.withColumn("jk", F.expr("CAST(pmod(cid, 1) AS INT)"))
         .join(F.broadcast(qf), "jk")
@@ -604,9 +632,6 @@ def ivf_serve_distributed(
         .select("cid")
     )
 
-    dot_sql = " + ".join(f"v{i} * q{i}" for i in range(dim))
-    vn_sql = " + ".join(f"v{i} * v{i}" for i in range(dim))
-    qn_sql = " + ".join(f"q{i} * q{i}" for i in range(dim))
     return (
         assigned.join(F.broadcast(probe), "cid")
         .filter(F.col("vec_id") != query_id)
@@ -615,7 +640,7 @@ def ivf_serve_distributed(
         .join(F.broadcast(qf), "jk")
         .selectExpr(
             "vec_id",
-            f"(({dot_sql}) / (sqrt({vn_sql}) * sqrt({qn_sql}))) AS cos_raw",
+            f"{cosine_sql('v', 'q', dim)} AS cos_raw",
         )
         .orderBy(rank_key(F.col("cos_raw")).desc(), "vec_id")
         .limit(k)
@@ -718,15 +743,12 @@ def semantic_dedup(
     right = av.selectExpr(
         "cid", "vec_id AS id_b", *[f"v{i} AS b{i}" for i in range(dim)]
     )
-    dot_sql = " + ".join(f"a{i} * b{i}" for i in range(dim))
-    an_sql = " + ".join(f"a{i} * a{i}" for i in range(dim))
-    bn_sql = " + ".join(f"b{i} * b{i}" for i in range(dim))
     dropped = (
         left.join(right, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
         .selectExpr(
             "id_b",
-            f"floor((({dot_sql}) / (sqrt({an_sql}) * sqrt({bn_sql})))"
+            f"floor({cosine_sql('a', 'b', dim)}"
             " * 1e6 + 0.5) / 1e6 AS cos_r",
         )
         .filter(F.col("cos_r") >= threshold)

@@ -1362,7 +1362,16 @@ def stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
     )
     wlocal = Window.partitionBy("pid").orderBy("doc_id")
-    local = parted.withColumn("lrank", F.row_number().over(wlocal))
+    # localCheckpoint: the counts/offsets branch and the final join
+    # both read this frame, and range boundaries come from SAMPLING —
+    # correctness must not hinge on Spark's exchange-reuse optimization
+    # keeping the two subtrees on ONE sampled partitioning (with reuse
+    # disabled, independently re-sampled boundaries would make offsets
+    # describe different partitions than the ranks came from). The pin
+    # makes both consumers read the same materialized partitioning.
+    local = parted.withColumn("lrank", F.row_number().over(wlocal)).localCheckpoint(
+        eager=True
+    )
     counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
     woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(

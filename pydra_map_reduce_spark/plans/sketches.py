@@ -207,24 +207,44 @@ def hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE definition of the md5-slice bucket convention (the paired
+# Spark-Column/DuckDB-SQL builders CMS and the Bloom filter both hash
+# with): slice i = hex chars [1+8i, 8+8i) of md5(key-as-string), cast
+# to BIGINT, mod the structure width. Parameterized so a change to the
+# slice form lands on every sketch at once (the _ngram_pair_ctes
+# single-text rule, applied to hashing).
+
+
+def _md5_slice_sql(col: str, i: int, width: int) -> str:
+    """DuckDB text of slice i's bucket for ``col`` (cast to VARCHAR —
+    a no-op for string keys, engine-identical digits for integers)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), {1 + 8 * i}, 8)) "
+        f"AS BIGINT) % {width}"
+    )
+
+
+def _md5_slice_buckets(col: str, n_slices: int, width: int) -> F.Column:
+    """Array of the n_slices bucket positions (posexplode-ready)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.col(col).cast("string")), 1 + 8 * i, 8), 16, 10
+            ).cast("bigint")
+            % width
+            for i in range(n_slices)
+        ]
+    )
+
+
 def _cms_bucket_sql(i: int) -> str:
     """DuckDB text of CMS row i's bucket for a word column."""
-    return (
-        f"CAST(('0x' || substr(md5(word), {1 + 8 * i}, 8)) AS BIGINT) % {_CMS_W}"
-    )
+    return _md5_slice_sql("word", i, _CMS_W)
 
 
 def _cms_buckets(word_col: str) -> F.Column:
     """Array of the d=4 row buckets (posexplode gives (row, bucket))."""
-    return F.array(
-        *[
-            F.conv(
-                F.substring(F.md5(F.col(word_col)), 1 + 8 * i, 8), 16, 10
-            ).cast("bigint")
-            % _CMS_W
-            for i in range(_CMS_D)
-        ]
-    )
+    return _md5_slice_buckets(word_col, _CMS_D, _CMS_W)
 
 
 _CMS_ROWS_SQL = " UNION ALL ".join(
@@ -451,22 +471,12 @@ _BLOOM_K = 3
 
 
 def _bloom_positions(col: str) -> F.Column:
-    return F.array(
-        *[
-            F.conv(
-                F.substring(F.md5(F.col(col).cast("string")), 1 + 8 * i, 8), 16, 10
-            ).cast("bigint")
-            % _BLOOM_M
-            for i in range(_BLOOM_K)
-        ]
-    )
+    return _md5_slice_buckets(col, _BLOOM_K, _BLOOM_M)
 
 
 def _bloom_pos_sql(col: str) -> str:
     slices = ", ".join(
-        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), {1 + 8 * i}, 8)) AS BIGINT)"
-        f" % {_BLOOM_M}"
-        for i in range(_BLOOM_K)
+        _md5_slice_sql(col, i, _BLOOM_M) for i in range(_BLOOM_K)
     )
     return f"[{slices}]"
 

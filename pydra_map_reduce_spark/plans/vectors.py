@@ -1174,11 +1174,17 @@ def label_noise_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ivf_index(spark, sf_dir)
     flat, cents, assigned, dim = idx.flat, idx.cents, idx.assigned, idx.dim
-    cd2_sql = " + ".join(f"(m{i} - v{i}) * (m{i} - v{i})" for i in range(dim))
-    fan = flat.withColumn("cid", F.explode(F.sequence(F.lit(0), F.lit(63))))
+    # fan bound derives from the INDEX's trained cell count (never a
+    # re-stated literal: a re-tuned trainer would silently leave cells
+    # beyond the literal unprobed — r9 review finding)
+    fan = flat.withColumn(
+        "cid", F.explode(F.sequence(F.lit(0), F.lit(idx.n_clusters - 1)))
+    )
     cell_d2 = (
         fan.join(F.broadcast(cents), "cid")  # inner: dead cells drop
-        .selectExpr("vec_id AS query_id", "cid", f"({cd2_sql}) AS d2")
+        .selectExpr(
+            "vec_id AS query_id", "cid", f"({ops.sq_dist_sql('m', 'v', dim)}) AS d2"
+        )
     )
     wp = Window.partitionBy("query_id").orderBy("d2", "cid")
     qprobe = (
@@ -1192,16 +1198,13 @@ def label_noise_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     qflat = flat.selectExpr("vec_id AS query_id", *[f"v{i} AS q{i}" for i in range(dim)])
-    dot_sql = " + ".join(f"v{i} * q{i}" for i in range(dim))
-    vn_sql = " + ".join(f"v{i} * v{i}" for i in range(dim))
-    qn_sql = " + ".join(f"q{i} * q{i}" for i in range(dim))
     scored = (
         cand.join(flat, "vec_id")
         .join(qflat, "query_id")
         .selectExpr(
             "query_id",
             "vec_id",
-            f"(({dot_sql}) / (sqrt({vn_sql}) * sqrt({qn_sql}))) AS cos",
+            f"{ops.cosine_sql('v', 'q', dim)} AS cos",
         )
     )
     wq = Window.partitionBy("query_id").orderBy(ops.rank_key(F.col("cos")).desc(), "vec_id")

@@ -49,6 +49,12 @@ def _cell_eq(a, b) -> bool:
     type (the r9 date_funcs2 false positive)."""
     import datetime as dt
 
+    # bool is tagged BEFORE the == check: Python True == 1, but the
+    # driver's typed canonicalization fails a boolean-vs-integer
+    # terminal disagreement (the same reason canon_val tags bools) —
+    # the sim must not green what the driver would red.
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
     try:
         if a == b:
             return True
@@ -75,8 +81,17 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
-    window = [name for name in qs if name in osql][:n]
-    reds = []
+    # Slice the window from the FULL queries() order first — the real
+    # ledger covers the literal first n entries, so a rows-only query
+    # that sneaks into the window is a WASTED SLOT the sim must
+    # surface, not silently skip past (which would green query n+1
+    # that the driver never reaches).
+    window_all = list(qs)[:n]
+    wasted = [name for name in window_all if name not in osql]
+    if wasted:
+        print(f"WASTED SLOTS (rows-only in the driver window): {wasted}")
+    window = [name for name in window_all if name in osql]
+    reds = list(wasted)
     for name in window:
         try:
             s = _canon(qs[name](spark, SF).toPandas())
