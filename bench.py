@@ -112,6 +112,9 @@ HEADLINE = [
     "dedup_best_quality",    # quality-aware survivor selection over CC clusters
     "bloom_filter_portable", # portable Bloom membership sketch + fp accounting
     "stable_row_ids",        # two-pass contiguous id assignment (no global window)
+    "session_paths",         # session opening-path mining (shared session core)
+    "ngram_novelty",         # train-test overlap / memorization probe
+    "cooccurrence_pmi",      # PMI association over the co-occurrence matrix
 ]
 
 

@@ -7,6 +7,34 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def session_ids(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    *,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-EVENT session assignment (the lag-gap-cumsum core): the
+    input frame plus a ``sess_id`` column, numbered 1..k per key. Gap
+    compares exact epoch microseconds so the boundary rule is
+    engine-portable (no float seconds). Split out of :func:`sessionize`
+    so path/sequence consumers that need event-level session labels
+    share the one boundary-rule definition instead of re-deriving it."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    wrun = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros(ts_col)
+    prev_us = F.lag(F.unix_micros(ts_col)).over(w)
+    return df.withColumn(
+        "new_sess", F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
+    ).withColumn("sess_id", F.sum("new_sess").over(wrun).cast("bigint"))
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,
@@ -17,20 +45,11 @@ def sessionize(
     agg_cols: dict | None = None,
 ) -> DataFrame:
     """Gap-based sessions via lag-gap-cumsum: two window passes over one
-    key shuffle + a keyed agg. Gap compares exact epoch microseconds so
-    the boundary rule is engine-portable (no float seconds)."""
-    gap_us = gap_minutes * 60 * 1_000_000
-    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
-    wrun = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_col, order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    key shuffle + a keyed agg (the per-event core is
+    :func:`session_ids`)."""
+    numbered = session_ids(
+        df, key_col, ts_col, order_col, gap_minutes=gap_minutes
     )
-    us = F.unix_micros(ts_col)
-    prev_us = F.lag(F.unix_micros(ts_col)).over(w)
-    numbered = df.withColumn(
-        "new_sess", F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
-    ).withColumn("sess_id", F.sum("new_sess").over(wrun).cast("bigint"))
     aggs = [
         F.min(ts_col).alias("sess_start"),
         F.max(ts_col).alias("sess_end"),

@@ -991,3 +991,76 @@ def local_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tz", "local_hour")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "session_paths",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, event_id, ts, event_type,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+    ), rn3 AS (
+        SELECT user_id, sess_id, event_type,
+               row_number() OVER (PARTITION BY user_id, sess_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM numbered
+    ), paths AS (
+        SELECT user_id, sess_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM rn3 WHERE rn <= 3 GROUP BY user_id, sess_id
+    )
+    SELECT path,
+           count(*)                 AS n_sessions,
+           count(DISTINCT user_id)  AS n_users
+    FROM paths GROUP BY path
+    """,
+    section="2.9/2.11 session path mining (top opening event sequences)",
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining one level up from sessionization: the opening
+    path of each session (first 3 event types, '>'-joined) and how
+    many sessions/users open that way — the report behind 'how do
+    users start a visit' and the input to any Markov/funnel design.
+    Session labels come from the SHARED lag-gap-cumsum core
+    (operators/sessions.session_ids — the same boundary rule the
+    sessionization query certifies); the path string is built from a
+    sort_array over (rn, type) structs so collect_list's
+    partition-dependent order can never leak into the output. Result
+    is bounded by |event_type|^3 regardless of corpus size; every
+    shuffle is keyed on user_id or the path itself. Ordering ties at
+    identical timestamps break on event_id in BOTH engines."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    numbered = sessions_ops.session_ids(
+        e, "user_id", "ts", "event_id", gap_minutes=_GAP_MINUTES
+    )
+    w3 = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    first3 = (
+        numbered.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "sess_id", "rn", "event_type")
+    )
+    paths = first3.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -1447,3 +1447,159 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         F.min("pos").cast("bigint").alias("first_pos"),
     )
+
+
+@query(
+    "ngram_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                                     for i in range(1, len(tokens) - 1)])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ),
+    train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 <> 0),
+    test AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0),
+    perdoc AS (
+        SELECT t.doc_id,
+               count(*) AS n_total,
+               sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS n_seen
+        FROM test t LEFT JOIN train tr ON tr.s = t.s
+        GROUP BY t.doc_id
+    ),
+    scored AS (
+        SELECT d.source,
+               floor((p.n_total - p.n_seen) * 1.0 / p.n_total * 10000 + 0.5)
+                   AS novelty_e4
+        FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+    )
+    SELECT source,
+           count(*) AS n_test_docs,
+           floor(sum(novelty_e4) / count(*) + 0.5) / 10000 AS avg_novelty
+    FROM scored GROUP BY source
+    """,
+    section="2.11 n-gram novelty: test-split memorization/overlap probe",
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memorization probe run before trusting any held-out
+    number: for each test-split document, the fraction of its
+    distinct 3-grams NOT present anywhere in the train split (Lee et
+    al.'s train-test overlap analysis; the doc-level complement of
+    `contamination_screen`'s phrase blocklist). Low novelty means the
+    'held-out' set is paraphrase-contaminated and its loss is partly
+    memorization. Split rule is doc_id % 5 (deterministic in both
+    engines; the md5-based `dataset_split` is the production assigner
+    — the mod keeps this evaluation's oracle at one line). Plan: one
+    shingle pass feeds both sides, train collapses to a DISTINCT
+    gram set (bounded by vocabulary^3, shuffled once on the gram),
+    the novelty join is keyed on the gram, and per-doc ratios
+    aggregate source-wise with the e4-integer-sum convention
+    (compression_ratio_quality's form) so float-sum order can't
+    drift the mean."""
+    from ..operators import dedup as dedup_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.shingle_rows(
+        d, "doc_id", "text", 3, hashed=False, distinct=True
+    )
+    train = sh.filter(F.col("doc_id") % 5 != 0).select("s").distinct()
+    test = sh.filter(F.col("doc_id") % 5 == 0)
+    perdoc = (
+        test.join(train.withColumn("seen", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.coalesce("seen", F.lit(0))).alias("n_seen"),
+        )
+    )
+    scored = perdoc.join(d.select("doc_id", "source"), "doc_id").select(
+        "source",
+        F.floor(
+            (F.col("n_total") - F.col("n_seen")) * 1.0 / F.col("n_total") * 10000
+            + 0.5
+        ).alias("novelty_e4"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_test_docs"),
+        (F.floor(F.sum("novelty_e4") / F.count(F.lit(1)) + 0.5) / 10000).alias(
+            "avg_novelty"
+        ),
+    )
+
+
+@query(
+    "cooccurrence_pmi",
+    oracle=f"""
+    WITH dw AS (
+        SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word <> ''
+    ),
+    dfq AS (SELECT word, count(*) AS df FROM dw GROUP BY word),
+    nd AS (SELECT count(*) AS n FROM documents),
+    top AS (
+        SELECT a.word AS w1, b.word AS w2, count(*) AS n_co
+        FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY a.word, b.word
+        ORDER BY n_co DESC, w1, w2
+        LIMIT 20
+    )
+    SELECT t.w1, t.w2, t.n_co,
+           {textops.signed_round_half_up_sql(
+               'ln(t.n_co * nd.n * 1.0 / (d1.df * d2.df))', 4)} AS pmi
+    FROM top t
+    JOIN dfq d1 ON d1.word = t.w1
+    JOIN dfq d2 ON d2.word = t.w2
+    CROSS JOIN nd
+    """,
+    section="2.11 co-occurrence PMI (association strength over the pair matrix)",
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over the document-level
+    co-occurrence matrix — the association score that separates
+    'appear together because both are frequent' from genuine
+    collocation (the classic next step after `word_cooccurrence`'s
+    raw counts, and the signal phrase-mining/stopword decisions rank
+    by). PMI = ln(P(a,b) / (P(a)P(b))) with document-frequency
+    probabilities; computed on the top-20 pairs by co-count so the
+    output is bounded and the tie order (n_co desc, w1, w2) is
+    pinned. Plan: the pair counts reuse word_cooccurrence's keyed
+    per-doc self-join (Σ_doc |vocab|², df-banded at real scale), the
+    df table is vocabulary-sized and broadcast, and the ln argument
+    is an exact integer ratio — both engines evaluate ln on the
+    bit-identical double, with the signed 4dp half-up rendering
+    absorbing libm ulps."""
+    d = load_table(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(textops.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    dfq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    a, b = dw.alias("a"), dw.alias("b")
+    top = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.word") < F.col("b.word")))
+        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .orderBy(F.col("n_co").desc(), "w1", "w2")
+        .limit(20)
+    )
+    d1 = dfq.select(F.col("word").alias("w1"), F.col("df").alias("df1"))
+    d2 = dfq.select(F.col("word").alias("w2"), F.col("df").alias("df2"))
+    return (
+        top.join(F.broadcast(d1), "w1")
+        .join(F.broadcast(d2), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            "n_co",
+            textops.signed_round_half_up(
+                F.log(
+                    F.col("n_co") * F.col("n") * 1.0 / (F.col("df1") * F.col("df2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
