@@ -115,6 +115,9 @@ HEADLINE = [
     "session_paths",         # session opening-path mining (shared session core)
     "ngram_novelty",         # train-test overlap / memorization probe
     "cooccurrence_pmi",      # PMI association over the co-occurrence matrix
+    "skew_stats",            # join-key skew diagnosis (pre-salting report)
+    "decayed_sum",           # time-decayed popularity (fixed-point contributions)
+    "consecutive_dedup",     # run-length telemetry dedup (lag window)
 ]
 
 

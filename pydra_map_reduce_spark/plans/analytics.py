@@ -874,3 +874,64 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("customers_at_risk"),
     )
+
+
+@query(
+    "skew_stats",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey AS key, count(*) AS n_rows
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+               count(*)                    AS n_keys
+        FROM per_key
+    )
+    SELECT p.key,
+           p.n_rows,
+           floor(p.n_rows * 1.0 / t.total * 10000 + 0.5) / 10000      AS share,
+           floor(p.n_rows * 1.0 * t.n_keys / t.total * 10000 + 0.5) / 10000
+               AS skew_factor
+    FROM per_key p CROSS JOIN tot t
+    ORDER BY p.n_rows DESC, p.key
+    LIMIT 10
+    """,
+    section="2.3/2.11 join-key skew diagnosis (the report behind the salting decision)",
+)
+def skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnostic a join tuner runs BEFORE reaching for
+    `join_salted_skew` or AQE skew splitting: the 10 heaviest join
+    keys with their row share and skew factor (rows vs the mean
+    rows-per-key — factor 1.0 is perfectly uniform; the factor tells
+    you how many salt buckets the hot key needs). Plan: one map-side-
+    combined count per key (the same shuffle the join itself would
+    pay, so the report costs nothing extra in a pipeline that joins
+    anyway), a 1-row total broadcast, TakeOrdered top-10 — the output
+    is 10 rows at any corpus size."""
+    per_key = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = per_key.agg(
+        F.sum("n_rows").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            (F.floor(F.col("n_rows") * 1.0 / F.col("total") * 10000 + 0.5) / 10000).alias("share"),
+            (
+                F.floor(
+                    F.col("n_rows") * 1.0 * F.col("n_keys") / F.col("total") * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(10)
+    )

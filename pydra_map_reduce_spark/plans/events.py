@@ -1064,3 +1064,111 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+_DECAY_HALF_LIFE_US = 7 * 86_400 * 1_000_000  # 7-day half-life
+
+
+@query(
+    "decayed_sum",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+    contrib AS (
+        SELECT e.event_type,
+               CAST(floor(e.value
+                          * pow(0.5, (epoch_us(m.max_ts) - epoch_us(e.ts))
+                                     * 1.0 / {_DECAY_HALF_LIFE_US})
+                          * 1e6 + 0.5) AS BIGINT) AS c_e6
+        FROM events e CROSS JOIN mx m
+    )
+    SELECT event_type,
+           count(*)                          AS n_events,
+           CAST(sum(c_e6) AS BIGINT)         AS decayed_sum_e6
+    FROM contrib GROUP BY event_type
+    """,
+    section="2.9/2.11 time-decayed aggregate (recency-weighted popularity)",
+)
+def decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted popularity — the ranking signal feeds/trending
+    systems actually aggregate (a 7-day half-life: yesterday's event
+    counts ~0.9, last month's ~0.05) — as one scan plus a dim-sized
+    agg, against the batch anchor `ewma_smooth` covers for ordered
+    per-series smoothing. Determinism note: a float SUM of weighted
+    values would expose summation ORDER (engines and partitionings
+    disagree in the last ulps), so each row's contribution is rounded
+    to integer MICROS first (floor e6 half-up on bit-identical
+    doubles — pow of an exact integer-ratio exponent) and the sum is
+    BIGINT — associative, order-free, the fixed-point-sum convention
+    from the money family. Reference anchor = newest event in the
+    data (not wall-clock now(), which no differential could pin)."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    contrib = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.floor(
+            F.col("value")
+            * F.pow(
+                F.lit(0.5),
+                (F.unix_micros("max_ts") - F.unix_micros("ts"))
+                * 1.0
+                / F.lit(_DECAY_HALF_LIFE_US),
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("c_e6"),
+    )
+    return contrib.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("c_e6").cast("bigint").alias("decayed_sum_e6"),
+    )
+
+
+@query(
+    "consecutive_dedup",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_type,
+               CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                         IS NOT DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS is_repeat
+        FROM events
+    )
+    SELECT event_type,
+           count(*)                                  AS n_raw,
+           CAST(sum(1 - is_repeat) AS BIGINT)        AS n_kept,
+           CAST(sum(is_repeat) AS BIGINT)            AS n_dropped
+    FROM flagged GROUP BY event_type
+    """,
+    section="2.9/2.11 consecutive-duplicate suppression (sensor/telemetry dedup)",
+)
+def consecutive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length event dedup — the telemetry-stream hygiene rule
+    (keep an event only when its type CHANGES for that user; repeats
+    of the current state carry no information): one lag over the
+    per-user ordered window, then a dim-sized rollup of kept vs
+    dropped per type. The stateful-streaming twin is
+    `streaming_dedup`'s watermarked dropDuplicates; this is the batch
+    backfill form, one keyed window pass at any scale. Ordering ties
+    at identical timestamps break on event_id in both engines; the
+    null-safe compare makes the first event per user a keep in both
+    engines."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("is_repeat"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(1 - F.col("is_repeat")).cast("bigint").alias("n_kept"),
+        F.sum("is_repeat").cast("bigint").alias("n_dropped"),
+    )
