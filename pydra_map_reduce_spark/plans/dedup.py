@@ -863,9 +863,14 @@ _SPAN_W = 4  # duplicated-span anchor width (tokens per rolling window)
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup discovery in the ExactSubstr shape (Lee
     et al., "Deduplicating Training Data Makes Language Models
-    Better"): find every maximal token span that also occurs in
-    ANOTHER document. Doc-level dedup misses boilerplate embedded in
-    otherwise-unique pages; this is the operator that finds it, and
+    Better"): find every maximal token span covered by cross-document
+    duplicated W-grams. Every duplicated run of length >= W is found
+    (its W-grams are all duplicated — no false negatives); a merged
+    span MAY fuse overlapping runs that duplicate against different
+    partners, which is the standard anchor-based approximation and
+    the right removal unit anyway. Doc-level dedup misses boilerplate
+    embedded in otherwise-unique pages; this is the operator that
+    finds it, and
     its spans are exactly what `chunk_dedup_scrub`-style span removal
     consumes. Anchors are rolling W=4 token windows (md5-prefix ids,
     the portable shingle identity); a window is duplicated iff its
