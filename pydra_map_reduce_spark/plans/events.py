@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import sessions as sessions_ops
 from ..operators.textops import round_half_up
@@ -180,7 +181,7 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.user_id
     )
     SELECT d.user_id,
-           round(d.dot / (nu.nrm * nq.nrm), 4) AS cos
+           floor(d.dot / (nu.nrm * nq.nrm) * 10000 + 0.5) / 10000 AS cos
     FROM dots d
     JOIN norms nu ON nu.user_id = d.user_id
     CROSS JOIN (SELECT nrm FROM norms WHERE user_id = 0) nq
@@ -204,8 +205,6 @@ def behavior_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final ordering uses the family-standard floor-form 9dp rank
     key (raw-float cosine ordering is where fused-vs-folded ulp
     flips the k/k+1 boundary)."""
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     big = (
@@ -233,9 +232,13 @@ def behavior_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.join(norms, "user_id")
         .crossJoin(F.broadcast(qnorm))
         .select("user_id", (F.col("dot") / (F.col("nrm") * F.col("qnrm"))).alias("cos_raw"))
-        .orderBy((F.floor(F.col("cos_raw") * 1e9 + 0.5) / 1e9).desc(), "user_id")
+        .orderBy(round_half_up(F.col("cos_raw"), 9).desc(), "user_id")
         .limit(5)
-        .select("user_id", F.round("cos_raw", 4).alias("cos"))
+        # round_half_up, NOT F.round: the displayed cosine is an
+        # off-grid double ratio, exactly the .xxx5-boundary class where
+        # engine-native rounds diverge (the r5 lesson at the top of
+        # this file; caught by the r9 review sweep)
+        .select("user_id", round_half_up(F.col("cos_raw"), 4).alias("cos"))
     )
 
 
@@ -309,8 +312,6 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     series. Grid generation is narrow; the only wide ops are the
     daily agg and the per-entity window — both keyed on user_id, so
     the shape holds at any entity count."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     day = F.to_date(F.date_trunc("day", "ts"))
     daily = ev.groupBy("user_id", day.alias("day")).agg(
@@ -381,12 +382,8 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
     )
-    z_r = (
-        F.floor(
-            F.abs(F.try_divide(F.col("value") - F.col("mu"), F.col("sd"))) * 1e6
-            + 0.5
-        )
-        / 1e6
+    z_r = round_half_up(
+        F.abs(F.try_divide(F.col("value") - F.col("mu"), F.col("sd"))), 6
     )
     return (
         ev.join(F.broadcast(stats), "event_type")
@@ -394,7 +391,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_outliers"),
-            (F.floor(F.max(z_r) * 100 + 0.5) / 100).alias("max_z"),
+            round_half_up(F.max(z_r), 2).alias("max_z"),
         )
     )
 
@@ -429,8 +426,6 @@ def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs; (ts, event_id) ordering makes ties deterministic in both
     engines. The matrix is |event_types|² rows — broadcast-sized
     output no matter the corpus."""
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -747,8 +742,6 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5^k are exactly representable doubles and both engines fold the
     sum left-to-right in the same order, so the division is
     bit-identical; rounding is portable half-up."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lags = [F.lag("value", k).over(w) for k in range(_EWMA_TERMS)]
@@ -792,8 +785,6 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny keyed agg; the frame excludes the current row so a purchase
     never attributes to itself. Same shape Spark uses for
     forward-fill, so it scales as a plain window."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -905,8 +896,6 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (cents·10⁴ // n_touch) so per-channel sums are exact
     integers in both engines — a float value/n credit would sum in
     engine-dependent order and flip the rounded cent."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
     wseq = (
         Window.partitionBy("user_id")
@@ -1039,8 +1028,6 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by |event_type|^3 regardless of corpus size; every
     shuffle is keyed on user_id or the path itself. Ordering ties at
     identical timestamps break on event_id in BOTH engines."""
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "events")
     numbered = sessions_ops.session_ids(
         e, "user_id", "ts", "event_id", gap_minutes=_GAP_MINUTES
@@ -1066,20 +1053,39 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DECAY_HALF_LIFE_US = 7 * 86_400 * 1_000_000  # 7-day half-life
+_DAY_US = 86_400 * 1_000_000
+# 2^(-r/7) for r = 0..6, as shortest-round-trip decimal literals: both
+# engines parse each literal to the SAME double, so the 7-day-half-life
+# weight 2^(-d/7) = 2^(-(d div 7)) * 2^(-(d mod 7)/7) is built entirely
+# from engine-identical pieces — the power-of-two factor is EXACT in
+# IEEE (1.0 / (1 << q)), and double multiplication is correctly rounded
+# everywhere. A plain pow(0.5, d/7.0) is NOT portable: JVM Math.pow and
+# DuckDB's libm disagree in the last ulp on ~0.1% of real exponents
+# (measured in the r9 review), and this query's BIGINT fixed-point
+# contributions are exactly compared. The embedded-literal trick is the
+# same one the md5-derived projection matrices use.
+_DECAY_RESIDUE = [
+    "1.0", "0.9057236642639067", "0.820335356007638", "0.7429971445684742",
+    "0.6729500963161781", "0.6095068271022377", "0.5520447568369062",
+]
 
 
 @query(
     "decayed_sum",
     oracle=f"""
     WITH mx AS (SELECT max(ts) AS max_ts FROM events),
-    contrib AS (
-        SELECT e.event_type,
-               CAST(floor(e.value
-                          * pow(0.5, (epoch_us(m.max_ts) - epoch_us(e.ts))
-                                     * 1.0 / {_DECAY_HALF_LIFE_US})
-                          * 1e6 + 0.5) AS BIGINT) AS c_e6
+    aged AS (
+        SELECT e.event_type, e.value,
+               (epoch_us(m.max_ts) - epoch_us(e.ts)) // {_DAY_US} AS d
         FROM events e CROSS JOIN mx m
+    ),
+    contrib AS (
+        SELECT event_type,
+               CAST(floor(value
+                          * (1.0 / (1::BIGINT << least(d // 7, 62)))
+                          * ([{", ".join(_DECAY_RESIDUE)}])[(d % 7) + 1]
+                          * 1e6 + 0.5) AS BIGINT) AS c_e6
+        FROM aged
     )
     SELECT event_type,
            count(*)                          AS n_events,
@@ -1090,34 +1096,37 @@ _DECAY_HALF_LIFE_US = 7 * 86_400 * 1_000_000  # 7-day half-life
 )
 def decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted popularity — the ranking signal feeds/trending
-    systems actually aggregate (a 7-day half-life: yesterday's event
-    counts ~0.9, last month's ~0.05) — as one scan plus a dim-sized
-    agg, against the batch anchor `ewma_smooth` covers for ordered
-    per-series smoothing. Determinism note: a float SUM of weighted
-    values would expose summation ORDER (engines and partitionings
-    disagree in the last ulps), so each row's contribution is rounded
-    to integer MICROS first (floor e6 half-up on bit-identical
-    doubles — pow of an exact integer-ratio exponent) and the sum is
-    BIGINT — associative, order-free, the fixed-point-sum convention
-    from the money family. Reference anchor = newest event in the
-    data (not wall-clock now(), which no differential could pin)."""
+    systems actually aggregate (a 7-day half-life on whole-day ages:
+    yesterday's event counts ~0.9, last month's ~0.05) — as one scan
+    plus a dim-sized agg, against the batch anchor `ewma_smooth`
+    covers for ordered per-series smoothing. Two determinism layers:
+    (1) the weight is built from engine-identical pieces — an EXACT
+    IEEE power-of-two (1/(1<<q), capped at 2^-62, below which every
+    contribution floors to 0 anyway) times one of seven embedded
+    shortest-repr residue literals — because cross-libm pow() is NOT
+    bit-portable (see _DECAY_RESIDUE); (2) each row's contribution is
+    rounded to integer MICROS before the sum, so the BIGINT total is
+    associative and summation-order-free (the fixed-point-sum
+    convention from the money family). Reference anchor = newest
+    event in the data (not wall-clock now(), which no differential
+    could pin)."""
     e = load_table(spark, sf_dir, "events")
     mx = e.agg(F.max("ts").alias("max_ts"))
-    contrib = e.crossJoin(F.broadcast(mx)).select(
-        "event_type",
-        F.floor(
-            F.col("value")
-            * F.pow(
-                F.lit(0.5),
-                (F.unix_micros("max_ts") - F.unix_micros("ts"))
-                * 1.0
-                / F.lit(_DECAY_HALF_LIFE_US),
-            )
-            * 1e6
-            + 0.5
+    residues = f"array({', '.join(f'CAST({r} AS DOUBLE)' for r in _DECAY_RESIDUE)})"
+    contrib = (
+        e.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "event_type",
+            "value",
+            f"(unix_micros(max_ts) - unix_micros(ts)) div {_DAY_US} AS d",
         )
-        .cast("bigint")
-        .alias("c_e6"),
+        .selectExpr(
+            "event_type",
+            "CAST(floor(value"
+            " * (1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(least(d div 7, 62) AS INT)) AS DOUBLE))"
+            f" * element_at({residues}, CAST(d % 7 AS INT) + 1)"
+            " * 1e6 + 0.5) AS BIGINT) AS c_e6",
+        )
     )
     return contrib.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1155,8 +1164,6 @@ def consecutive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at identical timestamps break on event_id in both engines; the
     null-safe compare makes the first event per user a keep in both
     engines."""
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = e.select(
