@@ -317,8 +317,11 @@ def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_cells = top10.select(
         "word", F.posexplode(_cms_buckets("word")).alias("i", "bucket")
     )
+    # broadcast the 40 probe cells explicitly — size estimation sees
+    # the sketch aggregate's corpus-sized INPUT, not its <=2048-row
+    # output, so static planning would shuffle both sides (r9 review)
     probe = (
-        probe_cells.join(sketch, ["i", "bucket"])
+        sketch.join(F.broadcast(probe_cells), ["i", "bucket"])
         .groupBy("word")
         .agg(F.min("cnt").alias("cm_estimate"))
     )
