@@ -118,6 +118,8 @@ HEADLINE = [
     "skew_stats",            # join-key skew diagnosis (pre-salting report)
     "decayed_sum",           # time-decayed popularity (fixed-point contributions)
     "consecutive_dedup",     # run-length telemetry dedup (lag window)
+    "span_scrub",            # duplicated-span removal + certified reassembly
+    "group_split",           # leakage-safe entity-level split
 ]
 
 

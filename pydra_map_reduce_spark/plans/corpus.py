@@ -1380,3 +1380,75 @@ def stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.join(F.broadcast(offsets), "pid").select(
         "doc_id", (F.col("off") + F.col("lrank") - 1).cast("bigint").alias("rid")
     )
+
+
+@query(
+    "group_split",
+    oracle=f"""
+    WITH ukey AS (
+        SELECT DISTINCT user_id FROM events
+    ), assigned AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 2) <= '{_TRAIN_MAX}' THEN 'train'
+                    WHEN substr(md5(user_id::VARCHAR), 1, 2) <= '{_VAL_MAX}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM ukey
+    ), ev AS (
+        SELECT a.split, e.user_id, e.event_id
+        FROM events e JOIN assigned a ON a.user_id = e.user_id
+    ), leak AS (
+        SELECT count(*) AS n FROM (
+            SELECT user_id FROM ev GROUP BY user_id
+            HAVING count(DISTINCT split) > 1
+        )
+    )
+    SELECT split,
+           count(DISTINCT user_id)          AS n_users,
+           count(*)                         AS n_events,
+           (SELECT CAST(n AS BIGINT) FROM leak) AS n_leaked_users
+    FROM ev GROUP BY split
+    """,
+    section="2.11 group-level train/val/test split (leakage-safe by entity)",
+)
+def group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting: assign the GROUP (here the user — the
+    entity whose behavior correlates across its own rows), not the
+    row. A row-hash split (`dataset_split`) puts half a user's
+    sessions in train and half in test, leaking user-level signal
+    into evaluation — the classic sklearn GroupShuffleSplit concern
+    at corpus scale. Same md5-first-byte ~80/10/10 thresholds as the
+    row split (one convention for every split decision); assignment
+    hashes the DISTINCT group keys (group-count-sized, shuffled once)
+    and rows inherit via one keyed join. `n_leaked_users` — groups
+    seen in more than one split — is the property this operator
+    exists to guarantee and is provably 0 in both engines (the
+    assignment is a function of the key)."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.substring(F.md5(F.col("user_id").cast("string")), 1, 2)
+    assigned = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(h <= _TRAIN_MAX, "train")
+            .when(h <= _VAL_MAX, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    ev = e.select("user_id", "event_id").join(assigned, "user_id")
+    leak = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked_users"))
+    )
+    return (
+        ev.groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_users", "n_events", "n_leaked_users")
+    )

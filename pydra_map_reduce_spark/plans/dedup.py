@@ -824,11 +824,13 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_W = 4  # duplicated-span anchor width (tokens per rolling window)
 
-
-@query(
-    "duplicate_spans",
-    oracle=f"""
-    WITH toks AS (
+# ONE definition of the duplicated-window discovery (tokenize ->
+# rolling W-gram md5 anchors -> >=2-distinct-doc filter -> duplicated
+# window positions `dp(doc_id, pos)`), as paired Spark/SQL builders:
+# `duplicate_spans` REPORTS the merged spans and `span_scrub` REMOVES
+# them, so a duplicated pipeline would be exactly the paired-copy
+# drift hazard _ngram_pair_ctes guards against.
+_DUP_WINDOW_CTES = f"""toks AS (
         SELECT doc_id, unnest(tokens) AS w,
                generate_subscripts(tokens, 1) - 1 AS pos
         FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
@@ -846,49 +848,14 @@ _SPAN_W = 4  # duplicated-span anchor width (tokens per rolling window)
         SELECT s FROM gid GROUP BY s HAVING count(DISTINCT doc_id) >= 2
     ), dp AS (
         SELECT g.doc_id, g.pos FROM gid g JOIN dup d ON d.s = g.s
-    ), isl AS (
-        SELECT doc_id, pos,
-               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        FROM dp
-    )
-    SELECT doc_id,
-           CAST(min(pos) AS BIGINT)                       AS span_start,
-           CAST(max(pos) + {_SPAN_W - 1} AS BIGINT)       AS span_end,
-           CAST(max(pos) + {_SPAN_W} - min(pos) AS BIGINT) AS span_len,
-           count(*)                                       AS n_windows
-    FROM isl GROUP BY doc_id, grp
-    """,
-    section="2.11 cross-document duplicated-span detection (ExactSubstr shape)",
-)
-def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level dedup discovery in the ExactSubstr shape (Lee
-    et al., "Deduplicating Training Data Makes Language Models
-    Better"): find every maximal token span covered by cross-document
-    duplicated W-grams. Every duplicated run of length >= W is found
-    (its W-grams are all duplicated — no false negatives); a merged
-    span MAY fuse overlapping runs that duplicate against different
-    partners, which is the standard anchor-based approximation and
-    the right removal unit anyway. Doc-level dedup misses boilerplate
-    embedded in otherwise-unique pages; this is the operator that
-    finds it, and
-    its spans are exactly what `chunk_dedup_scrub`-style span removal
-    consumes. Anchors are rolling W=4 token windows (md5-prefix ids,
-    the portable shingle identity); a window is duplicated iff its
-    gram occurs in >= 2 DISTINCT documents (within-doc repetition is
-    repetition_ratio's business, not dedup's); per document,
-    overlapping/adjacent duplicated windows merge into maximal spans
-    by islands-and-gaps (pos - row_number is constant within a
-    consecutive run). The paper builds suffix arrays; the rolling-
-    anchor + merge form finds the identical duplicated runs >= W with
-    only keyed shuffles: one groupBy on gram id (map-side-combined
-    distinct-doc count), one semi-join back, one per-doc window — no
-    pair fan-out anywhere, so the plan carries to corpus scale the
-    way the df-capped near-dup does. Output: one row per maximal
-    span (doc, start, end inclusive, length, contributing windows).
-    """
+    )"""
+
+
+def _dup_window_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(toks, dp): the tokenized corpus with 0-based positions, and the
+    duplicated-window start positions. Spark twin of _DUP_WINDOW_CTES."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
@@ -914,7 +881,58 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("s")
     )
-    dp = gid.join(dup, "s", "left_semi")
+    return toks, gid.join(dup, "s", "left_semi").select("doc_id", "pos")
+
+
+@query(
+    "duplicate_spans",
+    oracle=f"""
+    WITH {_DUP_WINDOW_CTES}, isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dp
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT)                       AS span_start,
+           CAST(max(pos) + {_SPAN_W - 1} AS BIGINT)       AS span_end,
+           CAST(max(pos) + {_SPAN_W} - min(pos) AS BIGINT) AS span_len,
+           count(*)                                       AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+    section="2.11 cross-document duplicated-span detection (ExactSubstr shape)",
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup discovery in the ExactSubstr shape (Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better"): find every maximal token span covered by cross-document
+    duplicated W-grams. Every duplicated run of length >= W is found
+    (its W-grams are all duplicated — no false negatives); a merged
+    span MAY fuse overlapping runs that duplicate against different
+    partners, which is the standard anchor-based approximation and
+    the right removal unit anyway. Doc-level dedup misses boilerplate
+    embedded in otherwise-unique pages; this is the operator that
+    finds it, and its spans are exactly what `span_scrub` removes.
+    Anchors are rolling W=4 token windows (md5-prefix ids, the
+    portable shingle identity, built once in _dup_window_frames /
+    _DUP_WINDOW_CTES for both this query and the scrubber); a window
+    is duplicated iff its gram occurs in >= 2 DISTINCT documents
+    (within-doc repetition is repetition_ratio's business, not
+    dedup's); per document, overlapping/adjacent duplicated windows
+    merge into maximal spans by islands-and-gaps (pos - row_number is
+    constant within a consecutive run). The paper builds suffix
+    arrays; the rolling-anchor + merge form finds the identical
+    duplicated runs >= W with only keyed shuffles: one groupBy on
+    gram id (map-side-combined distinct-doc count), one semi-join
+    back, one per-doc window — no pair fan-out anywhere, so the plan
+    carries to corpus scale the way the df-capped near-dup does.
+    Output: one row per maximal span (doc, start, end inclusive,
+    length, contributing windows).
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    _, dp = _dup_window_frames(d)
+    win = Window.partitionBy("doc_id").orderBy("pos")
     isl = dp.withColumn("grp", F.col("pos") - F.row_number().over(win))
     return (
         isl.groupBy("doc_id", "grp")
@@ -925,6 +943,111 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
+    )
+
+
+@query(
+    "span_scrub",
+    oracle=f"""
+    WITH {_DUP_WINDOW_CTES}, drop_pos AS (
+        SELECT DISTINCT dp.doc_id, dp.pos + k.k AS pos
+        FROM dp, (SELECT unnest(range({_SPAN_W})) AS k) k
+    ), kept AS (
+        SELECT t.doc_id, t.pos, t.w
+        FROM toks t LEFT JOIN drop_pos x
+          ON x.doc_id = t.doc_id AND x.pos = t.pos
+        WHERE x.doc_id IS NULL
+    ), rebuilt AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS scrubbed,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ), sized AS (
+        SELECT d.doc_id, d.source,
+               len(string_split(d.text, ' ')) AS n_toks,
+               COALESCE(r.n_kept, 0) AS n_kept,
+               CASE WHEN r.doc_id IS NULL THEN NULL
+                    ELSE ('0x' || substr(md5(r.scrubbed), 1, 8))::BIGINT END AS ck
+        FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    )
+    SELECT source,
+           count(*)                                            AS n_docs,
+           CAST(sum(CASE WHEN n_kept < n_toks THEN 1 ELSE 0 END) AS BIGINT)
+                                                               AS n_docs_scrubbed,
+           CAST(sum(n_toks) AS BIGINT)                         AS toks_before,
+           CAST(sum(n_kept) AS BIGINT)                         AS toks_after,
+           CAST(sum(COALESCE(ck, 0)) AS BIGINT)                AS scrub_checksum
+    FROM sized GROUP BY source
+    """,
+    section="2.11 duplicated-span removal (detect -> scrub -> reassemble, content-certified)",
+)
+def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of the ExactSubstr pipeline: drop every token
+    covered by a cross-document duplicated window (the positions
+    `duplicate_spans` reports, regenerated from the shared
+    _dup_window_frames definition so the two queries cannot drift)
+    and reassemble each document from its surviving tokens in order.
+    The per-source report certifies CONTENT, not just counts:
+    `scrub_checksum` is an order-free BIGINT sum of the md5 prefix of
+    each reassembled document string, so a reassembly that reorders,
+    drops, or double-spaces a single token in a single document
+    grades red (the chunk_dedup_scrub certification idea, summed so
+    the output stays source-sized). Plan notes: span coverage is
+    expanded window-start positions (a bounded explode of W=4 rows
+    per duplicated window) anti-joined to the token stream on
+    (doc, pos) — a keyed equi anti-join, never a positional range
+    join; reassembly sorts (pos, token) structs inside a per-doc
+    aggregate (collect_list order is partition-dependent — the
+    sort_array makes it deterministic); everything else is dim-sized.
+    Fully-scrubbed documents contribute 0 kept tokens and no
+    checksum, identically in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks, dp = _dup_window_frames(d)
+    drop_pos = (
+        dp.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + _SPAN_W - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(drop_pos, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s.getField("w"),
+            ),
+            " ",
+        ).alias("scrubbed"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    sized = (
+        d.select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("n_toks")
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "source",
+            "n_toks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.when(
+                F.col("scrubbed").isNotNull(),
+                F.conv(F.substring(F.md5("scrubbed"), 1, 8), 16, 10).cast(
+                    "bigint"
+                ),
+            ).alias("ck"),
+        )
+    )
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_kept") < F.col("n_toks")).cast("int"))
+        .cast("bigint")
+        .alias("n_docs_scrubbed"),
+        F.sum("n_toks").cast("bigint").alias("toks_before"),
+        F.sum("n_kept").cast("bigint").alias("toks_after"),
+        F.sum(F.coalesce("ck", F.lit(0))).cast("bigint").alias("scrub_checksum"),
     )
 
 
