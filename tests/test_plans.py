@@ -410,6 +410,16 @@ def test_label_noise_detect_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
 
 
+def test_span_scrub_keyed_anti_join(spark):
+    """Span removal must be the keyed (doc, pos) equi anti-join the
+    docstring promises — a positional BETWEEN range join would plan a
+    nested loop and die at corpus scale."""
+    df = REGISTRY["span_scrub"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
 def test_interval_overlap_join_no_nested_loop(spark):
     """The day-bucketed interval overlap join must be an equi-join on
     the bucket day (that is its whole point) — no theta/nested-loop."""

@@ -647,3 +647,57 @@ def test_bpe_fold_is_canonical_sennrich(words, spark):
     }
     for w in words:
         assert got[w] == " ".join(ltr_merge(list(w), x, y)), (w, x, y, got[w])
+
+
+def test_bloom_filter_invariants(spark):
+    """The two structural guarantees of the Bloom sketch, asserted on
+    the real fixture build: zero false negatives (a member key always
+    probes positive) and a sane load factor (bits set <= k * n_keys,
+    with equality only if no hash collisions occurred)."""
+    from pydra_map_reduce_spark.plans import REGISTRY
+
+    row = REGISTRY["bloom_filter_portable"].fn(spark, SF_DIR).first()
+    assert row["n_false_neg"] == 0
+    assert 0 < row["n_bits_set"] <= 3 * row["n_keys"]
+    # every member must probe positive: positives >= members
+    assert row["n_positive"] >= row["n_keys"]
+    assert row["n_positive"] - row["n_false_pos"] == row["n_keys"]
+
+
+def test_stable_row_ids_contiguous(spark):
+    """rids must be exactly 0..n-1 with each doc_id keeping its rank
+    order — the contract the two-pass construction exists to give
+    without a global window."""
+    from pydra_map_reduce_spark.plans import REGISTRY
+
+    rows = REGISTRY["stable_row_ids"].fn(spark, SF_DIR).collect()
+    rids = sorted(r["rid"] for r in rows)
+    assert rids == list(range(len(rows)))
+    by_doc = sorted(rows, key=lambda r: r["doc_id"])
+    assert [r["rid"] for r in by_doc] == list(range(len(rows)))
+
+
+def test_span_scrub_removes_every_duplicated_window(spark):
+    """After scrubbing, no ORIGINAL duplicated window position may
+    survive: every token the shared dup-window definition covers is
+    gone, and the token accounting (before - after = covered
+    positions) balances exactly."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.plans import REGISTRY
+    from pydra_map_reduce_spark.plans.dedup import _SPAN_W, _dup_window_frames
+
+    d = load_table(spark, SF_DIR, "documents")
+    toks, dp = _dup_window_frames(d)
+    covered = (
+        dp.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + _SPAN_W - 1)).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+        .count()
+    )
+    rep = REGISTRY["span_scrub"].fn(spark, SF_DIR).collect()
+    assert sum(r["toks_before"] - r["toks_after"] for r in rep) == covered
