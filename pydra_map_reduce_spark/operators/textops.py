@@ -147,6 +147,17 @@ def hash_uniform(id_col: str | Column) -> Column:
     )
 
 
+def hash_uniform_sql(key_expr: str) -> str:
+    """DuckDB text of :func:`hash_uniform` for oracle f-strings — the
+    SQL mirror the other shared helpers already provide
+    (signed_round_half_up_sql et al.), so the oracles' draws cannot
+    drift from the engine's."""
+    return (
+        f"(('0x' || substr(md5({key_expr}::VARCHAR), 1, 8))::BIGINT"
+        " / 4294967296.0)"
+    )
+
+
 def adjacent_pairs_expr(col: str) -> str:
     """Spark SQL text of the adjacent-pairs idiom: all consecutive
     element pairs of ``split(col, ' ')`` as 'a b' strings. THE one

@@ -28,6 +28,7 @@ from ..operators.textops import (
     adjacent_pairs_expr,
     adjacent_pairs_sql,
     hash_bucket_sql,
+    hash_uniform_sql,
     round_half_up,
     signed_round_half_up,
 )
@@ -106,18 +107,26 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Hash-split thresholds on the first md5 byte (lexicographic over hex):
 # <= 'cb' (byte 203) ≈ 79.7% train, <= 'e5' (byte 229) ≈ +10.2% val,
-# remainder ≈ 10.2% test. Shared by dataset_split and corpus_pipeline —
-# one definition, f-stringed into both oracles, so the standalone split
-# and the pipeline's split cannot drift apart.
+# remainder ≈ 10.2% test. ONE definition of the whole hash form —
+# parameterized by the key so the row split (doc_id), the pipeline's
+# split, and the group split (user_id) all generate from it; a change
+# to the hash itself (e.g. widening to 4 hex chars) lands everywhere
+# at once instead of drifting one-sided.
 _TRAIN_MAX = "cb"
 _VAL_MAX = "e5"
-_SPLIT_CASE_SQL = f"""CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= '{_TRAIN_MAX}' THEN 'train'
-                    WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= '{_VAL_MAX}' THEN 'val'
+
+
+def _split_case_sql(key_expr: str = "doc_id") -> str:
+    return f"""CASE WHEN substr(md5({key_expr}::VARCHAR), 1, 2) <= '{_TRAIN_MAX}' THEN 'train'
+                    WHEN substr(md5({key_expr}::VARCHAR), 1, 2) <= '{_VAL_MAX}' THEN 'val'
                     ELSE 'test' END"""
 
 
-def _split_col() -> Column:
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+_SPLIT_CASE_SQL = _split_case_sql()
+
+
+def _split_col(key: str = "doc_id") -> Column:
+    h = F.substring(F.md5(F.col(key).cast("string")), 1, 2)
     return F.when(h <= _TRAIN_MAX, "train").when(h <= _VAL_MAX, "val").otherwise("test")
 
 
@@ -313,15 +322,9 @@ def shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shards",
             "n_docs",
             "total_chars",
-            (
-                F.floor(
-                    F.col("total_chars")
-                    * 1.0
-                    / (F.col("n_shards") * _SHARD_CAPACITY)
-                    * 10000
-                    + 0.5
-                )
-                / 10000
+            round_half_up(
+                F.col("total_chars") * 1.0 / (F.col("n_shards") * _SHARD_CAPACITY),
+                4,
             ).alias("fill_ratio"),
         )
         .orderBy("writer_id")
@@ -330,6 +333,22 @@ def shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK_SIZE = 200
 _CHUNK_STRIDE = 150
+
+
+def _chunk_rows(d: DataFrame, stride: int) -> DataFrame:
+    """(doc_id, text, off): the shared filter→explode offset generator
+    behind BOTH chunk families (overlapping doc_chunks, non-overlapping
+    _ddc_chunks). The empty-text filter is load-bearing — Spark's
+    sequence(1, 0) RAISES where DuckDB's generate_series(1, 0) yields
+    nothing — and lives exactly once here (r9 review: two inline
+    copies of the idiom meant the guard had to be fixed twice)."""
+    return d.filter(F.length("text") > 0).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text"), F.lit(stride))
+        ).alias("off"),
+    )
 
 
 @query(
@@ -356,14 +375,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     are filtered first: `sequence(1, 0)` raises in Spark where the
     oracle's `generate_series(1, 0)` yields nothing — both now emit
     zero chunks."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    chunks = d.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text"), F.lit(_CHUNK_STRIDE))
-        ).alias("off"),
-    )
+    chunks = _chunk_rows(load_table(spark, sf_dir, "documents"), _CHUNK_STRIDE)
     chunk = F.substring(F.col("text"), F.col("off"), _CHUNK_SIZE)
     return chunks.select(
         "doc_id",
@@ -401,7 +413,12 @@ def unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nfc(s: pd.Series) -> pd.Series:
         import unicodedata
 
-        return s.map(lambda x: unicodedata.normalize("NFC", x))
+        # null-propagate like the oracle's nfc_normalize(NULL): text is
+        # nullable in the declared schema, and normalize(None) raises —
+        # one NULL fixture row must not turn a value diff into a crash
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
 
     d = load_table(spark, sf_dir, "documents")
     accented = F.replace(F.col("text"), F.lit("e"), F.lit("é"))
@@ -712,8 +729,7 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)   AS n_tokens_kept
     FROM documents d
     JOIN rates r ON d.source = r.source
-    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
-          < r.rate
+    WHERE {hash_uniform_sql("d.doc_id")} < r.rate
     GROUP BY d.source
     """,
     section="2.11 mixture application (deterministic hash draw at the computed rate)",
@@ -779,12 +795,15 @@ def length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation. Bucket index = count of exceeded cutoffs, so empty
     deciles collapse instead of erroring on duplicate cutoffs."""
     d = load_table(spark, sf_dir, "documents")
+    # ONE percentile aggregate over the array of percentages — nine
+    # scalar F.percentile calls each maintained their own full
+    # value-count buffer over the corpus scan (9x aggregation state
+    # for identical cutoffs; r9 review)
     cuts = d.agg(
-        *[
-            F.percentile("n_chars", F.lit(q / 10.0)).alias(f"c{q}")
-            for q in range(1, 10)
-        ]
-    )
+        F.percentile(
+            "n_chars", F.lit([q / 10.0 for q in range(1, 10)])
+        ).alias("cs")
+    ).select(*[F.element_at("cs", q).alias(f"c{q}") for q in range(1, 10)])
     decile = sum(
         (F.col("n_chars") > F.col(f"c{q}")).cast("int") for q in range(1, 10)
     ) + F.lit(1)
@@ -850,13 +869,12 @@ def jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "weighted_sample",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, n_chars,
            floor(pri * 100000000 + 0.5) / 100000000 AS priority
     FROM (
         SELECT doc_id, n_chars,
-               (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0)
-                   / n_chars AS pri
+               {hash_uniform_sql("doc_id")} / n_chars AS pri
         FROM documents
         WHERE n_chars > 0
     )
@@ -908,13 +926,7 @@ def _ddc_chunks(d: DataFrame) -> DataFrame:
     """Spark twin of _DDC_CHUNKS_CTE: (doc_id, off, chunk, fp), one
     row per non-overlapping 100-char window. Column pruning drops
     off/chunk for consumers that only need fingerprints."""
-    return d.filter(F.length("text") > 0).select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text"), F.lit(_DDC_SIZE))
-        ).alias("off"),
-        "text",
-    ).select(
+    return _chunk_rows(d, _DDC_SIZE).select(
         "doc_id",
         "off",
         F.substring(F.col("text"), F.col("off"), _DDC_SIZE).alias("chunk"),
@@ -1389,9 +1401,7 @@ def stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT user_id FROM events
     ), assigned AS (
         SELECT user_id,
-               CASE WHEN substr(md5(user_id::VARCHAR), 1, 2) <= '{_TRAIN_MAX}' THEN 'train'
-                    WHEN substr(md5(user_id::VARCHAR), 1, 2) <= '{_VAL_MAX}' THEN 'val'
-                    ELSE 'test' END AS split
+               {_split_case_sql("user_id")} AS split
         FROM ukey
     ), ev AS (
         SELECT a.split, e.user_id, e.event_id
@@ -1424,17 +1434,10 @@ def group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to guarantee and is provably 0 in both engines (the
     assignment is a function of the key)."""
     e = load_table(spark, sf_dir, "events")
-    h = F.substring(F.md5(F.col("user_id").cast("string")), 1, 2)
     assigned = (
         e.select("user_id")
         .distinct()
-        .select(
-            "user_id",
-            F.when(h <= _TRAIN_MAX, "train")
-            .when(h <= _VAL_MAX, "val")
-            .otherwise("test")
-            .alias("split"),
-        )
+        .select("user_id", _split_col("user_id").alias("split"))
     )
     ev = e.select("user_id", "event_id").join(assigned, "user_id")
     leak = (
