@@ -1051,6 +1051,50 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session cache for the (0.2, max_df=100) exact-pair-graph cluster
+# labels — the dedup analogue of vectors._IVF_SERVE_CACHE: clustering
+# is deterministic (exact pair graph + min-label CC), so serve-many
+# consumers read one materialized label frame instead of re-running
+# the iterative CC per call. Same key discipline as the IVF cache:
+# applicationId (a stopped session's frames are never reused) + the
+# fixture identity (a mid-process regeneration re-clusters). The
+# PARITY queries (dedup_clusters_exact, dedup_cluster_stats) stay
+# recompute-per-call, exactly like ivf_ann_topk_distributed trains
+# per call while ivf_ann_serve serves from the cache.
+_CLUSTER_LABEL_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import _fixture_key
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_key(f"{sf_dir}/documents.parquet"),
+    )
+    labels = _CLUSTER_LABEL_CACHE.get(key)
+    if labels is None:
+        for k in list(_CLUSTER_LABEL_CACHE):
+            stale = k[:2] == key[:2]
+            try:
+                dead = (
+                    _CLUSTER_LABEL_CACHE[k].sparkSession.sparkContext._jsc is None
+                )
+            except Exception:
+                dead = True
+            if stale or dead:
+                del _CLUSTER_LABEL_CACHE[k]
+        d = load_table(spark, sf_dir, "documents")
+        pairs = ops.ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.2
+        ).select("doc_a", "doc_b")
+        # dedup_clusters already localCheckpoints its fixpoint, so the
+        # returned frame is executor-side state with no CC lineage
+        labels = ops.dedup_clusters(pairs)
+        _CLUSTER_LABEL_CACHE[key] = labels
+    return labels
+
+
 @query(
     "dedup_best_quality",
     oracle=_ngram_pair_ctes(0.2, 100, recursive=True) + """,
@@ -1099,10 +1143,11 @@ def dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ops.ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.2
-    ).select("doc_a", "doc_b")
-    labels = ops.dedup_clusters(pairs)
+    # serve from the session label cache (_cluster_labels): the CC is
+    # deterministic, so cached labels are identical to a fresh run —
+    # the parity queries above re-derive them against the recursive
+    # oracle every call, certifying exactly that
+    labels = _cluster_labels(spark, sf_dir)
     scored = labels.join(d.select("doc_id", "n_chars"), "doc_id")
     wq = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), "doc_id"
