@@ -3,6 +3,15 @@
 Cosine math stays JVM-side. The flat-column trick matters: inside an
 O(n²) join, per-pair array access falls out of whole-stage codegen;
 64 primitive double columns keep it in (measured ~7× at 2M pairs).
+
+Input contract: vectors are NON-ZERO. A zero-norm vector makes cosine
+0/0, where the engines diverge structurally — Spark's Divide yields
+NULL (sorts last, fails thresholds) while DuckDB's
+list_cosine_similarity yields NaN (sorts FIRST, passes thresholds) —
+so no guard short of filtering both sides could keep the differential
+honest. The contract is enforced where it belongs: the fixture canary
+asserts every embedding has positive norm (tests/test_fixture_canary),
+the same strategy vector_quantize documents for its scale column.
 """
 
 from __future__ import annotations
@@ -13,6 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .textops import signed_round_half_up
 
 
 def as_double(col: str | Column) -> Column:
@@ -45,6 +56,19 @@ def rank_key(cos: Column) -> Column:
 
 
 def _flatten(df: DataFrame, id_col: str, vec_col: str, dim: int, prefix: str) -> DataFrame:
+    # dim-mismatch guard (one point lookup, the ivf_serve isEmpty
+    # precedent): the norm column covers the FULL vector while the
+    # flat dot covers only v0..v{dim-1}, so a wrong dim would deflate
+    # every cosine (dim too small) or NULL them all out via
+    # element_at past the end (dim too large) — silently, in both
+    # cases. Fail loud with the actual size named instead.
+    first = df.select(F.size(vec_col).alias("n")).first()
+    if first is not None and first["n"] != dim:
+        raise ValueError(
+            f"vector column {vec_col!r} has {first['n']} elements but "
+            f"caller said dim={dim}; the flat-column cosine would be "
+            "silently wrong"
+        )
     e = df.select(F.col(id_col).alias(f"{prefix}id"), as_double(vec_col).alias("_v"))
     return e.select(
         f"{prefix}id",
@@ -68,13 +92,18 @@ def cosine_topk(
     1-row query side; TakeOrdered per-partition heaps, no global sort."""
     e = df.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("emb"))
     q = e.filter(F.col("vec_id") == query_id).select(F.col("emb").alias("qv"))
+    if q.isEmpty():
+        # fail loud at the API edge (the ivf_serve_distributed
+        # contract): an absent query id would otherwise return an
+        # empty top-k indistinguishable from an empty corpus
+        raise ValueError(f"query_id={query_id} not present in the corpus")
     return (
         e.filter(F.col("vec_id") != query_id)
         .crossJoin(F.broadcast(q))
         .select("vec_id", cosine(F.col("emb"), F.col("qv")).alias("cos_raw"))
         .orderBy(rank_key(F.col("cos_raw")).desc(), F.col("vec_id"))
         .limit(k)
-        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+        .select("vec_id", signed_round_half_up("cos_raw", 4).alias("cos"))
     )
 
 
@@ -110,7 +139,7 @@ def batch_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "vec_id",
-            F.round("cos_raw", 4).alias("cos"),
+            signed_round_half_up("cos_raw", 4).alias("cos"),
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
@@ -136,7 +165,7 @@ def allpairs_cosine(
         .select(
             F.col("aid").alias("id_a"),
             F.col("bid").alias("id_b"),
-            F.round("cos_raw", 4).alias("cos"),
+            signed_round_half_up("cos_raw", 4).alias("cos"),
         )
     )
 
@@ -237,7 +266,7 @@ def lsh_allpairs_cosine(
         .select(
             F.col("aid").alias("id_a"),
             F.col("bid").alias("id_b"),
-            F.round("cos_raw", 4).alias("cos"),
+            signed_round_half_up("cos_raw", 4).alias("cos"),
         )
     )
 
@@ -262,13 +291,16 @@ def signbit_lsh_topk(
     q = sig.filter(F.col("vec_id") == query_id).select(
         F.col("emb").alias("qv"), F.col("bucket").alias("qb")
     )
+    if q.isEmpty():
+        # same fail-loud serving contract as cosine_topk/ivf_serve
+        raise ValueError(f"query_id={query_id} not present in the corpus")
     return (
         sig.crossJoin(F.broadcast(q))
         .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != query_id))
         .select("vec_id", cosine(F.col("emb"), F.col("qv")).alias("cos_raw"))
         .orderBy(rank_key(F.col("cos_raw")).desc(), F.col("vec_id"))
         .limit(k)
-        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+        .select("vec_id", signed_round_half_up("cos_raw", 4).alias("cos"))
     )
 
 
@@ -278,7 +310,7 @@ def group_centroids(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
     return (
         df.select(F.col(group_col).alias("label"), F.posexplode(as_double(vec_col)).alias("pos", "v"))
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
-        .agg(F.round(F.avg("v"), 6).alias("centroid_v"), F.count(F.lit(1)).alias("n_vecs"))
+        .agg(signed_round_half_up(F.avg("v"), 6).alias("centroid_v"), F.count(F.lit(1)).alias("n_vecs"))
     )
 
 
@@ -352,6 +384,12 @@ def ivf_topk(
         def assign_udf(emb: pd.Series) -> pd.Series:
             M = np.vstack(emb.to_numpy())  # (batch, dim)
             d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # 9dp half-up pin before the argmin — the oracle's d2 is
+            # now floor-rounded at 9dp, and an unrounded numpy argmin
+            # could pick the OTHER cell of an ulp-near-tie (numpy's
+            # pairwise-blocked sum vs SQL row-sum order); the pin makes
+            # ties resolve by cid identically on both sides
+            d2 = np.floor(d2 * 1e9 + 0.5) / 1e9
             return pd.Series(cid_arr[d2.argmin(axis=1)])
 
         return points.select(
@@ -376,7 +414,10 @@ def ivf_topk(
 
     assigned = with_cid(e)
 
-    q_rows = assigned.filter(F.col("vec_id") == query_id).collect()
+    # fetch the query from the PLAIN projection — only the vector is
+    # needed, and filtering `assigned` would drag the pandas-UDF
+    # assignment pass into a point lookup (r9 review)
+    q_rows = e.filter(F.col("vec_id") == query_id).collect()
     if not q_rows:
         # an absent query id previously surfaced as a bare
         # StopIteration from next() — name the actual problem
@@ -388,19 +429,32 @@ def ivf_topk(
         acc = 0.0
         for a, b in zip(cv, qv):
             acc += (a - b) * (a - b)
-        return acc
+        # same 9dp pin as the assignment and the oracle's probe ORDER BY
+        import math
+
+        return math.floor(acc * 1e9 + 0.5) / 1e9
 
     probe = sorted(cents, key=lambda i: (d2_to_q(cents[i]), i))[:n_probe]
     qlit = F.array(*[F.lit(x) for x in qv])
+    # qv is already on the driver: fold its norm ONCE in Python (the
+    # same left-to-right order dot()'s aggregate would use, and
+    # math.sqrt is correctly rounded in both runtimes — bit-identical)
+    # instead of paying an interpreted 64-element HOF per rescored row
+    import math
+
+    qacc = 0.0
+    for x in qv:
+        qacc += x * x
+    qnorm = F.lit(math.sqrt(qacc))
     cos = dot(F.col("emb"), qlit) / (
-        F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.sqrt(dot(qlit, qlit))
+        F.sqrt(dot(F.col("emb"), F.col("emb"))) * qnorm
     )
     return (
         assigned.filter(F.col("cid").isin(*probe) & (F.col("vec_id") != query_id))
         .select("vec_id", cos.alias("cos_raw"))
         .orderBy(rank_key(F.col("cos_raw")).desc(), "vec_id")
         .limit(k)
-        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+        .select("vec_id", signed_round_half_up("cos_raw", 4).alias("cos"))
     )
 
 
@@ -552,7 +606,9 @@ def ivf_train_distributed(
         )
         return (
             fan.join(F.broadcast(cents_df), "cid")  # inner: dead cells drop
-            .selectExpr("vec_id", "cid", f"({d2_sql}) AS d2")
+            .selectExpr(
+                "vec_id", "cid", f"floor(({d2_sql}) * 1e9 + 0.5) / 1e9 AS d2"
+            )
             .groupBy("vec_id")
             .agg(F.min(F.struct("d2", "cid")).getField("cid").alias("cid"))
         )
@@ -626,7 +682,7 @@ def ivf_serve_distributed(
     probe = (
         cents.withColumn("jk", F.expr("CAST(pmod(cid, 1) AS INT)"))
         .join(F.broadcast(qf), "jk")
-        .selectExpr("cid", f"({qd2_sql}) AS qd2")
+        .selectExpr("cid", f"floor(({qd2_sql}) * 1e9 + 0.5) / 1e9 AS qd2")
         .orderBy("qd2", "cid")
         .limit(n_probe)
         .select("cid")
@@ -644,7 +700,10 @@ def ivf_serve_distributed(
         )
         .orderBy(rank_key(F.col("cos_raw")).desc(), "vec_id")
         .limit(k)
-        .selectExpr("vec_id", "round(cos_raw, 4) AS cos")
+        .selectExpr(
+            "vec_id",
+            "sign(cos_raw) * floor(abs(cos_raw) * 10000 + 0.5) / 10000 AS cos",
+        )
     )
 
 
@@ -798,17 +857,9 @@ def knn_classify(
         F.col("label").alias("true_label"),
         F.col("emb").alias("qv"),
     )
-    # rank on the cosine ROUNDED to 9dp (then vec_id): a raw-float
-    # ordering lets a cross-engine ulp difference at the rank-k/k+1
-    # boundary flip the neighbor set; 9dp absorbs ulp noise while
-    # still separating genuinely distinct neighbors. The rounding is
-    # the PORTABLE floor form (floor(x·1e9 + 0.5)/1e9), not engine
-    # round(): Spark rounds the shortest decimal repr where DuckDB
-    # rounds the raw binary double, and the two disagree exactly on
-    # the midpoints this key exists to absorb. (Cosines can be
-    # negative; the floor form rounds negative midpoints toward +inf
-    # — identically in both engines, which is all a rank key needs.)
-    cos_r = F.floor(cosine(F.col("emb"), F.col("qv")) * 1e9 + 0.5) / 1e9
+    # the shared 9dp rank key (rank_key) — an inline copy of the floor
+    # form here is exactly how a convention change lands one-sided
+    cos_r = rank_key(cosine(F.col("emb"), F.col("qv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "vec_id")
     scored = (
         e.filter(F.col("vec_id") >= n_queries)

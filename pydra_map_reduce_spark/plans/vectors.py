@@ -22,7 +22,7 @@ _EMB_DIM = 64  # fixture embedding dimensionality (single source of truth)
     oracle="""
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos
+           sign(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)) * floor(abs(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)) * 10000 + 0.5) / 10000 AS cos
     FROM embeddings e CROSS JOIN q
     WHERE e.vec_id <> 0
     ORDER BY floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) * 1e9 + 0.5) / 1e9 DESC, e.vec_id
@@ -51,7 +51,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e CROSS JOIN q
         WHERE e.vec_id <> q.query_id
     )
-    SELECT query_id, vec_id, round(cos_raw, 4) AS cos, rank
+    SELECT query_id, vec_id, sign(cos_raw) * floor(abs(cos_raw) * 10000 + 0.5) / 10000 AS cos, rank
     FROM scored WHERE rank <= 3
     """,
     section="2.11 batched ANN top-k (one corpus pass, per-query window rank)",
@@ -81,7 +81,7 @@ _ALLPAIRS_PAIRS_SQL = f"""
                                  CAST(b.embedding AS DOUBLE[])) >= {_ALLPAIRS_THRESHOLD}
 """
 _ALLPAIRS_ROUNDED_SQL = (
-    "SELECT id_a, id_b, round(cos, 4) AS cos FROM (" + _ALLPAIRS_PAIRS_SQL + ")"
+    "SELECT id_a, id_b, sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000 AS cos FROM (" + _ALLPAIRS_PAIRS_SQL + ")"
 )
 
 
@@ -152,7 +152,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ), q AS (SELECT emb AS qv, bucket AS qb FROM sig WHERE vec_id = 0)
     SELECT s.vec_id,
-           round(list_cosine_similarity(s.emb, q.qv), 4) AS cos
+           sign(list_cosine_similarity(s.emb, q.qv)) * floor(abs(list_cosine_similarity(s.emb, q.qv)) * 10000 + 0.5) / 10000 AS cos
     FROM sig s CROSS JOIN q
     WHERE s.bucket = q.qb AND s.vec_id <> 0
     ORDER BY floor(list_cosine_similarity(s.emb, q.qv) * 1e9 + 0.5) / 1e9 DESC, s.vec_id
@@ -171,7 +171,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            CAST(dim AS INT)      AS dim,
-           round(avg(v), 6)      AS centroid_v,
+           sign(avg(v)) * floor(abs(avg(v)) * 1000000 + 0.5) / 1000000 AS centroid_v,
            count(*)              AS n_vecs
     FROM (
         SELECT label,
@@ -258,7 +258,7 @@ def _ivf_train_ctes(n_clusters: int, lloyd_iters: int) -> tuple[str, str]:
                    row_number() OVER (PARTITION BY d.vec_id
                                       ORDER BY d.d2, d.cid) AS rn
             FROM (SELECT p.vec_id, c.cid,
-                         sum((p.v - c.m) * (p.v - c.m)) AS d2
+                         floor(sum((p.v - c.m) * (p.v - c.m)) * 1e9 + 0.5) / 1e9 AS d2
                   FROM pt p JOIN {prev_c} c ON p.pos = c.pos
                   GROUP BY p.vec_id, c.cid) d
         ) WHERE rn = 1
@@ -291,7 +291,7 @@ def _ivf_train_ctes(n_clusters: int, lloyd_iters: int) -> tuple[str, str]:
                    row_number() OVER (PARTITION BY d.vec_id
                                       ORDER BY d.d2, d.cid) AS rn
             FROM (SELECT p.vec_id, c.cid,
-                         sum((p.v - c.m) * (p.v - c.m)) AS d2
+                         floor(sum((p.v - c.m) * (p.v - c.m)) * 1e9 + 0.5) / 1e9 AS d2
                   FROM pt p JOIN {prev_c} c ON p.pos = c.pos
                   GROUP BY p.vec_id, c.cid) d
         ) WHERE rn = 1
@@ -322,13 +322,13 @@ def _ivf_oracle(
         SELECT cid FROM (
             SELECT dd.cid,
                    row_number() OVER (ORDER BY dd.d2, dd.cid) AS rn
-            FROM (SELECT c.cid, sum((c.m - q.v) * (c.m - q.v)) AS d2
+            FROM (SELECT c.cid, floor(sum((c.m - q.v) * (c.m - q.v)) * 1e9 + 0.5) / 1e9 AS d2
                   FROM {prev_c} c JOIN qpt q ON c.pos = q.pos
                   GROUP BY c.cid) dd
         ) WHERE rn <= {n_probe}
     ),
     qv AS (SELECT emb AS qv FROM e WHERE vec_id = {query_id})
-    SELECT vec_id, round(cos_raw, 4) AS cos FROM (
+    SELECT vec_id, sign(cos_raw) * floor(abs(cos_raw) * 10000 + 0.5) / 10000 AS cos FROM (
         SELECT a.vec_id,
                list_cosine_similarity(e.emb, q.qv) AS cos_raw
         FROM af a
@@ -976,7 +976,7 @@ def _ann_recall_oracle(n_clusters: int, lloyd_iters: int, n_probe: int, k: int, 
                    row_number() OVER (PARTITION BY dd.query_id
                                       ORDER BY dd.d2, dd.cid) AS rn
             FROM (SELECT qp.query_id, c.cid,
-                         sum((c.m - qp.v) * (c.m - qp.v)) AS d2
+                         floor(sum((c.m - qp.v) * (c.m - qp.v)) * 1e9 + 0.5) / 1e9 AS d2
                   FROM {prev_c} c JOIN qpt qp ON c.pos = qp.pos
                   GROUP BY qp.query_id, c.cid) dd
         ) WHERE rn <= {n_probe}
@@ -1084,7 +1084,7 @@ def _label_noise_oracle(n_clusters: int = 64, lloyd_iters: int = 2, n_probe: int
                    row_number() OVER (PARTITION BY d.vec_id
                                       ORDER BY d.d2, d.cid) AS rn
             FROM (SELECT p.vec_id, c.cid,
-                         sum((c.m - p.v) * (c.m - p.v)) AS d2
+                         floor(sum((c.m - p.v) * (c.m - p.v)) * 1e9 + 0.5) / 1e9 AS d2
                   FROM pt p JOIN {prev_c} c ON p.pos = c.pos
                   GROUP BY p.vec_id, c.cid) d
         ) WHERE rn <= {n_probe}
@@ -1183,7 +1183,9 @@ def label_noise_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_d2 = (
         fan.join(F.broadcast(cents), "cid")  # inner: dead cells drop
         .selectExpr(
-            "vec_id AS query_id", "cid", f"({ops.sq_dist_sql('m', 'v', dim)}) AS d2"
+            "vec_id AS query_id",
+            "cid",
+            f"floor(({ops.sq_dist_sql('m', 'v', dim)}) * 1e9 + 0.5) / 1e9 AS d2"
         )
     )
     wp = Window.partitionBy("query_id").orderBy("d2", "cid")

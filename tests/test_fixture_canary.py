@@ -57,3 +57,24 @@ def test_events_ts_unit_is_known(sf_dir):
         f"events.ts at {sf_dir} has unhandled unit {unit!r}; "
         "extend load_table's footer branch"
     )
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS, ids=os.path.basename)
+def test_embeddings_have_positive_norm(sf_dir):
+    """The vector operators' input contract (similarity.py module
+    docstring): every embedding is NON-ZERO. A zero-norm vector makes
+    cosine 0/0, where Spark (NULL, sorts last) and DuckDB (NaN, sorts
+    FIRST) diverge structurally — a regenerated fixture that ships one
+    must fail HERE with the offending row named, not as an opaque
+    top-k hash mismatch."""
+    import duckdb
+
+    bad = duckdb.connect().execute(
+        f"""
+        SELECT vec_id FROM read_parquet('{sf_dir}/embeddings.parquet')
+        WHERE list_aggregate([x * x for x in CAST(embedding AS DOUBLE[])],
+                             'sum') = 0
+        LIMIT 5
+        """
+    ).fetchall()
+    assert not bad, f"zero-norm embeddings at {sf_dir}: {bad}"
