@@ -60,11 +60,16 @@ _DRIVER_PRIORITY = [
 
 
 # Round-10 rotation queue: after this window lands, every oracle-backed
-# query has driver evidence in some ledger EXCEPT queries added after
-# this window froze. Compose the r10 window from (1) any queries added
-# in round 9 after the freeze, (2) any r9 reds, then (3) the stalest
-# greens oldest-first (r4-era window_distribution-adjacent leftovers,
-# the r5 io/join families). Keep rows-only queries out of the window.
+# query has driver evidence in some ledger EXCEPT the 13 round-9
+# post-freeze additions — `duplicate_spans`, `phrase_search`,
+# `dedup_best_quality`, `bloom_filter_portable`, `stable_row_ids`,
+# `session_paths`, `ngram_novelty`, `cooccurrence_pmi`, `skew_stats`,
+# `decayed_sum`, `consecutive_dedup`, `span_scrub`, `group_split` —
+# plus anything added later still. Compose the r10 window from
+# (1) those thirteen + later additions, (2) any r9 reds, then (3) the
+# stalest greens oldest-first (r4-era window_distribution-adjacent
+# leftovers, the r5 io/join families). Keep rows-only queries out of
+# the window.
 
 
 def _ordered() -> list[str]:
