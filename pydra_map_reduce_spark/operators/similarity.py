@@ -5,13 +5,14 @@ O(n²) join, per-pair array access falls out of whole-stage codegen;
 64 primitive double columns keep it in (measured ~7× at 2M pairs).
 
 Input contract: vectors are NON-ZERO. A zero-norm vector makes cosine
-0/0, where the engines diverge structurally — Spark's Divide yields
-NULL (sorts last, fails thresholds) while DuckDB's
-list_cosine_similarity yields NaN (sorts FIRST, passes thresholds) —
-so no guard short of filtering both sides could keep the differential
-honest. The contract is enforced where it belongs: the fixture canary
-asserts every embedding has positive norm (tests/test_fixture_canary),
-the same strategy vector_quantize documents for its scale column.
+0/0, where the engines diverge structurally — under Spark 4's
+default ANSI mode the division RAISES DIVIDE_BY_ZERO mid-query,
+while DuckDB's list_cosine_similarity quietly yields NaN (which then
+sorts FIRST and passes thresholds) — so no guard short of filtering
+both sides could keep the differential honest. The contract is
+enforced where it belongs: the fixture canary asserts every embedding
+has positive norm (tests/test_fixture_canary), the same strategy
+vector_quantize documents for its scale column.
 """
 
 from __future__ import annotations

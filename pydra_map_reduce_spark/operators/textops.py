@@ -40,7 +40,13 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "doc_id",
             "word",
             F.col("tf").cast("bigint").alias("tf"),
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+            # portable half-up, not engine round(): a tfidf double
+            # whose shortest repr ends in ...5 at 7 digits renders
+            # differently under Spark's BigDecimal path vs DuckDB's
+            # binary rounding (the r5 lesson; r9 sweep)
+            round_half_up(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
         )
     )
 

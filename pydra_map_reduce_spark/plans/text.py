@@ -88,7 +88,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT count(*) AS n_docs FROM documents)
     SELECT tf.doc_id, tf.word,
            CAST(tf.tf AS BIGINT) AS tf,
-           round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+           floor(tf.tf * ln(n.n_docs / df.df) * 1000000 + 0.5) / 1000000 AS tfidf
     FROM tf JOIN df USING (word) CROSS JOIN n
     """,
     section="2.11 TF-IDF / term stats",
@@ -354,7 +354,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT tok.doc_id,
            count(*)                                               AS n_tokens,
-           round(exp(-avg(ln(freq.n / tot.total))), 2)            AS ppl
+           floor(exp(-avg(ln(freq.n / tot.total))) * 100 + 0.5) / 100 AS ppl
     FROM tok JOIN freq USING (word) CROSS JOIN tot
     GROUP BY tok.doc_id
     """,
@@ -380,24 +380,57 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.exp(-F.avg(F.log(F.col("n") / F.col("total")))), 2).alias("ppl"),
+            round_half_up(F.exp(-F.avg(F.log(F.col("n") / F.col("total")))), 2).alias("ppl"),
         )
+    )
+
+
+# ONE definition of the document-level co-occurrence pair matrix and
+# its deterministic top-20 cut (n desc, w1, w2), as paired Spark/SQL
+# builders: word_cooccurrence REPORTS the counts and cooccurrence_pmi
+# SCORES them, so a one-sided edit to the tie-break, the empty-token
+# filter, or the limit would silently fork the two (the
+# _bm25_frames/_BM25_CTES_SQL precedent, applied to the pair matrix).
+_COOC_DW_SQL = """dw AS (
+        SELECT DISTINCT doc_id, word
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+    )"""
+
+
+def _cooc_top20_sql(cnt_alias: str = "n") -> str:
+    return f"""SELECT a.word AS w1, b.word AS w2, count(*) AS {cnt_alias}
+    FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+    GROUP BY a.word, b.word
+    ORDER BY {cnt_alias} DESC, w1, w2
+    LIMIT 20"""
+
+
+def _cooc_top20(d: DataFrame, cnt_alias: str = "n") -> DataFrame:
+    """Spark twin of _cooc_top20_sql over the distinct (doc, word)
+    incidence: keyed per-doc self-join (work is sum over docs of
+    vocab(doc) squared, never corpus-n2; df-band at real scale),
+    TakeOrdered top-20."""
+    dw = (
+        d.select("doc_id", F.explode(textops.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    a, b = dw.alias("a"), dw.alias("b")
+    return (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.word") < F.col("b.word")))
+        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+        .agg(F.count(F.lit(1)).alias(cnt_alias))
+        .orderBy(F.col(cnt_alias).desc(), "w1", "w2")
+        .limit(20)
     )
 
 
 @query(
     "word_cooccurrence",
-    oracle="""
-    WITH dw AS (
-        SELECT DISTINCT doc_id, word
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-        WHERE word <> ''
-    )
-    SELECT a.word AS w1, b.word AS w2, count(*) AS n
-    FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
-    GROUP BY a.word, b.word
-    ORDER BY n DESC, w1, w2
-    LIMIT 20
+    oracle=f"""
+    WITH {_COOC_DW_SQL}
+    {_cooc_top20_sql("n")}
     """,
     section="2.11 word co-occurrence matrix (top pairs by shared docs)",
 )
@@ -409,20 +442,7 @@ def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     and stopword-frequency terms by doc-frequency) — the standard
     trick that keeps per-doc vocab, and hence the quadratic term,
     bounded. Top-20 via TakeOrdered (per-partition heaps)."""
-    d = load_table(spark, sf_dir, "documents")
-    dw = (
-        d.select("doc_id", F.explode(textops.tokens("text")).alias("word"))
-        .filter(F.col("word") != "")
-        .distinct()
-    )
-    a, b = dw.alias("a"), dw.alias("b")
-    return (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.word") < F.col("b.word")))
-        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "w1", "w2")
-        .limit(20)
-    )
+    return _cooc_top20(load_table(spark, sf_dir, "documents"), "n")
 
 
 @query(
@@ -496,7 +516,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bg.doc_id,
            count(*)                                   AS n_bigrams,
-           round(exp(-avg(ln(cnt.n / pre.np))), 2)    AS ppl
+           floor(exp(-avg(ln(cnt.n / pre.np))) * 100 + 0.5) / 100 AS ppl
     FROM bg
     JOIN cnt ON cnt.w1 = bg.w1 AND cnt.w2 = bg.w2
     JOIN pre ON pre.w1 = bg.w1
@@ -533,7 +553,7 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.exp(-F.avg(F.log(F.col("n") / F.col("np")))), 2).alias("ppl"),
+            round_half_up(F.exp(-F.avg(F.log(F.col("n") / F.col("np")))), 2).alias("ppl"),
         )
     )
 
@@ -570,11 +590,11 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT tg.doc_id,
            count(*) AS n_trigrams,
-           round(exp(-avg(ln(
+           floor(exp(-avg(ln(
                0.6 * (tri.nt / tri_pre.ntp)
              + 0.3 * (bi.nb / bi_pre.nbp)
              + 0.1 * (uni.nu / tot.n)
-           ))), 2) AS ppl
+           ))) * 100 + 0.5) / 100 AS ppl
     FROM tg
     JOIN tri ON tri.w1 = tg.w1 AND tri.w2 = tg.w2 AND tri.w3 = tg.w3
     JOIN tri_pre ON tri_pre.w1 = tg.w1 AND tri_pre.w2 = tg.w2
@@ -644,7 +664,7 @@ def trigram_perplexity_jm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
-            F.round(F.exp(-F.avg(F.log(p_jm))), 2).alias("ppl"),
+            round_half_up(F.exp(-F.avg(F.log(p_jm))), 2).alias("ppl"),
         )
     )
 
@@ -717,9 +737,9 @@ def _bm25_frames(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFra
         SELECT word, df FROM dfr ORDER BY df, word LIMIT 3
     )
     SELECT tf.doc_id,
-           round(sum(
+           floor(sum(
                {_OKAPI_TERM_SQL}
-           ), 4) AS bm25
+           ) * 10000 + 0.5) / 10000 AS bm25
     FROM tf
     JOIN qterms q ON tf.word = q.word
     JOIN lens ON lens.doc_id = tf.doc_id
@@ -765,7 +785,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_okapi_score()).alias("raw"))
         .orderBy((F.floor(F.col("raw") * 1e9 + 0.5) / 1e9).desc(), "doc_id")
         .limit(10)
-        .select("doc_id", F.round("raw", 4).alias("bm25"))
+        .select("doc_id", round_half_up(F.col("raw"), 4).alias("bm25"))
     )
 
 
@@ -1248,7 +1268,7 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     tf = (
-        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        d.select("source", F.explode(textops.tokens("text")).alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1300,7 +1320,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     which terms need sharding."""
     d = load_table(spark, sf_dir, "documents")
     toks = (
-        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        d.select("doc_id", F.explode(textops.tokens("text")).alias("term"))
         .filter(F.col("term") != "")
         .distinct()
     )
@@ -1433,7 +1453,7 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "w")
     )
     slices = [
         toks.filter(F.col("w") == term)
@@ -1530,19 +1550,11 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cooccurrence_pmi",
     oracle=f"""
-    WITH dw AS (
-        SELECT DISTINCT doc_id, word FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-        ) WHERE word <> ''
-    ),
+    WITH {_COOC_DW_SQL},
     dfq AS (SELECT word, count(*) AS df FROM dw GROUP BY word),
     nd AS (SELECT count(*) AS n FROM documents),
     top AS (
-        SELECT a.word AS w1, b.word AS w2, count(*) AS n_co
-        FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
-        GROUP BY a.word, b.word
-        ORDER BY n_co DESC, w1, w2
-        LIMIT 20
+        {_cooc_top20_sql("n_co")}
     )
     SELECT t.w1, t.w2, t.n_co,
            {textops.signed_round_half_up_sql(
@@ -1577,14 +1589,7 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.count(F.lit(1)).alias("n"))
-    a, b = dw.alias("a"), dw.alias("b")
-    top = (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.word") < F.col("b.word")))
-        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
-        .agg(F.count(F.lit(1)).alias("n_co"))
-        .orderBy(F.col("n_co").desc(), "w1", "w2")
-        .limit(20)
-    )
+    top = _cooc_top20(d, "n_co")
     d1 = dfq.select(F.col("word").alias("w1"), F.col("df").alias("df1"))
     d2 = dfq.select(F.col("word").alias("w2"), F.col("df").alias("df2"))
     return (
