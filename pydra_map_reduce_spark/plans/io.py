@@ -102,7 +102,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_scan",
     oracle="""
     SELECT count(*)                          AS n_lines,
-           CAST(sum(strlen(text)) AS BIGINT) AS total_chars
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
     FROM documents
     """,
     section="2.1 text-file scan (one line per record)",
@@ -112,6 +112,9 @@ def text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     must survive the trip."""
     path = _tmp("documents_text")
     load_table(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(path)
+    # NOTE the oracle counts CHARACTERS (DuckDB length), matching
+    # F.length here — strlen would count BYTES and diverge on the
+    # first multi-byte UTF-8 character a regenerated fixture contains.
     lines = spark.read.text(path)
     return lines.agg(
         F.count(F.lit(1)).alias("n_lines"),
@@ -134,7 +137,7 @@ def parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning instead of a scan at 100 TB."""
     path = _tmp("orders_part")
     o = load_table(spark, sf_dir, "orders").withColumn(
-        "yr", F.year("o_orderdate").alias("yr")
+        "yr", F.year("o_orderdate")
     )
     o.write.mode("overwrite").partitionBy("o_orderstatus", "yr").parquet(path)
     back = spark.read.parquet(path)
@@ -540,7 +543,8 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "xml_roundtrip",
     oracle="""
-    SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           count(*) AS n, round(sum(s_acctbal), 2) AS bal
     FROM supplier GROUP BY s_nationkey
     """,
     section="2.1 XML scan (+ write): lossless round-trip (native since Spark 4)",
@@ -626,7 +630,7 @@ def _binaryfile_fixture_dir() -> str:
            + ((vec_id * 668265263) % 4294967296) // 65536 % 256
            + ((vec_id * 668265263) % 4294967296) // 16777216 % 256
            + 255 AS BIGINT) AS byte_sum
-    FROM embeddings WHERE vec_id < 64
+    FROM range(0, {_BF_N}) AS t(vec_id)
     """,
     section="2.1/2.11 binaryFile source (directory-of-media ingestion)",
 )
@@ -691,19 +695,32 @@ def _warc_fixture_dir(sf_dir: str) -> str:
     gzip member (mtime pinned to 0 so bytes are reproducible), shard
     0 leads with a warcinfo record so readers must filter by
     WARC-Type. Pure pyarrow + stdlib from the parquet fixture (no
-    Spark collect); idempotent per (sf basename, row count)."""
+    Spark collect); idempotent per (sf basename, fixture identity —
+    part count + max part mtime, the sources/tables.py key)."""
     import gzip
 
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    from ..sources.tables import _fixture_key
+
+    # Idempotency key = the SAME (part file, part count, max mtime)
+    # identity sources/tables.py keys its probe caches on: a mid-process
+    # fixture regeneration with an unchanged row count (it happened
+    # between rounds 4 and 5) must invalidate the shards, or the engine
+    # parses stale WARC bytes while the oracle reads the new table.
+    # The marker check is metadata-only — the full (doc_id, text) read
+    # happens only when the shards actually need (re)writing.
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = _fixture_key(src)
+    d = _tmp(
+        f"warc_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{key[1]}_{int(key[2] * 1000)}"
     )
-    n = tbl.num_rows
-    d = _tmp(f"warc_{os.path.basename(os.path.normpath(sf_dir))}_{n}")
     done = os.path.join(d, "_COMPLETE")
     if os.path.exists(done):
         return d
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
+    n = tbl.num_rows
     os.makedirs(d, exist_ok=True)
 
     def record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
