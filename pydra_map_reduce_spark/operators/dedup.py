@@ -175,6 +175,40 @@ def incremental_dedup(
     ).drop("_in_idx")
 
 
+def _capped_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(inter, sizes): the df-capped shingle inverted index self-joined
+    into per-pair intersection counts, plus per-document capped set
+    sizes — the shared front half of every set-similarity pair builder
+    (symmetric Jaccard, asymmetric containment). One definition so the
+    cap/shingle semantics cannot drift between the similarity tails
+    (mirrors plans/dedup._ngram_index_ctes on the oracle side)."""
+    df = _spread(df)
+    ex = shingle_rows(df, id_col, text_col, n)
+    if max_df is not None:
+        dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        ex = ex.join(dfreq.filter(F.col("df") <= max_df), "s").select("doc_id", "s")
+    # persist: the (capped) shingle index feeds three plan branches
+    # (both join sides + sizes); without it each branch recomputes the
+    # full tokenize→window→distinct lineage. MEMORY_AND_DISK entries
+    # are evictable (unified memory manager favors execution), so a
+    # long-lived session degrades to recompute, not OOM.
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return inter, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -206,24 +240,7 @@ def ngram_jaccard_pairs(
     self-join's shuffle key, so pruning adds no extra exchange of the
     index. Pass ``max_df=None`` to disable (small-n oracle twins
     where exact uncapped jaccard is the contract)."""
-    df = _spread(df)
-    ex = shingle_rows(df, id_col, text_col, n)
-    if max_df is not None:
-        dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        ex = ex.join(dfreq.filter(F.col("df") <= max_df), "s").select("doc_id", "s")
-    # persist: the (capped) shingle index feeds three plan branches
-    # (both join sides + sizes); without it each branch recomputes the
-    # full tokenize→window→distinct lineage. MEMORY_AND_DISK entries
-    # are evictable (unified memory manager favors execution), so a
-    # long-lived session degrades to recompute, not OOM.
-    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter, sizes = _capped_pair_counts(df, id_col, text_col, n, max_df)
     from .textops import round_half_up  # deferred: textops imports tokens from here
 
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
@@ -253,6 +270,56 @@ def ngram_jaccard_pairs_capped(
     identical capped plan."""
     return ngram_jaccard_pairs(
         df, id_col, text_col, n=n, threshold=threshold, max_df=max_df
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """(contained_id, container_id, containment): ASYMMETRIC near-dup —
+    |A∩B| / |smaller shingle set|, the one-sided containment score.
+
+    Symmetric Jaccard under-scores exactly the duplication web crawls
+    produce most: a short page quoted wholesale inside a long one (a
+    syndicated article inside a portal page, a README pasted into a
+    monorepo dump). If |A|=100 and A ⊂ B with |B|=2000, Jaccard is
+    ~0.05 — invisible at any sane threshold — while containment is
+    1.0. Dedup literature treats containment as the second first-class
+    score next to resemblance for this reason.
+
+    The directed output names the SMALLER set as `contained_id`
+    (tie on size: the LARGER doc_id is the contained one, matching
+    the keep-smallest-id survivor convention everywhere else in this
+    module). Threshold applies to the raw ratio; the reported score is
+    half-up-rounded at 4dp like the Jaccard family.
+
+    Scale shape: identical to the Jaccard builder — same df-capped
+    inverted-index self-join (work ≤ |shingles|·max_df), same
+    shuffles; only the per-pair scalar tail differs. At 100 TB the cap
+    is what bounds the posting-list buckets, not the score choice."""
+    inter, sizes = _capped_pair_counts(df, id_col, text_col, n, max_df)
+    from .textops import round_half_up  # deferred: textops imports tokens from here
+
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    n_small = F.least(F.col("sa.n"), F.col("sb.n"))
+    cont = F.col("n_inter").cast("double") / n_small
+    # doc_a < doc_b by the self-join's ordering, so on a size tie
+    # `otherwise` already names the larger id as contained
+    a_contained = F.col("sa.n") < F.col("sb.n")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(cont >= threshold)
+        .select(
+            F.when(a_contained, F.col("doc_a")).otherwise(F.col("doc_b")).alias("contained_id"),
+            F.when(a_contained, F.col("doc_b")).otherwise(F.col("doc_a")).alias("container_id"),
+            round_half_up(cont, 4).alias("containment"),
+        )
     )
 
 
@@ -415,17 +482,6 @@ def simhash_pairs(
     md5 slices (16 bits each) instead of xxhash64 — reproducible in any
     engine with md5, making the full signature/banding/hamming pipeline
     externally checkable (same rationale as minhash_lsh_pairs)."""
-    if max_hamming > 3:
-        # the pigeonhole completeness guarantee (>=1 equal chunk) only
-        # holds for hamming <= chunks-1 = 3; a larger threshold would
-        # SILENTLY drop qualifying pairs whose differing bits spread
-        # one-per-chunk — refuse rather than under-recall
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds 3, the completeness bound "
-            "of the 4x16-bit chunk banding (a pair with one differing bit "
-            "per chunk has no equal chunk and would be silently missed); "
-            "use minhash_lsh_pairs for looser similarity thresholds"
-        )
     df = _spread(df)
     tok = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("word"))
@@ -465,10 +521,31 @@ def simhash_pairs(
         for c in range(4)
     ]
     sh = agg.select("doc_id", *chunk_vals)
+    return hamming_band_pairs(sh, max_hamming=max_hamming)
+
+
+def hamming_band_pairs(sig: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming≤max) from a 64-bit signature frame with
+    columns (doc_id, c0..c3) — the 4×16-bit-chunk band join shared by
+    SimHash (text signatures) and the perceptual-hash family (image
+    signatures): chunk-equality candidates, Σ bit_count(cᵢ ⊕ cᵢ')
+    rescore, pigeonhole-complete for hamming ≤ 3 (see simhash_pairs
+    for the bucket-domain scale argument)."""
+    if max_hamming > 3:
+        # the pigeonhole completeness guarantee (>=1 equal chunk) only
+        # holds for hamming <= chunks-1 = 3; a larger threshold would
+        # SILENTLY drop qualifying pairs whose differing bits spread
+        # one-per-chunk — refuse rather than under-recall
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds 3, the completeness bound "
+            "of the 4x16-bit chunk banding (a pair with one differing bit "
+            "per chunk has no equal chunk and would be silently missed); "
+            "use minhash_lsh_pairs for looser similarity thresholds"
+        )
     chunk_structs = [
         F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("val")) for c in range(4)
     ]
-    chunks = sh.select(
+    chunks = sig.select(
         "doc_id", "c0", "c1", "c2", "c3", F.explode(F.array(*chunk_structs)).alias("cv")
     ).select("doc_id", "c0", "c1", "c2", "c3", "cv.chunk", "cv.val")
     a, b = chunks.alias("a"), chunks.alias("b")

@@ -102,17 +102,15 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_pair_ctes(threshold: float, max_df: int, *, recursive: bool = False) -> str:
-    """THE n-gram Jaccard pair-graph oracle (shingles → df-cap →
-    inverted-index self-join → rounded 4dp jaccard → threshold),
-    parameterized exactly like the minhash family's generator: the
-    uncapped query (df 100), the capped twin (df 5), and
-    dedup_clusters_exact's pair graph all generate from this ONE text,
-    so a change to shingle construction, the cap, or the rounding form
-    cannot land one-sided across the three oracles (the scripted
-    string-edit drift hazard the project memory records). Ends with a
-    `pairs(doc_a, doc_b, jaccard)` CTE for the caller to SELECT from;
-    ``recursive=True`` emits WITH RECURSIVE for closure consumers."""
+def _ngram_index_ctes(max_df: int, *, recursive: bool = False) -> str:
+    """THE shingle inverted-index oracle prefix (shingles → df-cap →
+    inverted-index self-join), ending with `inter(doc_a, doc_b,
+    n_inter)` + `sizes(doc_id, n)` for a similarity tail to consume.
+    One generated text serves every n-gram pair oracle — Jaccard
+    (both df caps), the cluster closure, and the containment twin —
+    so a change to shingle construction or the cap cannot land
+    one-sided across them (the scripted string-edit drift hazard the
+    project memory records)."""
     kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
     {kw} sh AS (
@@ -130,7 +128,15 @@ def _ngram_pair_ctes(threshold: float, max_df: int, *, recursive: bool = False) 
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
-    ), pairs AS (
+    )"""
+
+
+def _ngram_pair_ctes(threshold: float, max_df: int, *, recursive: bool = False) -> str:
+    """`_ngram_index_ctes` + the symmetric-Jaccard tail: rounded 4dp
+    jaccard, raw-value threshold. Ends with `pairs(doc_a, doc_b,
+    jaccard)` for the caller to SELECT from; ``recursive=True`` emits
+    WITH RECURSIVE for closure consumers."""
+    return _ngram_index_ctes(max_df, recursive=recursive) + f""", pairs AS (
         SELECT i.doc_a, i.doc_b,
                floor(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) * 10000 + 0.5) / 10000 AS jaccard
         FROM inter i
@@ -183,6 +189,38 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ngram_jaccard_pairs_capped(
         load_table(spark, sf_dir, "documents"),
         "doc_id", "text", n=3, threshold=0.03, max_df=5,
+    )
+
+
+@query(
+    "containment_neardup",
+    oracle=_ngram_index_ctes(100) + """, cpairs AS (
+        SELECT CASE WHEN sa.n < sb.n THEN i.doc_a ELSE i.doc_b END AS contained_id,
+               CASE WHEN sa.n < sb.n THEN i.doc_b ELSE i.doc_a END AS container_id,
+               floor(i.n_inter::DOUBLE / least(sa.n, sb.n) * 10000 + 0.5) / 10000
+                   AS containment
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_inter::DOUBLE / least(sa.n, sb.n) >= 0.5
+    )
+    SELECT contained_id, container_id, containment FROM cpairs
+    """,
+    section="2.11 asymmetric containment near-dup (quote/superset detection)",
+)
+def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided containment |A∩B|/|smaller| over the SAME df-capped
+    shingle index as the Jaccard family — the score that catches a
+    short document quoted wholesale inside a long one, which symmetric
+    Jaccard dilutes below any usable threshold (operator docstring has
+    the numbers). Oracle consumes the shared `_ngram_index_ctes`
+    prefix, so shingle/cap semantics cannot drift from the Jaccard
+    oracles. Threshold 0.5 sits in a wide value gap at every fixture
+    SF (nearest scores: 0.375 below, 1.0 above), so the raw-ratio cut
+    cannot straddle an engine rounding boundary."""
+    return ops.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id", "text", n=3, threshold=0.5, max_df=100,
     )
 
 

@@ -1344,3 +1344,101 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "doc_id long, width int, height int, n_blocks int, sum_px long",
     )
+
+
+def _phash_sig_sql(col: str = "doc_id") -> str:
+    """The deterministic 8×8 grayscale pixel formula used by
+    phash_neardup, as a SQL expression over pixel index ``p`` (0..63).
+    Base pattern repeats every 64 ids (doc_id % 64 selects the image);
+    ids with doc_id % 4 != 0 additionally get ONE pixel brightened by
+    +200 at a position that advances with doc_id div 64 — so documents
+    sharing a base pattern differ by at most two aHash bits (the two
+    bump positions), the 'small perceptual perturbation' a real
+    near-dup image pair would show. Identical text in Spark SQL and
+    DuckDB: integer-only ops (%, div//, *, +, IF/CASE)."""
+    return (
+        f"(({col} % 64) * 37 + p * 11) % 200"
+        f" + IF({col} % 4 <> 0 AND p = (({col} div 64) * 7 + {col}) % 64, 200, 0)"
+    )
+
+
+@query(
+    "phash_neardup",
+    oracle="""
+    WITH pix AS (
+        SELECT doc_id, r AS p,
+               ((doc_id % 64) * 37 + r * 11) % 200
+               + CASE WHEN doc_id % 4 <> 0
+                       AND r = ((doc_id // 64) * 7 + doc_id) % 64
+                      THEN 200 ELSE 0 END AS v
+        FROM documents, range(0, 64) t(r)
+    ), tot AS (
+        SELECT doc_id, sum(v) AS s FROM pix GROUP BY doc_id
+    ), bits AS (
+        SELECT p.doc_id, p.p,
+               CASE WHEN 64 * p.v > t.s THEN 1 ELSE 0 END AS b
+        FROM pix p JOIN tot t ON p.doc_id = t.doc_id
+    ), sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN p // 16 = 0 THEN b * (1 << (p % 16)) ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN p // 16 = 1 THEN b * (1 << (p % 16)) ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN p // 16 = 2 THEN b * (1 << (p % 16)) ELSE 0 END) AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN p // 16 = 3 THEN b * (1 << (p % 16)) ELSE 0 END) AS BIGINT) AS c3
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+              + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+             AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+        + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+    """,
+    section="2.11 perceptual-hash near-dup images (aHash + banded Hamming join)",
+)
+def phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection by average-hash: 8×8 grayscale
+    pixels → 64-bit signature (bit = pixel above the image mean) →
+    the SAME 4×16-bit-chunk banded Hamming join SimHash uses
+    (operators/dedup.hamming_band_pairs) → pairs with hamming ≤ 3.
+    This is the classic aHash near-dup pipeline image corpora are
+    deduplicated with before training — re-encodes, slight crops, and
+    brightness tweaks survive the mean-threshold signature while the
+    banding keeps the join ~n²/65536 per band instead of all-pairs.
+
+    Pixels are synthesized relationally from the deterministic formula
+    in `_phash_sig_sql` — this keeps the WHOLE pipeline JVM-side and
+    lets the oracle rebuild pixels → mean → bits → signature → pairs
+    with identical integer arithmetic. The decoded-media front hop
+    (BMP/PNG parsers producing exactly this (doc_id, p, v) shape) is
+    separately proven by the multimodal_*_decode queries. The
+    above-mean bit uses the integer comparison 64·v > Σv — no
+    division, engine-exact.
+
+    Differential strength: the ORACLE joins all pairs exhaustively,
+    the ENGINE only bands — so a banding bug that dropped a qualifying
+    pair (the pigeonhole guarantee for hamming ≤ 3 over 4 chunks)
+    fails the row-count match, certifying completeness, not just
+    scoring parity."""
+    from ..operators.dedup import hamming_band_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    pix = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p")
+    ).select("doc_id", "p", F.expr(_phash_sig_sql()).alias("v"))
+    tot = pix.groupBy("doc_id").agg(F.sum("v").alias("s"))
+    bits = pix.join(tot, "doc_id").select(
+        "doc_id", "p", F.expr("IF(64 * v > s, 1, 0)").alias("b")
+    )
+    sig = bits.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"IF(p div 16 = {c}, b * shiftleft(1, p % 16), 0)"))
+            .cast("int")
+            .alias(f"c{c}")
+            for c in range(4)
+        ]
+    )
+    pairs = hamming_band_pairs(sig, max_hamming=3)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+    )

@@ -701,3 +701,63 @@ def test_span_scrub_removes_every_duplicated_window(spark):
     )
     rep = REGISTRY["span_scrub"].fn(spark, SF_DIR).collect()
     assert sum(r["toks_before"] - r["toks_after"] for r in rep) == covered
+
+
+def test_containment_asymmetry_and_direction(spark):
+    """Containment names the smaller shingle set as contained, the
+    score is n_inter/|smaller| (>= the pair's Jaccard by construction),
+    and every emitted pair's contained doc really has a shingle-set no
+    larger than its container's."""
+    from pydra_map_reduce_spark.operators.dedup import (
+        _capped_pair_counts,
+        containment_pairs,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    pairs = containment_pairs(d, "doc_id", "text", threshold=0.5).collect()
+    assert pairs, "fixture must produce containment pairs at every SF"
+    _, sizes = _capped_pair_counts(d, "doc_id", "text", 3, 100)
+    n_by_doc = {r["doc_id"]: r["n"] for r in sizes.collect()}
+    for r in pairs:
+        assert 0.5 <= r["containment"] <= 1.0
+        assert n_by_doc[r["contained_id"]] <= n_by_doc[r["container_id"]]
+
+
+def test_hamming_band_pairs_complete_vs_bruteforce(spark):
+    """The 4x16-chunk banded join must find EVERY pair with hamming
+    <= 3 (the pigeonhole guarantee) — checked against a brute-force
+    all-pairs join over a small adversarial signature set that
+    includes pairs differing in exactly one bit per chunk (hamming 4,
+    must be absent) and pairs with all 3 diffs in one chunk."""
+    from pyspark.sql import functions as F
+
+    from pydra_map_reduce_spark.operators.dedup import hamming_band_pairs
+
+    rows = [
+        (0, 0x0000, 0x0000, 0x0000, 0x0000),
+        (1, 0x0001, 0x0000, 0x0000, 0x0000),  # ham(0,1)=1
+        (2, 0x0007, 0x0000, 0x0000, 0x0000),  # ham(0,2)=3, ham(1,2)=2
+        (3, 0x0001, 0x0001, 0x0001, 0x0001),  # ham(0,3)=4: one per chunk
+        (4, 0x8000, 0x8000, 0x0000, 0x0000),  # ham(0,4)=2 across chunks
+    ]
+    sig = spark.createDataFrame(
+        rows, "doc_id long, c0 int, c1 int, c2 int, c3 int"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_band_pairs(sig, max_hamming=3).collect()
+    }
+    brute = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            h = sum(
+                bin(rows[i][c] ^ rows[j][c]).count("1") for c in range(1, 5)
+            )
+            if h <= 3:
+                brute[(rows[i][0], rows[j][0])] = h
+    assert got == brute
+    assert (0, 3) not in got  # the one-diff-per-chunk hamming-4 pair
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="completeness bound"):
+        hamming_band_pairs(sig, max_hamming=4)
