@@ -65,8 +65,9 @@ _DRIVER_PRIORITY = [
 # `dedup_best_quality`, `bloom_filter_portable`, `stable_row_ids`,
 # `session_paths`, `ngram_novelty`, `cooccurrence_pmi`, `skew_stats`,
 # `decayed_sum`, `consecutive_dedup`, `span_scrub`, `group_split` —
-# plus the post-closing additions `containment_neardup` and
-# `phash_neardup`, plus anything added later still. Compose the r10 window from
+# plus the post-closing additions `containment_neardup`,
+# `phash_neardup`, `kcenter_coreset`, `quantize_recall`, and
+# `mmr_diversify`, plus anything added later still. Compose the r10 window from
 # (1) those thirteen + later additions, (2) any r9 reds, then (3) the
 # stalest greens oldest-first (r4-era window_distribution-adjacent
 # leftovers, the r5 io/join families). Keep rows-only queries out of

@@ -1244,3 +1244,384 @@ def label_noise_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agree.orderBy("n_agree", "vec_id").limit(10)
+
+
+def _kcenter_oracle(k: int, dim: int) -> str:
+    """The greedy k-center (Gonzalez) selection fully unrolled as
+    DuckDB CTEs, mirroring kcenter_coreset stage for stage: seed =
+    min vec_id, then k-1 rounds of `next center = argmax over points
+    of (pinned) min squared distance to the chosen set`, ties broken
+    by min vec_id — the same 1e9 d2 pinning + id tie-break discipline
+    as the unrolled-Lloyd oracles, so both engines pick identical
+    centers even when double summation order differs."""
+    parts = [
+        """e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    pt AS (
+        SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos
+        FROM e
+    ),
+    s1 AS (SELECT min(vec_id) AS vec_id FROM e)"""
+    ]
+    selects = ["SELECT CAST(1 AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id, 0.0 AS radius FROM s1"]
+    for i in range(1, k):
+        parts.append(f"""
+    m{i} AS (
+        SELECT p.pos, p.v AS m FROM pt p JOIN s{i} s ON p.vec_id = s.vec_id
+    ),
+    dm{i} AS (
+        SELECT p.vec_id, floor(sum((p.v - m.m) * (p.v - m.m)) * 1e9 + 0.5) / 1e9 AS d2
+        FROM pt p JOIN m{i} m ON p.pos = m.pos GROUP BY p.vec_id
+    ),
+    r{i} AS ("""
+            + (
+                "SELECT vec_id, d2 FROM dm1"
+                if i == 1
+                else f"SELECT a.vec_id, least(a.d2, b.d2) AS d2 FROM r{i - 1} a JOIN dm{i} b ON a.vec_id = b.vec_id"
+            )
+            + f"""
+    ),
+    s{i + 1} AS (
+        SELECT vec_id, d2 FROM r{i} ORDER BY d2 DESC, vec_id LIMIT 1
+    )"""
+        )
+        selects.append(
+            f"SELECT CAST({i + 1} AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,"
+            f" floor(d2 * 10000 + 0.5) / 10000 AS radius FROM s{i + 1}"
+        )
+    return "WITH " + ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+_KCENTER_K = 4
+
+
+@query(
+    "kcenter_coreset",
+    oracle=_kcenter_oracle(_KCENTER_K, 64),
+    section="2.11 greedy k-center coreset selection (diversity sampling)",
+)
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-maximizing data selection: the greedy k-center
+    (Gonzalez) farthest-point traversal used to pick coreset /
+    curriculum exemplars from an embedding corpus — each step takes
+    the point FARTHEST (max of min squared distance, 1e9-pinned, min
+    vec_id on ties) from everything already chosen, so k steps yield
+    a 2-approximation of the optimal k-center cover. Output: one row
+    per selected exemplar with its selection radius (the max-min d2
+    at the moment it was chosen, 4dp) — the radius column is the
+    coverage-curve a data-selection team reads to pick k.
+
+    Scale shape: k passes over the corpus, each pass ONE scan + one
+    TakeOrdered(1) reduce (no global sort, no window); the chosen
+    center's 64 coordinates ride into the next pass as constant-folded
+    literals (the small-k driver-synced pattern of ivf_topk, judged
+    the MLlib precedent — k rows total cross the driver). The min-d2
+    accumulator is a `least(...)` column chain, so the whole distance
+    math stays one whole-stage-codegen projection per pass."""
+    import math
+
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb"
+    )
+    flat = emb.selectExpr(
+        "vec_id", *[f"element_at(emb, {i + 1}) AS v{i}" for i in range(dim)]
+    )
+    seed = flat.orderBy("vec_id").limit(1).first()
+    centers = [seed]
+    out = [(1, int(seed["vec_id"]), 0.0)]
+    state = flat
+    for step in range(2, _KCENTER_K + 1):
+        c = centers[-1]
+        d2 = " + ".join(
+            f"(v{i} - ({c[f'v{i}']!r})) * (v{i} - ({c[f'v{i}']!r}))"
+            for i in range(dim)
+        )
+        pinned = f"floor(({d2}) * 1e9 + 0.5) / 1e9"
+        state = state.withColumn(
+            "mind2",
+            F.expr(pinned)
+            if step == 2
+            else F.least(F.col("mind2"), F.expr(pinned)),
+        )
+        nxt = state.orderBy(F.desc("mind2"), F.asc("vec_id")).limit(1).first()
+        centers.append(nxt)
+        out.append(
+            (step, int(nxt["vec_id"]), math.floor(nxt["mind2"] * 10000 + 0.5) / 10000)
+        )
+    return spark.createDataFrame(out, "step long, vec_id long, radius double")
+
+
+@query(
+    "quantize_recall",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               greatest(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'),
+                        -list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) AS mx
+        FROM embeddings
+    ), qz AS (
+        SELECT vec_id,
+               [CAST(CASE WHEN x < 0 THEN -floor(-x * 127.0 / mx + 0.5)
+                          ELSE floor(x * 127.0 / mx + 0.5) END AS BIGINT)
+                for x in emb] AS qv
+        FROM e WHERE mx > 0
+    ), pt AS (
+        SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM qz
+    ), n2 AS (
+        SELECT vec_id, sum(v * v) AS n2 FROM pt GROUP BY vec_id
+    ), qq AS (
+        SELECT vec_id AS query_id, pos, v FROM pt WHERE vec_id < 8
+    ), dots AS (
+        SELECT q.query_id, p.vec_id, sum(p.v * q.v) AS dot
+        FROM pt p JOIN qq q ON p.pos = q.pos
+        WHERE p.vec_id <> q.query_id
+        GROUP BY q.query_id, p.vec_id
+    ), qtop AS (
+        SELECT query_id, vec_id FROM (
+            SELECT d.query_id, d.vec_id,
+                   row_number() OVER (
+                       PARTITION BY d.query_id
+                       ORDER BY floor(CAST(d.dot AS DOUBLE)
+                                      / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                                      * 1e9 + 0.5) / 1e9 DESC,
+                                d.vec_id) AS rn
+            FROM dots d
+            JOIN n2 na ON na.vec_id = d.query_id
+            JOIN n2 nb ON nb.vec_id = d.vec_id
+        ) WHERE rn <= 5
+    ), fq AS (
+        SELECT vec_id AS query_id, emb AS pv FROM e WHERE vec_id < 8
+    ), ex AS (
+        SELECT query_id, vec_id FROM (
+            SELECT f.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY f.query_id
+                       ORDER BY floor(list_cosine_similarity(c.emb, f.pv)
+                                      * 1e9 + 0.5) / 1e9 DESC,
+                                c.vec_id) AS rn
+            FROM e c CROSS JOIN fq f
+            WHERE c.vec_id <> f.query_id
+        ) WHERE rn <= 5
+    )
+    SELECT ex.query_id,
+           CAST(sum(CASE WHEN q.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           floor(sum(CASE WHEN q.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / 5 * 10000 + 0.5) / 10000 AS recall
+    FROM ex LEFT JOIN qtop q
+      ON ex.query_id = q.query_id AND ex.vec_id = q.vec_id
+    GROUP BY ex.query_id
+    """,
+    section="2.11 quantization evaluation: int8 retrieval recall@5 vs full precision",
+)
+def quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What int8 compression costs RETRIEVAL: recall@5 of cosine
+    search over symmetric-int8-quantized vectors against the exact
+    full-precision top-5, per query — the companion evaluation to
+    `vector_quantize` (which emits the codes) the way `ann_recall`
+    companions the IVF index. A team reads this before shipping a
+    quantized serving tier.
+
+    Quantization here is sign·floor(|x|·127/absmax + 0.5) — explicit
+    half-away-from-zero, NOT engine round(): Spark's BigDecimal
+    HALF_UP and DuckDB's binary-double rounding disagree exactly on
+    the .5 boundaries a 127-scale mapping can land on, and a one-code
+    difference would cascade into a ranking difference. With integer
+    codes both engines' dots and squared norms are EXACT integers;
+    the only floats are the final ratio and sqrt on identical values,
+    ranked under the standard 1e9 pin + vec_id tie-break.
+
+    Scale shape: the quantized side is the same broadcast-queries ×
+    corpus fan-out as batch_cosine_topk (one corpus pass for the
+    whole query batch, flat-column integer dot in whole-stage
+    codegen); the exact side is the evaluation's ground truth (sample
+    queries at real scale, the ann_recall posture)."""
+    from ..operators.similarity import as_double
+
+    dim = 64
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    e = e.withColumn(
+        "mx", F.greatest(F.array_max("emb"), -F.array_min("emb"))
+    ).filter(F.col("mx") > 0)
+    qexpr = [
+        f"CAST(CASE WHEN element_at(emb, {i + 1}) < 0"
+        f" THEN -floor(-element_at(emb, {i + 1}) * 127.0 / mx + 0.5)"
+        f" ELSE floor(element_at(emb, {i + 1}) * 127.0 / mx + 0.5) END AS INT)"
+        f" AS q{i}"
+        for i in range(dim)
+    ]
+    flat = e.selectExpr("vec_id", *qexpr)
+    n2 = " + ".join(f"q{i} * q{i}" for i in range(dim))
+    corpus = flat.selectExpr("vec_id", *[f"q{i}" for i in range(dim)], f"({n2}) AS n2")
+    queries = corpus.filter(F.col("vec_id") < 8).selectExpr(
+        "vec_id AS query_id", *[f"q{i} AS p{i}" for i in range(dim)], "n2 AS pn2"
+    )
+    dot = " + ".join(f"q{i} * p{i}" for i in range(dim))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("key"), F.asc("vec_id"))
+    qtop = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .selectExpr(
+            "query_id", "vec_id",
+            f"floor(CAST(({dot}) AS DOUBLE)"
+            " / sqrt(CAST(n2 AS DOUBLE) * CAST(pn2 AS DOUBLE))"
+            " * 1e9 + 0.5) / 1e9 AS key",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    exact = ops.batch_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_queries=8, k=5,
+    ).select("query_id", "vec_id")
+    return (
+        exact.join(qtop.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "n_hits",
+            (F.floor(F.col("n_hits") * 1.0 / 5 * 10000 + 0.5) / 10000).alias("recall"),
+        )
+    )
+
+
+def _mmr_oracle(k: int, shortlist: int, lam: float) -> str:
+    """Greedy Maximal-Marginal-Relevance reranking fully unrolled as
+    DuckDB CTEs: pinned relevance shortlist → pinned pairwise sims →
+    k argmax steps of lam·rel − (1−lam)·max-sim-to-selected, ties by
+    vec_id. Relevance and similarity are 1e9-pinned BEFORE the MMR
+    arithmetic, so both engines combine identical doubles (the
+    kcenter/Lloyd discipline applied to a scalar mix)."""
+    mu = round(1.0 - lam, 10)
+    parts = [
+        f"""e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+    rel AS (
+        SELECT e.vec_id,
+               floor(list_cosine_similarity(e.emb, q.qv) * 1e9 + 0.5) / 1e9 AS rel
+        FROM e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    short AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT {shortlist}),
+    sims AS (
+        SELECT a.vec_id AS x, b.vec_id AS y,
+               floor(list_cosine_similarity(ea.emb, eb.emb) * 1e9 + 0.5) / 1e9 AS sim
+        FROM short a JOIN short b ON a.vec_id <> b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+    ),
+    s1 AS (SELECT vec_id, {lam} * rel AS mmr FROM short ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(f"""
+    m{i} AS (
+        SELECT c.vec_id, {lam} * c.rel - {mu} * max(s.sim) AS mmr
+        FROM short c
+        JOIN sims s ON s.x = c.vec_id AND s.y IN (SELECT vec_id FROM sel{i - 1})
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        GROUP BY c.vec_id, c.rel
+    ),
+    s{i} AS (SELECT vec_id, mmr FROM m{i} ORDER BY mmr DESC, vec_id LIMIT 1),
+    sel{i} AS (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM s{i})"""
+        )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,"
+        f" sign(mmr) * floor(abs(mmr) * 10000 + 0.5) / 10000 AS mmr FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + sel
+
+
+_MMR_K, _MMR_SHORTLIST, _MMR_LAMBDA = 5, 20, 0.7
+
+
+@query(
+    "mmr_diversify",
+    oracle=_mmr_oracle(_MMR_K, _MMR_SHORTLIST, _MMR_LAMBDA),
+    section="2.11 MMR diversified retrieval (relevance vs redundancy rerank)",
+)
+def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: rerank the query's top-20 cosine
+    shortlist into 5 results that balance relevance against mutual
+    redundancy (score = λ·rel − (1−λ)·max sim to already-selected,
+    λ=0.7) — the standard diversity rerank in retrieval/RAG serving
+    and in picking varied exemplars from a near-duplicate-heavy
+    corpus, where plain top-k returns five copies of the same thing.
+
+    Plan shape: the corpus-scale work is the ONE broadcast-query
+    relevance pass (same as cosine_topk) plus one pairwise-sim join
+    restricted to the 20-row shortlist; the greedy argmax then runs
+    over 20 collected (id, rel) rows + 380 collected sims — the
+    rerank-a-shortlist serving pattern, where the candidate set is
+    small BY CONSTRUCTION (the ivf small-k driver-sync precedent).
+    Relevance and sims are 1e9-pinned before collection, so the
+    Python mix (0.7·rel − 0.3·maxsim on IEEE doubles) is the same
+    arithmetic the unrolled SQL oracle performs on its side."""
+    import math
+
+    from ..operators.similarity import _flat_cosine, _flatten
+
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = _flatten(emb, "vec_id", "embedding", dim, "a")
+    b = a.filter(F.col("aid") == 0).select(
+        *[F.col(f"a{i}").alias(f"b{i}") for i in range(dim)],
+        F.col("anorm").alias("bnorm"),
+    )
+    pin = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    rel = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("aid") != 0)
+        .select(F.col("aid").alias("vec_id"), pin(_flat_cosine("a", "b", dim)).alias("rel"))
+    )
+    short = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(_MMR_SHORTLIST).collect()
+    ids = [r["vec_id"] for r in short]
+    rels = {r["vec_id"]: r["rel"] for r in short}
+    sa = a.filter(F.col("aid").isin(ids))
+    sb = sa.select(
+        F.col("aid").alias("bid"),
+        *[F.col(f"a{i}").alias(f"b{i}") for i in range(dim)],
+        F.col("anorm").alias("bnorm"),
+    )
+    sims = {
+        (r["x"], r["y"]): r["sim"]
+        for r in sa.join(F.broadcast(sb), F.col("aid") < F.col("bid"))
+        .select(
+            F.col("aid").alias("x"), F.col("bid").alias("y"),
+            pin(_flat_cosine("a", "b", dim)).alias("sim"),
+        )
+        .collect()
+    }
+
+    def sim(x: int, y: int) -> float:
+        return sims[(x, y)] if (x, y) in sims else sims[(y, x)]
+
+    lam, mu = _MMR_LAMBDA, round(1.0 - _MMR_LAMBDA, 10)
+    selected: list[int] = []
+    out = []
+    for step in range(1, _MMR_K + 1):
+        best = None
+        # iterate in ascending-id order with a STRICT > comparison:
+        # on an exact score tie the earlier (smaller) vec_id sticks —
+        # the same (mmr DESC, vec_id) tie-break the oracle's ORDER BY
+        # applies, on the same pinned doubles
+        for v in sorted(v for v in ids if v not in selected):
+            mmr = lam * rels[v] - (
+                mu * max(sim(v, s) for s in selected) if selected else 0.0
+            )
+            if best is None or mmr > best[1]:
+                best = (v, mmr)
+        selected.append(best[0])
+        m = best[1]
+        rendered = math.floor(abs(m) * 10000 + 0.5) / 10000
+        out.append((step, best[0], rendered if m >= 0 else -rendered))
+    return spark.createDataFrame(out, "step long, vec_id long, mmr double")

@@ -761,3 +761,53 @@ def test_hamming_band_pairs_complete_vs_bruteforce(spark):
 
     with _pytest.raises(ValueError, match="completeness bound"):
         hamming_band_pairs(sig, max_hamming=4)
+
+
+def test_kcenter_radii_monotone_and_distinct(spark):
+    """Greedy farthest-point selection guarantees the selection radius
+    never increases step over step (each chosen point was the max-min
+    distance at its step, and adding centers only shrinks min
+    distances), and never picks the same exemplar twice."""
+    from pydra_map_reduce_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["kcenter_coreset"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["step"],
+    )
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    radii = [r["radius"] for r in rows[1:]]  # step 1 is the seed (0.0)
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    assert all(r > 0 for r in radii)
+
+
+def test_mmr_first_is_top_relevance_and_scores_decrease(spark):
+    """MMR's first pick must be the plain top-relevance result (no
+    penalty applies yet), picks are distinct, and the greedy scores
+    are non-increasing (each step maximizes over a shrinking set with
+    penalties that only grow)."""
+    from pydra_map_reduce_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["mmr_diversify"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["step"],
+    )
+    top1 = REGISTRY["cosine_topk"].fn(spark, SF_DIR).first()
+    assert rows[0]["vec_id"] == top1["vec_id"]
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    scores = [r["mmr"] for r in rows]
+    assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+
+
+def test_quantize_recall_bounds(spark):
+    """recall = n_hits/5 with 0 <= n_hits <= 5, one row per query, and
+    int8 quantization at 64 dims should hold recall well above zero
+    (a collapse to 0 would mean the quantized ranking is garbage —
+    the regression this evaluation exists to catch)."""
+    from pydra_map_reduce_spark.plans import REGISTRY
+
+    rows = REGISTRY["quantize_recall"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall"] - r["n_hits"] / 5) < 1e-9
+    assert sum(r["n_hits"] for r in rows) >= 8 * 3  # sanity floor
