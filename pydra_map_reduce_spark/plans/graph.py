@@ -28,6 +28,20 @@ from ..sources.tables import load_table
 from .registry import query
 
 
+# The supplier↔part bipartite graph as oracle CTE text (namespaced
+# nodes, symmetrized edges) — ONE definition interpolated into BOTH
+# the pagerank and BFS oracles, mirroring the engine's single
+# _supplier_part_edges; a graph-definition change can then never land
+# in one oracle and not the other.
+_GRAPH_EDGE_CTES = """sp AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+        FROM lineitem
+    ),
+    edges AS (
+        SELECT src, dst FROM sp UNION SELECT dst, src FROM sp
+    )"""
+
+
 def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank as ANSI SQL (see module doc)."""
     steps = []
@@ -47,13 +61,7 @@ def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
         )
         prev = f"r{k}"
     return f"""
-    WITH sp AS (
-        SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
-        FROM lineitem
-    ),
-    edges AS (
-        SELECT src, dst FROM sp UNION SELECT dst, src FROM sp
-    ),
+    WITH {_GRAPH_EDGE_CTES},
     deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
     nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
     r0 AS (SELECT node, 1.0 AS rank FROM nodes),{",".join(steps)}
@@ -147,16 +155,28 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+    # localCheckpoint the one-row result so the edge cache can be
+    # RELEASED before returning (the bfs_hops/pagerank pattern —
+    # without it every invocation pins a corpus-scale co-purchase
+    # edge copy in the shared session for its whole lifetime); the
+    # try opens before the first materializing action
+    try:
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+            .join(
+                e3,
+                (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(F.broadcast(tri))
+        return (
+            e.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(F.broadcast(tri))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        e.unpersist()
 
 
 def _bfs_oracle(n_rounds: int = 3) -> str:
@@ -179,13 +199,7 @@ def _bfs_oracle(n_rounds: int = 3) -> str:
         )
         prev = f"d{k}"
     return f"""
-    WITH sp AS (
-        SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
-        FROM lineitem
-    ),
-    edges AS (
-        SELECT src, dst FROM sp UNION SELECT dst, src FROM sp
-    ),
+    WITH {_GRAPH_EDGE_CTES},
     d0 AS (SELECT 's1' AS node, 0 AS dist),{",".join(steps)}
     SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes,
            min(node) AS first_node, max(node) AS last_node
@@ -193,9 +207,16 @@ def _bfs_oracle(n_rounds: int = 3) -> str:
     """
 
 
+_BFS_ROUNDS = 3  # shared by the oracle unroll and the engine loop
+
+
 @query(
     "bfs_hops",
-    oracle=_bfs_oracle(),
+    # n_rounds passed EXPLICITLY from the shared constant (the
+    # pagerank registration's convention): the engine loop below
+    # derives its bound from the same name, so retuning the depth
+    # cannot land one-sided
+    oracle=_bfs_oracle(n_rounds=_BFS_ROUNDS),
     section="2.11 BFS shortest hops (fixed-round frontier expansion)",
 )
 def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,23 +240,28 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpersist, every invocation pins another corpus-sized edge copy
     in executor storage for the life of the session."""
     edges = _supplier_part_edges(spark, sf_dir).persist()
-    dist = spark.createDataFrame([("s1", 0)], "node string, dist int")
-    for k in range(1, 4):
-        frontier = (
-            F.broadcast(dist).join(edges, dist.node == edges.src)
-            .select(F.col("dst").alias("node"), F.lit(k).alias("dist"))
+    # the try opens BEFORE the first materializing action (the
+    # operators/graph.pagerank discipline): a task failure inside the
+    # eager localCheckpoint must still release the corpus-sized edge
+    # cache from the long-lived shared session
+    try:
+        dist = spark.createDataFrame([("s1", 0)], "node string, dist int")
+        for k in range(1, _BFS_ROUNDS + 1):
+            frontier = (
+                F.broadcast(dist).join(edges, dist.node == edges.src)
+                .select(F.col("dst").alias("node"), F.lit(k).alias("dist"))
+            )
+            dist = dist.unionByName(frontier).groupBy("node").agg(
+                F.min("dist").alias("dist")
+            )
+        return (
+            dist.groupBy(F.col("dist").cast("bigint").alias("dist"))
+            .agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.min("node").alias("first_node"),
+                F.max("node").alias("last_node"),
+            )
+            .localCheckpoint(eager=True)
         )
-        dist = dist.unionByName(frontier).groupBy("node").agg(
-            F.min("dist").alias("dist")
-        )
-    out = (
-        dist.groupBy(F.col("dist").cast("bigint").alias("dist"))
-        .agg(
-            F.count(F.lit(1)).alias("n_nodes"),
-            F.min("node").alias("first_node"),
-            F.max("node").alias("last_node"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    edges.unpersist()
-    return out
+    finally:
+        edges.unpersist()

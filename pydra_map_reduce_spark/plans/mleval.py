@@ -72,6 +72,7 @@ _CAL_BIN = 50.0  # value-bin width for the calibration table
            floor(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*)
                  * 10000 + 0.5) / 10000 AS avg_value
     FROM events
+    WHERE value IS NOT NULL
     GROUP BY 1
     """,
     section="2.11 calibration / reliability table (binned score vs outcome rate)",
@@ -82,8 +83,12 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase rate to its average score. One scan, one keyed agg into
     ≤10 groups. Rates are integer ratios (half-up rounded); the score
     average sums fixed-point cents so summation order can't move the
-    4th decimal."""
-    e = load_table(spark, sf_dir, "events")
+    4th decimal. NULL scores are EXCLUDED (the auc_score guard): an
+    unscored event belongs to no reliability bucket — without the
+    filter `least(NULL-skipping floor, 9)` quietly files it in the
+    TOP bin on both engines and biases that bin's rate/mean while the
+    differential stays green."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     cents = F.round(F.col("value") * 100).cast("bigint")
     return (
@@ -104,13 +109,17 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_QUERIES = 16  # held-out query block (vec_id < this)
+_KNN_K = 5  # neighborhood size for the vote
+
+
 @query(
     "knn_classify",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
     q AS (SELECT vec_id AS query_id, label AS true_label, emb AS qv
-          FROM e WHERE vec_id < 16),
+          FROM e WHERE vec_id < {_KNN_QUERIES}),
     scored AS (
         SELECT q.query_id, q.true_label, e.label,
                row_number() OVER (PARTITION BY q.query_id
@@ -118,11 +127,11 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                  * 1e9 + 0.5) / 1e9 DESC,
                                            e.vec_id) AS rank
         FROM e CROSS JOIN q
-        WHERE e.vec_id >= 16
+        WHERE e.vec_id >= {_KNN_QUERIES}
     ),
     votes AS (
         SELECT query_id, true_label, label, count(*) AS n_votes
-        FROM scored WHERE rank <= 5
+        FROM scored WHERE rank <= {_KNN_K}
         GROUP BY query_id, true_label, label
     ),
     best AS (
@@ -154,8 +163,8 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         "label",
-        n_queries=16,
-        k=5,
+        n_queries=_KNN_QUERIES,
+        k=_KNN_K,
     )
 
 
@@ -163,11 +172,15 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # definition feeding both gopher_rules (per-source pass counts) and
 # filter_funnel (cumulative attrition). SQL twin of
 # :func:`_gopher_flags`.
+# Whitespace is the EXPLICIT class [ \t\n\r\f], never \s: Java's \s
+# additionally matches \x0B (vertical tab) while RE2's does not, so a
+# document containing VT would tokenize differently per engine — the
+# explicit class is identical in both regex dialects.
 _GOPHER_FLAGS_CTES = """toks AS (
         SELECT source,
-               string_split_regex(trim(text), '\\s+') AS ws,
-               len(string_split_regex(trim(text), '\\s+')) AS n_words,
-               len(regexp_replace(text, '\\s', '', 'g')) AS n_alpha
+               string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS ws,
+               len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS n_words,
+               len(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) AS n_alpha
         FROM documents
     ),
     flags AS (
@@ -192,12 +205,14 @@ def _gopher_flags(d: DataFrame) -> DataFrame:
     Gopher gate flags per document. Column twin of
     :data:`_GOPHER_FLAGS_CTES`; gopher_rules aggregates them per
     source, filter_funnel folds them into cumulative survivors."""
-    ws = F.split(F.trim(F.col("text")), r"\s+")
+    # explicit whitespace class, matching _GOPHER_FLAGS_CTES (Java \s
+    # includes \x0B, RE2 \s does not — see the comment there)
+    ws = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
     toks = d.select(
         "source",
         ws.alias("ws"),
         F.size(ws).alias("n_words"),
-        F.length(F.regexp_replace(F.col("text"), r"\s", "")).alias("n_alpha"),
+        F.length(F.regexp_replace(F.col("text"), r"[ \t\n\r\f]", "")).alias("n_alpha"),
     )
     mean_len = F.col("n_alpha") * 1.0 / F.col("n_words")
     stop_hits = sum(
