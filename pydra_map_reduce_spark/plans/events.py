@@ -36,10 +36,20 @@ def _cent_sum(col: str = "value"):
     this is the same fix trend_regression and the money family use,
     applied to every windowed value sum in this file. SQL mirror:
     _CENT_SUM_SQL."""
-    return F.sum(F.round(F.col(col) * 100).cast("bigint")) / 100.0
+    return F.sum(_cents(col)) / 100.0
 
 
-_CENT_SUM_SQL = "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100"
+def _cents(col: str = "value"):
+    """round(col*100) as BIGINT — THE per-row fixed-point money cell
+    (2dp fixture money is exact in cents). One definition feeding
+    _cent_sum, time_rollup_hierarchy, trend_regression, and
+    attribution_linear on the engine side; SQL twin: _CENTS_SQL.
+    Changing the money convention edits exactly this pair."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+_CENTS_SQL = "CAST(round(value * 100) AS BIGINT)"
+_CENT_SUM_SQL = f"CAST(sum({_CENTS_SQL}) AS DOUBLE) / 100"
 
 
 @query(
@@ -88,23 +98,36 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sessionization",
-    oracle=f"""
-    WITH flagged AS (
-        SELECT user_id, event_id, ts, value,
+def _session_label_ctes(carry: str) -> str:
+    """The lag-gap-cumsum session labeling (`flagged` → `numbered`,
+    ending with numbered(user_id, event_id, ts, <carry>, sess_id)) as
+    oracle CTE text, parameterized on the carried payload columns —
+    ONE text generating BOTH the sessionization and session_paths
+    oracles, the SQL twin of the engine's single
+    operators/sessions.session_ids. A boundary-rule change (tie
+    order, > vs >=, the gap constant) can then never land in one
+    session oracle and not the other (the corpus._SPLIT_CASE_SQL
+    convention)."""
+    return f"""flagged AS (
+        SELECT user_id, event_id, ts, {carry},
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, {carry},
                sum(new_sess) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         FROM flagged
-    )
+    )"""
+
+
+@query(
+    "sessionization",
+    oracle=f"""
+    WITH {_session_label_ctes("value")}
     SELECT user_id,
            CAST(sess_id AS BIGINT)     AS sess_id,
            min(ts)                     AS sess_start,
@@ -167,6 +190,7 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         QUALIFY lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                 IS NOT NULL
+            AND event_type IS NOT NULL
     ), prof AS (
         SELECT user_id, transition, count(*)::DOUBLE AS n
         FROM big GROUP BY user_id, transition
@@ -313,7 +337,7 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily agg and the per-entity window — both keyed on user_id, so
     the shape holds at any entity count."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    day = F.to_date(F.date_trunc("day", "ts"))
+    day = F.to_date("ts")  # to_date IS the day truncation
     daily = ev.groupBy("user_id", day.alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         _cent_sum().alias("day_value"),
@@ -446,11 +470,11 @@ def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "time_rollup_hierarchy",
-    oracle="""
+    oracle=f"""
     WITH minute AS (
         SELECT date_trunc('minute', ts) AS bucket_start, event_type,
                count(*) AS n,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_c
+               CAST(sum({_CENTS_SQL}) AS BIGINT) AS sv_c
         FROM events GROUP BY 1, 2
     ), hour AS (
         SELECT date_trunc('hour', bucket_start) AS bucket_start, event_type,
@@ -505,7 +529,7 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         # INTEGER-CENTS partials: distributive, exact at every grain,
         # and the re-aggregation is bigint addition — no float
         # accumulation anywhere in the chain (_cent_sum rationale)
-        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sv_c"),
+        F.sum(_cents()).alias("sv_c"),
     ).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -594,11 +618,11 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "trend_regression",
-    oracle="""
+    oracle=f"""
     WITH pts AS (
         SELECT event_type,
                date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS x,
-               CAST(round(value * 100) AS BIGINT) AS y
+               {_CENTS_SQL} AS y
         FROM events
     ), sums AS (
         SELECT event_type,
@@ -637,7 +661,7 @@ def trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast(
         "bigint"
     )
-    y = F.round(F.col("value") * 100).cast("bigint")
+    y = _cents()
     sums = (
         e.select("event_type", x.alias("x"), y.alias("y"))
         .groupBy("event_type")
@@ -724,9 +748,10 @@ _EWMA_TERMS = 10  # truncated-horizon EWMA: 0.5^10 < 0.1% residual weight
         FROM events
     )
     SELECT user_id, event_id,
-           floor((({" + ".join(f"coalesce(v{k} * {0.5 ** k!r}, 0.0)" for k in range(_EWMA_TERMS))})
+           CASE WHEN ({" + ".join(f"(CASE WHEN v{k} IS NOT NULL THEN {0.5 ** k!r} ELSE 0.0 END)" for k in range(_EWMA_TERMS))}) > 0
+                THEN floor((({" + ".join(f"coalesce(v{k} * {0.5 ** k!r}, 0.0)" for k in range(_EWMA_TERMS))})
                   / ({" + ".join(f"(CASE WHEN v{k} IS NOT NULL THEN {0.5 ** k!r} ELSE 0.0 END)" for k in range(_EWMA_TERMS))}))
-                 * 10000 + 0.5) / 10000 AS ewma
+                 * 10000 + 0.5) / 10000 END AS ewma
     FROM lagged
     """,
     section="2.9 time-series EWMA smoothing (truncated closed form)",
@@ -741,7 +766,10 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     no iteration, so it scales like any other window agg. The weights
     0.5^k are exactly representable doubles and both engines fold the
     sum left-to-right in the same order, so the division is
-    bit-identical; rounding is portable half-up."""
+    bit-identical; rounding is portable half-up. The den > 0 guard
+    pins the all-lags-NULL case (every value in the window NULL) to
+    NULL in BOTH engines — unguarded, Spark's IEEE 0.0/0.0 is NaN
+    (which floor renders 0.0) while DuckDB's 0.0/0.0 is NULL."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lags = [F.lag("value", k).over(w) for k in range(_EWMA_TERMS)]
@@ -753,7 +781,9 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = t if num is None else num + t
         den = d if den is None else den + d
     return e.select(
-        "user_id", "event_id", round_half_up(num / den, 4).alias("ewma")
+        "user_id",
+        "event_id",
+        F.when(den > 0, round_half_up(num / den, 4)).alias("ewma"),
     )
 
 
@@ -835,17 +865,16 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast). Scales linearly: blow-up factor is exactly 7 and
     every stage is partial-aggregated."""
     e = load_table(spark, sf_dir, "events")
-    days = (
-        e.select(F.to_date("ts").alias("d"), "user_id")
-        .distinct()
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
-            ).alias("day"),
-        )
+    # ONE scan: the observed-day dim derives from the same distinct
+    # (user, day) frame the expansion consumes — a second
+    # e.select(to_date(ts)).distinct() subtree would re-read the
+    # whole fact table (Spark does not dedupe independent scans)
+    active = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = active.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
     )
-    real = e.select(F.to_date("ts").alias("day")).distinct()
+    real = active.select(F.col("d").alias("day")).distinct()
     return (
         days.join(F.broadcast(real), "day", "left_semi")
         .groupBy("day")
@@ -855,7 +884,7 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "attribution_linear",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
         SELECT user_id, event_id, ts, event_type, value,
                coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -869,7 +898,7 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id, cycle)
     ),
     purchases AS (
-        SELECT user_id, cycle, CAST(round(value * 100) AS BIGINT) AS cents
+        SELECT user_id, cycle, {_CENTS_SQL} AS cents
         FROM seq WHERE event_type = 'purchase'
     ),
     credited AS (
@@ -917,13 +946,17 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "cycle", F.col("event_type").alias("channel"), "n_touch")
     )
     purchases = seq.filter(F.col("event_type") == "purchase").select(
-        "user_id", "cycle", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+        "user_id", "cycle", _cents().alias("cents")
     )
     credited = purchases.join(touches, ["user_id", "cycle"]).select(
         "channel",
-        # SQL `div` = exact integer floor division (a double `/` then
-        # cast could round up across the integer boundary for ratios
-        # within an ulp of an integer)
+        # SQL `div` = exact integer division TRUNCATING TOWARD ZERO,
+        # same as DuckDB `//` (both verified; neither floors — on
+        # negative operands floor and truncate differ by 1, so any
+        # refund-style negative-cents sibling must keep the pair
+        # truncating on both sides). Exactness is the point: a double
+        # `/` then cast could round up across the integer boundary
+        # for ratios within an ulp of an integer.
         F.expr("(cents * 10000) div n_touch").alias("micro"),
     )
     return credited.groupBy("channel").agg(
@@ -985,20 +1018,7 @@ def local_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "session_paths",
     oracle=f"""
-    WITH flagged AS (
-        SELECT user_id, event_id, ts, event_type,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
-                    THEN 1 ELSE 0 END AS new_sess
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), numbered AS (
-        SELECT user_id, event_id, ts, event_type,
-               sum(new_sess) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-        FROM flagged
-    ), rn3 AS (
+    WITH {_session_label_ctes("event_type")}, rn3 AS (
         SELECT user_id, sess_id, event_type,
                row_number() OVER (PARTITION BY user_id, sess_id
                                   ORDER BY ts, event_id) AS rn
