@@ -120,6 +120,11 @@ HEADLINE = [
     "consecutive_dedup",     # run-length telemetry dedup (lag window)
     "span_scrub",            # duplicated-span removal + certified reassembly
     "group_split",           # leakage-safe entity-level split
+    "containment_neardup",   # asymmetric containment (quote/superset) pairs
+    "phash_neardup",         # image aHash + banded Hamming join
+    "kcenter_coreset",       # greedy k-center diversity selection (k passes)
+    "quantize_recall",       # int8 retrieval recall@5 vs full precision
+    "mmr_diversify",         # MMR shortlist rerank (relevance vs redundancy)
 ]
 
 
