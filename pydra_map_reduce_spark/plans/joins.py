@@ -18,18 +18,102 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.textops import round_half_up
+from ..operators.textops import round_half_up, signed_round_half_up
 from ..sources.tables import load_table
 from .registry import query
 from .setops import SCD2_MOD, SCD2_PREFIX, scd2_dim
 
 
+# As-of synthesis constants: the cutoff anchor and the per-order day
+# selector appear in BOTH as-of oracles and BOTH engine bodies —
+# interpolated from this single pair so an edit can never land
+# one-sided (the SCD2_MOD/SCD2_PREFIX convention).
+ASOF_ANCHOR = "2024-01-15 00:00:00"
+ASOF_DAY_MOD = 14
+
+# Interval-overlap synthesis: (residue, span_mod) per side of the
+# interval join, selected from o_orderkey % OVERLAP_SELECT_MOD —
+# interpolated into the oracle f-string AND passed to the engine's
+# side() builder from the same tuples.
+OVERLAP_SELECT_MOD = 50
+OVERLAP_A = (0, 4)  # a-side: residue 0, spans 1..4 days
+OVERLAP_B = (25, 6)  # b-side: residue 25, spans 1..6 days
+
+# Range-join band table: one literal list generating BOTH the oracle's
+# VALUES text and the engine's createDataFrame.
+RANGE_BANDS = [
+    ("small", 0.0, 50000.0),
+    ("medium", 50000.0, 150000.0),
+    ("large", 150000.0, 1e18),
+]
+_RANGE_BANDS_SQL = ",\n               ".join(
+    f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in RANGE_BANDS
+)
+
+
+def _register_pid_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str],
+    prefix: str,
+    bucket: tuple[int, dict[str, str]] | None = None,
+) -> list[str]:
+    """Register fixture tables in the session catalog under pid-scoped
+    names with STABLE per-process external paths, returning the names.
+    One copy of the hard-won hygiene rules shared by join_bucketed and
+    cbo_stats_plan: pid-hex tokens so concurrent runs on one host
+    cannot clobber each other's catalog entries; a stable _tmp root so
+    mode('overwrite') actually overwrites (a mkdtemp-per-call form
+    leaked full table copies every invocation); DROP TABLE first so a
+    stale catalog entry from a dead session never shadows the write.
+    ``bucket=(n, {table: key})`` adds bucketBy(n, key).sortBy(key).
+    The tables must remain registered while returned plans are alive —
+    they read lazily — so cleanup is directory-reuse, not DROP."""
+    import os
+
+    from .io import _tmp
+
+    tok = f"{os.getpid():x}"
+    base = _tmp(prefix)
+    names = []
+    for tbl in tables:
+        name = f"{prefix}_{tbl}_{tok}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        w = (
+            load_table(spark, sf_dir, tbl)
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, tbl))
+        )
+        if bucket is not None:
+            n, keys = bucket
+            w = w.bucketBy(n, keys[tbl]).sortBy(keys[tbl])
+        w.saveAsTable(name)
+        names.append(name)
+    return names
+
+
+def _money_sum(col: str):
+    """Fact-scale money sum: DECIMAL(18,2) internally, surfaced as
+    DOUBLE — both engines sum exact cents and cast the IDENTICAL
+    value, under any partitioning. The old round(sum(double), 2)
+    form is accumulation-order-dependent: at sf0.1 these totals pass
+    ~1e9, where partial-sum order can move the raw double across a
+    .005 boundary and round() lands on different cents per engine
+    (the r7-class failure join_point_in_time was rewritten to avoid).
+    SQL twin: _money_sum_sql — edit the pair together."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+def _money_sum_sql(col: str) -> str:
+    return f"CAST(sum(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
 @query(
     "join_inner",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment,
            count(*)                        AS n_orders,
-           round(sum(o.o_totalprice), 2)   AS revenue
+           {_money_sum_sql("o.o_totalprice")}   AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -43,7 +127,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _money_sum("o_totalprice").alias("revenue"),
         )
     )
 
@@ -124,7 +208,9 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dims",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
-           count(*) AS n_cust, floor(avg(c.c_acctbal) * 1000000 + 0.5) / 1000000 AS avg_bal
+           count(*) AS n_cust,
+           sign(avg(c.c_acctbal))
+             * floor(abs(avg(c.c_acctbal)) * 1000000 + 0.5) / 1000000 AS avg_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -149,7 +235,11 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 4201.315), where Spark's BigDecimal.valueOf sees "…315"→
             # HALF_UP .32 but DuckDB rounds the raw binary double →
             # .31. At 6dp the value passes through unchanged.
-            round_half_up(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            # signed form: c_acctbal goes negative (fixture min
+            # -994.28), and a group whose AVERAGE dips below zero
+            # would violate round_half_up's non-negative contract —
+            # half-away-from-zero is symmetric and oracle-mirrored
+            signed_round_half_up(F.avg("c_acctbal"), 6).alias("avg_bal"),
         )
     )
 
@@ -205,13 +295,11 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range",
-    oracle="""
+    oracle=f"""
     WITH bands(band, lo, hi) AS (
-        VALUES ('small', 0.0, 50000.0),
-               ('medium', 50000.0, 150000.0),
-               ('large', 150000.0, 1e18)
+        VALUES {_RANGE_BANDS_SQL}
     )
-    SELECT b.band, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+    SELECT b.band, count(*) AS n_orders, {_money_sum_sql("o.o_totalprice")} AS total
     FROM orders o JOIN bands b
       ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
     GROUP BY b.band
@@ -223,8 +311,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the right physical plan when one side is O(10) rows."""
     o = load_table(spark, sf_dir, "orders")
     bands = spark.createDataFrame(
-        [("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0), ("large", 150000.0, 1e18)],
-        "band string, lo double, hi double",
+        RANGE_BANDS, "band string, lo double, hi double"
     )
     return (
         o.join(
@@ -234,21 +321,21 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _money_sum("o_totalprice").alias("total"),
         )
     )
 
 
 @query(
     "join_asof",
-    oracle="""
+    oracle=f"""
     WITH ranked AS (
         SELECT o.o_orderkey, e.ts, e.event_type,
                row_number() OVER (PARTITION BY o.o_orderkey
                                   ORDER BY e.ts DESC, e.event_id DESC) AS rn
         FROM orders o
         JOIN events e ON e.user_id = o.o_custkey
-                     AND e.ts <= TIMESTAMP '2024-01-15 00:00:00' + INTERVAL (o.o_orderkey % 14) DAY
+                     AND e.ts <= TIMESTAMP '{ASOF_ANCHOR}' + INTERVAL (o.o_orderkey % {ASOF_DAY_MOD}) DAY
     )
     SELECT o_orderkey, ts AS last_event_ts, event_type AS last_event_type
     FROM ranked WHERE rn = 1
@@ -273,8 +360,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale: partition both sides by the key."""
     o = load_table(spark, sf_dir, "orders").withColumn(
         "cutoff",
-        F.lit("2024-01-15 00:00:00").cast("timestamp")
-        + F.make_interval(days=(F.col("o_orderkey") % 14).cast("int")),
+        F.lit(ASOF_ANCHOR).cast("timestamp")
+        + F.make_interval(days=(F.col("o_orderkey") % ASOF_DAY_MOD).cast("int")),
     )
     e = load_table(spark, sf_dir, "events")
     last = F.max_by(
@@ -295,8 +382,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_salted_skew",
-    oracle="""
-    SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS revenue
+    oracle=f"""
+    SELECT c.c_mktsegment, count(*) AS n, {_money_sum_sql("o.o_totalprice")} AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -321,7 +408,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _money_sum("o_totalprice").alias("revenue"),
         )
     )
 
@@ -332,8 +419,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_plans.py); the result is a plain deterministic join
     # agg, so it gets the plain-join oracle too (bucketing must never
     # change answers, same contract as the salted join).
-    oracle="""
-    SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS revenue
+    oracle=f"""
+    SELECT c.c_mktsegment, count(*) AS n, {_money_sum_sql("o.o_totalprice")} AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -355,25 +442,12 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog entries stay one-per-process. The tables must remain
     registered while the returned plan is alive — it reads them
     lazily — so cleanup is directory-reuse, not DROP.)"""
-    import os
-
-    from .io import _tmp
-
-    tok = f"{os.getpid():x}"
-    base = _tmp("bucketed")
-    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
-        name = f"bkt_{tbl}_{tok}"
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            load_table(spark, sf_dir, tbl)
-            .write.mode("overwrite")
-            .option("path", os.path.join(base, tbl))
-            .bucketBy(8, key)
-            .sortBy(key)
-            .saveAsTable(name)
-        )
-    o = spark.table(f"bkt_orders_{tok}")
-    c = spark.table(f"bkt_customer_{tok}")
+    names = _register_pid_tables(
+        spark, sf_dir, ["orders", "customer"], "bkt",
+        bucket=(8, {"orders": "o_custkey", "customer": "c_custkey"}),
+    )
+    o = spark.table(names[0])
+    c = spark.table(names[1])
     # force SortMergeJoin (the small side would otherwise broadcast at
     # test scale) — at 100 TB both sides are fact-sized and SMJ over
     # aligned buckets IS the plan; this keeps the test honest.
@@ -382,16 +456,16 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _money_sum("o_totalprice").alias("revenue"),
         )
     )
 
 
 @query(
     "join_bloom_pruned",
-    oracle="""
+    oracle=f"""
     SELECT count(*)                        AS n_items,
-           round(sum(l.l_extendedprice), 2) AS price
+           {_money_sum_sql("l.l_extendedprice")} AS price
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
     """,
@@ -438,16 +512,16 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already prune on the build side)
     return li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey).agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        _money_sum("l_extendedprice").alias("price"),
     )
 
 
 @query(
     "join_cbo_stats",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment,
            count(*)                      AS n,
-           round(sum(o.o_totalprice), 2) AS revenue
+           {_money_sum_sql("o.o_totalprice")} AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -495,22 +569,12 @@ def cbo_stats_plan(spark: SparkSession, sf_dir: str):
     """Set up the ANALYZEd cbo_* catalog tables and return the LAZY
     three-way-join DataFrame (whose optimized plan carries CBO
     rowCount estimates) plus the table names for caller cleanup."""
-    import os
-
     from ..sources.tables import _pin_conf
-    from .io import _tmp
 
-    tok = f"{os.getpid():x}"
-    base = _tmp("cbo")
-    names = [f"cbo_{tbl}_{tok}" for tbl in ("orders", "customer", "nation")]
-    for tbl, name in zip(("orders", "customer", "nation"), names):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            load_table(spark, sf_dir, tbl)
-            .write.mode("overwrite")
-            .option("path", os.path.join(base, tbl))
-            .saveAsTable(name)
-        )
+    names = _register_pid_tables(
+        spark, sf_dir, ["orders", "customer", "nation"], "cbo"
+    )
+    for name in names:
         spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
     _pin_conf(spark, "spark.sql.cbo.enabled", "true")
     _pin_conf(spark, "spark.sql.cbo.joinReorder.enabled", "true")
@@ -523,7 +587,7 @@ def cbo_stats_plan(spark: SparkSession, sf_dir: str):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _money_sum("o_totalprice").alias("revenue"),
         )
     )
     return result, names
@@ -531,14 +595,14 @@ def cbo_stats_plan(spark: SparkSession, sf_dir: str):
 
 @query(
     "join_asof_forward",
-    oracle="""
+    oracle=f"""
     WITH ranked AS (
         SELECT o.o_orderkey, e.ts, e.event_type,
                row_number() OVER (PARTITION BY o.o_orderkey
                                   ORDER BY e.ts ASC, e.event_id ASC) AS rn
         FROM orders o
         JOIN events e ON e.user_id = o.o_custkey
-                     AND e.ts >= TIMESTAMP '2024-01-15 00:00:00' + INTERVAL (o.o_orderkey % 14) DAY
+                     AND e.ts >= TIMESTAMP '{ASOF_ANCHOR}' + INTERVAL (o.o_orderkey % {ASOF_DAY_MOD}) DAY
     )
     SELECT o_orderkey, ts AS next_event_ts, event_type AS next_event_type
     FROM ranked WHERE rn = 1
@@ -556,8 +620,8 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     window form."""
     o = load_table(spark, sf_dir, "orders").withColumn(
         "cutoff",
-        F.lit("2024-01-15 00:00:00").cast("timestamp")
-        + F.make_interval(days=(F.col("o_orderkey") % 14).cast("int")),
+        F.lit(ASOF_ANCHOR).cast("timestamp")
+        + F.make_interval(days=(F.col("o_orderkey") % ASOF_DAY_MOD).cast("int")),
     )
     e = load_table(spark, sf_dir, "events")
     first = F.min_by(
@@ -652,15 +716,15 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_interval_overlap",
-    oracle="""
+    oracle=f"""
     WITH a AS (
         SELECT o_orderkey AS a_key, o_orderdate AS a_start,
-               o_orderdate + INTERVAL (o_orderkey % 4 + 1) DAY AS a_end
-        FROM orders WHERE o_orderkey % 50 = 0
+               o_orderdate + INTERVAL (o_orderkey % {OVERLAP_A[1]} + 1) DAY AS a_end
+        FROM orders WHERE o_orderkey % {OVERLAP_SELECT_MOD} = {OVERLAP_A[0]}
     ), b AS (
         SELECT o_orderkey AS b_key, o_orderdate AS b_start,
-               o_orderdate + INTERVAL (o_orderkey % 6 + 1) DAY AS b_end
-        FROM orders WHERE o_orderkey % 50 = 25
+               o_orderdate + INTERVAL (o_orderkey % {OVERLAP_B[1]} + 1) DAY AS b_end
+        FROM orders WHERE o_orderkey % {OVERLAP_SELECT_MOD} = {OVERLAP_B[0]}
     )
     SELECT a.a_key, b.b_key,
            CAST(date_diff('day',
@@ -689,7 +753,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
 
     def side(mod_rem: int, span_mod: int, prefix: str) -> DataFrame:
-        return o.filter(F.col("o_orderkey") % 50 == mod_rem).select(
+        return o.filter(F.col("o_orderkey") % OVERLAP_SELECT_MOD == mod_rem).select(
             F.col("o_orderkey").alias(f"{prefix}_key"),
             F.col("o_orderdate").alias(f"{prefix}_start"),
             (
@@ -698,13 +762,14 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"{prefix}_end"),
         )
 
-    a, b = side(0, 4, "a"), side(25, 6, "b")
-    day = lambda c: F.to_date(c)
+    a, b = side(*OVERLAP_A, "a"), side(*OVERLAP_B, "b")
     a_days = a.withColumn(
-        "day", F.explode(F.sequence(day(F.col("a_start")), day(F.col("a_end"))))
+        "day",
+        F.explode(F.sequence(F.to_date(F.col("a_start")), F.to_date(F.col("a_end")))),
     )
     b_days = b.withColumn(
-        "day", F.explode(F.sequence(day(F.col("b_start")), day(F.col("b_end"))))
+        "day",
+        F.explode(F.sequence(F.to_date(F.col("b_start")), F.to_date(F.col("b_end")))),
     )
     pairs = (
         a_days.join(b_days, "day")
@@ -807,10 +872,10 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_hint_shuffle_hash",
-    oracle="""
+    oracle=f"""
     SELECT c.c_nationkey,
            count(*)                      AS n_orders,
-           round(sum(o.o_totalprice), 2) AS revenue
+           {_money_sum_sql("o.o_totalprice")} AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_nationkey
     """,
@@ -835,6 +900,6 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _money_sum("o_totalprice").alias("revenue"),
         )
     )
