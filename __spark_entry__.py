@@ -67,7 +67,14 @@ _DRIVER_PRIORITY = [
 # `decayed_sum`, `consecutive_dedup`, `span_scrub`, `group_split` —
 # plus the post-closing additions `containment_neardup`,
 # `phash_neardup`, `kcenter_coreset`, `quantize_recall`, and
-# `mmr_diversify`, plus anything added later still. Compose the r10 window from
+# `mmr_diversify`, plus anything added later still. ALSO include the
+# queries whose VALUES changed in the post-closing review sweeps and
+# therefore need fresh driver evidence for the new shapes: the seven
+# DECIMAL-money-sum joins (`join_inner`, `join_range`,
+# `join_salted_skew`, `join_bucketed`, `join_bloom_pruned`,
+# `join_cbo_stats`, `join_hint_shuffle_hash` — revenue is now the
+# exact cents total, not a rounded double sum) and
+# `join_broadcast_dims` (signed rounding). Compose the r10 window from
 # (1) those thirteen + later additions, (2) any r9 reds, then (3) the
 # stalest greens oldest-first (r4-era window_distribution-adjacent
 # leftovers, the r5 io/join families). Keep rows-only queries out of
