@@ -72,6 +72,28 @@ def round_half_up(c: Column, digits: int) -> Column:
     return F.floor(c * scale + F.lit(0.5)) / scale
 
 
+def money_sum(c: str | Column, dp: int = 2) -> Column:
+    """Exact fixed-point money sum surfaced as DOUBLE: per-row units
+    of 10^-dp (exact integers for dp-decimal fixture money) summed in
+    BIGINT, ONE division at the end — both engines divide the
+    IDENTICAL integer, so the result is bit-identical under any
+    partitioning. THE money-sum discipline (pricing_summary /
+    rollup_agg / the events family all follow it); hand-typing the
+    expression per query is how pivot_agg drifted back to a raw
+    double sum. SQL twin: money_sum_sql — edit the pair together."""
+    scale = 10**dp
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(F.round(col * scale).cast("bigint")) / float(scale)
+
+
+def money_sum_sql(expr: str, dp: int = 2) -> str:
+    """DuckDB mirror of :func:`money_sum`."""
+    scale = 10**dp
+    return (
+        f"CAST(sum(CAST(round({expr} * {scale}) AS BIGINT)) AS DOUBLE) / {scale}"
+    )
+
+
 def quality_features(
     df: DataFrame, id_col: str, text_col: str, chars_col: str
 ) -> DataFrame:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.textops import round_half_up
+from ..operators.textops import money_sum, round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -61,9 +61,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0)
+            money_sum("l_quantity")
             .alias("sum_qty"),
-            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 100.0)
+            money_sum("l_extendedprice")
             .alias("sum_base_price"),
             (F.floor(F.sum(F.round(disc * 10000).cast("bigint")) / 100 + 0.5) / 100)
             .alias("sum_disc_price"),
@@ -175,7 +175,7 @@ def groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias("sum_total"),
+        money_sum("o_totalprice").alias("sum_total"),
         F.round(F.min("o_totalprice"), 2).alias("min_total"),
         F.round(F.max("o_totalprice"), 2).alias("max_total"),
         round_half_up(F.avg("o_totalprice"), 2).alias("avg_total"),
@@ -267,20 +267,33 @@ def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_agg",
     oracle="""
     SELECT l_returnflag,
-           round(stddev_samp(l_quantity), 4)        AS sd_qty,
-           round(var_samp(l_discount), 6)           AS var_disc,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+           floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000 AS sd_qty,
+           floor(var_samp(l_discount) * 1000000 + 0.5) / 1000000 AS var_disc,
+           sign(corr(l_quantity, l_extendedprice))
+             * floor(abs(corr(l_quantity, l_extendedprice)) * 10000 + 0.5)
+             / 10000 AS corr_qty_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
     section="2.4 stddev / variance / corr",
 )
 def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment aggregates rendered with the portable floor-form rounds
+    (NOT engine round(): the two engines' streaming moment merges
+    differ in final ulps, and Spark's BigDecimal HALF_UP vs DuckDB's
+    binary-double rounding can split exactly on a .xxx5 boundary —
+    the round-5 failure class). corr spans [-1, 1], so it takes the
+    SIGNED half-away-from-zero form; stddev/variance are
+    non-negative by definition and use the plain form."""
+    from ..operators.textops import signed_round_half_up
+
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        round_half_up(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        round_half_up(F.var_samp("l_discount"), 6).alias("var_disc"),
+        signed_round_half_up(
+            F.corr("l_quantity", "l_extendedprice"), 4
+        ).alias("corr_qty_price"),
     )
 
 
@@ -321,7 +334,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias("total"),
+        money_sum("o_totalprice").alias("total"),
     )
 
 
@@ -343,27 +356,37 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_agg",
     oracle="""
     SELECT o_orderpriority,
-           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS O,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS F,
-           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS P
+           CAST(sum(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) / 100 AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) / 100 AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) / 100 AS P
     FROM orders
     GROUP BY o_orderpriority
     """,
     section="2.4 pivot",
 )
 def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit pivot values → no extra distinct-values job at scale."""
+    """Explicit pivot values → no extra distinct-values job at scale.
+    Cells sum exact BIGINT cents (the file's money discipline — this
+    was the ONE money sum left as an order-dependent raw double sum),
+    divided once on the way out; absent cells coalesce to 0 cents."""
     o = load_table(spark, sf_dir, "orders")
     piv = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.sum("o_totalprice"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")))
     )
     return piv.select(
         "o_orderpriority",
-        F.round(F.coalesce("O", F.lit(0.0)), 2).alias("O"),
-        F.round(F.coalesce("F", F.lit(0.0)), 2).alias("F"),
-        F.round(F.coalesce("P", F.lit(0.0)), 2).alias("P"),
+        *[
+            (F.coalesce(c, F.lit(0)) / 100.0).alias(c)
+            for c in ("O", "F", "P")
+        ],
     )
 
 
@@ -371,8 +394,10 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "median_percentile",
     oracle="""
     SELECT c_mktsegment,
-           floor(median(c_acctbal) * 100 + 0.5) / 100           AS med_bal,
-           floor(quantile_cont(c_acctbal, 0.9) * 100 + 0.5) / 100 AS p90_bal
+           sign(median(c_acctbal))
+             * floor(abs(median(c_acctbal)) * 100 + 0.5) / 100 AS med_bal,
+           sign(quantile_cont(c_acctbal, 0.9))
+             * floor(abs(quantile_cont(c_acctbal, 0.9)) * 100 + 0.5) / 100 AS p90_bal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -381,11 +406,17 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median/percentile (interpolating) — matches DuckDB
     quantile_cont semantics. At 100 TB prefer approx_percentile; the
-    exact form is the oracle-checkable variant."""
+    exact form is the oracle-checkable variant. SIGNED rounding:
+    c_acctbal goes negative (fixture min -999.99), and a segment
+    whose median dips below zero would violate round_half_up's
+    non-negative contract — half-away-from-zero is symmetric and
+    mirrored in the oracle."""
+    from ..operators.textops import signed_round_half_up
+
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        round_half_up(F.median("c_acctbal"), 2).alias("med_bal"),
-        round_half_up(F.percentile("c_acctbal", F.lit(0.9)), 2).alias("p90_bal"),
+        signed_round_half_up(F.median("c_acctbal"), 2).alias("med_bal"),
+        signed_round_half_up(F.percentile("c_acctbal", F.lit(0.9)), 2).alias("p90_bal"),
     )
 
 
@@ -458,10 +489,12 @@ def _profile_stack(
     side by side in a SINGLE scan, then a stack() unpivot to one row
     per column. ``distinct`` and ``minmax`` parameterize the two
     spots the variants genuinely differ (exact vs HLL distinct;
-    rounded-double vs string min/max); ``out_cols`` names the four
-    metric columns in the report. ONE definition — the three copies
-    this replaces had to be edited in lockstep (the paired-edit trap
-    the project memory warns about)."""
+    rounded-double vs string min/max); ``minmax`` receives
+    (aggregated column, column name) so a variant can render
+    per-column; ``out_cols`` names the four metric columns in the
+    report. ONE definition — the three copies this replaces had to
+    be edited in lockstep (the paired-edit trap the project memory
+    warns about)."""
     aggs = [F.count(F.lit(1)).alias("n_rows")] if with_n_rows else []
     for col in cols:
         c = F.col(col)
@@ -470,8 +503,8 @@ def _profile_stack(
             .cast("bigint")
             .alias(f"{col}__null"),
             distinct(c).alias(f"{col}__distinct"),
-            minmax(F.min(c)).alias(f"{col}__min"),
-            minmax(F.max(c)).alias(f"{col}__max"),
+            minmax(F.min(c), col).alias(f"{col}__min"),
+            minmax(F.max(c), col).alias(f"{col}__max"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
@@ -512,7 +545,7 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         o,
         ["o_totalprice", "o_custkey"],
         distinct=F.countDistinct,
-        minmax=lambda c: F.round(c.cast("double"), 2),
+        minmax=lambda c, _name: F.round(c.cast("double"), 2),
         out_cols=["n_null", "n_distinct", "min_v", "max_v"],
         with_n_rows=True,
     )
@@ -535,7 +568,7 @@ def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         o,
         ["o_totalprice", "o_custkey"],
         distinct=lambda c: F.approx_count_distinct(c, 0.01),
-        minmax=lambda c: F.round(c.cast("double"), 2),
+        minmax=lambda c, _name: F.round(c.cast("double"), 2),
         out_cols=["n_null", "n_distinct", "min_v", "max_v"],
         with_n_rows=True,
     )
@@ -559,7 +592,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = strata.sampleBy("stratum", {"urgent": 0.5, "other": 0.1}, seed=42)
     return sampled.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("n_sampled"),
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias("sum_total"),
+        money_sum("o_totalprice").alias("sum_total"),
     )
 
 
@@ -610,7 +643,7 @@ def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("n_sampled"),
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias("sum_total"),
+        money_sum("o_totalprice").alias("sum_total"),
     )
 
 
@@ -657,8 +690,9 @@ def selective_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer GROUP BY c_mktsegment
     )
     SELECT c.c_mktsegment, count(*) AS n,
-           floor(avg(least(greatest(c.c_acctbal, st.p05), st.p95)) * 10000 + 0.5) / 10000
-               AS avg_winsorized,
+           sign(avg(least(greatest(c.c_acctbal, st.p05), st.p95)))
+             * floor(abs(avg(least(greatest(c.c_acctbal, st.p05), st.p95)))
+                     * 10000 + 0.5) / 10000 AS avg_winsorized,
            CAST(sum(CASE WHEN c.c_acctbal < st.p05 OR c.c_acctbal > st.p95
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM customer c JOIN st ON c.c_mktsegment = st.c_mktsegment
@@ -673,8 +707,11 @@ def winsorize_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation, same definition in both engines) per group, joined
     back as a broadcast (group-count-sized stats — the fact side never
     re-shuffles for the join), then clamp + aggregate in one codegen
-    pass. avg is rounded half-up at 4dp: percentile interpolation can
-    produce exact .xxxx5 midpoints from 2dp money."""
+    pass. avg is rounded half-AWAY-FROM-ZERO at 4dp (signed form:
+    c_acctbal goes negative, and percentile interpolation can produce
+    exact .xxxx5 midpoints from 2dp money)."""
+    from ..operators.textops import signed_round_half_up
+
     c = load_table(spark, sf_dir, "customer")
     st = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
         F.percentile("c_acctbal", F.lit(0.05)).alias("p05"),
@@ -689,7 +726,7 @@ def winsorize_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            round_half_up(F.avg(clamped), 4).alias("avg_winsorized"),
+            signed_round_half_up(F.avg(clamped), 4).alias("avg_winsorized"),
             F.sum(F.when(out_of_range, 1).otherwise(0)).cast("bigint").alias("n_clipped"),
         )
     )
@@ -760,7 +797,8 @@ def pergroup_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'o_totalprice',
            CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            CAST(count(DISTINCT o_totalprice) AS BIGINT),
-           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
     FROM orders
     """,
     section="2.4/2.11 data-quality report (exact null/distinct/range per column)",
@@ -777,15 +815,23 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HLL sketches); THIS form is the exact gate.
 
     min/max are reported as strings so heterogeneous column types fit
-    one report schema; doubles format via the engine-independent
-    shortest-repr (both Spark and DuckDB print 181399.41 for the same
-    bits at 2dp money)."""
+    one report schema. DOUBLE columns render through DECIMAL(18,2),
+    not a bare string cast: Java formats doubles >= 1e7 (and < 1e-3)
+    in E-notation where DuckDB prints plain decimal, so the fixed-
+    decimal hop is what keeps the rendering engine-independent on any
+    value range (integers and strings cast plainly in both)."""
     o = load_table(spark, sf_dir, "orders")
+
+    def render(c, name):
+        if name == "o_totalprice":
+            return c.cast("decimal(18,2)").cast("string")
+        return c.cast("string")
+
     return _profile_stack(
         o,
         ["o_custkey", "o_orderpriority", "o_totalprice"],
         distinct=lambda c: F.count_distinct(c).cast("bigint"),
-        minmax=lambda c: c.cast("string"),
+        minmax=render,
         out_cols=["n_nulls", "n_distinct", "min_val", "max_val"],
         with_n_rows=False,
     )
@@ -875,8 +921,8 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N extra scans) — aggregate first, melt the tiny result."""
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0).alias("sum_qty"),
-        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 100.0).alias("sum_price"),
+        money_sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_price"),
         F.count(F.lit(1)).cast("double").alias("n_lines"),
     )
     return wide.unpivot(
@@ -892,13 +938,13 @@ _PB_W = 25.0  # bin width for the deterministic binned-percentile sketch
     oracle=f"""
     WITH b AS (
         SELECT CAST(floor(value / {_PB_W}) AS BIGINT) AS bin, count(*) AS n
-        FROM events GROUP BY bin
+        FROM events WHERE value IS NOT NULL GROUP BY bin
     ),
     c AS (
         SELECT bin, n,
                sum(n) OVER (ORDER BY bin
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below,
-               (SELECT count(*) FROM events) AS total
+               sum(n) OVER () AS total
         FROM b
     ),
     hit AS (
@@ -925,19 +971,25 @@ def percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch is a DETERMINISTIC function of the bin histogram, so DuckDB
     reproduces it bit-for-bit: same scalability class (single scan +
     tiny ordered state), differential-checkable. Rank math stays
-    integer until the one interpolation division."""
-    e = load_table(spark, sf_dir, "events")
+    integer until the one interpolation division. NULL values are
+    excluded up front (a NULL has no percentile bucket — and the two
+    engines default NULL sort order to OPPOSITE ends, so an unpinned
+    NULL bin would shift every cumulative rank); the global count
+    comes from an unbounded window over the ~20-row bin table, not a
+    second scan of the fact table."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     b = e.groupBy(
         F.floor(F.col("value") / _PB_W).cast("bigint").alias("bin")
     ).agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window
 
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    total = e.agg(F.count(F.lit(1)).alias("total"))
-    c = (
-        b.withColumn("below", F.coalesce(F.sum("n").over(w), F.lit(0)))
-        .crossJoin(F.broadcast(total))
+    wtot = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    c = b.withColumn(
+        "below", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).withColumn("total", F.sum("n").over(wtot))
     aggs = []
     for q, col in [(0.5, "p50"), (0.95, "p95")]:
         t = F.floor((F.col("total") + 1) * q + 0.5).cast("bigint")
@@ -996,12 +1048,13 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
         SELECT l_returnflag, round(l_extendedprice, 2) AS v,
-               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+               CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS wt
         FROM lineitem GROUP BY l_returnflag, round(l_extendedprice, 2)
     ),
     c AS (
         SELECT l_returnflag, v, wt,
-               coalesce(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+               coalesce(sum(wt) OVER (PARTITION BY l_returnflag
+                   ORDER BY v NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
                sum(wt) OVER (PARTITION BY l_returnflag) AS total
         FROM g
@@ -1038,9 +1091,13 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = li.groupBy(
         "l_returnflag", F.round("l_extendedprice", 2).alias("v")
     ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("wt"))
+    # oracle mirrors the TRUNCATING cast (CAST(trunc(x) AS BIGINT)) —
+    # DuckDB's bare double->BIGINT cast ROUNDS where Spark truncates;
+    # NULLS LAST is pinned on both sides (the engines' default NULL
+    # sort ends are opposite, which would shift every cumulative rank)
     w = (
         Window.partitionBy("l_returnflag")
-        .orderBy("v")
+        .orderBy(F.col("v").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     c = g.select(
@@ -1180,25 +1237,37 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS-TABLE contract; a healthy snapshot is all-zero orphans, and
     the per-edge layout pinpoints which ingest broke when it is not.
 
-    Plan: one LEFT ANTI join per edge (the parent key side is
-    dim-sized for four of the five edges -> broadcast; the
-    lineitem->orders edge is the one genuine shuffle), unioned into a
-    5-row report — exactly the per-edge cost a validity constraint
-    would pay. NULL FKs are not orphans (SQL FK semantics); the
-    fixture has none, but the filter keeps the contract honest.
+    Plan: ONE pass per child table — a LEFT OUTER join against the
+    distinct parent keys (dim-sized for four of the five edges ->
+    broadcast; the lineitem->orders edge is the one genuine shuffle)
+    produces n_children and n_orphans from the same scan, where the
+    earlier two-subtree form (a plain count + a separate anti-join
+    count) read every child table TWICE — lineitem, the one genuinely
+    large child, paid a full redundant fact scan. NULL FKs are not
+    orphans (SQL FK semantics): they count as children but never as
+    orphans; the fixture has none, but the condition keeps the
+    contract honest.
     """
     out = None
     for label, child, fk, parent, pk in _FK_EDGES:
         c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("_pk"))
-        orphans = (
-            c.filter(F.col(fk).isNotNull())
-            .join(p, F.col(fk) == F.col("_pk"), "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-        )
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("_pk")).distinct()
+        # broadcast hint only for the genuinely dim-sized parents;
+        # the lineitem->orders edge keeps its shuffle (orders is
+        # fact-sized at the design scale — forcing a broadcast there
+        # would be the 1 GB-driver OOM shape bfs_hops documents)
+        if parent != "orders":
+            p = F.broadcast(p)
         row = (
-            c.agg(F.count(F.lit(1)).alias("n_children"))
-            .crossJoin(F.broadcast(orphans))
+            c.join(p, F.col(fk) == F.col("_pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_children"),
+                F.sum(
+                    F.when(
+                        F.col(fk).isNotNull() & F.col("_pk").isNull(), 1
+                    ).otherwise(0)
+                ).alias("n_orphans"),
+            )
             .select(
                 F.lit(label).alias("edge"),
                 F.col("n_children").cast("bigint").alias("n_children"),
