@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.textops import round_half_up
+from ..operators.textops import money_sum, round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -267,7 +267,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
            round(o.o_totalprice, 2)              AS total,
-           round(sum(l.l_quantity), 2)           AS qty
+           CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS qty
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -296,7 +296,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(money_sum("l_quantity").alias("qty"))
         .select(
             "c_custkey",
             "c_name",
@@ -342,7 +342,8 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue_delta,
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+                AS DOUBLE) / 10000 AS revenue_delta,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -363,7 +364,9 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+        # 2dp price x 2dp discount is EXACT at the 1e-4 grain: sum
+        # fixed-point ten-thousandths in BIGINT, divide once
+        money_sum(F.col("l_extendedprice") * F.col("l_discount"), dp=4).alias(
             "revenue_delta"
         ),
         F.count(F.lit(1)).alias("n_lines"),

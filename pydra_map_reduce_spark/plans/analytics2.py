@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.textops import round_half_up
+from ..operators.textops import money_sum, round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -318,12 +318,14 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "important_balance",
     oracle="""
     WITH nb AS (
-        SELECT s_nationkey, round(sum(s_acctbal), 2) AS bal FROM supplier
-        GROUP BY s_nationkey
+        SELECT s_nationkey,
+               sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS bal_c
+        FROM supplier GROUP BY s_nationkey
     )
-    SELECT s_nationkey, bal
+    SELECT s_nationkey, CAST(bal_c AS DOUBLE) / 100 AS bal
     FROM nb
-    WHERE bal > (SELECT round(sum(s_acctbal) * 0.04, 2) FROM supplier)
+    WHERE bal_c * 25 > (SELECT sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                        FROM supplier)
     """,
     section="2.4 TPC-H Q11 shape: group HAVING scalar-fraction threshold",
 )
@@ -333,19 +335,21 @@ def important_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the global total. The scalar subquery is a one-row aggregate
     broadcast against the grouped table — the HAVING-over-global-
     fraction pattern — so the plan is two aggs + a broadcast cross
-    join, nothing correlated, nothing re-executed. BOTH sides of the
-    > cut are rounded to 2dp before comparing (like top_supplier's
-    equality cut and the oracle's WHERE): the unrounded sums are
-    order-dependent float accumulations, and a nation within an
-    accumulation-ulp of the 4% line would otherwise pass in one
-    engine and fail in the other."""
-    s = load_table(spark, sf_dir, "supplier")
-    nb = s.groupBy("s_nationkey").agg(F.round(F.sum("s_acctbal"), 2).alias("bal"))
-    thr = s.agg(F.round(F.sum("s_acctbal") * 0.04, 2).alias("thr"))
+    join, nothing correlated, nothing re-executed. The 4% cut is
+    EXACT INTEGER arithmetic: balances sum as BIGINT cents and
+    0.04 = 1/25 exactly, so `bal > 0.04·total` becomes
+    `25·bal_cents > total_cents` — no float accumulation, no rounding
+    on either side of the comparison, identical in any engine under
+    any partitioning (the earlier round-both-sides-at-2dp form still
+    leaned on the engine-split round())."""
+    sup = load_table(spark, sf_dir, "supplier")
+    cents = F.round(F.col("s_acctbal") * 100).cast("bigint")
+    nb = sup.groupBy("s_nationkey").agg(F.sum(cents).alias("bal_c"))
+    thr = sup.agg(F.sum(cents).alias("total_c"))
     return (
         nb.crossJoin(F.broadcast(thr))
-        .filter(F.col("bal") > F.col("thr"))
-        .select("s_nationkey", "bal")
+        .filter(F.col("bal_c") * 25 > F.col("total_c"))
+        .select("s_nationkey", (F.col("bal_c") / 100.0).alias("bal"))
     )
 
 
@@ -509,7 +513,8 @@ def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT floor(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 7.0 + 0.5)
+               / 100 AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#11'
@@ -546,7 +551,18 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .join(per_part, F.col("l_partkey") == F.col("pp_key"))
         .filter(F.col("l_quantity") < F.col("qty_thr"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            # exact cents summed in BIGINT; /7.0 of an exact integer is
+            # the identical double in both engines, floored half-up once
+            (
+                F.floor(
+                    F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                    / 7.0
+                    + 0.5
+                )
+                / 100
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -726,7 +742,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idle_customers",
     oracle="""
     SELECT c.c_nationkey, count(*) AS numcust,
-           round(sum(c.c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT floor(avg(c2.c_acctbal) * 100 + 0.5) / 100
                          FROM customer c2
@@ -763,7 +779,7 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum("c_acctbal").alias("totacctbal"),
         )
     )
 
@@ -851,7 +867,7 @@ def waiting_suppliers_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT c.c_nationkey,
                CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS mon,
-               round(sum(o.o_totalprice), 2) AS revenue
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         GROUP BY c.c_nationkey, date_trunc('month', o.o_orderdate)
     )
@@ -889,7 +905,7 @@ def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "c_nationkey", F.date_trunc("month", "o_orderdate").alias("mon")
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(money_sum("o_totalprice").alias("revenue"))
     )
     p = m.select(
         F.col("c_nationkey").alias("p_nat"),
@@ -919,7 +935,8 @@ def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_share",
     oracle="""
     WITH r AS (
-        SELECT c.c_nationkey, round(sum(o.o_totalprice), 2) AS revenue
+        SELECT c.c_nationkey,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         GROUP BY c.c_nationkey
     )
@@ -946,7 +963,7 @@ def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (
         o.join(c, c.c_custkey == o.o_custkey)
         .groupBy("c_nationkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(money_sum("o_totalprice").alias("revenue"))
     )
     return r.select(
         "c_nationkey",

@@ -19,6 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.textops import money_sum
 from ..sources.tables import SCHEMAS, load_table
 from .registry import query
 
@@ -42,7 +43,7 @@ def _tmp(name: str) -> str:
 @query(
     "csv_roundtrip",
     oracle="""
-    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    SELECT c_mktsegment, count(*) AS n, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS bal
     FROM customer GROUP BY c_mktsegment
     """,
     section="2.1 CSV scan (+ write): lossless round-trip",
@@ -54,14 +55,14 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).csv(path)
     back = spark.read.schema(SCHEMAS["customer"]).option("header", True).csv(path)
     return back.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+        F.count(F.lit(1)).alias("n"), money_sum("c_acctbal").alias("bal")
     )
 
 
 @query(
     "jsonl_roundtrip",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
     FROM orders GROUP BY o_orderstatus
     """,
     section="2.1 JSON-lines scan (+ write): lossless round-trip",
@@ -71,14 +72,14 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").write.mode("overwrite").json(path)
     back = spark.read.schema(SCHEMAS["orders"]).json(path)
     return back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count(F.lit(1)).alias("n"), money_sum("o_totalprice").alias("total")
     )
 
 
 @query(
     "orc_roundtrip",
     oracle="""
-    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS price
+    SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS price
     FROM lineitem GROUP BY l_returnflag
     """,
     section="2.1 ORC scan (+ write): lossless round-trip",
@@ -94,7 +95,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(SCHEMAS["lineitem"]).orc(path)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        money_sum("l_extendedprice").alias("price"),
     )
 
 
@@ -126,7 +127,7 @@ def text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parquet_partitioned_sink",
     oracle="""
     SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
     FROM orders GROUP BY o_orderstatus, year(o_orderdate)
     """,
     section="2.1 parquet sink (partitionBy) + partition-pruned re-read",
@@ -142,7 +143,7 @@ def parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.mode("overwrite").partitionBy("o_orderstatus", "yr").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus", F.col("yr").cast("int").alias("yr")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count(F.lit(1)).alias("n"), money_sum("o_totalprice").alias("total")
     )
 
 
@@ -154,7 +155,7 @@ def parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  (2001, 'drop'))
     SELECT CAST(year(o_orderdate) AS INT) AS yr,
            count(*)                       AS n,
-           round(sum(o_totalprice), 2)    AS total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
     FROM orders JOIN dim ON year(o_orderdate) = dim.yr
     WHERE dim.tag = 'keep'
     GROUP BY year(o_orderdate)
@@ -184,7 +185,7 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("yr").cast("int").alias("yr"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money_sum("o_totalprice").alias("total"),
         )
     )
 
@@ -267,7 +268,7 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "compact_small_files",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
     FROM orders GROUP BY o_orderstatus
     """,
     section="2.1/4 small-files compaction (coalesced rewrite, data-identical)",
@@ -293,7 +294,7 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(SCHEMAS["orders"]).parquet(compacted)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        money_sum("o_totalprice").alias("total"),
     )
 
 
@@ -451,7 +452,9 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)  AS n_corrupt,
            CAST(sum(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
-           round(sum(CASE WHEN o_orderkey % 10 <> 0 THEN o_totalprice END), 2)   AS good_total
+           CAST(sum(CASE WHEN o_orderkey % 10 <> 0
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS DOUBLE) / 100 AS good_total
     FROM orders
     """,
     section="2.1 corrupt-record quarantine (PERMISSIVE JSON parse + bad-row routing)",
@@ -484,7 +487,7 @@ def jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
         F.sum(F.when(~bad, 1).otherwise(0)).cast("bigint").alias("n_good"),
-        F.round(F.sum(F.when(~bad, F.col("o_totalprice"))), 2).alias("good_total"),
+        money_sum(F.when(~bad, F.col("o_totalprice"))).alias("good_total"),
     )
 
 
@@ -544,7 +547,7 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xml_roundtrip",
     oracle="""
     SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
-           count(*) AS n, round(sum(s_acctbal), 2) AS bal
+           count(*) AS n, CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS bal
     FROM supplier GROUP BY s_nationkey
     """,
     section="2.1 XML scan (+ write): lossless round-trip (native since Spark 4)",
@@ -579,7 +582,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        money_sum("s_acctbal").alias("bal"),
     )
 
 

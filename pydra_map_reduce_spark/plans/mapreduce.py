@@ -195,7 +195,8 @@ def mr_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT replace(lower(trim(p_type)), ' ', '_') AS type_norm,
            count(*)                               AS n,
-           round(sum(p_retailprice), 2)           AS sum_price
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_price
     FROM part
     GROUP BY replace(lower(trim(p_type)), ' ', '_')
     """,
@@ -222,7 +223,8 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_norm")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+            (F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint")) / 100.0)
+            .alias("sum_price"),
         )
     )
 

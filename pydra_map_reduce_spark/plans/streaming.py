@@ -389,7 +389,8 @@ def _attribution_summary(joined: DataFrame) -> DataFrame:
     return per_buy.agg(
         F.count(F.lit(1)).alias("n_attributed"),
         F.countDistinct("p_user").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0)
+        .alias("sum_value"),
     )
 
 
@@ -403,7 +404,8 @@ def _static_join_summary(events: DataFrame, dim: DataFrame) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0)
+            .alias("sum_value"),
         )
     )
 
@@ -553,7 +555,8 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_join_batch",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n,
-           round(sum(e.value), 2) AS sum_value
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     WHERE e.event_type = 'purchase'
     GROUP BY c.c_mktsegment
@@ -589,7 +592,8 @@ def stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*)                       AS n_attributed,
            count(DISTINCT user_id)        AS n_users,
-           round(sum(value), 2)           AS sum_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_value
     FROM pairs
     """,
     section="2.9 stream-stream join, ORACLE-BACKED batch twin",

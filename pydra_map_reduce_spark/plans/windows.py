@@ -86,9 +86,10 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+               AS running_spend
     FROM orders
     """,
     section="2.5 frame agg: running sum",
@@ -103,7 +104,12 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        # exact BIGINT cents through the frame, one division at the
+        # edge: identical frame order still leaves round(sum(double))
+        # exposed to the Spark-BigDecimal vs DuckDB-binary split when
+        # a running total's shortest repr lands on .xx5
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(w) / 100.0)
+        .alias("running_spend"),
     )
 
 
@@ -191,9 +197,10 @@ def window_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) OVER (
                PARTITION BY o_custkey ORDER BY o_orderkey
                RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderkey
-               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2)        AS near_total
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+               AS near_total
     FROM orders
     """,
     section="2.5 frame agg: RANGE (value-based) frame",
@@ -208,7 +215,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_near"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("near_total"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(w) / 100.0)
+        .alias("near_total"),
     )
 
 
