@@ -72,6 +72,22 @@ def round_half_up(c: Column, digits: int) -> Column:
     return F.floor(c * scale + F.lit(0.5)) / scale
 
 
+def cents(c: str | Column, dp: int = 2) -> Column:
+    """round(x·10^dp) as BIGINT — THE per-row fixed-point money cell
+    (dp-decimal fixture money is exact in these units). One definition
+    for every money aggregate: money_sum composes it for grouped sums,
+    and windowed/CASE forms apply it directly so the conversion can
+    never drift per call site. SQL twin: cents_sql."""
+    scale = 10**dp
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * scale).cast("bigint")
+
+
+def cents_sql(expr: str, dp: int = 2) -> str:
+    """DuckDB mirror of :func:`cents`."""
+    return f"CAST(round({expr} * {10 ** dp}) AS BIGINT)"
+
+
 def money_sum(c: str | Column, dp: int = 2) -> Column:
     """Exact fixed-point money sum surfaced as DOUBLE: per-row units
     of 10^-dp (exact integers for dp-decimal fixture money) summed in
@@ -81,17 +97,12 @@ def money_sum(c: str | Column, dp: int = 2) -> Column:
     rollup_agg / the events family all follow it); hand-typing the
     expression per query is how pivot_agg drifted back to a raw
     double sum. SQL twin: money_sum_sql — edit the pair together."""
-    scale = 10**dp
-    col = F.col(c) if isinstance(c, str) else c
-    return F.sum(F.round(col * scale).cast("bigint")) / float(scale)
+    return F.sum(cents(c, dp)) / float(10**dp)
 
 
 def money_sum_sql(expr: str, dp: int = 2) -> str:
     """DuckDB mirror of :func:`money_sum`."""
-    scale = 10**dp
-    return (
-        f"CAST(sum(CAST(round({expr} * {scale}) AS BIGINT)) AS DOUBLE) / {scale}"
-    )
+    return f"CAST(sum({cents_sql(expr, dp)}) AS DOUBLE) / {10 ** dp}"
 
 
 def quality_features(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import sessions as sessions_ops
-from ..operators.textops import round_half_up
+from ..operators.textops import cents, cents_sql, round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -39,16 +39,15 @@ def _cent_sum(col: str = "value"):
     return F.sum(_cents(col)) / 100.0
 
 
+# Module aliases of the ONE repo-wide per-row fixed-point money pair
+# (operators/textops.cents / cents_sql) under the names this file's
+# queries were written against — this module's column defaults to the
+# events table's `value`.
 def _cents(col: str = "value"):
-    """round(col*100) as BIGINT — THE per-row fixed-point money cell
-    (2dp fixture money is exact in cents). One definition feeding
-    _cent_sum, time_rollup_hierarchy, trend_regression, and
-    attribution_linear on the engine side; SQL twin: _CENTS_SQL.
-    Changing the money convention edits exactly this pair."""
-    return F.round(F.col(col) * 100).cast("bigint")
+    return cents(col)
 
 
-_CENTS_SQL = "CAST(round(value * 100) AS BIGINT)"
+_CENTS_SQL = cents_sql("value")
 _CENT_SUM_SQL = f"CAST(sum({_CENTS_SQL}) AS DOUBLE) / 100"
 
 

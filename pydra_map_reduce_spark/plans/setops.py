@@ -162,8 +162,22 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (no base-side exchange) — or swap in Delta/Iceberg MERGE INTO,
     which executes this exact join under the hood. Updates here are
     synthesized deterministically from the base (price bumps + new
-    keys) so the oracle can mirror them."""
+    keys) so the oracle can mirror them. The +10M insert-key offset is
+    a FIXTURE contract, not a scale claim: at TPC-H sf >= ~1.7 real
+    orderkeys cross 10M and a synthesized "insert" would collide with
+    an existing key (reclassifying it as an update and double-counting
+    via join fan-out) while the oracle, mirroring the same arithmetic,
+    stays green — so the guard below fails LOUD instead. At real
+    scale updates arrive from a CDC feed; only this demonstrator
+    synthesizes them."""
     base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    top = base.agg(F.max("o_orderkey").alias("m")).first()["m"]
+    if top is not None and top >= 10_000_000:
+        raise ValueError(
+            f"merge_upsert's synthesized insert keys (base key + 10M) would "
+            f"collide with real orderkeys (max {top}); move the synthesis "
+            "offset above the key domain"
+        )
     # additive bump: keeps the price at 2dp exactly, so no rounding —
     # round(x*1.1, 2) would sit ON the .xx5 half-way boundary for half
     # the rows, where Spark (shortest-decimal-repr) and DuckDB (raw
@@ -550,7 +564,9 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle mirrors it with generate_series. Same scale shape as
     cdc_latest_wins: one hash aggregate on the CDC key, map-side
     partial maxima — no window sort of the changelog. The op rides
-    the aggregate as a SMALL INT (I=0, U=1, D=2), decoded after: a
+    the aggregate as a SMALL INT (I=0, U=1, D=2) and the terminals
+    consume the code directly (op_i = 2 IS the tombstone test — it is
+    never decoded back to a string). The int form matters because a
     STRING-valued max_by forces SortAggregate (variable-width buffer
     — Spark then sorts the whole changelog per partition), while
     fixed-width values keep the genuine HashAggregate this docstring

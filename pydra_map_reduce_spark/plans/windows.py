@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.textops import cents, cents_sql
 from ..sources.tables import load_table
 from .registry import query
 
@@ -84,9 +85,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_running_sum",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(sum({cents_sql("o_totalprice")}) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
                AS running_spend
@@ -108,8 +109,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         # edge: identical frame order still leaves round(sum(double))
         # exposed to the Spark-BigDecimal vs DuckDB-binary split when
         # a running total's shortest repr lands on .xx5
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(w) / 100.0)
-        .alias("running_spend"),
+        (F.sum(cents("o_totalprice")).over(w) / 100.0).alias("running_spend"),
     )
 
 
@@ -192,12 +192,12 @@ def window_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_range_frame",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
            CAST(count(*) OVER (
                PARTITION BY o_custkey ORDER BY o_orderkey
                RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(sum({cents_sql("o_totalprice")}) OVER (
                PARTITION BY o_custkey ORDER BY o_orderkey
                RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
                AS near_total
@@ -215,8 +215,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_near"),
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(w) / 100.0)
-        .alias("near_total"),
+        (F.sum(cents("o_totalprice")).over(w) / 100.0).alias("near_total"),
     )
 
 
@@ -229,7 +228,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
-           floor(cume_dist()    OVER w * 1000000 + 0.5) / 1000000 AS cume,
+           floor(cume_dist()    OVER w * 1000000 + 0.5) / 1000000 AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
@@ -249,10 +248,10 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_time_range_avg",
-    oracle="""
+    oracle=f"""
     WITH c AS (
         SELECT event_id, event_type, ts,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               {cents_sql("value")} AS cents
         FROM events
     )
     SELECT event_id, event_type,
@@ -290,9 +289,8 @@ def window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
-    cents = F.round(F.col("value") * 100).cast("bigint")
     n = F.count(F.lit(1)).over(w)
-    csum = F.sum(cents).over(w)
+    csum = F.sum(cents("value")).over(w)
     return e.select(
         "event_id",
         "event_type",
