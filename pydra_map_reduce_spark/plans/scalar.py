@@ -82,9 +82,11 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
         .cast("bigint")
         .alias("days_to_y2k"),
-        # date-cast exercised, then re-raised to timestamp: pandas
-        # renders DateType as python date objects, which would never
-        # hash-equal DuckDB's datetime64 DATE column
+        # the date cast is exercised, then re-raised to timestamp so
+        # this query ALSO covers the date->timestamp cast; DATE-typed
+        # terminals themselves are driver-green since r4 (month_end in
+        # date_funcs2 ships one, and registry._HASH_SAFE_ATOMIC lists
+        # DateType)
         F.col("o_orderdate").cast("date").cast("timestamp").alias("odate"),
     )
 
@@ -418,7 +420,7 @@ def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey,
                list_sort(list(struct_pack(
                    ln := l_linenumber,
-                   qty := CAST(l_quantity AS BIGINT),
+                   qty := CAST(round(l_quantity) AS BIGINT),
                    cents := CAST(round(l_extendedprice * 100) AS BIGINT)
                ))) AS lines
         FROM lineitem GROUP BY l_orderkey
@@ -448,10 +450,16 @@ def nested_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen pass — the point at scale is that nested processing adds
     ZERO exchanges once the records are grouped."""
     li = load_table(spark, sf_dir, "lineitem")
+    # qty ROUNDS-then-casts on BOTH sides: a bare Spark cast truncates
+    # while DuckDB's bare double->BIGINT cast rounds, so the pair held
+    # only on the fixture's integral-quantity luck; cents comes from
+    # the one shared textops pair
+    from ..operators.textops import cents as _cents
+
     rec = F.struct(
         F.col("l_linenumber").alias("ln"),
-        F.col("l_quantity").cast("bigint").alias("qty"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        _cents("l_extendedprice").alias("cents"),
     )
     nested = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(rec)).alias("lines")
