@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.textops import py_round_half_up
+from ..operators.textops import money_sum, money_sum_sql, py_round_half_up, round_half_up
 from ..sources.tables import _pin_conf, load_table
 from .registry import query
 
@@ -104,9 +104,9 @@ def mr_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mr_reduce_by_key",
     oracle="""
     SELECT l_returnflag,
-           floor(sum(CAST(l_quantity AS BIGINT)
+           floor(sum(CAST(round(l_quantity) AS BIGINT)
                      * CAST(round(l_extendedprice * 100) AS BIGINT))
-                 / 100.0 / sum(CAST(l_quantity AS BIGINT)) * 1e4 + 0.5) / 1e4
+                 / 100.0 / sum(CAST(round(l_quantity) AS BIGINT)) * 1e4 + 0.5) / 1e4
                AS weighted_avg_price,
            count(*) AS n
     FROM lineitem
@@ -142,7 +142,10 @@ def mr_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle mirrors the same cents arithmetic, and both sides
         # round with the portable floor half-up form (engine round()
         # pairs diverge on the knife-edge k+0.4999999999999999 class).
-        qty = pdf["l_quantity"].to_numpy().astype("int64")
+        # round-then-cast, mirrored by the oracle's round(): numpy
+        # astype truncates while DuckDB's bare CAST rounds — the
+        # nested_line_stats class, fixed the same way
+        qty = pdf["l_quantity"].to_numpy().round().astype("int64")
         cents = (pdf["l_extendedprice"].to_numpy() * 100).round().astype("int64")
         wavg = int((qty * cents).sum()) / 100.0 / int(qty.sum())
         return pd.DataFrame(
@@ -192,10 +195,10 @@ def mr_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pandas_udf_scalar",
-    oracle="""
+    oracle=f"""
     SELECT replace(lower(trim(p_type)), ' ', '_') AS type_norm,
            count(*)                               AS n,
-           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100
+           {money_sum_sql("p_retailprice")}
                AS sum_price
     FROM part
     GROUP BY replace(lower(trim(p_type)), ' ', '_')
@@ -223,8 +226,7 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_norm")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint")) / 100.0)
-            .alias("sum_price"),
+            money_sum("p_retailprice").alias("sum_price"),
         )
     )
 
@@ -315,7 +317,7 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_udaf_geomean",
     oracle="""
     SELECT l_returnflag,
-           round(exp(avg(ln(l_extendedprice))), 2) AS geo_price,
+           floor(exp(avg(ln(l_extendedprice))) * 100 + 0.5) / 100 AS geo_price,
            count(*)                                AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -352,7 +354,10 @@ def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(geomean("l_extendedprice"), 2).alias("geo_price"),
+        # portable floor half-up, not engine round(): exp/ln carry
+        # ~1e-8 cross-engine libm noise, and the BigDecimal-vs-binary
+        # round split at .xx5 is the documented r5 class
+        round_half_up(geomean("l_extendedprice"), 2).alias("geo_price"),
         n_rows("l_extendedprice").alias("n"),
     )
 

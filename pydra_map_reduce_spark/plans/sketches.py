@@ -598,17 +598,11 @@ def bloom_filter_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_false_neg"),
-            (
-                F.floor(
-                    fp
-                    * 1.0
-                    / F.nullif(
-                        F.count(F.lit(1)) - F.sum("is_member"), F.lit(0)
-                    )
-                    * 10000
-                    + 0.5
-                )
-                / 10000
+            round_half_up(
+                fp
+                * 1.0
+                / F.nullif(F.count(F.lit(1)) - F.sum("is_member"), F.lit(0)),
+                4,
             ).alias("fp_rate"),
         )
         .crossJoin(F.broadcast(n_keys))
