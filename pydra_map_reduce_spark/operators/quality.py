@@ -313,9 +313,14 @@ def psi_drift(
     at ``bin_width``) against the rest of the table, with +0.5
     Laplace smoothing so empty bins stay finite. Returns
     (group_col, n_bins, psi@4dp). Same bounded (group × bin) grid
-    shape as ks_drift — THE shared grid construction both drift
-    screens now run behind (a fix to e.g. the left-join null handling
-    lands in one place)."""
+    shape as ks_drift, with the SAME NULL exclusion up front: a NULL
+    value bins to b = NULL, which the grid's left join can never match
+    (NULL == NULL is not true) — the owning group's mass would drop
+    from cnt_sb while staying inside n_s/cnt_b, skewing psi
+    identically in BOTH engines, invisible to the differential gate.
+    "Drift over observed values" is the honest contract (the ks_drift
+    rationale)."""
+    df = df.filter(F.col(value_col).isNotNull())
     binned = df.select(
         group_col, F.floor(F.col(value_col) / bin_width).cast("bigint").alias("b")
     )

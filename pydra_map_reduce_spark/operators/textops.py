@@ -88,6 +88,28 @@ def cents_sql(expr: str, dp: int = 2) -> str:
     return f"CAST(round({expr} * {10 ** dp}) AS BIGINT)"
 
 
+def e4_revenue_2dp(price: Column, disc: Column) -> Column:
+    """TPC-H revenue Σ price·(1−discount), summed as EXACT 1e-4 units
+    (2dp price × 2dp discount is exact at that grain) and rendered
+    half-up at 2dp — the Q3/Q5/Q7/Q10/Q19 revenue cell. One
+    definition; SQL twin: e4_revenue_2dp_sql."""
+    return (
+        F.floor(
+            F.sum(F.round(price * (1 - disc) * 10000).cast("bigint")) / 100
+            + F.lit(0.5)
+        )
+        / 100
+    )
+
+
+def e4_revenue_2dp_sql(price: str, disc: str) -> str:
+    """DuckDB mirror of :func:`e4_revenue_2dp`."""
+    return (
+        f"floor(sum(CAST(round({price} * (1 - {disc}) * 10000) AS BIGINT))"
+        " / 100 + 0.5) / 100"
+    )
+
+
 def money_sum(c: str | Column, dp: int = 2) -> Column:
     """Exact fixed-point money sum surfaced as DOUBLE: per-row units
     of 10^-dp (exact integers for dp-decimal fixture money) summed in

@@ -11,17 +11,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.textops import money_sum, round_half_up
+from ..operators.textops import cents, e4_revenue_2dp, e4_revenue_2dp_sql, money_sum, round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
 
 @query(
     "shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey,
-           floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                          AS BIGINT)) / 100 + 0.5) / 100 AS revenue,
+           {e4_revenue_2dp_sql("l.l_extendedprice", "l.l_discount")} AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -50,23 +49,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            # exact 1e-4-unit revenue sum (product_type_profit
-            # convention): round(sum(double), 2) is midpoint-fragile
-            # across engines, and here the rounded value is also the
-            # top-k sort key
-            (
-                F.floor(
-                    F.sum(
-                        F.round(
-                            F.col("l_extendedprice")
-                            * (1 - F.col("l_discount"))
-                            * 10000
-                        ).cast("bigint")
-                    )
-                    / 100
-                    + 0.5
-                )
-                / 100
+            # exact 1e-4-unit revenue sum rendered at 2dp — the shared
+            # Q3/Q5/Q10 revenue cell (here the rounded value is also
+            # the top-k sort key)
+            e4_revenue_2dp(
+                F.col("l_extendedprice"), F.col("l_discount")
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -77,10 +64,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "local_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation,
-           floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                          AS BIGINT)) / 100 + 0.5) / 100 AS revenue
+           {e4_revenue_2dp_sql("l.l_extendedprice", "l.l_discount")} AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -118,23 +104,11 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            # exact 1e-4-unit revenue sum (product_type_profit
-            # convention): round(sum(double), 2) is midpoint-fragile
-            # across engines, and here the rounded value is also the
-            # top-k sort key
-            (
-                F.floor(
-                    F.sum(
-                        F.round(
-                            F.col("l_extendedprice")
-                            * (1 - F.col("l_discount"))
-                            * 10000
-                        ).cast("bigint")
-                    )
-                    / 100
-                    + 0.5
-                )
-                / 100
+            # exact 1e-4-unit revenue sum rendered at 2dp — the shared
+            # Q3/Q5/Q10 revenue cell (here the rounded value is also
+            # the top-k sort key)
+            e4_revenue_2dp(
+                F.col("l_extendedprice"), F.col("l_discount")
             ).alias("revenue")
         )
     )
@@ -142,10 +116,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                          AS BIGINT)) / 100 + 0.5) / 100 AS revenue
+           {e4_revenue_2dp_sql("l.l_extendedprice", "l.l_discount")} AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -173,23 +146,11 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            # exact 1e-4-unit revenue sum (product_type_profit
-            # convention): round(sum(double), 2) is midpoint-fragile
-            # across engines, and here the rounded value is also the
-            # top-k sort key
-            (
-                F.floor(
-                    F.sum(
-                        F.round(
-                            F.col("l_extendedprice")
-                            * (1 - F.col("l_discount"))
-                            * 10000
-                        ).cast("bigint")
-                    )
-                    / 100
-                    + 0.5
-                )
-                / 100
+            # exact 1e-4-unit revenue sum rendered at 2dp — the shared
+            # Q3/Q5/Q10 revenue cell (here the rounded value is also
+            # the top-k sort key)
+            e4_revenue_2dp(
+                F.col("l_extendedprice"), F.col("l_discount")
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -588,16 +549,18 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ks_drift",
     oracle="""
-    WITH vals AS (
-        SELECT n_chars AS v, count(*) AS cnt_v FROM documents GROUP BY n_chars
+    WITH d AS (
+        SELECT source, n_chars FROM documents WHERE n_chars IS NOT NULL
+    ), vals AS (
+        SELECT n_chars AS v, count(*) AS cnt_v FROM d GROUP BY n_chars
     ), pv AS (
         SELECT source, n_chars AS v, count(*) AS cnt_sv
-        FROM documents GROUP BY source, n_chars
+        FROM d GROUP BY source, n_chars
     ), tot AS (
-        SELECT source, count(*) AS n_s FROM documents GROUP BY source
+        SELECT source, count(*) AS n_s FROM d GROUP BY source
     ), grid AS (
         SELECT t.source, t.n_s, vals.v, vals.cnt_v, coalesce(pv.cnt_sv, 0) AS cnt_sv,
-               (SELECT count(*) FROM documents) AS n_all
+               (SELECT count(*) FROM d) AS n_all
         FROM tot t CROSS JOIN vals
         LEFT JOIN pv ON pv.source = t.source AND pv.v = vals.v
     ), cum AS (
@@ -643,7 +606,7 @@ _PSI_BIN = 50  # n_chars bin width for the PSI screen
     oracle=f"""
     WITH binned AS (
         SELECT source, CAST(floor(n_chars / {_PSI_BIN}) AS BIGINT) AS b
-        FROM documents
+        FROM documents WHERE n_chars IS NOT NULL
     ), bins AS (
         SELECT b, count(*) AS cnt_b FROM binned GROUP BY b
     ), pb AS (
@@ -704,18 +667,24 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence of language vs source over the
     full contingency grid (absent cells included at observed=0 — they
-    still carry expected mass). Marginals are two tiny keyed aggs
-    cross-joined broadcast; the statistic is one global sum. The
-    classic 'is language mix uniform across sources' health check."""
+    still carry expected mass). ONE fact-table pass: the joint
+    (lang, source) counts are aggregated once and BOTH marginals plus
+    the grand total derive from that tiny table (marginals are sums
+    of joint counts — identical integers, zero extra scans; the
+    earlier form re-read documents four times, the
+    mutual_information precedent). The classic 'is language mix
+    uniform across sources' health check."""
     d = load_table(spark, sf_dir, "documents")
-    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
-    rt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    ct = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_c"))
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    rt = o.groupBy("lang").agg(F.sum("n").alias("n_l"))
+    ct = o.groupBy("source").agg(F.sum("n").alias("n_c"))
     grid = (
         rt.crossJoin(F.broadcast(ct))
         .join(o, ["lang", "source"], "left")
         .withColumn("n", F.coalesce("n", F.lit(0)))
-        .crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("n_all"))))
+        .crossJoin(F.broadcast(o.agg(F.sum("n").alias("n_all"))))
     )
     e = F.col("n_l") * F.lit(1.0) * F.col("n_c") / F.col("n_all")
     return grid.agg(
@@ -730,7 +699,8 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gini_concentration",
     oracle="""
     WITH rev AS (
-        SELECT c.c_nationkey, c.c_custkey, sum(o.o_totalprice) AS revenue
+        SELECT c.c_nationkey, c.c_custkey,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_nationkey, c.c_custkey
     ), ranked AS (
@@ -754,7 +724,11 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = 2·Σ i·x_i / (n·Σx) − (n+1)/n on revenue sorted ascending
     (custkey tie-break makes the rank total), so after the keyed
     revenue agg it is one nation-partitioned window + one agg — no
-    O(n²) pairwise |x_i − x_j|, no global sort."""
+    O(n²) pairwise |x_i − x_j|, no global sort. Revenue is BIGINT
+    CENTS end to end (gini is scale-invariant, so the unit cancels):
+    the rank key, Σ i·x and Σx are then exact integers and the one
+    double division is identical in both engines — a raw double sum
+    fed both the ORDER BY and the 4dp floor, order-dependently."""
     from pyspark.sql import Window
 
     c = load_table(spark, sf_dir, "customer")
@@ -762,7 +736,7 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         c.join(o, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "c_custkey")
-        .agg(F.sum("o_totalprice").alias("revenue"))
+        .agg(F.sum(cents("o_totalprice")).alias("revenue"))
     )
     w = Window.partitionBy("c_nationkey").orderBy("revenue", "c_custkey")
     ranked = rev.select("c_nationkey", "revenue", F.row_number().over(w).alias("i"))

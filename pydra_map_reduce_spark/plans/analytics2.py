@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.textops import money_sum, round_half_up
+from ..operators.textops import e4_revenue_2dp, e4_revenue_2dp_sql, money_sum, round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -128,11 +128,10 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "volume_shipping",
-    oracle="""
+    oracle=f"""
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS yr,
-           floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                          AS BIGINT)) / 100 + 0.5) / 100 AS revenue
+           {e4_revenue_2dp_sql("l.l_extendedprice", "l.l_discount")} AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -182,19 +181,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact 1e-4-unit revenue sum (product_type_profit convention):
         # the rounded-float form is midpoint-fragile across engines
         .agg(
-            (
-                F.floor(
-                    F.sum(
-                        F.round(
-                            F.col("l_extendedprice")
-                            * (1 - F.col("l_discount"))
-                            * 10000
-                        ).cast("bigint")
-                    )
-                    / 100
-                    + 0.5
-                )
-                / 100
+            e4_revenue_2dp(
+                F.col("l_extendedprice"), F.col("l_discount")
             ).alias("revenue")
         )
     )
@@ -568,9 +556,8 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bracket_revenue",
-    oracle="""
-    SELECT floor(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                          AS BIGINT)) / 100 + 0.5) / 100 AS revenue
+    oracle=f"""
+    SELECT {e4_revenue_2dp_sql("l.l_extendedprice", "l.l_discount")} AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -609,20 +596,11 @@ def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    # exact 1e-4-unit revenue sum (product_type_profit convention)
+    # exact 1e-4-unit revenue sum via the shared Q-shape cell
     return joined.filter(bracket).agg(
-        (
-            F.floor(
-                F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-                    ).cast("bigint")
-                )
-                / 100
-                + 0.5
-            )
-            / 100
-        ).alias("revenue")
+        e4_revenue_2dp(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "revenue"
+        )
     )
 
 
