@@ -69,12 +69,27 @@ _DRIVER_PRIORITY = [
 # `phash_neardup`, `kcenter_coreset`, `quantize_recall`, and
 # `mmr_diversify`, plus anything added later still. ALSO include the
 # queries whose VALUES changed in the post-closing review sweeps and
-# therefore need fresh driver evidence for the new shapes: the seven
-# DECIMAL-money-sum joins (`join_inner`, `join_range`,
-# `join_salted_skew`, `join_bucketed`, `join_bloom_pruned`,
-# `join_cbo_stats`, `join_hint_shuffle_hash` — revenue is now the
-# exact cents total, not a rounded double sum) and
-# `join_broadcast_dims` (signed rounding). Compose the r10 window from
+# therefore need fresh driver evidence for the new shapes — the
+# money-sum/rounding class conversions: the seven DECIMAL-money-sum
+# joins (`join_inner`, `join_range`, `join_salted_skew`,
+# `join_bucketed`, `join_bloom_pruned`, `join_cbo_stats`,
+# `join_hint_shuffle_hash`), `join_broadcast_dims` (signed round),
+# the exact-cents conversions (`pivot_agg`, `csv_roundtrip`,
+# `jsonl_roundtrip`, `orc_roundtrip`, `parquet_partitioned_sink`,
+# `join_partition_pruned`, `schema_evolution_read`,
+# `jsonl_quarantine`, `xml_roundtrip`, `large_volume_customers`,
+# `forecast_revenue`, `important_balance`, `small_quantity_revenue`,
+# `idle_customers`, `yoy_growth`, `revenue_share`,
+# `pandas_udf_scalar`, `gini_concentration`,
+# `stream_static_join_batch`, `stream_stream_join_batch`,
+# `window_running_sum`, `window_range_frame`), and the rounding-form
+# switches (`stats_agg`, `median_percentile`, `winsorize_balance`,
+# `pandas_udaf_geomean`, `calibration_bins`). All are green in the
+# local suite at 3 SFs AND in the vanilla driver sim; the r10 window
+# (50 slots) should take: the 18 round-9 additions without driver
+# evidence (the 13 post-freeze + the 5 post-closing) + any r9 reds
+# first, then as many of the value-changed conversions as fit,
+# oldest-driver-evidence first; the remainder roll to r11. Compose the r10 window from
 # (1) those thirteen + later additions, (2) any r9 reds, then (3) the
 # stalest greens oldest-first (r4-era window_distribution-adjacent
 # leftovers, the r5 io/join families). Keep rows-only queries out of
