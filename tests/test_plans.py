@@ -14,6 +14,12 @@ import io
 from pydra_map_reduce_spark.plans import REGISTRY
 
 from .conftest import SF_DIR
+# smallest-scale sibling of the configured fixture root (the sweep
+# only needs the cheapest data; hardcoding /root/testdata broke the
+# SPARK_GRAFT_TEST_SF override)
+import os as _os
+
+_SF0001_DIR = _os.path.join(_os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
 
 
 def _executed(df) -> str:
@@ -266,7 +272,7 @@ def test_no_undocumented_global_windows(spark):
     for name, entry in REGISTRY.items():
         if name.startswith("streaming_"):
             continue  # streaming plans drain eagerly; no global windows by design
-        df = entry.fn(spark, "/root/testdata/sf0.001")
+        df = entry.fn(spark, _SF0001_DIR)
         plan = _executed(df)
         bad = [
             spec
@@ -325,8 +331,11 @@ def _is_global_spec(args: list[str]) -> bool:
         parts.append(a)
     if not parts:
         return True
-    # literal-only partition == one partition in disguise
-    return all(a.replace(".", "").replace("-", "").isdigit() for a in parts)
+    # literal-only partition == one partition in disguise: attribute
+    # references always print with a #id suffix, so ANY partition arg
+    # without '#' is a literal/foldable expression (numeric, string,
+    # cast-of-literal alike) — the bare-isdigit form missed lit('all')
+    return all("#" not in a for a in parts)
 
 
 def test_bloom_filter_injection(spark):
@@ -554,7 +563,11 @@ def test_bracket_revenue_brand_pushdown(spark):
     df = REGISTRY["bracket_revenue"].fn(spark, SF_DIR)
     plan = _formatted(df)
     assert "BroadcastHashJoin" in plan, plan[:4000]
-    scan_part = plan[plan.index("part.parquet") :][:2000] if "part.parquet" in plan else plan
+    # no whole-plan fallback: 'Brand#12' always appears in the join's
+    # Filter text, so falling back would pass exactly in the pushdown
+    # regression this test guards against
+    assert "part.parquet" in plan, plan[:4000]
+    scan_part = plan[plan.index("part.parquet") :][:2000]
     assert "Brand#12" in scan_part, scan_part[:2000]
 
 

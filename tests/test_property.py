@@ -141,7 +141,7 @@ def test_auc_perfect_and_inverted_predictor(spark):
     assert auc(const, "score", "label").collect()[0]["auc"] == 0.5
 
 
-def _bound(offset: int, *, end: bool) -> str:
+def _bound(offset: int) -> str:
     if offset < 0:
         return f"{-offset} PRECEDING"
     if offset == 0:
@@ -162,7 +162,7 @@ def window_frame_expr(draw):
     )
     over = (
         f"{agg} OVER (PARTITION BY c_nationkey ORDER BY c_custkey "
-        f"ROWS BETWEEN {_bound(s, end=False)} AND {_bound(e, end=True)})"
+        f"ROWS BETWEEN {_bound(s)} AND {_bound(e)})"
     )
     # round OUTSIDE the OVER: `round(sum(x),2) OVER (...)` parses as a
     # windowed round() — not a window aggregate — and Spark rejects it
@@ -613,7 +613,7 @@ def test_bpe_fold_is_canonical_sennrich(words, spark):
 
     from pyspark.sql import functions as F
 
-    from pydra_map_reduce_spark.plans.text import _BPE_FOLD_EXPR, _BPE_PAIRS_EXPR
+    from pydra_map_reduce_spark.plans.text import _BPE_FOLD_EXPR
 
     # reference: canonical LTR merge of pair (x, y) over a symbol list
     def ltr_merge(syms, x, y):
@@ -777,7 +777,10 @@ def test_kcenter_radii_monotone_and_distinct(spark):
     assert len({r["vec_id"] for r in rows}) == len(rows)
     radii = [r["radius"] for r in rows[1:]]  # step 1 is the seed (0.0)
     assert all(a >= b for a, b in zip(radii, radii[1:])), radii
-    assert all(r > 0 for r in radii)
+    # >= 0, not > 0: a regenerated fixture with near-duplicate vectors
+    # can floor a legitimate max-min d2 below 5e-5 to exactly 0.0 at
+    # the 4dp render — non-negativity is the operator guarantee
+    assert all(r >= 0 for r in radii)
 
 
 def test_mmr_first_is_top_relevance_and_scores_decrease(spark):
@@ -794,7 +797,12 @@ def test_mmr_first_is_top_relevance_and_scores_decrease(spark):
     top1 = REGISTRY["cosine_topk"].fn(spark, SF_DIR).first()
     assert rows[0]["vec_id"] == top1["vec_id"]
     assert len({r["vec_id"] for r in rows}) == len(rows)
-    scores = [r["mmr"] for r in rows]
+    # monotone from step 2 ONWARD only: step 1 carries no penalty
+    # while step 2's penalty term can be NEGATIVE (fixture embeddings
+    # have negative coordinates), so step2 > step1 is reachable on a
+    # correct operator; for steps >= 2 the candidate set shrinks and
+    # penalties only grow, so non-increase IS a theorem
+    scores = [r["mmr"] for r in rows[1:]]
     assert all(a >= b for a, b in zip(scores, scores[1:])), scores
 
 
