@@ -15,6 +15,7 @@ The memory sink is test-only — production sinks are kafka/parquet.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -116,16 +117,21 @@ def _drain(df: DataFrame, mode: str) -> DataFrame:
     blocks first (localCheckpoint — already-eager here, the stream has
     run; no laziness is lost) so the returned DF survives the drop."""
     name = "sink_" + uuid.uuid4().hex[:12]
-    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
     spark = df.sparkSession
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    # the view drop sits in the OUTERMOST finally: a failed drain
+    # (transient stream error) must still release the sink, or a
+    # retry loop leaks one partially-filled driver-memory sink per
+    # failure — the exact pinning _drain exists to prevent
+    try:
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
 
 
 @query(
@@ -247,31 +253,45 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "n")
+        # STRING-rendered window start (session-TZ UTC at the point of
+        # formatting): a raw timestamp terminal goes through
+        # collect()'s OS-local datetime.fromtimestamp, so the anchor's
+        # expected literal would shift on any non-UTC host even with
+        # the session pinned
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+        )
     )
     name = "late_sink_" + uuid.uuid4().hex[:12]
     q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
     try:
-        q.processAllAvailable()
-        # batch 2: a LATE event for the 10:00 window (10:20 < watermark
-        # 12:20 -> must be dropped) + a fresh event keeping state open
-        write_batch(
-            [
-                ("2024-01-01 10:20:00", "late"),
-                ("2024-01-01 12:40:00", "d"),
-            ]
+        try:
+            q.processAllAvailable()
+            # batch 2: a LATE event for the 10:00 window (10:20 <
+            # watermark 12:20 -> must be dropped) + a fresh event
+            # keeping state open
+            write_batch(
+                [
+                    ("2024-01-01 10:20:00", "late"),
+                    ("2024-01-01 12:40:00", "d"),
+                ]
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        # expected sink content: exactly [(10:00, 2)] — the late row
+        # is absent; a (10:00, 3) row would mean the watermark failed.
+        # snapshot inside, drop in the outer finally (_drain
+        # discipline: the sink releases even when the drain fails)
+        return (
+            spark.table(name).orderBy("window_start").localCheckpoint(eager=True)
         )
-        q.processAllAvailable()
     finally:
-        q.stop()
-        q.awaitTermination()
-    # expected sink content: exactly [(10:00, 2)] — the late row is
-    # absent; a (10:00, 3) row here would mean the watermark failed.
-    # snapshot + drop, the _drain discipline: a memory sink left
-    # registered pins its contents in driver memory for the session
-    out = spark.table(name).orderBy("window_start").localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+        spark.catalog.dropTempView(name)
 
 
 @query(
@@ -305,11 +325,21 @@ def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
     back = spark.read.parquet(out_dir)
-    return back.agg(
+    # cents sum (the file's fixed-point discipline — a raw double sum
+    # under a different partitioning than the batch anchor can round
+    # across a .005 boundary and flake the anchor test); the 1-row
+    # summary snapshots eagerly so the sink+checkpoint dirs can be
+    # DELETED before returning — per-call mkdtemp roots otherwise
+    # accumulate a full purchase copy per invocation for the life of
+    # /tmp
+    out = back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    )
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0)
+        .alias("sum_value"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 @query(
@@ -520,11 +550,15 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
     back = spark.read.parquet(out_dir)
-    return back.agg(
+    # eager 1-row summary, then delete the per-call epoch-partitioned
+    # copy + checkpoint (the parquet-sink cleanup rationale)
+    out = back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_ids"),
         F.countDistinct("user_id").alias("n_users"),
-    )
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 @query(
@@ -652,7 +686,11 @@ def streaming_stateful_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         def track_max(key, pdfs, state: GroupState):
             mx = state.get[0] if state.exists else None
             for pdf in pdfs:
-                batch_max = float(pdf["value"].max())
+                vals = pdf["value"].dropna()
+                if vals.empty:
+                    continue  # all-NULL slice: F.max skips nulls; NaN
+                    # here would poison max() order-dependently
+                batch_max = float(vals.max())
                 mx = batch_max if mx is None else max(mx, batch_max)
             state.update((mx,))
             yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx]})

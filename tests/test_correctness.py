@@ -111,8 +111,11 @@ def test_streaming_late_drop_excludes_late_row(spark):
     WITHOUT the late 10:20 event: exactly one row, count 2 (a count of
     3 means the watermark failed to drop the late record)."""
     rows = REGISTRY["streaming_late_drop"].fn(spark, SF_DIR).collect()
-    got = [(r["window_start"].isoformat(), r["n"]) for r in rows]
-    assert got == [("2024-01-01T10:00:00", 2)], got
+    # window_start is now a STRING rendered inside the UTC-pinned
+    # session (a raw timestamp terminal shifts through collect()'s
+    # OS-local datetime on non-UTC hosts)
+    got = [(r["window_start"], r["n"]) for r in rows]
+    assert got == [("2024-01-01 10:00:00", 2)], got
 
 
 def test_stream_join_matches_batch_anchor(spark):
@@ -154,7 +157,8 @@ def test_parquet_sink_matches_batch_anchor(spark):
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0)
+            .alias("sum_value"),
         )
         .first()
     )
