@@ -211,6 +211,14 @@ def main() -> None:
             if len(out) <= 1950:
                 break
             keep_n -= 5
+        if len(out) > 1950:
+            # keep_n stepped past 0 without fitting: drop the map
+            # entirely and point at the detail file instead.
+            line["queries"] = {}
+            line["others_total_sec"] = round(sum(warm.values()), 2)
+            line["others_n"] = len(warm)
+            line["full_queries_in"] = "BENCH_detail_last.json"
+            out = json.dumps(line, separators=(",", ":"))
     print(out)
 
 

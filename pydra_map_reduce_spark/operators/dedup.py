@@ -181,13 +181,18 @@ def _capped_pair_counts(
     text_col: str,
     n: int,
     max_df: int | None,
-) -> tuple[DataFrame, DataFrame]:
-    """(inter, sizes): the df-capped shingle inverted index self-joined
-    into per-pair intersection counts, plus per-document capped set
-    sizes — the shared front half of every set-similarity pair builder
-    (symmetric Jaccard, asymmetric containment). One definition so the
-    cap/shingle semantics cannot drift between the similarity tails
-    (mirrors plans/dedup._ngram_index_ctes on the oracle side)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(inter, sizes, index): the df-capped shingle inverted index
+    self-joined into per-pair intersection counts, plus per-document
+    capped set sizes — the shared front half of every set-similarity
+    pair builder (symmetric Jaccard, asymmetric containment). One
+    definition so the cap/shingle semantics cannot drift between the
+    similarity tails (mirrors plans/dedup._ngram_index_ctes on the
+    oracle side). The third element is the PERSISTED index itself:
+    callers that materialize their (small) pair result must unpersist
+    it afterward — the r9 advisor flagged the pin-per-invocation leak
+    in a long-lived shared session (same class lsh_recall/
+    triangle_count fixed with localCheckpoint+unpersist)."""
     df = _spread(df)
     ex = shingle_rows(df, id_col, text_col, n)
     if max_df is not None:
@@ -206,7 +211,7 @@ def _capped_pair_counts(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return inter, sizes
+    return inter, sizes, ex
 
 
 def ngram_jaccard_pairs(
@@ -216,6 +221,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.03,
     max_df: int | None = 100,
+    eager: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing ≥1 n-gram shingle.
 
@@ -239,8 +245,16 @@ def ngram_jaccard_pairs(
     anyway. The df filter joins on the shingle id — already the
     self-join's shuffle key, so pruning adds no extra exchange of the
     index. Pass ``max_df=None`` to disable (small-n oracle twins
-    where exact uncapped jaccard is the contract)."""
-    inter, sizes = _capped_pair_counts(df, id_col, text_col, n, max_df)
+    where exact uncapped jaccard is the contract).
+
+    ``eager`` (default ON) materializes the — thresholded, therefore
+    small — pair list via localCheckpoint and releases the persisted
+    shingle index before returning, so repeat invocations in a
+    long-lived session don't each pin a corpus-sized index copy (the
+    r9 advisor's leak class; lsh_recall pattern). Pass eager=False to
+    keep the plan lazy — the index then stays persisted until the
+    session evicts it."""
+    inter, sizes, idx = _capped_pair_counts(df, id_col, text_col, n, max_df)
     from .textops import round_half_up  # deferred: textops imports tokens from here
 
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
@@ -249,12 +263,18 @@ def ngram_jaccard_pairs(
     # corpus-sized — at the module's design scale an unbounded
     # broadcast. The candidate set is already shuffled on doc ids, so
     # the shuffled join adds no extra exchange of the big side.
-    return (
+    out = (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard"))
     )
+    if not eager:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        idx.unpersist()
 
 
 def ngram_jaccard_pairs_capped(
@@ -280,6 +300,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 100,
+    eager: bool = True,
 ) -> DataFrame:
     """(contained_id, container_id, containment): ASYMMETRIC near-dup —
     |A∩B| / |smaller shingle set|, the one-sided containment score.
@@ -301,8 +322,11 @@ def containment_pairs(
     Scale shape: identical to the Jaccard builder — same df-capped
     inverted-index self-join (work ≤ |shingles|·max_df), same
     shuffles; only the per-pair scalar tail differs. At 100 TB the cap
-    is what bounds the posting-list buckets, not the score choice."""
-    inter, sizes = _capped_pair_counts(df, id_col, text_col, n, max_df)
+    is what bounds the posting-list buckets, not the score choice.
+
+    ``eager`` mirrors ngram_jaccard_pairs: checkpoint the small pair
+    result, release the persisted index (default ON)."""
+    inter, sizes, idx = _capped_pair_counts(df, id_col, text_col, n, max_df)
     from .textops import round_half_up  # deferred: textops imports tokens from here
 
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
@@ -311,7 +335,7 @@ def containment_pairs(
     # doc_a < doc_b by the self-join's ordering, so on a size tie
     # `otherwise` already names the larger id as contained
     a_contained = F.col("sa.n") < F.col("sb.n")
-    return (
+    out = (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(cont >= threshold)
@@ -321,6 +345,12 @@ def containment_pairs(
             round_half_up(cont, 4).alias("containment"),
         )
     )
+    if not eager:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        idx.unpersist()
 
 
 def portable_shingle_ids(

@@ -63,8 +63,15 @@ def _flatten(df: DataFrame, id_col: str, vec_col: str, dim: int, prefix: str) ->
     # every cosine (dim too small) or NULL them all out via
     # element_at past the end (dim too large) — silently, in both
     # cases. Fail loud with the actual size named instead.
-    first = df.select(F.size(vec_col).alias("n")).first()
-    if first is not None and first["n"] != dim:
+    # sample a non-NULL vector so a leading NULL row can't masquerade
+    # as a dim mismatch (size(NULL) is NULL, and NULL != dim would
+    # raise a misleading 'caller said dim=…' here)
+    first = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("n"))
+        .first()
+    )
+    if first is not None and first["n"] is not None and first["n"] != dim:
         raise ValueError(
             f"vector column {vec_col!r} has {first['n']} elements but "
             f"caller said dim={dim}; the flat-column cosine would be "

@@ -615,8 +615,8 @@ _PSI_BIN = 50  # n_chars bin width for the PSI screen
         SELECT source, count(*) AS n_s FROM binned GROUP BY source
     ), grid AS (
         SELECT t.source, t.n_s, bins.b, bins.cnt_b, coalesce(pb.cnt_sb, 0) AS cnt_sb,
-               (SELECT count(*) FROM documents) AS n_all,
-               (SELECT count(*) FROM bins)      AS k
+               (SELECT count(*) FROM binned) AS n_all,
+               (SELECT count(*) FROM bins)   AS k
         FROM tot t CROSS JOIN bins
         LEFT JOIN pb ON pb.source = t.source AND pb.b = bins.b
     )

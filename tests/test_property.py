@@ -716,8 +716,9 @@ def test_containment_asymmetry_and_direction(spark):
     d = load_table(spark, SF_DIR, "documents")
     pairs = containment_pairs(d, "doc_id", "text", threshold=0.5).collect()
     assert pairs, "fixture must produce containment pairs at every SF"
-    _, sizes = _capped_pair_counts(d, "doc_id", "text", 3, 100)
+    _, sizes, idx = _capped_pair_counts(d, "doc_id", "text", 3, 100)
     n_by_doc = {r["doc_id"]: r["n"] for r in sizes.collect()}
+    idx.unpersist()
     for r in pairs:
         assert 0.5 <= r["containment"] <= 1.0
         assert n_by_doc[r["contained_id"]] <= n_by_doc[r["container_id"]]
