@@ -381,10 +381,18 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     portable_hash: bool = False,
+    eager: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard≥threshold) via shingle→minhash→band→
     bucket-join→exact-rescore. bands/rows tune the S-curve: 8 bands ×
     4 rows catches J≳0.85 with high probability.
+
+    ``eager`` (default ON) mirrors ngram_jaccard_pairs: checkpoint the
+    — thresholded, small — pair result and release the persisted
+    shingle frame before returning, so repeat invocations in a
+    long-lived session don't each pin a corpus-sized entry (the r9
+    advisor's leak class; before this the five minhash-fed plan
+    queries each left sh_rows pinned with no handle to release it).
 
     Signatures hash the shingle id through the fixed (a_i·x+b_i) mod p
     family — deterministic across runs. Shingle ids come from
@@ -475,7 +483,7 @@ def minhash_lsh_pairs(
     wa, wb = shsets.alias("wa"), shsets.alias("wb")
     inter = F.size(F.array_intersect(F.col("wa.ws"), F.col("wb.ws"))).cast("double")
     union = F.size(F.col("wa.ws")) + F.size(F.col("wb.ws")) - inter
-    return (
+    out = (
         cand.join(wa, F.col("doc_a") == F.col("wa.doc_id"))
         .join(wb, F.col("doc_b") == F.col("wb.doc_id"))
         # threshold on the RAW ratio (the oracle's WHERE does the same);
@@ -485,6 +493,12 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", round_half_up(inter / union, 4))
         .select("doc_a", "doc_b", "jaccard")
     )
+    if not eager:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh_rows.unpersist()
 
 
 def simhash_pairs(

@@ -424,20 +424,32 @@ def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
-_CLOSURE_TAIL = """
+def _closure_ctes(src: str) -> str:
+    """e2/reach/labels: exact transitive closure of the undirected
+    pair graph ``src(doc_a, doc_b)`` with min-id component labels —
+    ONE definition shared by every cluster oracle (minhash- and
+    ngram-fed), so the closure semantics cannot drift between them
+    (this block previously existed as four byte-identical copies —
+    the paired-copy hazard _ngram_pair_ctes exists to prevent)."""
+    return f"""
     e2 AS (
-        SELECT doc_a AS a, doc_b AS b FROM mpairs
-        UNION SELECT doc_b, doc_a FROM mpairs
+        SELECT doc_a AS a, doc_b AS b FROM {src}
+        UNION SELECT doc_b, doc_a FROM {src}
     ), reach(a, b) AS (
         SELECT a, b FROM e2
         UNION
         SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
     ), labels AS (
         SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
-    )
+    )"""
+
+
+_CLUSTER_COUNT_SELECT = """
     SELECT cluster_id, count(*) AS n_members
     FROM labels GROUP BY cluster_id
     """
+
+_CLOSURE_TAIL = _closure_ctes("mpairs") + _CLUSTER_COUNT_SELECT
 
 
 @query(
@@ -461,7 +473,8 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling implementation."""
     pairs = ops.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
-        "doc_id", "text", threshold=0.8, portable_hash=True,
+        "doc_id", "text", n_hashes=32, bands=8,
+        threshold=0.8, portable_hash=True,
     )
     clusters = ops.dedup_clusters_star(pairs)
     return (
@@ -487,7 +500,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram graph by dedup_clusters_exact."""
     pairs = ops.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
-        "doc_id", "text", threshold=0.8, portable_hash=True,
+        "doc_id", "text", n_hashes=32, bands=8,
+        threshold=0.8, portable_hash=True,
     )
     clusters = ops.dedup_clusters(pairs)
     return (
@@ -505,20 +519,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reachable set (least(a, min b)). Practical because the pair
     # graph is EXACT (inverted-index candidates, no LSH recall < 1 —
     # the reason the minhash-fed cluster queries above stay rows-only).
-    oracle=_ngram_pair_ctes(0.2, 100, recursive=True) + """,
-    e2 AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs
-    ), reach(a, b) AS (
-        SELECT a, b FROM e2
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
-    ), labels AS (
-        SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
-    )
-    SELECT cluster_id, count(*) AS n_members
-    FROM labels GROUP BY cluster_id
-    """,
+    oracle=_ngram_pair_ctes(0.2, 100, recursive=True) + ","
+    + _closure_ctes("pairs") + _CLUSTER_COUNT_SELECT,
     section="2.11 dedup clusters, oracle-backed (CC over the exact n-gram pair graph)",
 )
 def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,9 +772,8 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_found").cast("bigint").alias("n_found"),
                 F.col("n_hits").cast("bigint").alias("n_hits"),
                 (F.col("n_true") - F.col("n_hits")).cast("bigint").alias("n_missed"),
-                (
-                    F.floor(F.col("n_hits") * 1.0 / F.col("n_true") * 10000 + 0.5)
-                    / 10000
+                round_half_up(
+                    F.col("n_hits") * 1.0 / F.col("n_true"), 4
                 ).alias("recall"),
             )
             .localCheckpoint(eager=True)
@@ -783,17 +784,8 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cluster_stats",
-    oracle=_ngram_pair_ctes(0.2, 100, recursive=True) + """,
-    e2 AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs
-    ), reach(a, b) AS (
-        SELECT a, b FROM e2
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
-    ), labels AS (
-        SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
-    ), csize AS (
+    oracle=_ngram_pair_ctes(0.2, 100, recursive=True) + ","
+    + _closure_ctes("pairs") + """, csize AS (
         SELECT cluster_id, count(*) AS size FROM labels GROUP BY cluster_id
     ), hist AS (
         SELECT CAST(size AS BIGINT) AS size,
@@ -874,9 +866,7 @@ _DUP_WINDOW_CTES = f"""toks AS (
         FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
     ), gram AS (
         SELECT doc_id, pos,
-               w || ' ' || lead(w, 1) OVER win
-                 || ' ' || lead(w, 2) OVER win
-                 || ' ' || lead(w, 3) OVER win AS g,
+               w{"".join(f" || ' ' || lead(w, {i}) OVER win" for i in range(1, _SPAN_W))} AS g,
                lead(w, {_SPAN_W - 1}) OVER win AS lastw
         FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
     ), gid AS (
@@ -1111,6 +1101,18 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fixture_key(f"{sf_dir}/documents.parquet"),
     )
     labels = _CLUSTER_LABEL_CACHE.get(key)
+    if labels is not None:
+        try:
+            # touch one block: the cached frame is a localCheckpoint
+            # (executor-block-backed, non-reliable), so a lost block —
+            # executor churn in a long-lived session — would otherwise
+            # poison the entry forever (every consumer throws, and the
+            # liveness/staleness eviction below never fires). A failed
+            # probe evicts and rebuilds instead.
+            labels.head(1)
+        except Exception:
+            del _CLUSTER_LABEL_CACHE[key]
+            labels = None
     if labels is None:
         for k in list(_CLUSTER_LABEL_CACHE):
             stale = k[:2] == key[:2]
@@ -1135,17 +1137,8 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_best_quality",
-    oracle=_ngram_pair_ctes(0.2, 100, recursive=True) + """,
-    e2 AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs
-    ), reach(a, b) AS (
-        SELECT a, b FROM e2
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
-    ), labels AS (
-        SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
-    ), scored AS (
+    oracle=_ngram_pair_ctes(0.2, 100, recursive=True) + ","
+    + _closure_ctes("pairs") + """, scored AS (
         SELECT l.cluster_id, l.doc_id, d.n_chars
         FROM labels l JOIN documents d ON d.doc_id = l.doc_id
     ), best AS (
