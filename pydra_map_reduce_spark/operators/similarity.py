@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textops import signed_round_half_up
+from .textops import round_half_up, signed_round_half_up
 
 
 def as_double(col: str | Column) -> Column:
@@ -160,7 +160,14 @@ def allpairs_cosine(
 
     Exact baseline for thresholded similarity joins; at 100 TB feed
     the same rescore from LSH-bucket candidates instead of the n²
-    generator."""
+    generator.
+
+    The threshold compares the cosine floor-rounded half-up at 6dp
+    (mirrored verbatim in the shared all-pairs oracle), not the raw
+    float: the engine folds dot/(√(a·a)·√(b·b)) while DuckDB fuses
+    dot/√(na·nb), and a pair within an ulp of the cut would otherwise
+    flip membership between the engines — the exact hazard
+    semantic_dedup pins the same way."""
     spark = df.sparkSession
     ncores = spark.sparkContext.defaultParallelism
     a = _flatten(df, id_col, vec_col, dim, "a").repartition(ncores)
@@ -169,7 +176,7 @@ def allpairs_cosine(
     return (
         a.join(b, F.col("aid") < F.col("bid"))
         .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= threshold)
+        .filter(round_half_up(F.col("cos_raw"), 6) >= threshold)
         .select(
             F.col("aid").alias("id_a"),
             F.col("bid").alias("id_b"),
@@ -270,7 +277,9 @@ def lsh_allpairs_cosine(
         cand.join(fa, F.col("cand_a") == F.col("aid"))
         .join(fb, F.col("cand_b") == F.col("bid"))
         .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= threshold)
+        # pinned-6dp threshold, same rationale as allpairs_cosine —
+        # the LSH twin's contract is byte-identical output
+        .filter(round_half_up(F.col("cos_raw"), 6) >= threshold)
         .select(
             F.col("aid").alias("id_a"),
             F.col("bid").alias("id_b"),

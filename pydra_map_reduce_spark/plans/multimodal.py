@@ -124,17 +124,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
+        # one output frame PER Arrow batch, not one for the whole
+        # task: per-task memory stays bounded by the Arrow batch size,
+        # not the partition size (same posture as every decoder here)
         for pdf in batches:
+            rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
                 n_frames = len(b) // 50 + 1  # stub: one 'frame' per 50 bytes
                 sampled = list(range(0, n_frames, 2))  # every 2nd frame
                 first_byte = b[0] if b else -1
                 rows.append((doc_id, n_frames, len(sampled), first_byte))
-        yield pd.DataFrame(
-            rows, columns=["doc_id", "n_frames", "n_sampled", "first_frame_byte"]
-        )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_sampled", "first_frame_byte"]
+            )
 
     return media.mapInPandas(
         sample_frames,
@@ -271,10 +274,12 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesis and decode (two mapInPandas stages), so the bytes the
     parser sees took the same JVM↔Python round-trip real media would.
     The oracle re-derives the channel sums from the pixel formula in
-    pure integer SQL. This retires the 'decode is stubbed' caveat for
-    header+raw formats; COMPRESSED codecs (JPEG/PNG/H.264) remain
-    environment-stubbed in _decode_stub — that boundary is the
-    container's, not the engine's. Integer sums (not float means)
+    pure integer SQL. This retired the 'decode is stubbed' caveat for
+    header+raw formats first; the compressed codecs followed (the
+    PNG/GIF/JPEG/mu-law decoders later in this file), leaving only
+    PERCEPTUAL codecs (MP3/AAC, H.264) environment-stubbed in
+    _decode_stub — that boundary is the container's, not the
+    engine's. Integer sums (not float means)
     keep the comparison engine-exact."""
     import struct
 
@@ -458,9 +463,11 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Paeth predictor. The oracle re-derives the channel sums from the
     pixel formula in pure integer SQL, so a green match proves the
     filter → deflate → chunk → inflate → unfilter round-trip is
-    lossless byte-for-byte. Lossy codecs (JPEG/MP3/H.264) stay
-    environment-stubbed in _decode_stub — those genuinely need codec
-    libraries. Same two-mapInPandas shape as the BMP/WAV decoders:
+    lossless byte-for-byte. JPEG and mu-law got their own from-scratch
+    decoders since (see below); only PERCEPTUAL codecs (MP3/AAC,
+    H.264) stay environment-stubbed in _decode_stub — those genuinely
+    need codec libraries. Same two-mapInPandas shape as the BMP/WAV
+    decoders:
     payloads cross the Arrow boundary between synthesis and decode,
     per-batch yields keep task memory bounded."""
     import struct

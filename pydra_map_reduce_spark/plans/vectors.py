@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as ops
-from ..operators.textops import signed_round_half_up
+from ..operators.textops import round_half_up, signed_round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -72,13 +72,20 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # share — the LSH twin's contract is "identical output", which only
 # stays true if there is exactly one SQL text to edit).
 _ALLPAIRS_THRESHOLD = 0.4
+# threshold on the 6dp floor-half-up cosine, NOT the raw float: the
+# engine folds dot/(sqrt(a.a)*sqrt(b.b)) while DuckDB's
+# list_cosine_similarity fuses dot/sqrt(na*nb), and sqrt(a)*sqrt(b) !=
+# sqrt(a*b) in IEEE — a pair within an ulp of 0.4 would flip
+# membership between the engines (operators/similarity.allpairs_cosine
+# mirrors this pin; semantic_dedup pinned the same hazard first).
 _ALLPAIRS_PAIRS_SQL = f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                   CAST(b.embedding AS DOUBLE[])) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= {_ALLPAIRS_THRESHOLD}
+    WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[]))
+                * 1000000 + 0.5) / 1000000 >= {_ALLPAIRS_THRESHOLD}
 """
 _ALLPAIRS_ROUNDED_SQL = (
     "SELECT id_a, id_b, sign(cos) * floor(abs(cos) * 10000 + 0.5) / 10000 AS cos FROM (" + _ALLPAIRS_PAIRS_SQL + ")"
@@ -191,9 +198,9 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector_quantize",
     oracle="""
     SELECT vec_id,
-           array_to_string([CAST(round(x * 127.0 / mx) AS INT)
+           array_to_string([CAST(sign(x) * floor(abs(x) * 127.0 / mx + 0.5) AS INT)
                             for x in CAST(embedding AS DOUBLE[])], ',') AS qvec,
-           round(mx, 6) AS scale
+           floor(mx * 1000000 + 0.5) / 1000000 AS scale
     FROM (
         SELECT vec_id, embedding,
                greatest(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'),
@@ -222,17 +229,26 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("emb")
     )
     mx = F.greatest(F.array_max("emb"), -F.array_min("emb"))
-    e = e.filter(F.greatest(F.array_max("emb"), -F.array_min("emb")) > 0)
+    e = e.filter(mx > 0)
+    # per-code quantization and the rendered scale both go through the
+    # pinned half-up forms (sign*floor(abs+0.5); floor(x*1e6+0.5)/1e6),
+    # mirrored verbatim in the oracle: engine-native round() is the
+    # BigDecimal-shortest-repr vs binary-double divergence class the
+    # round_half_up docstring documents, and quantize_recall already
+    # re-derives codes with exactly this form — emitting the same form
+    # here makes the codes it evaluates provably the codes we emit.
     qv = F.transform(
         "emb",
-        lambda x: F.round(x * 127.0 / F.col("scale")).cast("int").cast("string"),
+        lambda x: signed_round_half_up(x * 127.0 / F.col("scale"), 0)
+        .cast("int")
+        .cast("string"),
     )
     return (
         e.withColumn("scale", mx)
         .select(
             "vec_id",
             F.array_join(qv, ",").alias("qvec"),
-            F.round("scale", 6).alias("scale"),
+            round_half_up(F.col("scale"), 6).alias("scale"),
         )
     )
 
@@ -599,7 +615,7 @@ def _cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_COV_CTE}
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-           round(c, 6) + 0.0 AS cov
+           sign(c) * floor(abs(c) * 1000000 + 0.5) / 1000000 + 0.0 AS cov
     FROM cov
     """,
     section="2.11 distributed linear algebra: embedding covariance (one-pass Gram)",
@@ -610,10 +626,12 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same matrix the readable-but-quadratic way (explode
     to cells, self-join on vec_id) — the answers must agree, the
     access patterns deliberately do not: the engine side never
-    materializes N*d^2 rows. Rounded at 6dp both sides (+0.0
-    normalizes any -0.0 before the driver hash)."""
+    materializes N*d^2 rows. Rendered through the PINNED signed
+    half-up form at 6dp both sides (engine-native round() is the
+    BigDecimal-vs-binary divergence class); +0.0 normalizes any -0.0
+    before the driver hash."""
     return _cov_matrix(spark, sf_dir).select(
-        "i", "j", (F.round(F.col("c"), 6) + F.lit(0.0)).alias("cov")
+        "i", "j", (signed_round_half_up(F.col("c"), 6) + F.lit(0.0)).alias("cov")
     )
 
 
@@ -636,7 +654,9 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), x3 AS (
         SELECT i, v / (SELECT sqrt(sum(v * v)) FROM y3) AS v FROM y3
     )
-    SELECT CAST(i AS INT) AS i, round(v, 6) + 0.0 AS loading FROM x3
+    SELECT CAST(i AS INT) AS i,
+           sign(v) * floor(abs(v) * 1000000 + 0.5) / 1000000 + 0.0 AS loading
+    FROM x3
     """,
     section="2.11 distributed linear algebra: PCA top component (power iteration)",
 )
@@ -644,7 +664,8 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component by THREE fixed power-iteration rounds
     (x <- normalize(C x), x0 = e_1) over the distributed covariance:
     the corpus is touched exactly once (the Gram partials of
-    _cov_matrix, localCheckpointed so iterations don't replay it);
+    _cov_matrix, persisted so iterations don't replay it and released
+    once the d-row result is checkpointed);
     every iteration then runs on the d^2-row covariance frame —
     matvec = broadcast-join the d-row vector on j + i-keyed sum,
     the pagerank shape at matrix scale. Fixed iteration count keeps
@@ -653,22 +674,33 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines start from the same x0 and the iterate's sign evolves
     identically (float divergence ~1e-15 cannot flip it; components
     near zero are normalized by round+0.0 on both sides)."""
-    cmat = _cov_matrix(spark, sf_dir).localCheckpoint(eager=True)
-    x = cmat.select("i").distinct().select(
-        "i", F.when(F.col("i") == 1, F.lit(1.0)).otherwise(F.lit(0.0)).alias("v")
-    )
-    for _ in range(3):
-        y = (
-            cmat.join(F.broadcast(x.withColumnRenamed("i", "j")), "j")
-            .select("i", (F.col("c") * F.col("v")).alias("t"))
-            .groupBy("i")
-            .agg(F.sum("t").alias("v"))
+    from pyspark import StorageLevel
+
+    # persist (not localCheckpoint): a checkpointed cmat left no
+    # handle to free its blocks, leaking one d^2-row RDD per
+    # invocation for the session's lifetime — persist + the finally
+    # below releases it once the (d-row) result is materialized
+    cmat = _cov_matrix(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        x = cmat.select("i").distinct().select(
+            "i", F.when(F.col("i") == 1, F.lit(1.0)).otherwise(F.lit(0.0)).alias("v")
         )
-        norm = y.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("s"))
-        x = y.crossJoin(F.broadcast(norm)).select(
-            "i", (F.col("v") / F.col("s")).alias("v")
-        )
-    return x.select("i", (F.round(F.col("v"), 6) + F.lit(0.0)).alias("loading"))
+        for _ in range(3):
+            y = (
+                cmat.join(F.broadcast(x.withColumnRenamed("i", "j")), "j")
+                .select("i", (F.col("c") * F.col("v")).alias("t"))
+                .groupBy("i")
+                .agg(F.sum("t").alias("v"))
+            )
+            norm = y.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("s"))
+            x = y.crossJoin(F.broadcast(norm)).select(
+                "i", (F.col("v") / F.col("s")).alias("v")
+            )
+        return x.select(
+            "i", (signed_round_half_up(F.col("v"), 6) + F.lit(0.0)).alias("loading")
+        ).localCheckpoint(eager=True)
+    finally:
+        cmat.unpersist()
 
 
 # --- Johnson-Lindenstrauss random projection --------------------------
