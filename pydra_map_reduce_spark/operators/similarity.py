@@ -724,6 +724,83 @@ def ivf_serve_distributed(
     )
 
 
+def ivf_serve_batch(
+    index: IvfIndex,
+    n_queries: int,
+    *,
+    n_probe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, vec_id, cos): serve ALL queries with vec_id <
+    ``n_queries`` from a trained ``IvfIndex`` in ONE plan — the
+    multi-query generalization of ``ivf_serve_distributed``.
+
+    A Python loop of single serves (ann_recall's original shape) pays
+    per query: an eager existence probe, a centroid-ranking job, and a
+    probe+rescore subtree, all unioned into one wide plan — 8 queries
+    meant 8 corpus-touching subtrees and 8 driver round-trips. Here
+    the whole batch is two windowed ranks: every (query, centroid)
+    distance in one broadcast join (n_queries·n_clusters rows), probe
+    cells per query by windowed rank, then one candidate join and one
+    windowed cosine rank — the corpus is touched once, and per-query
+    work still scales with ~n_probe/n_clusters of the corpus. Ranking
+    keys (floored-1e9 d2 asc + cid; floored-1e9 cosine desc + vec_id)
+    are byte-identical to the single serve and to the multi-query SQL
+    oracles. The centroid fan-out joins on the non-foldable pmod
+    constant key (lit-key joins constant-fold to BNLJ); the probe and
+    query frames are broadcast (n_queries·n_probe and n_queries rows),
+    candidate fetch is a hash join on vec_id."""
+    from pyspark.sql.window import Window
+
+    flat, cents, assigned, dim = (
+        index.flat, index.cents, index.assigned, index.dim,
+    )
+    qf = flat.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id AS query_id",
+        "CAST(pmod(vec_id, 1) AS INT) AS jk",
+        *[f"v{i} AS q{i}" for i in range(dim)],
+    )
+    # one eager guard for the whole batch (vs one isEmpty per query):
+    # a missing query id would silently drop that query's rows
+    n_found = qf.count()
+    if n_found != n_queries:
+        raise ValueError(
+            f"batch expects query ids 0..{n_queries - 1} in the corpus "
+            f"but only {n_found} are present"
+        )
+    qd2_sql = sq_dist_sql("m", "q", dim)
+    wprobe = Window.partitionBy("query_id").orderBy("qd2", "cid")
+    probe = (
+        cents.withColumn("jk", F.expr("CAST(pmod(cid, 1) AS INT)"))
+        .join(F.broadcast(qf), "jk")
+        .selectExpr("query_id", "cid", f"floor(({qd2_sql}) * 1e9 + 0.5) / 1e9 AS qd2")
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cid")
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        rank_key(F.col("cos_raw")).desc(), "vec_id"
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(flat, "vec_id")  # narrow assignment → fetch vectors to rescore
+        .join(F.broadcast(qf.drop("jk")), "query_id")
+        .selectExpr(
+            "query_id",
+            "vec_id",
+            f"{cosine_sql('v', 'q', dim)} AS cos_raw",
+        )
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= k)
+        .selectExpr(
+            "query_id",
+            "vec_id",
+            "sign(cos_raw) * floor(abs(cos_raw) * 10000 + 0.5) / 10000 AS cos",
+        )
+    )
+
+
 def ivf_topk_distributed(
     df: DataFrame,
     id_col: str,

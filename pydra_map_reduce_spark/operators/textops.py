@@ -92,10 +92,15 @@ def e4_revenue_2dp(price: Column, disc: Column) -> Column:
     """TPC-H revenue Σ price·(1−discount), summed as EXACT 1e-4 units
     (2dp price × 2dp discount is exact at that grain) and rendered
     half-up at 2dp — the Q3/Q5/Q7/Q10/Q19 revenue cell. One
-    definition; SQL twin: e4_revenue_2dp_sql."""
+    definition; SQL twin: e4_revenue_2dp_sql. The units sum widens to
+    DECIMAL(38,0) for the same int64-overflow reason as money_sum
+    (1e-4 units hit 2^63 at ~1/100th the rows), then converts to
+    double exactly like DuckDB's HUGEINT sum does under ``/``."""
     return (
         F.floor(
-            F.sum(F.round(price * (1 - disc) * 10000).cast("bigint")) / 100
+            F.sum(F.round(price * (1 - disc) * 10000).cast("bigint").cast("decimal(38,0)"))
+            .cast("double")
+            / 100
             + F.lit(0.5)
         )
         / 100
@@ -113,13 +118,17 @@ def e4_revenue_2dp_sql(price: str, disc: str) -> str:
 def money_sum(c: str | Column, dp: int = 2) -> Column:
     """Exact fixed-point money sum surfaced as DOUBLE: per-row units
     of 10^-dp (exact integers for dp-decimal fixture money) summed in
-    BIGINT, ONE division at the end — both engines divide the
-    IDENTICAL integer, so the result is bit-identical under any
-    partitioning. THE money-sum discipline (pricing_summary /
-    rollup_agg / the events family all follow it); hand-typing the
-    expression per query is how pivot_agg drifted back to a raw
-    double sum. SQL twin: money_sum_sql — edit the pair together."""
-    return F.sum(cents(c, dp)) / float(10**dp)
+    DECIMAL(38,0) — int64 units overflow around 9.2e18, i.e. a single
+    hot group at the 100 TB design scale, while DuckDB's sum(BIGINT)
+    silently widens to HUGEINT and would diverge (or, ANSI-on, Spark
+    would throw) — then ONE cast+division at the end: both engines
+    convert the IDENTICAL exact integer to double before dividing, so
+    the result is bit-identical under any partitioning. THE money-sum
+    discipline (pricing_summary / rollup_agg / the events family all
+    follow it); hand-typing the expression per query is how pivot_agg
+    drifted back to a raw double sum. SQL twin: money_sum_sql — edit
+    the pair together."""
+    return F.sum(cents(c, dp).cast("decimal(38,0)")).cast("double") / float(10**dp)
 
 
 def money_sum_sql(expr: str, dp: int = 2) -> str:
@@ -156,7 +165,13 @@ def bpe_token_count(text_col: str | Column, chars_per_token: int = 4) -> Column:
 
 
 def content_fingerprint(text_col: str | Column) -> Column:
-    """Whitespace-normalized md5 content fingerprint."""
+    """Space-stripped md5 content fingerprint — ASCII space ONLY, by
+    contract (mirrored verbatim in the oracles as replace(text,' ','')):
+    tab/newline/NBSP variants fingerprint differently. A \\s+ normal-
+    ization would be a VALUE change across doc_fingerprint and the
+    corpus keep-first window; if that semantics is ever wanted, change
+    both twins together and queue the consumers for fresh driver
+    evidence."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.md5(F.regexp_replace(c, " ", ""))
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.textops import hash_bucket, hash_bucket_sql, round_half_up
+from ..operators.textops import cents, hash_bucket, hash_bucket_sql, round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -90,7 +90,7 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential stays green."""
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    value_cents = cents("value")
     return (
         e.groupBy(
             F.least(
@@ -102,7 +102,7 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.sum(purchase) * 1.0 / F.count(F.lit(1)), 4).alias(
                 "purchase_rate"
             ),
-            round_half_up(F.sum(cents) / 100.0 / F.count(F.lit(1)), 4).alias(
+            round_half_up(F.sum(value_cents) / 100.0 / F.count(F.lit(1)), 4).alias(
                 "avg_value"
             ),
         )

@@ -19,6 +19,41 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _defaults_conf_has_master() -> bool:
+    """True when spark-defaults.conf configures spark.master.
+
+    Probed from the FILE: a pre-JVM ``SparkConf()`` is an empty dict
+    (pyspark only loads JVM-side defaults once the gateway exists), so
+    ``SparkConf().contains("spark.master")`` is constant-False here —
+    checking it would silently override a cluster master configured in
+    spark-defaults.conf with local[N]. Java-properties format: the key
+    is the first whitespace-/'='-/':'-delimited token of a non-comment
+    line."""
+    conf_dir = os.environ.get("SPARK_CONF_DIR")
+    if not conf_dir:
+        home = os.environ.get("SPARK_HOME")
+        if not home:
+            try:
+                import pyspark
+
+                home = os.path.dirname(pyspark.__file__)
+            except ImportError:  # pragma: no cover
+                return False
+        conf_dir = os.path.join(home, "conf")
+    try:
+        with open(os.path.join(conf_dir, "spark-defaults.conf")) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith(("#", "!")):
+                    continue
+                key = line.replace("=", " ").replace(":", " ").split(None, 1)[0]
+                if key == "spark.master":
+                    return True
+    except OSError:
+        return False
+    return False
+
+
 def get_spark(
     app_name: str = "pydra_map_reduce_spark",
     cpus: int | None = None,
@@ -57,18 +92,18 @@ def get_spark(
     # silently run a cluster job on the driver node. In Python client
     # mode `--master` lives in PYSPARK_SUBMIT_ARGS (it is NOT a JVM
     # system property before context creation — verified empirically),
-    # so check that, the loaded SparkConf, and $MASTER — PLUS the
-    # spark-submit PythonRunner path, where NONE of those are visible
-    # from Python (the runner pre-launches the gateway JVM carrying
-    # --master and exports only PYSPARK_GATEWAY_PORT/SECRET): if a
-    # gateway already exists, the master decision was already made
-    # out-of-process and must not be overridden here.
-    from pyspark import SparkConf
-
+    # so check that, spark-defaults.conf (probed from the FILE — a
+    # pre-JVM SparkConf() is an empty dict, so .contains() is
+    # constant-False and would not guard anything), and $MASTER — PLUS
+    # the spark-submit PythonRunner path, where NONE of those are
+    # visible from Python (the runner pre-launches the gateway JVM
+    # carrying --master and exports only PYSPARK_GATEWAY_PORT/SECRET):
+    # if a gateway already exists, the master decision was already
+    # made out-of-process and must not be overridden here.
     master_given = (
         "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
         or "PYSPARK_GATEWAY_PORT" in os.environ
-        or SparkConf().contains("spark.master")
+        or _defaults_conf_has_master()
         or bool(os.environ.get("MASTER"))
     )
     if not master_given:

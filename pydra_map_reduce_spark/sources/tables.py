@@ -108,23 +108,6 @@ SCHEMAS: dict[str, T.StructType] = {
 TABLES = tuple(n for n in SCHEMAS if not n.startswith("_"))
 
 
-def _part_file(path: str) -> str:
-    """Resolve a fixture path (single file OR directory of part files)
-    to one concrete parquet file for metadata probes."""
-    import os
-
-    if os.path.isdir(path):
-        parts = sorted(
-            os.path.join(path, p)
-            for p in os.listdir(path)
-            if p.endswith(".parquet") and not p.startswith(("_", "."))
-        )
-        if not parts:
-            raise FileNotFoundError(f"no parquet part files under {path}")
-        return parts[0]
-    return path
-
-
 def _fixture_key(path: str) -> tuple[str, int, float]:
     """(first part file, part count, max part mtime) identity for a
     fixture at this instant. Keying caches on the WHOLE part-file set
@@ -137,28 +120,37 @@ def _fixture_key(path: str) -> tuple[str, int, float]:
     a corrupt fixture, not a probe bug)."""
     import os
 
-    f = _part_file(path)
     if os.path.isdir(path):
-        parts = [
+        # ONE directory listing for both the first-part resolution and
+        # the part-set identity (listing twice — once here, once via
+        # _part_file — opened a window where the two halves of the key
+        # described different fixture generations)
+        parts = sorted(
             os.path.join(path, p)
             for p in os.listdir(path)
             if p.endswith(".parquet") and not p.startswith(("_", "."))
-        ]
-        return (f, len(parts), max(os.path.getmtime(p) for p in parts))
-    return (f, 1, os.path.getmtime(f))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        return (parts[0], len(parts), max(os.path.getmtime(p) for p in parts))
+    return (path, 1, os.path.getmtime(path))
 
 
 _TS_UNIT_CACHE: dict[tuple[str, int, float], str] = {}
 
 
-def events_ts_unit(path: str) -> str:
+def events_ts_unit(path: str, key: tuple[str, int, float] | None = None) -> str:
     """Physical unit of events.ts ('ns'/'us'/'ms'/'s'), probed from the
     parquet footer via pyarrow — metadata-only (no data scan) and
     independent of any Spark session conf, so the probe result is the
     same no matter what was pinned earlier. Drives the loader's branch
     between the direct TimestampType read (µs/ms footers) and the
-    legacy nanosAsLong + div-1000 path (ns footers)."""
-    key = _fixture_key(path)
+    legacy nanosAsLong + div-1000 path (ns footers). ``key`` lets
+    load_table pass its already-computed fixture key so the schema
+    assert and the unit probe are keyed to the SAME fixture generation
+    (recomputing here reopened the regeneration race this key closes)."""
+    if key is None:
+        key = _fixture_key(path)
     if key not in _TS_UNIT_CACHE:
         import pyarrow.parquet as pq
 
@@ -283,7 +275,7 @@ def load_table(
     _pin_conf(spark, "spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     key = _fixture_key(path)
-    if name == "events" and events_ts_unit(path) == "ns":
+    if name == "events" and events_ts_unit(path, key) == "ns":
         # legacy layout: ts is TIMESTAMP(NANOS) on disk; see _events_raw.
         _pin_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         if verify and key not in _VERIFIED:
