@@ -1196,3 +1196,165 @@ def dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.join(sizes, "cluster_id").select(
         "cluster_id", "keep_id", "keep_n_chars", "n_members"
     )
+
+
+_WINNOW_K = 3  # tokens per k-gram (shared shingle width)
+_WINNOW_W = 4  # winnowing window: consecutive k-gram hashes per window
+
+
+@query(
+    "winnowing_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(tokens) AS w,
+               generate_subscripts(tokens, 1) - 1 AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ), gram AS (
+        SELECT doc_id, pos,
+               w{"".join(f" || ' ' || lead(w, {i}) OVER win" for i in range(1, _WINNOW_K))} AS g,
+               lead(w, {_WINNOW_K - 1}) OVER win AS lastw
+        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), gid AS (
+        SELECT doc_id, pos, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h,
+               count(*) OVER (PARTITION BY doc_id) AS ng
+        FROM gram WHERE lastw IS NOT NULL
+    ), ex AS (
+        SELECT doc_id, pos, h,
+               unnest(range(greatest(0, pos - {_WINNOW_W - 1}),
+                            least(pos, ng - {_WINNOW_W}) + 1)) AS ws
+        FROM gid WHERE ng >= {_WINNOW_W}
+    ), sel AS (
+        SELECT doc_id, ws, pos, h,
+               row_number() OVER (PARTITION BY doc_id, ws
+                                  ORDER BY h, pos DESC) AS rn
+        FROM ex
+    ), fps AS (
+        SELECT DISTINCT doc_id, pos, h FROM sel WHERE rn = 1
+    )
+    SELECT doc_id,
+           count(*)                      AS n_fp,
+           count(DISTINCT h)             AS n_hashes,
+           CAST(min(pos) AS BIGINT)      AS first_pos,
+           CAST(max(pos) AS BIGINT)      AS last_pos
+    FROM fps GROUP BY doc_id
+    """,
+    section="2.11 winnowing fingerprint selection (MOSS robust winnowing)",
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing (Schleimer/Wilkerson/Aiken, the MOSS
+    fingerprinting scheme): slide a window of w=4 consecutive
+    k-gram hashes over each document and keep each window's MINIMUM
+    hash (tie -> rightmost position), deduplicating selections shared
+    by overlapping windows. The guarantee dedup literature uses it
+    for: any match of at least w+k-1 tokens between two documents
+    shares at least one selected fingerprint, while storing only
+    ~2/(w+1) of all k-gram hashes — the sketch that makes index-based
+    plagiarism/copy detection sublinear in corpus size. Per-doc report
+    (selection counts and span) keeps the terminal row count bounded.
+
+    Plan shape: tokenize -> lead-window k-grams (the _dup_window_frames
+    machinery shape) -> md5-prefix portable hash -> each gram explodes
+    into the <=w windows containing it (sequence/explode: work is
+    exactly w rows per gram, linear, never a range join) -> per-window
+    argmin via a (doc_id, window)-keyed row_number -> distinct + one
+    keyed agg. Every stage is partitioned by doc_id; nothing global.
+    Spark `sequence(lo, hi)` RAISES on descending bounds (the round-3
+    trap), so the bounds are proven lo <= hi: ng >= w filters first,
+    and max(0, pos-w+1) <= min(pos, ng-w) holds for every surviving
+    pos <= ng-1. Tie-break pos DESC is the paper's rightmost-min rule
+    and pins md5-prefix hash collisions identically in both engines."""
+    from pyspark.sql.window import Window
+
+    k, w = _WINNOW_K, _WINNOW_W
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", "w", *[F.lead("w", i).over(win) for i in range(1, k)]
+        ).alias("g"),
+        F.lead("w", k - 1).over(win).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    gid = gram.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    ).withColumn("ng", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    ex = gid.filter(F.col("ng") >= w).select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("pos") - (w - 1)),
+                F.least(F.col("pos"), F.col("ng") - w),
+            )
+        ).alias("ws"),
+    )
+    wsel = Window.partitionBy("doc_id", "ws").orderBy("h", F.col("pos").desc())
+    fps = (
+        ex.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos", "h")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.countDistinct("h").alias("n_hashes"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+        F.max("pos").cast("bigint").alias("last_pos"),
+    )
+
+
+@query(
+    "dedup_survivor_bias",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source, n_chars,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_survivors,
+           floor(sum(n_chars) * 1.0 / count(*) * 100 + 0.5) / 100
+               AS mean_chars_all,
+           floor(sum(CASE WHEN doc_id = first_id THEN n_chars ELSE 0 END) * 1.0
+                 / sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END)
+                 * 100 + 0.5) / 100 AS mean_chars_kept
+    FROM fp GROUP BY source
+    """,
+    section="2.11 dedup survivor bias (quality shift under keep-first dedup)",
+)
+def dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What keep-first exact dedup does to the corpus PROFILE, not just
+    its size: per source, document counts before/after and the mean
+    length before/after — the curator's check that dedup didn't
+    systematically remove long (or short) documents from one source.
+    The survivor rule is the same min-doc_id-per-content-hash used by
+    exact_dedup/dedup_report, computed as one fingerprint-keyed window
+    (no self-join); the rollup is a single keyed agg. Means divide two
+    exact integers and render through the shared floor-half-up form at
+    2dp, mirrored in the oracle."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", "n_chars",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("first_id"),
+    )
+    kept = F.when(F.col("doc_id") == F.col("first_id"), 1).otherwise(0)
+    kept_chars = F.when(F.col("doc_id") == F.col("first_id"), F.col("n_chars")).otherwise(F.lit(0))
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_survivors"),
+        round_half_up(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 2).alias(
+            "mean_chars_all"
+        ),
+        round_half_up(F.sum(kept_chars) * 1.0 / F.sum(kept), 2).alias(
+            "mean_chars_kept"
+        ),
+    )

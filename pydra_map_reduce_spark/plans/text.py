@@ -1608,3 +1608,50 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "tokenizer_fertility",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_ws,
+               CAST(list_aggregate([ceil(length(w) / 4.0)
+                                    for w in string_split(text, ' ')],
+                                   'sum') AS BIGINT) AS n_bpe
+        FROM documents
+    )
+    SELECT lang,
+           count(*)                        AS n_docs,
+           CAST(sum(n_ws) AS BIGINT)       AS n_ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT)      AS n_bpe_tokens,
+           floor(sum(n_bpe) * 1.0 / sum(n_ws) * 10000 + 0.5) / 10000
+               AS fertility
+    FROM t GROUP BY lang
+    """,
+    section="2.11 tokenizer fertility (subwords per word, per language)",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility — BPE-proxy subwords per whitespace word,
+    per language: THE number multilingual-corpus teams read to spot
+    languages a tokenizer fragments (fertility >> 1 means each word
+    costs several subword tokens, inflating effective sequence length
+    and training cost for that language). Counts reuse the exact
+    token_count_bpe definitions (whitespace split; ceil(len/4) BPE
+    proxy), summed per lang as exact integers; the one float is the
+    rendered ratio, floor-half-up at 4dp on identical doubles. One
+    scan, one keyed agg — fully vectorized, nothing global."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(textops.tokens("text")).cast("bigint").alias("n_ws"),
+        textops.bpe_token_count("text").cast("bigint").alias("n_bpe"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("n_ws_tokens"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        textops.round_half_up(
+            F.sum("n_bpe") * 1.0 / F.sum("n_ws"), 4
+        ).alias("fertility"),
+    )

@@ -820,3 +820,64 @@ def test_quantize_recall_bounds(spark):
         assert 0 <= r["n_hits"] <= 5
         assert abs(r["recall"] - r["n_hits"] / 5) < 1e-9
     assert sum(r["n_hits"] for r in rows) >= 8 * 3  # sanity floor
+
+
+def test_winnowing_covers_every_window_and_is_sparse(spark):
+    """Robust winnowing's two contracts, checked directly against the
+    raw k-gram hash stream: (a) COVERAGE — every window of w
+    consecutive k-gram hashes contains at least one selected
+    fingerprint (this is what makes any (w+k-1)-token match
+    detectable); (b) SPARSITY — a document never selects more
+    fingerprints than it has windows, and fewer when windows overlap
+    on a shared minimum."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pydra_map_reduce_spark.plans import REGISTRY
+    from pydra_map_reduce_spark.plans.dedup import _WINNOW_K, _WINNOW_W
+    from pydra_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    rep = {r["doc_id"]: r for r in REGISTRY["winnowing_fingerprint"].fn(spark, SF_DIR).collect()}
+    assert rep, "fixture must produce winnowing fingerprints"
+
+    # recompute the raw hash stream for a sample of documents and
+    # replay selection in python
+    d = load_table(spark, SF_DIR, "documents").limit(40)
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = toks.select(
+        "doc_id", "pos",
+        F.concat_ws(" ", "w", *[F.lead("w", i).over(win) for i in range(1, _WINNOW_K)]).alias("g"),
+        F.lead("w", _WINNOW_K - 1).over(win).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    gid = gram.select(
+        "doc_id", "pos",
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    ).collect()
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in gid:
+        by_doc.setdefault(r["doc_id"], {})[r["pos"]] = r["h"]
+    checked = 0
+    for doc_id, hs in by_doc.items():
+        ng = len(hs)
+        if ng < _WINNOW_W or doc_id not in rep:
+            continue
+        stream = [hs[p] for p in sorted(hs)]
+        selected = set()
+        for s in range(ng - _WINNOW_W + 1):
+            wnd = stream[s : s + _WINNOW_W]
+            m = min(wnd)
+            # rightmost-min rule
+            sel_pos = max(i for i, v in enumerate(wnd) if v == m) + s
+            selected.add(sel_pos)
+        n_windows = ng - _WINNOW_W + 1
+        row = rep[doc_id]
+        assert row["n_fp"] == len(selected), (doc_id, row["n_fp"], len(selected))
+        assert row["n_fp"] <= n_windows
+        # coverage: every window contains a selected position
+        for s in range(n_windows):
+            assert any(s <= p <= s + _WINNOW_W - 1 for p in selected), (doc_id, s)
+        checked += 1
+    assert checked >= 10, f"only {checked} docs replayed; sample too thin"
