@@ -55,7 +55,17 @@ def _spread(df: DataFrame) -> DataFrame:
     import re
 
     plan = df._jdf.queryExecution().analyzed().toString()
-    if re.search(r"^[ :+\-]*(Join|Aggregate|Window|Sort|Repartition)", plan, re.M):
+    # Deduplicate/Distinct/Intersect/Except are wide too (distinct()
+    # analyzes to Deduplicate, set ops to Intersect/Except) — missing
+    # them meant a dropDuplicates-shaped input fell through to the
+    # .rdd partition probe, which under AQE executes the whole
+    # upstream dedup shuffle just to read a count (r10 review)
+    if re.search(
+        r"^[ :+\-]*(Join|Aggregate|Window|Sort|Repartition"
+        r"|Deduplicate|Distinct|Intersect|Except)",
+        plan,
+        re.M,
+    ):
         return df
     ncores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < ncores:
@@ -188,11 +198,19 @@ def _capped_pair_counts(
     pair builder (symmetric Jaccard, asymmetric containment). One
     definition so the cap/shingle semantics cannot drift between the
     similarity tails (mirrors plans/dedup._ngram_index_ctes on the
-    oracle side). The third element is the PERSISTED index itself:
-    callers that materialize their (small) pair result must unpersist
-    it afterward — the r9 advisor flagged the pin-per-invocation leak
-    in a long-lived shared session (same class lsh_recall/
-    triangle_count fixed with localCheckpoint+unpersist)."""
+    oracle side). The third element is the PERSISTED index itself —
+    returned so a caller with a one-off input CAN release it, but the
+    default lifecycle is persist-without-unpersist ON PURPOSE: Spark's
+    CacheManager keys cache entries by CANONICALIZED plan, so the five
+    registry consumers of the (n=3, max_df=100) index over the same
+    fixture share ONE evictable MEMORY_AND_DISK entry, not one per
+    invocation — measured r10: eagerly checkpointing each result and
+    unpersisting here cost the warm near-dup family ~3x
+    (containment_neardup 0.64→2.10 s, dedup_cluster_stats 2.71→4.59 s,
+    ngram_jaccard_neardup 1.18→3.04 s at sf0.1) because every call
+    rebuilt the index the cache had been serving. Pinned storage is
+    bounded at one entry per distinct (input plan, n, max_df), all
+    evictable (the unified memory manager favors execution)."""
     df = _spread(df)
     ex = shingle_rows(df, id_col, text_col, n)
     if max_df is not None:
@@ -221,7 +239,6 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.03,
     max_df: int | None = 100,
-    eager: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing ≥1 n-gram shingle.
 
@@ -247,14 +264,11 @@ def ngram_jaccard_pairs(
     index. Pass ``max_df=None`` to disable (small-n oracle twins
     where exact uncapped jaccard is the contract).
 
-    ``eager`` (default ON) materializes the — thresholded, therefore
-    small — pair list via localCheckpoint and releases the persisted
-    shingle index before returning, so repeat invocations in a
-    long-lived session don't each pin a corpus-sized index copy (the
-    r9 advisor's leak class; lsh_recall pattern). Pass eager=False to
-    keep the plan lazy — the index then stays persisted until the
-    session evicts it."""
-    inter, sizes, idx = _capped_pair_counts(df, id_col, text_col, n, max_df)
+    The shingle index stays persisted after return (no unpersist):
+    CacheManager dedups it by canonicalized plan across the five
+    registry consumers, and releasing it per call measured ~3x slower
+    warm — see _capped_pair_counts for the numbers and the bound."""
+    inter, sizes, _idx = _capped_pair_counts(df, id_col, text_col, n, max_df)
     from .textops import round_half_up  # deferred: textops imports tokens from here
 
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
@@ -263,18 +277,12 @@ def ngram_jaccard_pairs(
     # corpus-sized — at the module's design scale an unbounded
     # broadcast. The candidate set is already shuffled on doc ids, so
     # the shuffled join adds no extra exchange of the big side.
-    out = (
+    return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard"))
     )
-    if not eager:
-        return out
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        idx.unpersist()
 
 
 def ngram_jaccard_pairs_capped(
@@ -300,7 +308,6 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 100,
-    eager: bool = True,
 ) -> DataFrame:
     """(contained_id, container_id, containment): ASYMMETRIC near-dup —
     |A∩B| / |smaller shingle set|, the one-sided containment score.
@@ -324,9 +331,9 @@ def containment_pairs(
     shuffles; only the per-pair scalar tail differs. At 100 TB the cap
     is what bounds the posting-list buckets, not the score choice.
 
-    ``eager`` mirrors ngram_jaccard_pairs: checkpoint the small pair
-    result, release the persisted index (default ON)."""
-    inter, sizes, idx = _capped_pair_counts(df, id_col, text_col, n, max_df)
+    Index lifecycle mirrors ngram_jaccard_pairs: persisted, shared
+    via CacheManager plan-dedup, deliberately not unpersisted."""
+    inter, sizes, _idx = _capped_pair_counts(df, id_col, text_col, n, max_df)
     from .textops import round_half_up  # deferred: textops imports tokens from here
 
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
@@ -335,7 +342,7 @@ def containment_pairs(
     # doc_a < doc_b by the self-join's ordering, so on a size tie
     # `otherwise` already names the larger id as contained
     a_contained = F.col("sa.n") < F.col("sb.n")
-    out = (
+    return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(cont >= threshold)
@@ -345,12 +352,6 @@ def containment_pairs(
             round_half_up(cont, 4).alias("containment"),
         )
     )
-    if not eager:
-        return out
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        idx.unpersist()
 
 
 def portable_shingle_ids(
@@ -381,18 +382,16 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     portable_hash: bool = False,
-    eager: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard≥threshold) via shingle→minhash→band→
     bucket-join→exact-rescore. bands/rows tune the S-curve: 8 bands ×
     4 rows catches J≳0.85 with high probability.
 
-    ``eager`` (default ON) mirrors ngram_jaccard_pairs: checkpoint the
-    — thresholded, small — pair result and release the persisted
-    shingle frame before returning, so repeat invocations in a
-    long-lived session don't each pin a corpus-sized entry (the r9
-    advisor's leak class; before this the five minhash-fed plan
-    queries each left sh_rows pinned with no handle to release it).
+    The shingle frame stays persisted after return (no unpersist) —
+    the same deliberate CacheManager-plan-dedup lifecycle as
+    _capped_pair_counts (see its docstring for the r10 measurement):
+    the five minhash-fed plan queries over one fixture share ONE
+    evictable entry, and releasing it per call rebuilt it per call.
 
     Signatures hash the shingle id through the fixed (a_i·x+b_i) mod p
     family — deterministic across runs. Shingle ids come from
@@ -483,7 +482,7 @@ def minhash_lsh_pairs(
     wa, wb = shsets.alias("wa"), shsets.alias("wb")
     inter = F.size(F.array_intersect(F.col("wa.ws"), F.col("wb.ws"))).cast("double")
     union = F.size(F.col("wa.ws")) + F.size(F.col("wb.ws")) - inter
-    out = (
+    return (
         cand.join(wa, F.col("doc_a") == F.col("wa.doc_id"))
         .join(wb, F.col("doc_b") == F.col("wb.doc_id"))
         # threshold on the RAW ratio (the oracle's WHERE does the same);
@@ -493,12 +492,6 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", round_half_up(inter / union, 4))
         .select("doc_a", "doc_b", "jaccard")
     )
-    if not eager:
-        return out
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        sh_rows.unpersist()
 
 
 def simhash_pairs(

@@ -24,7 +24,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textops import round_half_up, signed_round_half_up
+from .textops import (
+    round_half_up,
+    signed_round_half_up,
+    signed_round_half_up_sql,
+)
 
 
 def as_double(col: str | Column) -> Column:
@@ -56,7 +60,10 @@ def rank_key(cos: Column) -> Column:
     return F.floor(cos * 1e9 + 0.5) / 1e9
 
 
-def _flatten(df: DataFrame, id_col: str, vec_col: str, dim: int, prefix: str) -> DataFrame:
+def _flatten(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, prefix: str,
+    *, check: bool = True,
+) -> DataFrame:
     # dim-mismatch guard (one point lookup, the ivf_serve isEmpty
     # precedent): the norm column covers the FULL vector while the
     # flat dot covers only v0..v{dim-1}, so a wrong dim would deflate
@@ -65,18 +72,22 @@ def _flatten(df: DataFrame, id_col: str, vec_col: str, dim: int, prefix: str) ->
     # cases. Fail loud with the actual size named instead.
     # sample a non-NULL vector so a leading NULL row can't masquerade
     # as a dim mismatch (size(NULL) is NULL, and NULL != dim would
-    # raise a misleading 'caller said dim=…' here)
-    first = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col).alias("n"))
-        .first()
-    )
-    if first is not None and first["n"] is not None and first["n"] != dim:
-        raise ValueError(
-            f"vector column {vec_col!r} has {first['n']} elements but "
-            f"caller said dim={dim}; the flat-column cosine would be "
-            "silently wrong"
+    # raise a misleading 'caller said dim=…' here). Callers that
+    # flatten the SAME frame twice (both sides of a self-join) pass
+    # check=False on the second call — the guard job need only run
+    # once per input.
+    if check:
+        first = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("n"))
+            .first()
         )
+        if first is not None and first["n"] is not None and first["n"] != dim:
+            raise ValueError(
+                f"vector column {vec_col!r} has {first['n']} elements but "
+                f"caller said dim={dim}; the flat-column cosine would be "
+                "silently wrong"
+            )
     e = df.select(F.col(id_col).alias(f"{prefix}id"), as_double(vec_col).alias("_v"))
     return e.select(
         f"{prefix}id",
@@ -136,6 +147,16 @@ def batch_cosine_topk(
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qv")
     )
+    # fail loud on absent query ids (the ivf_serve_batch contract): a
+    # missing id would silently drop that query's group and every
+    # recall/accuracy metric downstream would divide by the wrong
+    # denominator. One eager count for the whole batch.
+    n_found = q.count()
+    if n_found != n_queries:
+        raise ValueError(
+            f"batch expects query ids 0..{n_queries - 1} in the corpus "
+            f"but only {n_found} are present"
+        )
     w = Window.partitionBy("query_id").orderBy(
         rank_key(F.col("cos_raw")).desc(), "vec_id"
     )
@@ -171,7 +192,7 @@ def allpairs_cosine(
     spark = df.sparkSession
     ncores = spark.sparkContext.defaultParallelism
     a = _flatten(df, id_col, vec_col, dim, "a").repartition(ncores)
-    b = _flatten(df, id_col, vec_col, dim, "b")
+    b = _flatten(df, id_col, vec_col, dim, "b", check=False)
     cos = _flat_cosine("a", "b", dim)
     return (
         a.join(b, F.col("aid") < F.col("bid"))
@@ -271,7 +292,7 @@ def lsh_allpairs_cosine(
         .distinct()
     )
     fa = _flatten(df, id_col, vec_col, dim, "a")
-    fb = _flatten(df, id_col, vec_col, dim, "b")
+    fb = _flatten(df, id_col, vec_col, dim, "b", check=False)
     cos = _flat_cosine("a", "b", dim)
     return (
         cand.join(fa, F.col("cand_a") == F.col("aid"))
@@ -719,7 +740,9 @@ def ivf_serve_distributed(
         .limit(k)
         .selectExpr(
             "vec_id",
-            "sign(cos_raw) * floor(abs(cos_raw) * 10000 + 0.5) / 10000 AS cos",
+            # shared signed half-up form — an inline copy here is how a
+            # rounding-convention change lands one-sided (textops warning)
+            f"{signed_round_half_up_sql('cos_raw', 4)} AS cos",
         )
     )
 
@@ -796,7 +819,9 @@ def ivf_serve_batch(
         .selectExpr(
             "query_id",
             "vec_id",
-            "sign(cos_raw) * floor(abs(cos_raw) * 10000 + 0.5) / 10000 AS cos",
+            # shared signed half-up form — an inline copy here is how a
+            # rounding-convention change lands one-sided (textops warning)
+            f"{signed_round_half_up_sql('cos_raw', 4)} AS cos",
         )
     )
 
@@ -872,7 +897,14 @@ def semantic_dedup(
     # analyzed plan, so re-invoking the operator reuses the same cache
     # entry rather than stacking new ones); assigned comes back
     # eagerly checkpointed, its three downstream branches replaying
-    # executor-side state.
+    # executor-side state. Lifecycle note (r10 review): the internal
+    # index is deliberately NOT unpersisted — over the SAME input the
+    # CacheManager plan-dedup bounds pinning at one evictable entry
+    # (the _capped_pair_counts measurement), and the registered plan
+    # query avoids this path entirely by passing the session-cached
+    # serving index. Callers cycling through many DISTINCT corpora in
+    # one session should train explicitly and release index.flat
+    # themselves.
     if index is None:
         index = ivf_train_distributed(
             df, id_col, vec_col, dim=dim, n_clusters=n_clusters,
@@ -951,6 +983,14 @@ def knn_classify(
         F.col("label").alias("true_label"),
         F.col("emb").alias("qv"),
     )
+    # fail loud on absent query ids (batch_cosine_topk contract): a
+    # silently-dropped query group skews the accuracy denominator
+    n_found = q.count()
+    if n_found != n_queries:
+        raise ValueError(
+            f"batch expects query ids 0..{n_queries - 1} in the corpus "
+            f"but only {n_found} are present"
+        )
     # the shared 9dp rank key (rank_key) — an inline copy of the floor
     # form here is exactly how a convention change lands one-sided
     cos_r = rank_key(cosine(F.col("emb"), F.col("qv")))
