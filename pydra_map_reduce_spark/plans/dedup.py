@@ -881,7 +881,16 @@ _DUP_WINDOW_CTES = f"""toks AS (
 
 def _dup_window_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(toks, dp): the tokenized corpus with 0-based positions, and the
-    duplicated-window start positions. Spark twin of _DUP_WINDOW_CTES."""
+    duplicated-window start positions. Spark twin of _DUP_WINDOW_CTES.
+
+    dp comes back PERSISTED (narrow: two bigints per duplicated
+    window, no unpersist): the detect half (duplicate_spans) and the
+    remove half (span_scrub) build the identical gram→md5→≥2-docs
+    subtree, so CacheManager's plan-dedup serves the second query from
+    the first's materialization instead of re-running the windowed
+    gram pass — the _capped_pair_counts lifecycle rationale, same
+    bounded, evictable pinning."""
+    from pyspark.storagelevel import StorageLevel
     from pyspark.sql.window import Window
 
     toks = d.select(
@@ -909,7 +918,12 @@ def _dup_window_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         .filter(F.col("nd") >= 2)
         .select("s")
     )
-    return toks, gid.join(dup, "s", "left_semi").select("doc_id", "pos")
+    dp = (
+        gid.join(dup, "s", "left_semi")
+        .select("doc_id", "pos")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return toks, dp
 
 
 @query(
