@@ -24,9 +24,11 @@ def pagerank(
 
     ``edges`` is a directed (src, dst) DataFrame. Each round: every
     node splits rank/out_degree along its out-edges, destinations sum
-    incoming contributions, rank = (1-d)/N + d·(in + dangling/N) where
+    incoming contributions, rank = (1-d) + d·(in + dangling/N) where
     the dangling mass (nodes with no out-edges) is redistributed
-    uniformly — ranks sum to N every round, the standard invariant.
+    uniformly — the SUM-TO-N normalization (teleport term (1-d) per
+    node, matching the code and the registered oracle), not the
+    sum-to-1 form whose teleport is (1-d)/N.
 
     The MR-flagship iterative algorithm, Spark-shaped: the edge list
     (with out-degrees pre-joined) is persisted once and reused every

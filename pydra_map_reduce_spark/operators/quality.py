@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textops import py_round_half_up, round_half_up
+from .textops import hash_uniform, py_round_half_up, round_half_up
 
 
 def ks_drift(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -100,18 +100,19 @@ def weighted_sample(
     NULL, which ascending nulls-first would sort INTO the sample,
     while DuckDB yields +inf, which sorts out; the guard removes the
     divergence instead of papering over it)."""
-    from .textops import hash_uniform
-
     u = hash_uniform(id_col)
     weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     pri = u / weight
+    # collision-safe internal name: withColumn REPLACES an existing
+    # column, so a user frame with its own 'pri' would be silently
+    # destroyed and then dropped from the output (r10 review)
     return (
         df.filter(weight > 0)
-        .withColumn("pri", pri)
-        .orderBy("pri", id_col)
+        .withColumn("__ws_pri", pri)
+        .orderBy("__ws_pri", id_col)
         .limit(k)
-        .withColumn("priority", round_half_up(F.col("pri"), 8))
-        .drop("pri")
+        .withColumn("priority", round_half_up(F.col("__ws_pri"), 8))
+        .drop("__ws_pri")
     )
 
 
@@ -127,8 +128,13 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     the result is independent of partitioning and engine. NULL
     scores are EXCLUDED (unrankable): a NULL score group would
     window-order first in Spark and last in a DuckDB mirror,
-    shifting cum_less for every real score."""
-    df = df.filter(F.col(score_col).isNotNull())
+    shifting cum_less for every real score. NULL LABELS are excluded
+    too: F.sum skips them in p/rank2_sum while their n still feeds
+    cum_less, which silently pushes AUC outside [0,1] (r10 review —
+    an unlabeled row can neither rank as positive nor as negative)."""
+    df = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     vals = df.groupBy(F.col(score_col).alias("v")).agg(
         F.count(F.lit(1)).alias("n"), F.sum(label_col).alias("p")
     )
@@ -179,7 +185,12 @@ def running_balance(
     state per key, output bounded to one row per key
     (key, n_events, final_balance). The key column keeps its INPUT
     type in the output schema (hardcoding e.g. 'long' would break
-    string-keyed tables)."""
+    string-keyed tables). NULL deltas are EXCLUDED before the replay
+    (and from n_events): a NULL arrives in pandas as NaN, NaN
+    propagates through the clamp, and the final rounding would die
+    with an opaque Python-worker ValueError — a no-movement row has
+    no defined place in an order-sensitive recurrence anyway
+    (mirrored in the registered oracle's WHERE)."""
     import pandas as pd
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -206,6 +217,7 @@ def running_balance(
     key_type = df.schema[key_col].dataType.simpleString()
     return (
         df.select(key_col, *order_cols, delta_col.alias("_delta"))
+        .filter(F.col("_delta").isNotNull())
         .groupBy(key_col)
         .applyInPandas(
             replay, f"{key_col} {key_type}, n_events long, final_balance double"
@@ -229,7 +241,16 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     column BEFORE joining: concat_ws silently SKIPS null elements, so
     without the sentinel ('a', NULL, 'b') and ('a', 'b', NULL) would
     both hash as 'a|b' and a nullable column would break positional
-    integrity (and an ||-style oracle would drop the whole row)."""
+    integrity (and an ||-style oracle would drop the whole row).
+
+    Column-type contract: engine-independence holds for columns whose
+    cast('string') rendering is canonical across engines — integers,
+    strings, dates. DOUBLE/FLOAT (and timestamp) columns are NOT
+    portable through this serialization — Spark renders Java-style
+    ('1.0E-4', 'Infinity') where DuckDB renders '0.0001' / 'inf', so
+    bit-identical data would checksum differently; normalize such
+    columns to a fixed-point string (cents) before gating on them
+    (the registered binding uses int/string columns only)."""
     row_ser = F.concat_ws(
         "|",
         *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
@@ -264,8 +285,6 @@ def pack_sequences(
     which genuinely needs applyInPandas); the window and the final
     aggregate both key on the group, so groups pack independently —
     per-writer parallelism at any scale."""
-    from pyspark.sql.window import Window
-
     if budget <= 0:
         # Spark's `div 0` yields NULL → sequence(NULL,NULL) → explode
         # drops every row: a silently EMPTY packing where a SQL mirror
@@ -320,6 +339,14 @@ def psi_drift(
     identically in BOTH engines, invisible to the differential gate.
     "Drift over observed values" is the honest contract (the ks_drift
     rationale)."""
+    import math
+
+    if not (isinstance(bin_width, (int, float)) and math.isfinite(bin_width) and bin_width > 0):
+        # value/0 is NULL under non-ANSI Spark → every row bins to the
+        # NULL bin the docstring above warns about → a plausible-
+        # looking garbage PSI over n_bins=1, silently. Name the misuse
+        # instead (the pack_sequences budget-guard convention).
+        raise ValueError(f"bin_width must be a positive finite number, got {bin_width!r}")
     df = df.filter(F.col(value_col).isNotNull())
     binned = df.select(
         group_col, F.floor(F.col(value_col) / bin_width).cast("bigint").alias("b")

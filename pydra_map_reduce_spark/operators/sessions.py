@@ -20,7 +20,11 @@ def session_ids(
     compares exact epoch microseconds so the boundary rule is
     engine-portable (no float seconds). Split out of :func:`sessionize`
     so path/sequence consumers that need event-level session labels
-    share the one boundary-rule definition instead of re-deriving it."""
+    share the one boundary-rule definition instead of re-deriving it.
+    The internal boundary flag uses a collision-safe name and is
+    dropped before returning — the output is exactly the input plus
+    ``sess_id`` (an input frame already carrying a session-boundary
+    column must not be silently clobbered)."""
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
     wrun = (
@@ -30,9 +34,14 @@ def session_ids(
     )
     us = F.unix_micros(ts_col)
     prev_us = F.lag(F.unix_micros(ts_col)).over(w)
-    return df.withColumn(
-        "new_sess", F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
-    ).withColumn("sess_id", F.sum("new_sess").over(wrun).cast("bigint"))
+    return (
+        df.withColumn(
+            "__sess_new",
+            F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("__sess_new").over(wrun).cast("bigint"))
+        .drop("__sess_new")
+    )
 
 
 def sessionize(
@@ -98,6 +107,18 @@ def funnel_steps(
             f"because they become output column names; got {bad}"
         )
     cols = [f"first_{s}" for s in steps]
+    # an input frame already carrying a first_<step> column would make
+    # the stage join emit duplicate names and the strictly-after
+    # filter die with AMBIGUOUS_REFERENCE far from the misuse — fail
+    # here with the collision named (same rationale as the '.'/'`'
+    # validation above)
+    clash = [c for c in cols if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input frame already has column(s) {clash}, which collide "
+            "with the funnel's first_<step> output columns; rename or "
+            "drop them first"
+        )
     prev = (
         df.filter(F.col(type_col) == steps[0])
         .groupBy(key_col)

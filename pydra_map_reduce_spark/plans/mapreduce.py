@@ -519,7 +519,7 @@ _RB_CAP = 1000.0  # clamp ceiling for the running balance
                CASE WHEN event_type IN ('view', 'click') THEN value
                     ELSE -value END AS delta,
                count(*) OVER (PARTITION BY user_id) AS n
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     rec AS (
         SELECT user_id, rn, n, least(greatest(delta, 0.0), {_RB_CAP}) AS bal

@@ -881,3 +881,30 @@ def test_winnowing_covers_every_window_and_is_sparse(spark):
             assert any(s <= p <= s + _WINNOW_W - 1 for p in selected), (doc_id, s)
         checked += 1
     assert checked >= 10, f"only {checked} docs replayed; sample too thin"
+
+
+def test_auc_and_running_balance_null_hygiene(spark):
+    """r10 review regressions: (a) a NULL label must be EXCLUDED from
+    AUC, not silently feed cum_less while skipping the positive/
+    negative counts (which pushed AUC outside [0,1]); (b) a NULL delta
+    must be excluded from the balance replay instead of NaN-crashing
+    the Python worker, and must not count toward n_events."""
+    from pydra_map_reduce_spark.operators.quality import auc, running_balance
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 0), (3.0, 1)], "score double, label int"
+    )
+    row = auc(df, "score", "label").collect()[0]
+    assert row["n_pos"] == 1 and row["n_neg"] == 1
+    assert row["auc"] == 1.0  # the NULL-label row contributes nothing
+
+    ev = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, 5.0)],
+        "user_id long, seq long, delta double",
+    )
+    out = running_balance(
+        ev, "user_id", ["seq"], F.col("delta"), cap=100.0
+    ).collect()
+    assert out == [(1, 2, 15.0)] or (
+        out[0]["n_events"] == 2 and out[0]["final_balance"] == 15.0
+    )
