@@ -1660,3 +1660,183 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         rendered = math.floor(abs(m) * 10000 + 0.5) / 10000
         out.append((step, best[0], rendered if m >= 0 else -rendered))
     return spark.createDataFrame(out, "step long, vec_id long, mmr double")
+
+
+def _ann_probe_curve_oracle(
+    n_clusters: int, lloyd_iters: int, probes: tuple[int, ...], k: int, n_queries: int
+) -> str:
+    """The recall-vs-n_probe sweep as one SQL text: shared unrolled-
+    Lloyd training + ONE per-(query, centroid) ranking + ONE rescored
+    candidate pool, then a per-probe-level top-k/intersection branch
+    unioned into the curve — the multi-probe generalization of
+    `_ann_recall_oracle` (same ranking keys, same recall form)."""
+    ctes, prev_c = _ivf_train_ctes(n_clusters, lloyd_iters)
+    max_probe = max(probes)
+    branches = []
+    for p in probes:
+        branches.append(f"""
+    ivf{p} AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ck DESC, vec_id) AS rn
+            FROM cand WHERE cellrank <= {p}
+        ) WHERE rn <= {k}
+    ), r{p} AS (
+        SELECT {p} AS n_probe, x.query_id,
+               CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM exact x
+        LEFT JOIN ivf{p} i ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+        GROUP BY x.query_id
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM r{p}" for p in probes)
+    return f"""
+    WITH {ctes},
+    qpt AS (SELECT vec_id AS query_id, pos, v FROM pt WHERE vec_id < {n_queries}),
+    qv AS (SELECT vec_id AS query_id, emb AS qvec FROM e WHERE vec_id < {n_queries}),
+    cellrank AS (
+        SELECT query_id, cid, rn AS cellrank FROM (
+            SELECT dd.query_id, dd.cid,
+                   row_number() OVER (PARTITION BY dd.query_id
+                                      ORDER BY dd.d2, dd.cid) AS rn
+            FROM (SELECT qp.query_id, c.cid,
+                         floor(sum((c.m - qp.v) * (c.m - qp.v)) * 1e9 + 0.5) / 1e9 AS d2
+                  FROM {prev_c} c JOIN qpt qp ON c.pos = qp.pos
+                  GROUP BY qp.query_id, c.cid) dd
+        ) WHERE rn <= {max_probe}
+    ),
+    cand AS (
+        SELECT pr.query_id, a.vec_id, pr.cellrank,
+               floor(list_cosine_similarity(e2.emb, q.qvec) * 1e9 + 0.5) / 1e9 AS ck
+        FROM af a
+        JOIN cellrank pr ON a.cid = pr.cid
+        JOIN e e2 ON e2.vec_id = a.vec_id
+        JOIN qv q ON q.query_id = pr.query_id
+        WHERE a.vec_id <> pr.query_id
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e2.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY floor(list_cosine_similarity(e2.emb, q.qvec)
+                                                     * 1e9 + 0.5) / 1e9 DESC,
+                                               e2.vec_id) AS rn
+            FROM e e2 CROSS JOIN qv q
+            WHERE e2.vec_id <> q.query_id
+        ) WHERE rn <= {k}
+    ),{",".join(branches)}
+    SELECT CAST(n_probe AS BIGINT) AS n_probe, query_id, n_hits,
+           floor(n_hits * 1.0 / {k} * 10000 + 0.5) / 10000 AS recall
+    FROM ({union})
+    ORDER BY n_probe, query_id
+    """
+
+
+_PROBE_LEVELS = (1, 2, 4)
+
+
+@query(
+    "ann_probe_curve",
+    oracle=_ann_probe_curve_oracle(
+        n_clusters=64, lloyd_iters=2, probes=_PROBE_LEVELS, k=5, n_queries=8
+    ),
+    section="2.11 ANN tuning curve: recall@5 vs n_probe (1/2/4) in one pass",
+)
+def ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The latency/recall trade-off curve an ANN deployment is TUNED
+    by: recall@5 per query at n_probe = 1, 2, 4 — read it to pick the
+    cheapest probe count that clears the recall target (ann_recall
+    reports one point of this curve; production tuning needs the
+    sweep). Serves from the SAME cached train-once index.
+
+    One pass for the whole sweep: centroids rank once per query
+    (cellrank ≤ max n_probe), the candidate pool rescores ONCE with
+    its cell rank attached, and each probe level is then a windowed
+    top-k over the cellrank-filtered pool — the corpus is touched
+    once, not once per level (an n_probe loop of ivf_serve calls
+    would triple the probe+rescore work for a 3-point curve). The
+    rescored pool and the exact top-k are checkpointed (both
+    bounded: ~n_queries·max_probe/n_clusters of the corpus and
+    k·n_queries rows) so the three level branches replay executor
+    state instead of the scan. Ranking keys (floored-1e9 d2 asc +
+    cid; floored-1e9 cosine desc + vec_id) and the recall form are
+    byte-identical to ann_recall's; the oracle re-derives training,
+    the ranking, all three level top-ks, and the intersections from
+    scratch."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import cosine_sql, rank_key, sq_dist_sql
+
+    k, probes = 5, _PROBE_LEVELS
+    max_probe = max(probes)
+    idx = _ivf_index(spark, sf_dir)
+    flat, cents, assigned, dim = idx.flat, idx.cents, idx.assigned, idx.dim
+    qf = flat.filter(F.col("vec_id") < 8).selectExpr(
+        "vec_id AS query_id",
+        "CAST(pmod(vec_id, 1) AS INT) AS jk",
+        *[f"v{i} AS q{i}" for i in range(dim)],
+    )
+    n_found = qf.count()
+    if n_found != 8:
+        raise ValueError(
+            f"batch expects query ids 0..7 in the corpus but only "
+            f"{n_found} are present"
+        )
+    wprobe = Window.partitionBy("query_id").orderBy("qd2", "cid")
+    cellrank = (
+        cents.withColumn("jk", F.expr("CAST(pmod(cid, 1) AS INT)"))
+        .join(F.broadcast(qf), "jk")
+        .selectExpr(
+            "query_id", "cid",
+            f"floor(({sq_dist_sql('m', 'q', dim)}) * 1e9 + 0.5) / 1e9 AS qd2",
+        )
+        .withColumn("cellrank", F.row_number().over(wprobe))
+        .filter(F.col("cellrank") <= max_probe)
+        .select("query_id", "cid", "cellrank")
+    )
+    cand = (
+        assigned.join(F.broadcast(cellrank), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(flat, "vec_id")
+        .join(F.broadcast(qf.drop("jk")), "query_id")
+        .selectExpr(
+            "query_id", "vec_id", "cellrank",
+            f"{cosine_sql('v', 'q', dim)} AS cos_raw",
+        )
+        .localCheckpoint(eager=True)
+    )
+    exact = (
+        ops.batch_cosine_topk(
+            load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            n_queries=8, k=k,
+        )
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        rank_key(F.col("cos_raw")).desc(), "vec_id"
+    )
+    out = None
+    for p in probes:
+        ivf_p = (
+            cand.filter(F.col("cellrank") <= p)
+            .withColumn("rn", F.row_number().over(wrank))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "vec_id", F.lit(1).alias("hit"))
+        )
+        r_p = (
+            exact.join(ivf_p, ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+            .select(
+                F.lit(p).cast("bigint").alias("n_probe"),
+                F.col("query_id").cast("bigint").alias("query_id"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+            )
+        )
+        out = r_p if out is None else out.unionAll(r_p)
+    return out.select(
+        "n_probe", "query_id", "n_hits",
+        (F.floor(F.col("n_hits") * 1.0 / k * 10000 + 0.5) / 10000).alias("recall"),
+    ).orderBy("n_probe", "query_id")
