@@ -38,6 +38,12 @@ class SynthReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.rows = int(options.get("rows", 1000))
         self.parts = int(options.get("parts", 8))
+        if self.parts < 1:
+            # parts=0 would yield an EMPTY partition list — a silently
+            # zero-row scan regardless of `rows`, far from the misuse
+            raise ValueError(f"parts must be >= 1, got {self.parts}")
+        if self.rows < 0:
+            raise ValueError(f"rows must be >= 0, got {self.rows}")
 
     def partitions(self) -> list[InputPartition]:
         return [InputPartition(i) for i in range(self.parts)]

@@ -37,17 +37,27 @@ TABLES = [
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # the driver's canonicalization path: pandas lexsort over all
-    # columns — this is exactly where a container/Decimal cell dies
+    # columns — this is exactly where a container/Decimal cell dies.
+    # Float columns round to 9dp BEFORE the sort (the canon_val
+    # convention: ulp-level diffs survive in-query round(), and an
+    # unrounded sort could mis-align two frames whose values are
+    # driver-equal, cascading misaligned-cell mismatches).
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(9)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
 def _cell_eq(a, b) -> bool:
-    """DATE-typed terminals are driver-green since r4, but pandas has
-    no date dtype: DuckDB's .df() renders DATE as datetime64 while
-    Spark's toPandas gives datetime.date objects — normalize both to
-    Timestamp before comparing so the sim doesn't flag a proven-safe
-    type (the r9 date_funcs2 false positive)."""
+    """Typed per-cell compare for OBJECT columns (strings, dates,
+    Nones). DATE-typed terminals are driver-green since r4, but pandas
+    has no date dtype: Spark's toPandas gives datetime.date objects —
+    normalize to Timestamp before comparing (the r9 date_funcs2 false
+    positive). NULL-vs-NaN is a RED, not a match: canon_val tags NaN
+    with a distinct sentinel because the engines must agree on
+    null-ness, so the sim must not green that class either."""
     import datetime as dt
+    import math
 
     # bool is tagged BEFORE the == check: Python True == 1, but the
     # driver's typed canonicalization fails a boolean-vs-integer
@@ -55,6 +65,12 @@ def _cell_eq(a, b) -> bool:
     # the sim must not green what the driver would red.
     if isinstance(a, bool) != isinstance(b, bool):
         return False
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return round(a, 9) == round(b, 9)
     try:
         if a == b:
             return True
@@ -66,6 +82,37 @@ def _cell_eq(a, b) -> bool:
         return bool(pd.isna(a)) and bool(pd.isna(b))
     except (TypeError, ValueError):
         return False
+
+
+def _col_eq(sa: pd.Series, da: pd.Series) -> bool:
+    """Column compare on the ORIGINAL dtypes — never through one
+    promoted to_numpy() array, which (a) greens int-vs-float dtype
+    mismatches (the HUGEINT/untyped-oracle-sum class the driver reds
+    even when values compare equal) and (b) collapses BIGINTs past
+    2^53 into lossy doubles on both sides."""
+    ks = "i" if sa.dtype.kind == "u" else sa.dtype.kind
+    kd = "i" if da.dtype.kind == "u" else da.dtype.kind
+    # datetime family: normalize object-of-datetime.date (Spark DATE)
+    # and any datetime64 RESOLUTION split (Spark toPandas gives [ns],
+    # DuckDB .df() gives [us]) to comparable values. NOT .equals() —
+    # that checks dtype identity and reds equal values stored at
+    # different resolutions (the r10 yoy_growth false red).
+    if {ks, kd} <= {"M", "O"} and "M" in (ks, kd):
+        try:
+            a, b = pd.to_datetime(sa), pd.to_datetime(da)
+            return bool(((a == b) | (a.isna() & b.isna())).all())
+        except (TypeError, ValueError):
+            return False
+    if ks != kd:
+        return False
+    if ks == "f":
+        # both already 9dp-rounded by _canon; NaN==NaN (a NULL in a
+        # float64 column is NaN on BOTH sides — a pandas rendering
+        # limit shared with the real driver's pandas path)
+        return bool(((sa == da) | (sa.isna() & da.isna())).all())
+    if ks in ("i", "b"):
+        return bool((sa == da).all())
+    return all(_cell_eq(x, y) for x, y in zip(sa.tolist(), da.tolist()))
 
 
 def main() -> int:
@@ -99,10 +146,7 @@ def main() -> int:
             rows = len(s) == len(d)
             cols = list(s.columns) == list(d.columns)
             vals = rows and cols and all(
-                _cell_eq(a, b)
-                for a, b in zip(
-                    s.to_numpy().ravel().tolist(), d.to_numpy().ravel().tolist()
-                )
+                _col_eq(s[c], d[c]) for c in s.columns
             )
             ok = rows and cols and vals
             print(f"{name}: rows={rows} cols={cols} vals={vals}", flush=True)
@@ -111,7 +155,10 @@ def main() -> int:
         except Exception:
             print(f"{name}: ERR\n{traceback.format_exc()}", flush=True)
             reds.append(name)
-    print(f"SUMMARY: {len(window) - len(reds)}/{len(window)} green; reds={reds}")
+    # wasted slots are in reds but not in window — don't double-
+    # subtract them from the green numerator
+    greens = len(window) - len([r for r in reds if r in window])
+    print(f"SUMMARY: {greens}/{len(window)} green; reds={reds}")
     return 1 if reds else 0
 
 
