@@ -72,9 +72,10 @@ _DRIVER_PRIORITY = [
 # Round-11 rotation queue: after the r10 window lands, the only
 # oracle-backed queries WITHOUT current driver evidence are
 # `revenue_share` (value-changed in the r9 sweeps, displaced from the
-# r10 window) and the three round-10 additions —
-# `winnowing_fingerprint`, `tokenizer_fertility`,
-# `dedup_survivor_bias` — plus anything added later in round 10. The
+# r10 window) and the five round-10 additions —
+# `winnowing_fingerprint`, `winnowing_neardup`, `tokenizer_fertility`,
+# `dedup_survivor_bias`, `ann_probe_curve` — plus anything added
+# later in round 10. The
 # r10 review sweeps changed NO values: the vector-family rounding pins
 # (allpairs threshold, vector_quantize codes/scale, covariance/pca
 # rendering) and the DECIMAL(38,0) money-sum widening were verified

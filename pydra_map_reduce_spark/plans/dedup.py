@@ -1216,10 +1216,14 @@ _WINNOW_K = 3  # tokens per k-gram (shared shingle width)
 _WINNOW_W = 4  # winnowing window: consecutive k-gram hashes per window
 
 
-@query(
-    "winnowing_fingerprint",
-    oracle=f"""
-    WITH toks AS (
+def _winnow_ctes() -> str:
+    """The winnowing selection as oracle CTE text, ending at
+    `fps(doc_id, pos, h)` (distinct selected fingerprints) — ONE
+    definition consumed by both the per-doc report
+    (winnowing_fingerprint) and the pair-detection index
+    (winnowing_neardup), so the k/w constants and the rightmost-min
+    rule cannot drift between them."""
+    return f"""toks AS (
         SELECT doc_id, unnest(tokens) AS w,
                generate_subscripts(tokens, 1) - 1 AS pos
         FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
@@ -1244,7 +1248,56 @@ _WINNOW_W = 4  # winnowing window: consecutive k-gram hashes per window
         FROM ex
     ), fps AS (
         SELECT DISTINCT doc_id, pos, h FROM sel WHERE rn = 1
+    )"""
+
+
+def _winnow_selection(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): the distinct winnowing-selected fingerprints.
+    Spark twin of _winnow_ctes — the ONE engine-side definition of the
+    selection pipeline (tokenize -> lead-window k-grams -> md5-prefix
+    hash -> per-window rightmost-argmin -> distinct)."""
+    from pyspark.sql.window import Window
+
+    k, w = _WINNOW_K, _WINNOW_W
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", "w", *[F.lead("w", i).over(win) for i in range(1, k)]
+        ).alias("g"),
+        F.lead("w", k - 1).over(win).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    gid = gram.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    ).withColumn("ng", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    ex = gid.filter(F.col("ng") >= w).select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("pos") - (w - 1)),
+                F.least(F.col("pos"), F.col("ng") - w),
+            )
+        ).alias("ws"),
     )
+    wsel = Window.partitionBy("doc_id", "ws").orderBy("h", F.col("pos").desc())
+    return (
+        ex.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos", "h")
+        .distinct()
+    )
+
+
+@query(
+    "winnowing_fingerprint",
+    oracle=f"""
+    WITH {_winnow_ctes()}
     SELECT doc_id,
            count(*)                      AS n_fp,
            count(DISTINCT h)             AS n_hashes,
@@ -1277,43 +1330,7 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     and max(0, pos-w+1) <= min(pos, ng-w) holds for every surviving
     pos <= ng-1. Tie-break pos DESC is the paper's rightmost-min rule
     and pins md5-prefix hash collisions identically in both engines."""
-    from pyspark.sql.window import Window
-
-    k, w = _WINNOW_K, _WINNOW_W
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    gram = toks.select(
-        "doc_id",
-        "pos",
-        F.concat_ws(
-            " ", "w", *[F.lead("w", i).over(win) for i in range(1, k)]
-        ).alias("g"),
-        F.lead("w", k - 1).over(win).alias("_last"),
-    ).filter(F.col("_last").isNotNull())
-    gid = gram.select(
-        "doc_id",
-        "pos",
-        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint").alias("h"),
-    ).withColumn("ng", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    ex = gid.filter(F.col("ng") >= w).select(
-        "doc_id",
-        "pos",
-        "h",
-        F.explode(
-            F.sequence(
-                F.greatest(F.lit(0), F.col("pos") - (w - 1)),
-                F.least(F.col("pos"), F.col("ng") - w),
-            )
-        ).alias("ws"),
-    )
-    wsel = Window.partitionBy("doc_id", "ws").orderBy("h", F.col("pos").desc())
-    fps = (
-        ex.withColumn("rn", F.row_number().over(wsel))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "pos", "h")
-        .distinct()
-    )
+    fps = _winnow_selection(load_table(spark, sf_dir, "documents"))
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fp"),
         F.countDistinct("h").alias("n_hashes"),
@@ -1371,4 +1388,54 @@ def dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.sum(kept_chars) * 1.0 / F.sum(kept), 2).alias(
             "mean_chars_kept"
         ),
+    )
+
+
+_WINNOW_MIN_SHARED = 2  # fingerprints shared before a pair is reported
+
+
+@query(
+    "winnowing_neardup",
+    oracle=f"""
+    WITH {_winnow_ctes()}, fph AS (
+        SELECT DISTINCT doc_id, h FROM fps
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared
+    FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+    section="2.11 winnowing-index near-dup candidates (fingerprint-join detection)",
+)
+def winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing sketch USED as the dedup index: pairs of
+    documents sharing >= 2 selected fingerprints, via a self-join on
+    the per-doc DISTINCT fingerprint hashes — the MOSS detection step.
+    Where ngram_jaccard_pairs joins the FULL df-capped shingle index
+    (every shingle a candidate key), this joins only the ~2/(w+1)
+    winnowed selection, shrinking both the index and the join's bucket
+    work by the same factor while the winnowing guarantee bounds the
+    miss class: any (w+k-1)-token overlap still shares >= 1
+    fingerprint (the >= 2 cut is the standard noise floor against
+    md5-prefix collisions and incidental single-gram matches).
+
+    Plan: the winnowing_fingerprint selection (shared constants, same
+    windowed stages) reduced to per-doc distinct hashes, then an
+    equi-self-join + keyed count — the inverted-index shape with a
+    sketch-sized posting list. At 100 TB add a df-cap on hot
+    fingerprints exactly like the shingle index's (a boilerplate
+    fingerprint has the same unbounded-bucket hazard at lower mass).
+    """
+    fph = (
+        _winnow_selection(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    a, b = fph.alias("a"), fph.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
