@@ -125,6 +125,11 @@ HEADLINE = [
     "kcenter_coreset",       # greedy k-center diversity selection (k passes)
     "quantize_recall",       # int8 retrieval recall@5 vs full precision
     "mmr_diversify",         # MMR shortlist rerank (relevance vs redundancy)
+    "winnowing_fingerprint", # MOSS robust winnowing selection (per-doc report)
+    "winnowing_neardup",     # fingerprint-join detection over the winnowed sketch
+    "tokenizer_fertility",   # per-lang subwords/word (tokenizer sizing)
+    "dedup_survivor_bias",   # profile shift under keep-first dedup
+    "ann_probe_curve",       # recall@5 vs n_probe sweep from the cached index
 ]
 
 

@@ -1655,3 +1655,36 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bpe") * 1.0 / F.sum("n_ws"), 4
         ).alias("fertility"),
     )
+
+
+@query(
+    "token_freq_spectrum",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT w, count(*) AS f FROM tok GROUP BY w
+    )
+    SELECT CAST(f AS BIGINT)        AS f,
+           count(*)                 AS n_types,
+           CAST(f * count(*) AS BIGINT) AS n_tokens
+    FROM freq GROUP BY f
+    """,
+    section="2.11 token frequency spectrum (count-of-counts, Good-Turing input)",
+)
+def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequency-of-frequencies spectrum N_f = |{types seen exactly
+    f times}| — the input to Good-Turing smoothing and the standard
+    corpus-health glance (a hapax-heavy spectrum means the tokenizer
+    is fragmenting; a truncated tail means boilerplate). Two keyed
+    aggregations (type counts, then count-of-counts over the tiny
+    distinct-f domain); n_tokens = f·N_f recovers the corpus mass per
+    band so the spectrum doubles as a mass audit. Same whitespace
+    tokenizer as every text query; exact BIGINTs only."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(textops.tokens("text")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    return freq.groupBy("f").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        (F.col("f") * F.count(F.lit(1))).cast("bigint").alias("n_tokens"),
+    ).select(F.col("f").cast("bigint").alias("f"), "n_types", "n_tokens")
