@@ -535,11 +535,12 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the closure oracle mirrors the same df <= 100 kept-CTE, keeping
     cap semantics engine-independent (the cap prunes nothing at
     today's fixture dfs — max 25 — but both sides move together if a
-    regeneration ever crosses 100)."""
-    pairs = ops.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
-    ).select("doc_a", "doc_b")
-    clusters = ops.dedup_clusters(pairs)
+    regeneration ever crosses 100). Labels come from the SESSION
+    label cache (_cluster_labels) — the cache entry IS this same
+    pair-graph + iterative-CC output, so the differential against the
+    recursive oracle still certifies the operator while the three
+    exact-graph cluster queries share one CC run per fixture."""
+    clusters = _cluster_labels(spark, sf_dir)
     return clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
@@ -823,10 +824,11 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the singleton remainder. All outputs exact BIGINTs.
     """
     d = load_table(spark, sf_dir, "documents")
-    pairs = ops.ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.2
-    ).select("doc_a", "doc_b")
-    labels = ops.dedup_clusters(pairs)
+    # session label cache: same (threshold 0.2, max_df 100) pair graph
+    # + iterative CC as dedup_clusters_exact / dedup_best_quality —
+    # one CC run per fixture serves all three, and the recursive
+    # oracle still re-derives the closure from scratch every call
+    labels = _cluster_labels(spark, sf_dir)
     csize = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
     hist = csize.groupBy("size").agg(
         F.count(F.lit(1)).alias("n_clusters"),
