@@ -72,15 +72,15 @@ _DRIVER_PRIORITY = [
 # Round-11 rotation queue: after the r10 window lands, the only
 # oracle-backed queries WITHOUT current driver evidence are
 # `revenue_share` (value-changed in the r9 sweeps, displaced from the
-# r10 window) and the six round-10 additions —
+# r10 window) and the seven round-10 additions —
 # `winnowing_fingerprint`, `winnowing_neardup`, `tokenizer_fertility`,
-# `dedup_survivor_bias`, `ann_probe_curve`, `token_freq_spectrum` —
-# plus anything added later in round 10. The
+# `dedup_survivor_bias`, `ann_probe_curve`, `token_freq_spectrum`,
+# `good_turing_discount` — plus anything added later in round 10. The
 # r10 review sweeps changed NO values: the vector-family rounding pins
 # (allpairs threshold, vector_quantize codes/scale, covariance/pca
 # rendering) and the DECIMAL(38,0) money-sum widening were verified
 # value-identical at all three SFs, so existing evidence stands.
-# Compose the r11 window from (1) those seven + later additions,
+# Compose the r11 window from (1) those eight + later additions,
 # (2) any r10 reds, then (3) the stalest greens oldest-first (the
 # r4/r5-era aggregation and io families not touched by the sweeps).
 # Keep rows-only queries out of the window.

@@ -1688,3 +1688,56 @@ def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         (F.col("f") * F.count(F.lit(1))).cast("bigint").alias("n_tokens"),
     ).select(F.col("f").cast("bigint").alias("f"), "n_types", "n_tokens")
+
+
+@query(
+    "good_turing_discount",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT w, count(*) AS f FROM tok GROUP BY w
+    ), spec AS (
+        SELECT f, count(*) AS n_types FROM freq GROUP BY f
+    ), tot AS (SELECT sum(f * n_types) AS n_tokens FROM spec)
+    SELECT CAST(a.f AS BIGINT) AS f,
+           CAST(a.n_types AS BIGINT) AS n_types,
+           floor((a.f + 1) * b.n_types * 1.0 / a.n_types * 1000000 + 0.5)
+               / 1000000 AS r_star,
+           floor((a.f + 1) * b.n_types * 1.0 / a.n_types
+                 / t.n_tokens * 1000000000 + 0.5) / 1000000000 AS p_gt
+    FROM spec a JOIN spec b ON b.f = a.f + 1
+    CROSS JOIN tot t
+    """,
+    section="2.11 Good-Turing discounted counts over the frequency spectrum",
+)
+def good_turing_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing re-estimation r* = (f+1)·N_{f+1}/N_f over the token
+    frequency spectrum — the smoothing every count-based LM applies to
+    its low-frequency tail (and the source of the unseen-mass estimate
+    N_1/N). Emitted for every f whose successor band N_{f+1} is
+    occupied (the inner join IS the standard empty-band cutoff; both
+    engines drop the same rows). r* and the per-token probability p_gt
+    divide exact integers and render through the floor-half-up forms,
+    mirrored verbatim. Plan: the spectrum is two keyed aggs; the
+    discount is a self-join on the tiny distinct-f domain plus one
+    broadcast scalar — nothing corpus-sized past the first agg."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(textops.tokens("text")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    spec = freq.groupBy("f").agg(F.count(F.lit(1)).alias("n_types"))
+    tot = spec.agg(F.sum(F.col("f") * F.col("n_types")).alias("n_tokens"))
+    a, b = spec.alias("a"), spec.alias("b")
+    r_star = (
+        (F.col("a.f") + 1) * F.col("b.n_types") * 1.0 / F.col("a.n_types")
+    )
+    return (
+        a.join(b, F.col("b.f") == F.col("a.f") + 1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a.f").cast("bigint").alias("f"),
+            F.col("a.n_types").cast("bigint").alias("n_types"),
+            textops.round_half_up(r_star, 6).alias("r_star"),
+            textops.round_half_up(r_star / F.col("n_tokens"), 9).alias("p_gt"),
+        )
+    )
