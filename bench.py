@@ -130,6 +130,8 @@ HEADLINE = [
     "tokenizer_fertility",   # per-lang subwords/word (tokenizer sizing)
     "dedup_survivor_bias",   # profile shift under keep-first dedup
     "ann_probe_curve",       # recall@5 vs n_probe sweep from the cached index
+    "token_freq_spectrum",   # count-of-counts spectrum (Good-Turing input)
+    "good_turing_discount",  # GT re-estimated counts over the spectrum
 ]
 
 
