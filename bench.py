@@ -132,6 +132,7 @@ HEADLINE = [
     "ann_probe_curve",       # recall@5 vs n_probe sweep from the cached index
     "token_freq_spectrum",   # count-of-counts spectrum (Good-Turing input)
     "good_turing_discount",  # GT re-estimated counts over the spectrum
+    "kneser_ney_perplexity", # interpolated-KN bigram LM (continuation counts)
 ]
 
 

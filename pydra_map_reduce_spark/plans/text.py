@@ -1741,3 +1741,83 @@ def good_turing_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             textops.round_half_up(r_star / F.col("n_tokens"), 9).alias("p_gt"),
         )
     )
+
+
+@query(
+    "kneser_ney_perplexity",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id, tokens[i] AS w1, tokens[i+1] AS w2
+        FROM (
+            SELECT doc_id, tokens,
+                   unnest(generate_series(1, len(tokens) - 1)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+        )
+    ), cnt AS (
+        SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+    ), pre AS (
+        SELECT w1, sum(n) AS np, count(*) AS nctx FROM cnt GROUP BY w1
+    ), cont AS (
+        SELECT w2, count(*) AS nc FROM cnt GROUP BY w2
+    ), bt AS (SELECT count(*) AS n_bt FROM cnt)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           floor(exp(-avg(ln((cnt.n - 0.75) / pre.np
+                             + 0.75 * pre.nctx / pre.np
+                               * (cont.nc * 1.0 / bt.n_bt))))
+                 * 100 + 0.5) / 100 AS ppl_kn
+    FROM bg
+    JOIN cnt ON cnt.w1 = bg.w1 AND cnt.w2 = bg.w2
+    JOIN pre ON pre.w1 = bg.w1
+    JOIN cont ON cont.w2 = bg.w2
+    CROSS JOIN bt
+    GROUP BY bg.doc_id
+    """,
+    section="2.11 Kneser-Ney bigram perplexity (continuation-count smoothing)",
+)
+def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under interpolated Kneser-Ney (D=0.75):
+    p(w2|w1) = (n(w1,w2)-D)/n(w1·) + D·N1+(w1·)/n(w1·) · P_cont(w2),
+    P_cont(w2) = N1+(·w2)/|bigram types| — the smoothing that scores a
+    word by how many CONTEXTS it follows rather than raw frequency
+    ('Francisco' is frequent but only after 'San'; KN is what modern
+    count-LM baselines actually use, vs bigram_perplexity's unsmoothed
+    MLE and trigram_perplexity_jm's count-interpolation). Every count
+    n >= 1 so n-D > 0 and no max() clamp is needed; the probability
+    expression is the same left-to-right float chain in both engines,
+    and the exp/ln aggregate renders at 2dp (the <= 4dp rule for
+    log-amplified noise). Model tables are keyed aggs over the bigram
+    table; the per-token joins stay shuffle joins co-partitioned with
+    the token stream (bigram_perplexity's scale note); the one scalar
+    |bigram types| is a broadcast cross join."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "w1")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select("doc_id", "w1", F.lead("w1", 1).over(wdoc).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    pre = cnt.groupBy("w1").agg(
+        F.sum("n").alias("np"), F.count(F.lit(1)).alias("nctx")
+    )
+    cont = cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    bt = cnt.agg(F.count(F.lit(1)).alias("n_bt"))
+    p_kn = (F.col("n") - 0.75) / F.col("np") + F.lit(0.75) * F.col(
+        "nctx"
+    ) / F.col("np") * (F.col("nc") * 1.0 / F.col("n_bt"))
+    return (
+        bg.join(cnt, ["w1", "w2"])
+        .join(pre, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(bt))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round_half_up(F.exp(-F.avg(F.log(p_kn))), 2).alias("ppl_kn"),
+        )
+    )

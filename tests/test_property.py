@@ -908,3 +908,26 @@ def test_auc_and_running_balance_null_hygiene(spark):
     assert out == [(1, 2, 15.0)] or (
         out[0]["n_events"] == 2 and out[0]["final_balance"] == 15.0
     )
+
+
+def test_ivf_serve_batch_matches_single_serves(spark):
+    """The batched multi-query serve must return EXACTLY the rows the
+    per-query single serves return (same index, same n_probe/k, same
+    ranking keys) — the equivalence that justified rewiring ann_recall
+    onto one plan."""
+    from pydra_map_reduce_spark.operators import similarity as ops
+    from pydra_map_reduce_spark.plans.vectors import _ivf_index
+
+    from .conftest import SF_DIR
+
+    idx = _ivf_index(spark, SF_DIR)
+    batch = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in ops.ivf_serve_batch(idx, 4, n_probe=4, k=5).collect()
+    }
+    singles = {}
+    for q in range(4):
+        for r in ops.ivf_serve_distributed(idx, q, n_probe=4, k=5).collect():
+            singles[(q, r["vec_id"])] = r["cos"]
+    assert batch == singles
+    assert len(batch) == 4 * 5
