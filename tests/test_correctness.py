@@ -34,11 +34,21 @@ def canon_val(v):
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            # distinct sentinel: NULL-vs-NaN disagreements between the
-            # engines must FAIL, not silently compare equal to None
-            return "NaN"
-        # collapse ulp-level diffs that survive in-query round()
-        return round(v, 9)
+            # TAGGED sentinel: NULL-vs-NaN disagreements between the
+            # engines must FAIL, not silently compare equal to None —
+            # and a genuine VARCHAR cell 'NaN' must not collide with a
+            # float NaN either (the bool-tag rationale)
+            return ("float", "NaN")
+        # collapse ulp-level diffs that survive in-query round(); the
+        # +0.0 normalizes -0.0 so the repr-keyed multiset sort can't
+        # misalign two frames whose cells all compare == (repr(-0.0)
+        # sorts before repr(0.0) but -0.0 == 0.0). TAGGED like bool:
+        # a Spark BIGINT 3 vs an oracle DOUBLE 3.0 is a type
+        # disagreement the driver's typed pandas canonicalization
+        # sees (int64 vs float64 columns) — 3 == 3.0 in bare Python
+        # would green the exact replica-green/driver-red gap the bool
+        # tag closed (and the r10 driver_sim rewrite now reds).
+        return ("float", round(v, 9) + 0.0)
     if isinstance(v, bool):
         # DISTINCT from int: True == 1 in Python, so without the tag a
         # Spark boolean column silently compares equal to an oracle

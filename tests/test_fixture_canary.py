@@ -69,12 +69,19 @@ def test_embeddings_have_positive_norm(sf_dir):
     top-k hash mismatch."""
     import duckdb
 
-    bad = duckdb.connect().execute(
-        f"""
-        SELECT vec_id FROM read_parquet('{sf_dir}/embeddings.parquet')
-        WHERE list_aggregate([x * x for x in CAST(embedding AS DOUBLE[])],
-                             'sum') = 0
-        LIMIT 5
-        """
-    ).fetchall()
-    assert not bad, f"zero-norm embeddings at {sf_dir}: {bad}"
+    with duckdb.connect() as con:
+        # COALESCE(...) = 0 OR IS NULL: a NULL or EMPTY embedding sums
+        # to NULL, and `NULL = 0` is NULL — the un-coalesced predicate
+        # silently passed exactly the degenerate rows this canary
+        # exists to name (r10 review)
+        bad = con.execute(
+            f"""
+            SELECT vec_id FROM read_parquet('{sf_dir}/embeddings.parquet')
+            WHERE embedding IS NULL
+               OR coalesce(list_aggregate(
+                      [x * x for x in CAST(embedding AS DOUBLE[])], 'sum'),
+                  0) = 0
+            LIMIT 5
+            """
+        ).fetchall()
+    assert not bad, f"zero-norm/NULL/empty embeddings at {sf_dir}: {bad}"

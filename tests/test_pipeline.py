@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -55,14 +57,19 @@ def test_wordcount_python_tier(spark, duck):
 def test_join_topk(spark, duck):
     orders = Pipeline.read_parquet(spark, f"{SF_DIR}/orders.parquet")
     cust = Pipeline.read_parquet(spark, f"{SF_DIR}/customer.parquet")
+    # fixed-point money sum (the repo convention): round(sum(double),2)
+    # compared exactly across engines can flip a cent when the
+    # order-dependent float sum lands near a .005 boundary
+    from pydra_map_reduce_spark.operators.textops import money_sum, money_sum_sql
+
     p = (
         orders.join(cust, F.col("o_custkey") == F.col("c_custkey"), broadcast=True)
-        .reduce_by_key(["c_mktsegment"], spend=F.round(F.sum("o_totalprice"), 2))
+        .reduce_by_key(["c_mktsegment"], spend=money_sum("o_totalprice"))
         .top_k(3, F.col("spend").desc())
     )
     _check(
         duck,
-        """SELECT c_mktsegment, round(sum(o_totalprice),2) AS spend
+        f"""SELECT c_mktsegment, {money_sum_sql('o_totalprice')} AS spend
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_mktsegment ORDER BY spend DESC LIMIT 3""",
         p.to_df(),
@@ -73,8 +80,15 @@ def test_reduce_by_key_py(spark, duck):
     def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
         import math
 
-        q = pdf["l_quantity"]
-        wavg = (q * pdf["l_extendedprice"]).sum() / q.sum()
+        import numpy as np
+
+        # exact integer accumulation (the money-sum convention): a raw
+        # float dot-product sum is order-dependent (pandas pairwise vs
+        # DuckDB sequential) and can flip the 4th decimal at a .00005
+        # boundary — price cents are exact ints, quantities integral
+        q = pdf["l_quantity"].to_numpy()
+        cents = np.floor(pdf["l_extendedprice"].to_numpy() * 100 + 0.5)
+        wavg = float((q * cents).sum()) / 100.0 / float(q.sum())
         # half-up to match SQL round() (python round is banker's)
         return pd.DataFrame(
             {
@@ -90,7 +104,10 @@ def test_reduce_by_key_py(spark, duck):
     )
     _check(
         duck,
-        """SELECT l_returnflag, round(sum(l_quantity*l_extendedprice)/sum(l_quantity),4) AS wavg
+        """SELECT l_returnflag,
+                  floor(CAST(sum(l_quantity * CAST(round(l_extendedprice * 100)
+                                                   AS BIGINT)) AS DOUBLE)
+                        / 100 / sum(l_quantity) * 1e4 + 0.5) / 1e4 AS wavg
            FROM lineitem GROUP BY l_returnflag""",
         p.to_df(),
     )
@@ -107,9 +124,14 @@ def test_llm_convenience_methods(spark, duck):
     """Pipeline.dedup_exact / sessionize delegate to the operator lib."""
     docs = Pipeline.read_parquet(spark, f"{SF_DIR}/documents.parquet")
     dd = docs.dedup_exact("doc_id", "text").to_df()
-    assert dd.count() == duck.execute("SELECT count(DISTINCT text) FROM documents").fetchone()[0]
+    assert dd.count() == duck.execute(
+        # DISTINCT-subquery form: count(DISTINCT text) would drop a
+        # NULL-text group that dedup_exact's groupBy keeps
+        "SELECT count(*) FROM (SELECT DISTINCT text FROM documents)"
+    ).fetchone()[0]
 
-    # events.parquet stores nanos ts; go through the supported loader
+    # events.ts unit varies by fixture generation (ns legacy, us now);
+    # the loader branches on the parquet footer — go through it
     from pydra_map_reduce_spark.sources.tables import load_table
 
     sess = Pipeline(load_table(spark, SF_DIR, "events")).sessionize(
@@ -151,7 +173,8 @@ def test_survey_table_matches_registry():
 
     from pydra_map_reduce_spark.plans import REGISTRY
 
-    text = open("SURVEY.md").read()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(here, "SURVEY.md")).read()
     sect = text.split("### 2.13")[1].split("### 2.12")[0]
     listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", sect, re.M))
     assert listed == set(REGISTRY), (
@@ -164,7 +187,10 @@ def test_survey_table_matches_registry():
     assert tuple(map(int, totals.groups())) == (
         len(REGISTRY), n_oracle, len(REGISTRY) - n_oracle,
     )
-    readme = re.search(r"(\d+) queries, each a thin fixture binding", open("README.md").read())
+    readme = re.search(
+        r"(\d+) queries, each a thin fixture binding",
+        open(os.path.join(here, "README.md")).read(),
+    )
     assert readme is not None and int(readme.group(1)) == len(REGISTRY), readme
 
 
