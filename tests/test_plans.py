@@ -822,3 +822,28 @@ def test_incremental_dedup_statuses_all_fire(spark):
         F.sum("n_dup_batch").alias("b"),
     ).first()
     assert tot["k"] > 0 and tot["i"] > 0 and tot["b"] > 0, tuple(tot)
+
+
+def test_ivf_serve_batch_and_probe_curve_join_discipline(spark):
+    """The batched multi-query serve and the probe-curve sweep must
+    keep the IVF family's join discipline: centroid fan-out rides the
+    non-foldable pmod constant key onto BroadcastHashJoin; candidate
+    fetch and query attachment are hash joins on real columns — no
+    cartesian, no nested loop anywhere in either plan."""
+    from pydra_map_reduce_spark.operators import similarity as ops
+    from pydra_map_reduce_spark.plans import REGISTRY
+    from pydra_map_reduce_spark.plans.vectors import _ivf_index
+
+    idx = _ivf_index(spark, SF_DIR)
+    batch_plan = _executed(ops.ivf_serve_batch(idx, 8, n_probe=4, k=5))
+    assert "CartesianProduct" not in batch_plan, batch_plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in batch_plan, batch_plan[:3000]
+    assert "BroadcastHashJoin" in batch_plan, batch_plan[:3000]
+    # ann_probe_curve eagerly checkpoints its candidate pool and exact
+    # top-k at build time, so the TERMINAL plan contains only windows
+    # over LogicalRDDs — its join discipline is the ivf_serve_batch
+    # construction asserted above plus batch_cosine_topk's deliberate
+    # 8-row-broadcast fan-out. The terminal plan must still be free of
+    # unbroadcast cartesians.
+    curve_plan = _executed(REGISTRY["ann_probe_curve"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in curve_plan, curve_plan[:3000]
