@@ -75,13 +75,13 @@ _DRIVER_PRIORITY = [
 # r10 window) and the seven round-10 additions —
 # `winnowing_fingerprint`, `winnowing_neardup`, `tokenizer_fertility`,
 # `dedup_survivor_bias`, `ann_probe_curve`, `token_freq_spectrum`,
-# `good_turing_discount`, `kneser_ney_perplexity` — plus anything
-# added later in round 10. The
+# `good_turing_discount`, `kneser_ney_perplexity`,
+# `minhash_estimate_error` — plus anything added later in round 10. The
 # r10 review sweeps changed NO values: the vector-family rounding pins
 # (allpairs threshold, vector_quantize codes/scale, covariance/pca
 # rendering) and the DECIMAL(38,0) money-sum widening were verified
 # value-identical at all three SFs, so existing evidence stands.
-# Compose the r11 window from (1) those nine + later additions,
+# Compose the r11 window from (1) those ten + later additions,
 # (2) any r10 reds, then (3) the stalest greens oldest-first (the
 # r4/r5-era aggregation and io families not touched by the sweeps).
 # Keep rows-only queries out of the window.

@@ -133,6 +133,7 @@ HEADLINE = [
     "token_freq_spectrum",   # count-of-counts spectrum (Good-Turing input)
     "good_turing_discount",  # GT re-estimated counts over the spectrum
     "kneser_ney_perplexity", # interpolated-KN bigram LM (continuation counts)
+    "minhash_estimate_error",# sketch-accuracy eval (J-hat vs exact J per pair)
 ]
 
 

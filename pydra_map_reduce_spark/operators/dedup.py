@@ -372,6 +372,52 @@ def portable_shingle_ids(
     ).distinct()
 
 
+def minhash_signatures(sh_rows: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc_id, h0..h{n-1}): MinHash signature frame from a shingle-id
+    frame ``sh_rows(doc_id, s)`` through the fixed (a_i·x+b_i) mod p
+    family — THE one signature definition (extracted from
+    minhash_lsh_pairs so the estimate-accuracy evaluation scores the
+    exact signatures the production pipeline bands, not a re-typed
+    copy; mirrors the oracle's `sigs` CTE)."""
+    tok = sh_rows.select("doc_id", F.pmod("s", F.lit(2**32)).alias("tid"))
+    sig_cols = [
+        F.min((F.lit(_A[i]) * F.col("tid") + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return tok.groupBy("doc_id").agg(*sig_cols)
+
+
+def minhash_band_candidates(
+    sigs: DataFrame, n_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_a, doc_b): distinct band-equality candidate pairs from a
+    signature frame — the LSH bucket join (oracle twin: the `bnd` +
+    `cand` CTEs). One definition shared by the pair pipeline and the
+    estimate-accuracy evaluation."""
+    rows = n_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("_", *[f"h{bi * rows + r}" for r in range(rows)]).alias("sig"),
+        )
+        for bi in range(bands)
+    ]
+    bnd = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "doc_id", "bs.band", "bs.sig"
+    )
+    a, b = bnd.alias("a"), bnd.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -413,7 +459,6 @@ def minhash_lsh_pairs(
             f"n_hashes={n_hashes} exceeds the {len(_A)}-function "
             "deterministic hash family (_A/_B); widen the family to go higher"
         )
-    rows = n_hashes // bands
     # persist: reused by signatures and by the exact rescore (same
     # evictability note as in ngram_jaccard_pairs)
     if portable_hash:
@@ -421,33 +466,8 @@ def minhash_lsh_pairs(
     else:
         sh_rows = shingle_rows(df, id_col, text_col, shingle_n)
     sh_rows = sh_rows.persist(StorageLevel.MEMORY_AND_DISK)
-    tok = sh_rows.select("doc_id", F.pmod("s", F.lit(2**32)).alias("tid"))
-    sig_cols = [
-        F.min((F.lit(_A[i]) * F.col("tid") + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sigs = tok.groupBy("doc_id").agg(*sig_cols)
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws("_", *[f"h{bi * rows + r}" for r in range(rows)]).alias("sig"),
-        )
-        for bi in range(bands)
-    ]
-    bnd = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
-        "doc_id", "bs.band", "bs.sig"
-    )
-    a, b = bnd.alias("a"), bnd.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sigs = minhash_signatures(sh_rows, n_hashes)
+    cand = minhash_band_candidates(sigs, n_hashes, bands)
     from .textops import round_half_up  # deferred: circular with textops
 
     # rescore on hashed-shingle sets (same intersection modulo

@@ -1441,3 +1441,127 @@ def winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
+
+
+_MH_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(32)
+)
+
+
+@query(
+    "minhash_estimate_error",
+    oracle=f"""
+    WITH {_minhash_portable_ctes()},
+    agree AS (
+        SELECT c.doc_a, c.doc_b, ({_MH_AGREE_SQL}) AS n_agree
+        FROM cand c
+        JOIN sigs a ON a.doc_id = c.doc_a
+        JOIN sigs b ON b.doc_id = c.doc_b
+    )
+    SELECT g.doc_a, g.doc_b,
+           CAST(g.n_agree AS BIGINT) AS n_agree,
+           floor(g.n_agree / 32.0 * 1e6 + 0.5) / 1e6 AS j_est,
+           floor(coalesce(i.n_inter, 0)::DOUBLE
+                 / (sa.n + sb.n - coalesce(i.n_inter, 0)) * 1e6 + 0.5) / 1e6
+               AS j_true,
+           floor(abs(g.n_agree / 32.0
+                     - coalesce(i.n_inter, 0)::DOUBLE
+                       / (sa.n + sb.n - coalesce(i.n_inter, 0)))
+                 * 1e6 + 0.5) / 1e6 AS abs_err
+    FROM agree g
+    LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+    JOIN sizes sa ON sa.doc_id = g.doc_a
+    JOIN sizes sb ON sb.doc_id = g.doc_b
+    """,
+    section="2.11 MinHash estimator accuracy (slot-agreement Ĵ vs exact J per pair)",
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the 32-hash MinHash estimate itself? For every LSH
+    candidate pair: Ĵ = (agreeing signature slots)/32 — the estimator
+    sketch-based systems USE when they skip the exact rescore — next
+    to the exact Jaccard over the same portable shingle sets, plus the
+    absolute error. E[Ĵ] = J with σ = √(J(1-J)/32) ≈ 0.09; a team
+    reads this table to decide whether n_hashes is adequate before
+    dropping the rescore stage at scale. Scores the EXACT signatures
+    the production pipeline bands (minhash_signatures /
+    minhash_band_candidates are the same definitions minhash_lsh_pairs
+    executes; the oracle re-derives both from the shared portable
+    CTEs). Per-pair output only — every value is a deterministic
+    function of exact integers (no cross-pair float aggregation to
+    order-drift); candidates with NO shared shingle keep j_true = 0
+    via the mirrored left join + coalesce. Plan: the small distinct
+    candidate frame broadcasts onto the signature/size/intersection
+    frames; the shingle index persists for its three consumers and
+    releases after the bounded per-pair result checkpoints (the
+    lsh_recall lifecycle — this index plan is UNIQUE to the portable
+    evaluation family, so CacheManager sharing with the xxhash64
+    production path doesn't apply)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.dedup import (
+        _spread,
+        minhash_band_candidates,
+        minhash_signatures,
+        portable_shingle_ids,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = portable_shingle_ids(_spread(d), "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        sigs = minhash_signatures(sh, 32)
+        cand = minhash_band_candidates(sigs, 32, 8)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sga = sigs.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"h{i}").alias(f"ha{i}") for i in range(32)],
+        )
+        sgb = sigs.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"h{i}").alias(f"hb{i}") for i in range(32)],
+        )
+        n_agree = sum(
+            (
+                F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+                for i in range(32)
+            ),
+            F.lit(0),
+        )
+        agree = (
+            cand.join(sga, "doc_a")
+            .join(sgb, "doc_b")
+            .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+        )
+        ni = F.coalesce(F.col("n_inter"), F.lit(0))
+        j_true_raw = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+        j_est_raw = F.col("n_agree") / 32.0
+        out = (
+            agree.join(inter, ["doc_a", "doc_b"], "left")
+            .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("n_agree").cast("bigint").alias("n_agree"),
+                round_half_up(j_est_raw, 6).alias("j_est"),
+                round_half_up(j_true_raw, 6).alias("j_true"),
+                round_half_up(F.abs(j_est_raw - j_true_raw), 6).alias("abs_err"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        sh.unpersist()
