@@ -76,7 +76,8 @@ _DRIVER_PRIORITY = [
 # `winnowing_fingerprint`, `winnowing_neardup`, `tokenizer_fertility`,
 # `dedup_survivor_bias`, `ann_probe_curve`, `token_freq_spectrum`,
 # `good_turing_discount`, `kneser_ney_perplexity`,
-# `minhash_estimate_error` — plus anything added later in round 10. The
+# `minhash_estimate_error`, `association_rules`, `pq_recall` — plus
+# anything added later in round 10. The
 # r10 review sweeps changed NO values: the vector-family rounding pins
 # (allpairs threshold, vector_quantize codes/scale, covariance/pca
 # rendering) and the DECIMAL(38,0) money-sum widening were verified

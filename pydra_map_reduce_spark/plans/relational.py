@@ -1175,6 +1175,116 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "association_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (
+        SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items
+    ), ic AS (
+        SELECT item, count(*) AS c FROM items GROUP BY item
+    ), pairs AS (
+        SELECT a.item AS x, b.item AS y, count(*) AS c_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+        GROUP BY a.item, b.item
+    ), rules AS (
+        SELECT x AS antecedent, y AS consequent, c_ab FROM pairs
+        UNION ALL
+        SELECT y AS antecedent, x AS consequent, c_ab FROM pairs
+    )
+    SELECT antecedent, consequent,
+           CAST(c_ab AS BIGINT) AS support_ab,
+           floor(CAST(c_ab AS DOUBLE) / ca.c * 1e6 + 0.5) / 1e6 AS confidence,
+           floor(CAST(c_ab * n.n_baskets AS DOUBLE) / (ca.c * cc.c) * 1e6 + 0.5)
+               / 1e6 AS lift
+    FROM rules r
+    JOIN ic ca ON ca.item = r.antecedent
+    JOIN ic cc ON cc.item = r.consequent
+    CROSS JOIN n
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 20
+    """,
+    section="2.4/2.11 association-rule mining (confidence/lift over co-order pairs)",
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rule layer on top of `basket_pairs`: for every ordered
+    brand pair A→B co-occurring in an order basket, support
+    (co-order count), confidence P(B|A) and lift
+    P(A,B)/(P(A)·P(B)) — the three classic Agrawal-Apriori metrics a
+    merchandising or data-mixing team ranks rules by. Top-20 by lift,
+    ties broken lexicographically so the cut is deterministic.
+
+    Scale shape: the pair generation is the same bounded per-basket
+    self-join as basket_pairs (work Σ lines², never corpus²); item
+    counts and the basket total are dim-sized (|brands| and 1 row)
+    and broadcast onto the pair counts; the top-20 is a TakeOrdered
+    reduce, not a global sort. All counts are exact integers — the
+    only float op per rule is ONE division of exact BIGINT products,
+    identically associated on both engines, then the standard
+    half-up pin."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    ic = li.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    rules = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "c_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "c_ab"
+        )
+    )
+    ca = ic.select(F.col("item").alias("antecedent"), F.col("c").alias("c_a"))
+    cc = ic.select(F.col("item").alias("consequent"), F.col("c").alias("c_c"))
+    return (
+        rules.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cc), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_ab").cast("bigint").alias("support_ab"),
+            (
+                F.floor(F.col("c_ab").cast("double") / F.col("c_a") * 1e6 + 0.5)
+                / 1e6
+            ).alias("confidence"),
+            (
+                F.floor(
+                    (F.col("c_ab") * F.col("n_baskets")).cast("double")
+                    / (F.col("c_a") * F.col("c_c"))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
+@query(
     "rollup_grouping_id",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
