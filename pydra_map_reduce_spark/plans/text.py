@@ -1821,3 +1821,102 @@ def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.exp(-F.avg(F.log(p_kn))), 2).alias("ppl_kn"),
         )
     )
+
+
+@query(
+    "perplexity_gate",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, word
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE lang IS NOT NULL)
+        WHERE word <> ''
+    ), freq AS (
+        SELECT lang, word, count(*) AS n FROM tok GROUP BY lang, word
+    ), tot AS (
+        SELECT lang, sum(n) AS total FROM freq GROUP BY lang
+    ), ppl AS (
+        SELECT t.doc_id, t.lang,
+               floor(exp(-avg(ln(f.n / tt.total))) * 100 + 0.5) / 100 AS ppl
+        FROM tok t
+        JOIN freq f ON t.lang = f.lang AND t.word = f.word
+        JOIN tot tt ON t.lang = tt.lang
+        GROUP BY t.doc_id, t.lang
+    ), rk AS (
+        SELECT lang, doc_id, ppl,
+               row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS rnk,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM ppl
+    )
+    SELECT lang,
+           CASE WHEN rnk * 3 <= n THEN 'head'
+                WHEN rnk * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           min(ppl) AS min_ppl,
+           max(ppl) AS max_ppl
+    FROM rk
+    GROUP BY lang, bucket
+    """,
+    section="2.11 CCNet-style perplexity gate (per-language head/middle/tail terciles)",
+)
+def perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet corpus-filtering gate (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document's perplexity under its OWN
+    language's unigram LM, then split each language into equal-count
+    head/middle/tail terciles by perplexity rank — head is the
+    cleanest third a pretraining mix keeps, tail is the third it
+    drops. Output: per (lang, bucket) document count and the ppl
+    range covered, the table a data team reads to set the keep line.
+
+    Buckets are RANK terciles (CCNet's actual recipe: sort by ppl,
+    cut by thirds of documents), not interpolated percentiles — the
+    bucket boundary is exact integer math (rnk*3 vs n), immune to the
+    cross-engine quantile-interpolation ulp class; the only float in
+    the operator is the per-doc ppl itself (exact-integer-ratio ln,
+    the unigram_perplexity discipline, 2dp-pinned before it becomes
+    a ranking key with doc_id tiebreak). NULL-lang docs are excluded
+    on both sides — no LM to score them under.
+
+    Scale shape: per-lang freq table broadcast onto the token stream
+    + dim-sized totals (the unigram_perplexity plan, keyed by lang);
+    the rank is ONE window partitioned by lang. At 100 TB the
+    per-lang sort is the bottleneck — swap the exact rank for
+    approx_percentile cutoffs per lang (dim-sized, broadcast, same
+    comparison form) and keep this exact form as the oracle."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    tok = d.select(
+        "doc_id", "lang", F.explode(textops.tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("lang").agg(F.sum("n").alias("total"))
+    ppl = (
+        tok.join(F.broadcast(freq), ["lang", "word"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            round_half_up(
+                F.exp(-F.avg(F.log(F.col("n") / F.col("total")))), 2
+            ).alias("ppl")
+        )
+    )
+    wl = Window.partitionBy("lang")
+    rk = ppl.select(
+        "lang",
+        "ppl",
+        F.row_number().over(wl.orderBy("ppl", "doc_id")).alias("rnk"),
+        F.count(F.lit(1)).over(wl).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rnk") * 3 <= F.col("n"), "head")
+        .when(F.col("rnk") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return rk.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("ppl").alias("min_ppl"),
+        F.max("ppl").alias("max_ppl"),
+    )
