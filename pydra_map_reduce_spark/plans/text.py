@@ -1920,3 +1920,88 @@ def perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ppl").alias("min_ppl"),
         F.max("ppl").alias("max_ppl"),
     )
+
+
+@query(
+    "vocab_growth",
+    oracle="""
+    WITH cut AS (
+        SELECT quantile_cont(doc_id, 0.1) AS c1, quantile_cont(doc_id, 0.2) AS c2,
+               quantile_cont(doc_id, 0.3) AS c3, quantile_cont(doc_id, 0.4) AS c4,
+               quantile_cont(doc_id, 0.5) AS c5, quantile_cont(doc_id, 0.6) AS c6,
+               quantile_cont(doc_id, 0.7) AS c7, quantile_cont(doc_id, 0.8) AS c8,
+               quantile_cont(doc_id, 0.9) AS c9
+        FROM documents
+    ), dd AS (
+        SELECT doc_id,
+               1 + (doc_id > c1)::INT + (doc_id > c2)::INT + (doc_id > c3)::INT
+                 + (doc_id > c4)::INT + (doc_id > c5)::INT + (doc_id > c6)::INT
+                 + (doc_id > c7)::INT + (doc_id > c8)::INT + (doc_id > c9)::INT
+                   AS dec
+        FROM documents CROSS JOIN cut
+    ), tok AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+    ), td AS (
+        SELECT tok.word, dd.dec FROM tok JOIN dd ON tok.doc_id = dd.doc_id
+    ), ptok AS (
+        SELECT dec, count(*) AS n_tok FROM td GROUP BY dec
+    ), fw AS (
+        SELECT word, min(dec) AS dec FROM td GROUP BY word
+    ), nw AS (
+        SELECT dec, count(*) AS n_new FROM fw GROUP BY dec
+    ), base AS (
+        SELECT p.dec, p.n_tok, coalesce(nw.n_new, 0) AS n_new
+        FROM ptok p LEFT JOIN nw ON nw.dec = p.dec
+    )
+    SELECT CAST(dec AS INT) AS decile,
+           CAST(sum(n_tok) OVER (ORDER BY dec) AS BIGINT) AS cum_tokens,
+           CAST(sum(n_new) OVER (ORDER BY dec) AS BIGINT) AS cum_vocab
+    FROM base
+    """,
+    section="2.11 Heaps'-law vocabulary growth (cumulative vocab vs corpus prefix)",
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Heaps'-law measurement: how fast the distinct vocabulary
+    grows as the corpus is consumed in doc_id order — cumulative
+    token count and cumulative vocabulary at ten corpus-prefix
+    checkpoints. A tokenizer/dedup team reads this curve to spot
+    saturation (near-duplicate-heavy corpora flatten early) and to
+    size vocab budgets; the companion fit is `zipf_slope`.
+
+    No global window over the corpus: the decile assignment is the
+    length_deciles pattern (ONE exact-percentile aggregate row
+    broadcast back, bucket = comparison count), each word's FIRST
+    decile is a keyed min, and the only ordered accumulation runs
+    over the ten dim-sized checkpoint rows. Everything before the
+    terminal 10-row window is exact integer keyed aggregation."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cuts = d.agg(
+        F.percentile("doc_id", F.lit([q / 10.0 for q in range(1, 10)])).alias("cs")
+    ).select(*[F.element_at("cs", q).alias(f"c{q}") for q in range(1, 10)])
+    dec = sum(
+        (F.col("doc_id") > F.col(f"c{q}")).cast("int") for q in range(1, 10)
+    ) + F.lit(1)
+    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    td = tok.crossJoin(F.broadcast(cuts)).select("word", dec.alias("dec"))
+    ptok = td.groupBy("dec").agg(F.count(F.lit(1)).alias("n_tok"))
+    nw = (
+        td.groupBy("word")
+        .agg(F.min("dec").alias("dec"))
+        .groupBy("dec")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    base = ptok.join(nw, "dec", "left").select(
+        "dec", "n_tok", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new")
+    )
+    w = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    return base.select(
+        F.col("dec").cast("int").alias("decile"),
+        F.sum("n_tok").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_vocab"),
+    )

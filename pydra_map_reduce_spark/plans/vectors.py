@@ -2142,3 +2142,138 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "truth_rank_sum",
         )
     )
+
+
+_LOGREG_ITERS, _LOGREG_ETA = 3, 1.0
+
+
+def _logreg_oracle(iters: int, eta: float) -> str:
+    """Batch gradient descent fully unrolled as CTEs: round 1 folds
+    the exact w0=0 state (sigmoid(0)=0.5 exactly, both engines), each
+    later round is matvec -> sigmoid residual -> gradient -> update.
+    Terminal-only 6dp pin, the pca_power_component discipline (the
+    ~1e-13 summation-order noise cannot reach 6dp in 3 rounds)."""
+    parts = [
+        f"""e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+        FROM embeddings
+        WHERE label IS NOT NULL AND embedding IS NOT NULL
+    ), pt AS (
+        SELECT vec_id, generate_subscripts(emb, 1) AS j, unnest(emb) AS x FROM e
+        UNION ALL
+        SELECT vec_id, 0 AS j, 1.0 AS x FROM e
+    ), n AS (SELECT count(*) AS n FROM e),
+    g1 AS (
+        SELECT p.j, sum((0.5 - e.y) * p.x) AS g
+        FROM pt p JOIN e ON e.vec_id = p.vec_id GROUP BY p.j
+    ),
+    w1 AS (SELECT j, -({eta}) * g / n.n AS w FROM g1 CROSS JOIN n)"""
+    ]
+    for i in range(2, iters + 1):
+        parts.append(f"""
+    z{i} AS (
+        SELECT p.vec_id, sum(w.w * p.x) AS z
+        FROM pt p JOIN w{i - 1} w ON w.j = p.j GROUP BY p.vec_id
+    ),
+    r{i} AS (
+        SELECT z.vec_id, 1.0 / (1.0 + exp(-z.z)) - e.y AS r
+        FROM z{i} z JOIN e ON e.vec_id = z.vec_id
+    ),
+    g{i} AS (
+        SELECT p.j, sum(r.r * p.x) AS g
+        FROM pt p JOIN r{i} r ON r.vec_id = p.vec_id GROUP BY p.j
+    ),
+    w{i} AS (
+        SELECT w.j, w.w - ({eta}) * g.g / n.n AS w
+        FROM w{i - 1} w JOIN g{i} g ON g.j = w.j CROSS JOIN n
+    )"""
+        )
+    parts.append(f"""
+    SELECT CAST(j AS INT) AS j,
+           sign(w) * floor(abs(w) * 1000000 + 0.5) / 1000000 + 0.0 AS weight
+    FROM w{iters}""")
+    return "WITH " + ",".join(parts[:-1]) + parts[-1]
+
+
+@query(
+    "logreg_train",
+    oracle=_logreg_oracle(_LOGREG_ITERS, _LOGREG_ETA),
+    section="2.11 in-engine model training: logistic-regression classifier (unrolled batch GD)",
+)
+def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a quality/topic classifier INSIDE the engine: logistic
+    regression (label==0 vs rest over the embedding features + an
+    intercept) by three fixed rounds of full-batch gradient descent —
+    the fasttext-classifier-style filter model a data team trains
+    over document features before gating a corpus with it
+    (`linear_quality_score` is the inference half; this is where its
+    weights come from). Output: the 65 trained weights (j=0 is the
+    intercept), terminally 6dp-pinned.
+
+    Fixed iteration count keeps the plan static and the oracle
+    expressible as unrolled matvec CTEs — the pca_power_component
+    discipline, including terminal-only pinning: w0=0 makes round
+    1's sigmoid EXACTLY 0.5 on both engines, and the later rounds'
+    cross-engine noise (libm exp ulps + summation order, ~1e-13)
+    cannot reach the 6dp pin in three rounds.
+
+    Scale shape: each round touches the flattened feature frame
+    exactly twice — one matvec (broadcast the 65-row weight vector
+    onto j, vec-keyed sum) and one gradient (vec-keyed residual join,
+    j-keyed sum); both joins key on the frame's own partitioning
+    columns, so at 100 TB the rounds are co-partitioned passes over a
+    cached frame, never a corpus shuffle per feature. The residual
+    join is the only N-row join — at cluster scale you'd bucket pt
+    and the residual frame by vec_id once and reuse the layout
+    across all rounds (and across every other embedding operator)."""
+    from pyspark import StorageLevel
+
+    from ..operators.similarity import as_double
+
+    eta = _LOGREG_ETA
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull() & F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            as_double("embedding").alias("emb"),
+            F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+        )
+    )
+    pt = (
+        e.select("vec_id", F.posexplode("emb").alias("pos", "x"))
+        .select("vec_id", (F.col("pos") + 1).alias("j"), "x")
+        .unionAll(e.select("vec_id", F.lit(0).alias("j"), F.lit(1.0).alias("x")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    yv = e.select("vec_id", "y").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = yv.count()
+        r = yv.select("vec_id", (F.lit(0.5) - F.col("y")).alias("r"))
+        g = pt.join(r, "vec_id").groupBy("j").agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+        w = g.select("j", (F.lit(-eta) * F.col("g") / F.lit(n)).alias("w"))
+        for _ in range(2, _LOGREG_ITERS + 1):
+            z = (
+                pt.join(F.broadcast(w), "j")
+                .select("vec_id", (F.col("w") * F.col("x")).alias("t"))
+                .groupBy("vec_id")
+                .agg(F.sum("t").alias("z"))
+            )
+            r = z.join(yv, "vec_id").select(
+                "vec_id",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")).alias("r"),
+            )
+            g = pt.join(r, "vec_id").groupBy("j").agg(
+                F.sum(F.col("r") * F.col("x")).alias("g")
+            )
+            w = w.join(F.broadcast(g), "j").select(
+                "j", (F.col("w") - F.lit(eta) * F.col("g") / F.lit(n)).alias("w")
+            )
+        return w.select(
+            F.col("j").cast("int").alias("j"),
+            (signed_round_half_up(F.col("w"), 6) + F.lit(0.0)).alias("weight"),
+        ).localCheckpoint(eager=True)
+    finally:
+        pt.unpersist()
+        yv.unpersist()
