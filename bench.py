@@ -134,6 +134,12 @@ HEADLINE = [
     "good_turing_discount",  # GT re-estimated counts over the spectrum
     "kneser_ney_perplexity", # interpolated-KN bigram LM (continuation counts)
     "minhash_estimate_error",# sketch-accuracy eval (J-hat vs exact J per pair)
+    "association_rules",     # rule mining (confidence/lift over co-order pairs)
+    "pq_recall",             # PQ codebooks + ADC shortlist recall / rank distortion
+    "perplexity_gate",       # CCNet-style per-lang head/middle/tail terciles
+    "logreg_train",          # in-engine classifier training (3 GD rounds)
+    "vocab_growth",          # Heaps'-law cumulative vocab checkpoints
+    "pr_curve",              # precision/recall sweep (scorer vs rule gate)
 ]
 
 

@@ -177,14 +177,14 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document containing VT would tokenize differently per engine — the
 # explicit class is identical in both regex dialects.
 _GOPHER_FLAGS_CTES = """toks AS (
-        SELECT source,
+        SELECT doc_id, source,
                string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS ws,
                len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS n_words,
                len(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) AS n_alpha
         FROM documents
     ),
     flags AS (
-        SELECT source,
+        SELECT doc_id, source,
                CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS ok_nwords,
                CASE WHEN n_alpha * 1.0 / n_words >= 3
                      AND n_alpha * 1.0 / n_words <= 10 THEN 1 ELSE 0 END AS ok_meanlen,
@@ -201,7 +201,7 @@ _GOPHER_FLAGS_CTES = """toks AS (
 
 
 def _gopher_flags(d: DataFrame) -> DataFrame:
-    """(source, ok_nwords, ok_meanlen, ok_maxlen, ok_stop) — the
+    """(doc_id, source, ok_nwords, ok_meanlen, ok_maxlen, ok_stop) — the
     Gopher gate flags per document. Column twin of
     :data:`_GOPHER_FLAGS_CTES`; gopher_rules aggregates them per
     source, filter_funnel folds them into cumulative survivors."""
@@ -209,6 +209,7 @@ def _gopher_flags(d: DataFrame) -> DataFrame:
     # includes \x0B, RE2 \s does not — see the comment there)
     ws = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
     toks = d.select(
+        "doc_id",
         "source",
         ws.alias("ws"),
         F.size(ws).alias("n_words"),
@@ -220,6 +221,7 @@ def _gopher_flags(d: DataFrame) -> DataFrame:
         for s in ("the", "a", "of", "and", "to")
     )
     return toks.select(
+        "doc_id",
         "source",
         F.when(F.col("n_words").between(20, 100000), 1).otherwise(0).alias("ok_nwords"),
         F.when((mean_len >= 3) & (mean_len <= 10), 1).otherwise(0).alias("ok_meanlen"),
@@ -404,33 +406,67 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "linear_quality_score",
-    oracle=f"""
-    WITH w AS (
+# ONE linear-scorer definition (hashed features x fixed integer weight
+# table -> per-doc sigmoid quality, 4dp), as a paired SQL/Column
+# builder: linear_quality_score REPORTS the scores and pr_curve grades
+# them against the Gopher gate, so a one-sided edit to the weight
+# formula, the bucket hash, or the rounding would silently fork the
+# two (the _gopher_flags/_GOPHER_FLAGS_CTES convention). CTE names are
+# l-prefixed so the text composes next to the Gopher CTEs.
+_LINEAR_SCORE_CTES = f"""lw AS (
         SELECT i AS bucket, (i * 37) % 21 - 10 AS w_int
         FROM range({_FH_DIM}) t(i)
-    ), toks AS (
+    ), ltoks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), feat AS (
+    ), lfeat AS (
         SELECT t.doc_id,
                {hash_bucket_sql('t.tok', _FH_DIM)}
                    AS bucket
-        FROM toks t
-    ), scored AS (
+        FROM ltoks t
+    ), lscored AS (
         SELECT f.doc_id,
                count(*)      AS n_tokens,
-               sum(w.w_int)  AS sum_w
-        FROM feat f JOIN w ON f.bucket = w.bucket
+               sum(w.w_int)  AS sum_w,
+               floor(1.0 / (1.0 + exp(-(sum(w.w_int) / (10.0 * count(*)))))
+                     * 10000 + 0.5) / 10000 AS quality
+        FROM lfeat f JOIN lw w ON f.bucket = w.bucket
         GROUP BY f.doc_id
+    )"""
+
+
+def _linear_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, sum_w, quality) — the linear scorer's
+    per-document frame. Column twin of :data:`_LINEAR_SCORE_CTES`;
+    see linear_quality_score for the numeric layering rationale."""
+    weights = d.sparkSession.range(_FH_DIM).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 37) % 21 - 10).cast("bigint").alias("w_int"),
     )
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    feat = toks.select("doc_id", hash_bucket("tok", _FH_DIM).alias("bucket"))
+    scored = (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_int").alias("sum_w"),
+        )
+    )
+    quality = round_half_up(
+        1.0 / (1.0 + F.exp(-(F.col("sum_w") / (10.0 * F.col("n_tokens"))))), 4
+    )
+    return scored.select("doc_id", "n_tokens", "sum_w", quality.alias("quality"))
+
+
+@query(
+    "linear_quality_score",
+    oracle=f"""
+    WITH {_LINEAR_SCORE_CTES}
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(sum_w AS BIGINT) AS sum_w,
-           floor(1.0 / (1.0 + exp(-(sum_w / (10.0 * n_tokens)))) * 10000 + 0.5)
-               / 10000 AS quality,
-           floor(1.0 / (1.0 + exp(-(sum_w / (10.0 * n_tokens)))) * 10000 + 0.5)
-               / 10000 >= 0.5 AS keep
-    FROM scored
+           quality,
+           quality >= 0.5 AS keep
+    FROM lscored
     """,
     section="2.11 linear quality scorer (hashed features ⋈ broadcast weights)",
 )
@@ -451,31 +487,99 @@ def linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle is the per-doc integer sum. A real trained
     model drops in by replacing the weight frame's formula column
     with loaded parameters; nothing else changes."""
+    scored = _linear_scored(load_table(spark, sf_dir, "documents"))
+    return scored.select(
+        "doc_id", "n_tokens", "sum_w", "quality",
+        (F.col("quality") >= 0.5).alias("keep"),
+    )
+
+
+_PR_THRESHOLDS = [round(0.30 + 0.05 * i, 2) for i in range(9)]  # 0.30..0.70
+
+
+@query(
+    "pr_curve",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_CTES},
+    {_LINEAR_SCORE_CTES},
+    j AS (
+        SELECT f.doc_id,
+               f.ok_nwords * f.ok_meanlen * f.ok_maxlen * f.ok_stop AS pass,
+               s.quality
+        FROM flags f JOIN lscored s ON s.doc_id = f.doc_id
+    ),
+    th AS (SELECT unnest(CAST([{", ".join(str(t) for t in _PR_THRESHOLDS)}]
+                         AS DOUBLE[])) AS threshold),
+    cm AS (
+        SELECT th.threshold,
+               CAST(sum(CASE WHEN j.quality >= th.threshold AND j.pass = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN j.quality >= th.threshold AND j.pass = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN j.quality < th.threshold AND j.pass = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM j CROSS JOIN th
+        GROUP BY th.threshold
+    )
+    SELECT threshold, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE floor(tp * 1.0 / (tp + fp) * 10000 + 0.5) / 10000
+           END AS precision,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE floor(tp * 1.0 / (tp + fn) * 10000 + 0.5) / 10000
+           END AS recall
+    FROM cm
+    """,
+    section="2.11 precision/recall threshold sweep (cheap scorer vs rule-gate truth)",
+)
+def pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-line tuning table: precision and recall of the cheap
+    linear quality scorer at nine score thresholds, graded against
+    the Gopher rule gate as ground truth — the curve a data team
+    reads before replacing an expensive rule cascade with one model
+    pass ("at what cutoff does the model reproduce the gate?").
+    Both legs are the SHARED definitions (`_gopher_flags` /
+    `_linear_scored`), so the curve cannot drift from the operators
+    it grades.
+
+    All confusion-matrix cells are exact integers; the threshold
+    comparisons run on the 4dp-ROUNDED score (identical doubles both
+    engines) against fixed literals, so no cell can flip on engine
+    ulps; precision/recall are one exact-integer division each,
+    NULL (not a fake 0) where the denominator is empty. Scale shape:
+    two document scans (gate flags + hashed-feature score), one
+    doc-keyed join, then a 9x fan-out of the per-doc row into a
+    dim-sized aggregate — the threshold sweep costs one shuffle of
+    N x 9 tiny rows, not nine corpus passes."""
     d = load_table(spark, sf_dir, "documents")
-    weights = spark.range(_FH_DIM).select(
-        F.col("id").alias("bucket"),
-        ((F.col("id") * 37) % 21 - 10).cast("bigint").alias("w_int"),
-    )
-    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    feat = toks.select(
+    flags = _gopher_flags(d).select(
         "doc_id",
-        # the SHARED hashing-trick bucket (textops.hash_bucket) — the
-        # same mapping feature_hashing diagnoses
-        hash_bucket("tok", _FH_DIM).alias("bucket"),
+        (
+            F.col("ok_nwords") * F.col("ok_meanlen") * F.col("ok_maxlen") * F.col("ok_stop")
+        ).alias("pass"),
     )
-    scored = (
-        feat.join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id")
+    j = flags.join(_linear_scored(d).select("doc_id", "quality"), "doc_id")
+    th = F.explode(F.array(*[F.lit(t) for t in _PR_THRESHOLDS])).alias("threshold")
+    cm = (
+        j.select("pass", "quality", th)
+        .groupBy("threshold")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("w_int").alias("sum_w"),
+            F.sum(((F.col("quality") >= F.col("threshold")) & (F.col("pass") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(((F.col("quality") >= F.col("threshold")) & (F.col("pass") == 0)).cast("int"))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(((F.col("quality") < F.col("threshold")) & (F.col("pass") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("fn"),
         )
     )
-    quality = round_half_up(
-        1.0 / (1.0 + F.exp(-(F.col("sum_w") / (10.0 * F.col("n_tokens"))))), 4
-    )
-    return scored.select(
-        "doc_id", "n_tokens", "sum_w",
-        quality.alias("quality"),
-        (quality >= 0.5).alias("keep"),
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den == 0, F.lit(None).cast("double")
+    ).otherwise(F.floor(num * 1.0 / den * 10000 + 0.5) / 10000)
+    return cm.select(
+        "threshold", "tp", "fp", "fn",
+        ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
     )

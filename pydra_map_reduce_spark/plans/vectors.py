@@ -2030,7 +2030,13 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot = " + ".join(f"q{s * sd + j} * ({center[j]})" for j in range(sd))
         return f"{c2} - 2 * ({dot})"
 
-    # --- codebook training: per-subspace Gonzalez, all subspaces per pass
+    # --- codebook training: per-subspace Gonzalez, all subspaces per pass.
+    # flat is persisted: every training pass AND the encode/LUT/truth
+    # stages below re-derive from it, and without the pin each of the
+    # 5 jobs replays the parquet scan + 64-column quantize projection.
+    from pyspark import StorageLevel
+
+    flat = flat.persist(StorageLevel.MEMORY_AND_DISK)
     seed = flat.orderBy("vec_id").limit(1).first()
     centers: list[list[list[int]]] = [
         [[seed[f"q{s * sd + j}"] for j in range(sd)]] for s in range(m)
@@ -2043,26 +2049,27 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"mind2_{s}",
                 c if _step == 2 else F.least(F.col(f"mind2_{s}"), c),
             )
+        # ONE job per pass: the argmax struct rides the winner's own
+        # subvector coordinates along behind the (d, nid) key — nid is
+        # unique, so the coord fields never participate in the
+        # comparison and the second fetch-the-centroid job disappears.
         picked_row = state.agg(
             *[
                 F.max(
                     F.struct(
                         F.col(f"mind2_{s}").alias("d"),
                         (-F.col("vec_id")).alias("nid"),
+                        *[
+                            F.col(f"q{s * sd + j}").alias(f"x{j}")
+                            for j in range(sd)
+                        ],
                     )
                 ).alias(f"p{s}")
                 for s in range(m)
             ]
         ).first()
-        picked = {s: -picked_row[f"p{s}"]["nid"] for s in range(m)}
-        rows = {
-            r["vec_id"]: r
-            for r in flat.filter(
-                F.col("vec_id").isin(list(set(picked.values())))
-            ).collect()
-        }
         for s in range(m):
-            centers[s].append([rows[picked[s]][f"q{s * sd + j}"] for j in range(sd)])
+            centers[s].append([picked_row[f"p{s}"][f"x{j}"] for j in range(sd)])
 
     # --- encode: nearest code per subspace (exact ints, ties -> lower code)
     dists = flat.selectExpr(
@@ -2126,22 +2133,30 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PQ_TOPK)
         .select("query_id", "vec_id")
     )
-    return (
-        etop.join(arank, ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(
-            F.sum((F.col("rn") <= _PQ_SHORT).cast("int")).cast("bigint").alias("n_hits"),
-            F.sum("rn").cast("bigint").alias("truth_rank_sum"),
+    try:
+        return (
+            etop.join(arank, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(
+                F.sum((F.col("rn") <= _PQ_SHORT).cast("int"))
+                .cast("bigint")
+                .alias("n_hits"),
+                F.sum("rn").cast("bigint").alias("truth_rank_sum"),
+            )
+            .select(
+                F.col("query_id").cast("bigint").alias("query_id"),
+                "n_hits",
+                (
+                    F.floor(F.col("n_hits") * 1.0 / _PQ_TOPK * 10000 + 0.5) / 10000
+                ).alias("shortlist_recall"),
+                "truth_rank_sum",
+            )
+            # 8-row result; release the corpus-sized quantized frame
+            # before returning (the lsh_recall/pagerank lifecycle)
+            .localCheckpoint(eager=True)
         )
-        .select(
-            F.col("query_id").cast("bigint").alias("query_id"),
-            "n_hits",
-            (F.floor(F.col("n_hits") * 1.0 / _PQ_TOPK * 10000 + 0.5) / 10000).alias(
-                "shortlist_recall"
-            ),
-            "truth_rank_sum",
-        )
-    )
+    finally:
+        flat.unpersist()
 
 
 _LOGREG_ITERS, _LOGREG_ETA = 3, 1.0
