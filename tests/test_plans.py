@@ -241,6 +241,10 @@ _GLOBAL_WINDOW_ALLOWED = {
     # balanced-paren parser sees it — documented in the query's
     # docstring since round 7)
     "nation_revenue_decimal",
+    # domain-bounded: the cumulative token/vocab accumulation runs
+    # over the ten decile-checkpoint rows (fixed by construction),
+    # never base rows — documented in the query's docstring
+    "vocab_growth",
     # LIMIT-bounded: both fusion legs TakeOrdered-cut to 20 rows
     # BEFORE their rank window, so each global window ranks a
     # 20-row frame at any corpus scale (documented in the docstring)
