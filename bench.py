@@ -140,6 +140,7 @@ HEADLINE = [
     "logreg_train",          # in-engine classifier training (3 GD rounds)
     "vocab_growth",          # Heaps'-law cumulative vocab checkpoints
     "pr_curve",              # precision/recall sweep (scorer vs rule gate)
+    "dp_histogram",          # DP histogram release (seeded Laplace noise)
 ]
 
 
