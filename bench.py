@@ -141,6 +141,7 @@ HEADLINE = [
     "vocab_growth",          # Heaps'-law cumulative vocab checkpoints
     "pr_curve",              # precision/recall sweep (scorer vs rule gate)
     "dp_histogram",          # DP histogram release (seeded Laplace noise)
+    "ivf_pq_serve",          # IVF-PQ/ADC serving (route + compressed rescore)
 ]
 
 

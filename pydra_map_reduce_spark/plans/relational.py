@@ -1220,10 +1220,14 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join as basket_pairs (work Σ lines², never corpus²); item
     counts and the basket total are dim-sized (|brands| and 1 row)
     and broadcast onto the pair counts; the top-20 is a TakeOrdered
-    reduce, not a global sort. All counts are exact integers — the
+    reduce, not a global sort. The distinct (order, item) incidence
+    is persisted across its four consumers and released once the
+    20-row result is checkpointed. All counts are exact integers — the
     only float op per rule is ONE division of exact BIGINT products,
     identically associated on both engines, then the standard
     half-up pin."""
+    from pyspark.storagelevel import StorageLevel
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1235,6 +1239,11 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", F.col("p_brand").alias("item"))
         .distinct()
+        # FOUR consumers read this incidence (total, item counts, both
+        # self-join sides) — unpinned, the scan+join+distinct lineage
+        # replays per consumer (measured: 15 shuffles in the plan);
+        # released below once the 20-row result is checkpointed
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = li.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
     ic = li.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
@@ -1257,7 +1266,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = ic.select(F.col("item").alias("antecedent"), F.col("c").alias("c_a"))
     cc = ic.select(F.col("item").alias("consequent"), F.col("c").alias("c_c"))
-    return (
+    out = (
         rules.join(F.broadcast(ca), "antecedent")
         .join(F.broadcast(cc), "consequent")
         .crossJoin(F.broadcast(n))
@@ -1282,6 +1291,10 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(20)
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        li.unpersist()
 
 
 @query(

@@ -1846,16 +1846,18 @@ _PQ_M, _PQ_SUBDIM, _PQ_K = 8, 8, 4  # 8 subspaces x 8 dims, 4 codes each
 _PQ_NQ, _PQ_TOPK, _PQ_SHORT = 8, 5, 50
 
 
-def _pq_oracle(m: int, sd: int, k: int, nq: int, topk: int, short: int) -> str:
-    """Product quantization fully unrolled as DuckDB CTEs, over the
-    int8-quantized tier so EVERY distance is an exact BIGINT (the
-    quantize_recall discipline extended to the codebook): per-subspace
-    Gonzalez codebooks (k-1 unrolled farthest-point steps, ties to the
-    smaller vec_id), nearest-code assignment (ties to the smaller
-    code), the query->codebook lookup table, ADC = sum of 8 exact
-    integer table entries, and the exhaustive int8 ground truth."""
+def _pq_cb_ctes(m: int, sd: int, k: int, nq: int) -> str:
+    """The PQ codebook tier as reusable CTE text (q-prefixed names so
+    it composes next to _ivf_train_ctes' e/pt family): int8 quantize
+    (qe/qz/qpt), the subspace melt (sp), per-subspace Gonzalez
+    codebooks (k-1 unrolled farthest-point steps, ties to the smaller
+    vec_id), nearest-code assignment (ties to the smaller code), and
+    the query lookup table — EVERY distance an exact BIGINT (the
+    quantize_recall discipline extended to the codebook). ONE
+    definition feeding pq_recall's evaluation and ivf_pq_serve's
+    serving oracle."""
     parts = [
-        f"""e AS (
+        f"""qe AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                greatest(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'),
                         -list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) AS mx
@@ -1865,17 +1867,17 @@ def _pq_oracle(m: int, sd: int, k: int, nq: int, topk: int, short: int) -> str:
                [CAST(CASE WHEN x < 0 THEN -floor(-x * 127.0 / mx + 0.5)
                           ELSE floor(x * 127.0 / mx + 0.5) END AS BIGINT)
                 for x in emb] AS qv
-        FROM e WHERE mx > 0
-    ), pt AS (
+        FROM qe WHERE mx > 0
+    ), qpt AS (
         SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM qz
     ), sp AS (
         SELECT vec_id, CAST((pos - 1) // {sd} AS BIGINT) AS s,
                (pos - 1) % {sd} AS rel, v
-        FROM pt
-    ), seed AS (SELECT min(vec_id) AS vec_id FROM qz),
+        FROM qpt
+    ), qseed AS (SELECT min(vec_id) AS vec_id FROM qz),
     cb1 AS (
         SELECT sp.s, 0 AS code, sp.rel, sp.v
-        FROM sp JOIN seed ON sp.vec_id = seed.vec_id
+        FROM sp JOIN qseed ON sp.vec_id = qseed.vec_id
     )"""
     ]
     for i in range(2, k + 1):
@@ -1915,7 +1917,15 @@ def _pq_oracle(m: int, sd: int, k: int, nq: int, topk: int, short: int) -> str:
     ),
     lut AS (
         SELECT vec_id AS query_id, s, code, d2 AS qd2 FROM dall WHERE vec_id < {nq}
-    ),
+    )""")
+    return ",".join(parts)
+
+
+def _pq_oracle(m: int, sd: int, k: int, nq: int, topk: int, short: int) -> str:
+    """pq_recall's evaluation tail over the shared codebook CTEs:
+    ADC = sum of 8 exact integer table entries, the full ADC ranking,
+    and the exhaustive int8 ground truth."""
+    return "WITH " + _pq_cb_ctes(m, sd, k, nq) + f""",
     adc AS (
         SELECT l.query_id, c.vec_id, sum(l.qd2) AS adc
         FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
@@ -1930,7 +1940,7 @@ def _pq_oracle(m: int, sd: int, k: int, nq: int, topk: int, short: int) -> str:
     exd AS (
         SELECT q.vec_id AS query_id, p.vec_id,
                sum((p.v - q.v) * (p.v - q.v)) AS d2f
-        FROM pt p JOIN pt q ON p.pos = q.pos
+        FROM qpt p JOIN qpt q ON p.pos = q.pos
         WHERE q.vec_id < {nq} AND p.vec_id <> q.vec_id
         GROUP BY q.vec_id, p.vec_id
     ),
@@ -1950,8 +1960,178 @@ def _pq_oracle(m: int, sd: int, k: int, nq: int, topk: int, short: int) -> str:
            CAST(sum(a.rn) AS BIGINT) AS truth_rank_sum
     FROM etop e JOIN arank a
       ON e.query_id = a.query_id AND e.vec_id = a.vec_id
-    GROUP BY e.query_id""")
-    return "WITH " + ",".join(parts)
+    GROUP BY e.query_id"""
+
+
+def _pq_d2_lit(s: int, center: list[int], sd: int) -> str:
+    """Exact-integer squared distance from subspace s's columns to a
+    literal centroid (Gonzalez passes compare ACROSS rows, so the
+    shifted form below cannot substitute here)."""
+    return " + ".join(
+        f"(q{s * sd + j} - ({center[j]})) * (q{s * sd + j} - ({center[j]}))"
+        for j in range(sd)
+    )
+
+
+def _pq_shifted_lit(s: int, center: list[int], sd: int) -> str:
+    """||c||^2 - 2*q.c  ==  d2 - ||q_sub||^2: same integer ORDERING
+    (and the same exact ties) as the true squared distance within any
+    context where the query subvector is fixed — one third the
+    generated code of the squared-diff form, which pushed the
+    32-column encode projection past janino's 64 KB method limit and
+    dropped the whole stage out of codegen."""
+    c2 = sum(v * v for v in center)
+    dot = " + ".join(f"q{s * sd + j} * ({center[j]})" for j in range(sd))
+    return f"{c2} - 2 * ({dot})"
+
+
+def _pq_codes_df(flat: DataFrame, centers: list[list[list[int]]]) -> DataFrame:
+    """(vec_id, c0..c{m-1}): nearest code per subspace from
+    constant-folded codebook literals — exact ints, ties to the lower
+    code. Shared by pq_recall's evaluation and ivf_pq_serve."""
+    m, k, sd = len(centers), len(centers[0]), len(centers[0][0])
+    dists = flat.selectExpr(
+        "vec_id",
+        *[
+            f"CAST({_pq_shifted_lit(s, centers[s][c], sd)} AS BIGINT) AS d_{s}_{c}"
+            for s in range(m)
+            for c in range(k)
+        ],
+    )
+
+    def argmin_code(s: int) -> str:
+        branches = []
+        for c in range(k - 1):
+            cond = " AND ".join(f"d_{s}_{c} <= d_{s}_{cc}" for cc in range(c + 1, k))
+            branches.append(f"WHEN {cond} THEN {c}")
+        return f"CASE {' '.join(branches)} ELSE {k - 1} END AS c{s}"
+
+    return dists.selectExpr("vec_id", *[argmin_code(s) for s in range(m)])
+
+
+def _pq_lut_df(flat: DataFrame, centers: list[list[list[int]]], nq: int) -> DataFrame:
+    """(query_id, qd_{s}_{c}...): the per-query ADC lookup table in the
+    SHIFTED form — every entry shares the same -||q_sub||^2 shift per
+    (query, s), so ADC sums shift by a per-query constant and RANKS
+    (the only thing consumed) equal true-d2 ranks."""
+    m, k, sd = len(centers), len(centers[0]), len(centers[0][0])
+    qn2 = " + ".join(f"q{i} * q{i}" for i in range(m * sd))
+    return flat.filter(F.col("vec_id") < nq).selectExpr(
+        "vec_id AS query_id",
+        # ||q||^2: adding it to the shifted ADC sum recovers the TRUE
+        # integer ADC distance (consumers that report the value add it
+        # back; rank-only consumers ignore it)
+        f"CAST({qn2} AS BIGINT) AS qn2",
+        *[
+            f"CAST({_pq_shifted_lit(s, centers[s][c], sd)} AS BIGINT) AS qd_{s}_{c}"
+            for s in range(m)
+            for c in range(k)
+        ],
+    )
+
+
+def _pq_adc_sum(m: int, k: int) -> str:
+    """The CASE-indexed ADC accumulation over joined codes+LUT columns."""
+    return " + ".join(
+        f"CASE c{s} "
+        + " ".join(f"WHEN {c} THEN qd_{s}_{c}" for c in range(k - 1))
+        + f" ELSE qd_{s}_{k - 1} END"
+        for s in range(m)
+    )
+
+
+# Train-once PQ codebooks per (session, fixture): the _IVF_SERVE_CACHE
+# lifecycle applied to the compressed tier — the persisted int8 corpus
+# projection plus the trained per-subspace centroid literals. Stale
+# (same session+dir, older fixture) and dead-session entries are
+# pruned on each miss; the stale-but-live path releases the old
+# projection's storage first.
+_PQ_CB_CACHE: dict[tuple, tuple[DataFrame, list]] = {}
+
+
+def _pq_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    from ..operators.similarity import as_double
+    from ..sources.tables import _fixture_key
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_key(f"{sf_dir}/embeddings.parquet"),
+    )
+    hit = _PQ_CB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k2 in list(_PQ_CB_CACHE):
+        stale = k2[:2] == key[:2]
+        try:
+            dead = _PQ_CB_CACHE[k2][0].sparkSession.sparkContext._jsc is None
+        except Exception:
+            dead = True
+        if stale or dead:
+            if stale and not dead:
+                try:
+                    _PQ_CB_CACHE[k2][0].unpersist()
+                except Exception:
+                    pass
+            del _PQ_CB_CACHE[k2]
+
+    from pyspark import StorageLevel
+
+    dim, m, sd, k = _PQ_M * _PQ_SUBDIM, _PQ_M, _PQ_SUBDIM, _PQ_K
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    e = e.withColumn(
+        "mx", F.greatest(F.array_max("emb"), -F.array_min("emb"))
+    ).filter(F.col("mx") > 0)
+    qexpr = [
+        f"CAST(CASE WHEN element_at(emb, {i + 1}) < 0"
+        f" THEN -floor(-element_at(emb, {i + 1}) * 127.0 / mx + 0.5)"
+        f" ELSE floor(element_at(emb, {i + 1}) * 127.0 / mx + 0.5) END AS BIGINT)"
+        f" AS q{i}"
+        for i in range(dim)
+    ]
+    flat = e.selectExpr("vec_id", *qexpr).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # per-subspace Gonzalez, all subspaces per pass
+    seed = flat.orderBy("vec_id").limit(1).first()
+    centers: list[list[list[int]]] = [
+        [[seed[f"q{s * sd + j}"] for j in range(sd)]] for s in range(m)
+    ]
+    state = flat
+    for _step in range(2, k + 1):
+        for s in range(m):
+            c = F.expr(f"CAST({_pq_d2_lit(s, centers[s][-1], sd)} AS BIGINT)")
+            state = state.withColumn(
+                f"mind2_{s}",
+                c if _step == 2 else F.least(F.col(f"mind2_{s}"), c),
+            )
+        # ONE job per pass: the argmax struct rides the winner's own
+        # subvector coordinates along behind the (d, nid) key — nid is
+        # unique, so the coord fields never participate in the
+        # comparison and a second fetch-the-centroid job is not needed.
+        picked_row = state.agg(
+            *[
+                F.max(
+                    F.struct(
+                        F.col(f"mind2_{s}").alias("d"),
+                        (-F.col("vec_id")).alias("nid"),
+                        *[
+                            F.col(f"q{s * sd + j}").alias(f"x{j}")
+                            for j in range(sd)
+                        ],
+                    )
+                ).alias(f"p{s}")
+                for s in range(m)
+            ]
+        ).first()
+        for s in range(m):
+            centers[s].append([picked_row[f"p{s}"][f"x{j}"] for j in range(sd)])
+    hit = (flat, centers)
+    _PQ_CB_CACHE[key] = hit
+    return hit
 
 
 @query(
@@ -1982,141 +2162,40 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize_recall mapping), so every distance in the operator —
     codebook training, code assignment, LUT entries, ADC sums, and
     the exhaustive ground truth — is an EXACT BIGINT on both engines:
-    no float pin anywhere except the final recall ratio.
+    no float pin anywhere except the final recall ratio. Codebooks
+    train ONCE per session (`_pq_codebooks`, the _ivf_index
+    lifecycle); determinism of the trainer means serve-from-cache is
+    identical to train-then-serve, which this differential proves
+    every run. `ivf_pq_serve` composes the same codes with the IVF
+    router.
 
-    Scale shape: training is K-1 corpus passes, each ONE scan with
-    all 8 subspaces' min-d2 folded in the same whole-stage-codegen
-    projection and picked by one 8-column max(struct) aggregate (the
-    small-k driver-synced pattern of ivf/kcenter — 8 centroid rows
-    cross the driver per pass); encoding is one projection of
-    constant-folded codebook literals; serving is ONE broadcast of the
-    8-row LUT onto the flat code columns with a CASE-indexed sum in
-    codegen (no per-code row explosion). No shuffle
-    anywhere except the final per-query top-k window over N rows."""
+    Scale shape: training is K-1 passes over the persisted int8
+    projection, each ONE job with all 8 subspaces' min-d2 folded in
+    the same whole-stage-codegen projection and picked by one
+    8-column max(struct) aggregate (the small-k driver-synced pattern
+    of ivf/kcenter — 8 centroid rows cross the driver per pass);
+    encoding is one projection of constant-folded codebook literals;
+    serving is ONE broadcast of the 8-row LUT onto the flat code
+    columns with a CASE-indexed sum in codegen (no per-code row
+    explosion). No shuffle anywhere except the final per-query top-k
+    window over N rows."""
     from pyspark.sql.window import Window
 
-    from ..operators.similarity import as_double
-
-    dim, m, sd, k = _PQ_M * _PQ_SUBDIM, _PQ_M, _PQ_SUBDIM, _PQ_K
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    )
-    e = e.withColumn(
-        "mx", F.greatest(F.array_max("emb"), -F.array_min("emb"))
-    ).filter(F.col("mx") > 0)
-    qexpr = [
-        f"CAST(CASE WHEN element_at(emb, {i + 1}) < 0"
-        f" THEN -floor(-element_at(emb, {i + 1}) * 127.0 / mx + 0.5)"
-        f" ELSE floor(element_at(emb, {i + 1}) * 127.0 / mx + 0.5) END AS BIGINT)"
-        f" AS q{i}"
-        for i in range(dim)
-    ]
-    flat = e.selectExpr("vec_id", *qexpr)
-
-    def d2_lit(s: int, center: list[int]) -> str:
-        return " + ".join(
-            f"(q{s * sd + j} - ({center[j]})) * (q{s * sd + j} - ({center[j]}))"
-            for j in range(sd)
-        )
-
-    def shifted_lit(s: int, center: list[int]) -> str:
-        # ||c||^2 - 2*q.c  ==  d2 - ||q_sub||^2: same integer ORDERING
-        # (and the same exact ties) as the true squared distance within
-        # any context where the query subvector is fixed — one third
-        # the generated code of the squared-diff form, which pushed the
-        # 32-column encode projection past janino's 64 KB method limit
-        # and dropped the whole stage out of codegen.
-        c2 = sum(v * v for v in center)
-        dot = " + ".join(f"q{s * sd + j} * ({center[j]})" for j in range(sd))
-        return f"{c2} - 2 * ({dot})"
-
-    # --- codebook training: per-subspace Gonzalez, all subspaces per pass.
-    # flat is persisted: every training pass AND the encode/LUT/truth
-    # stages below re-derive from it, and without the pin each of the
-    # 5 jobs replays the parquet scan + 64-column quantize projection.
-    from pyspark import StorageLevel
-
-    flat = flat.persist(StorageLevel.MEMORY_AND_DISK)
-    seed = flat.orderBy("vec_id").limit(1).first()
-    centers: list[list[list[int]]] = [
-        [[seed[f"q{s * sd + j}"] for j in range(sd)]] for s in range(m)
-    ]
-    state = flat
-    for _step in range(2, k + 1):
-        for s in range(m):
-            c = F.expr(f"CAST({d2_lit(s, centers[s][-1])} AS BIGINT)")
-            state = state.withColumn(
-                f"mind2_{s}",
-                c if _step == 2 else F.least(F.col(f"mind2_{s}"), c),
-            )
-        # ONE job per pass: the argmax struct rides the winner's own
-        # subvector coordinates along behind the (d, nid) key — nid is
-        # unique, so the coord fields never participate in the
-        # comparison and the second fetch-the-centroid job disappears.
-        picked_row = state.agg(
-            *[
-                F.max(
-                    F.struct(
-                        F.col(f"mind2_{s}").alias("d"),
-                        (-F.col("vec_id")).alias("nid"),
-                        *[
-                            F.col(f"q{s * sd + j}").alias(f"x{j}")
-                            for j in range(sd)
-                        ],
-                    )
-                ).alias(f"p{s}")
-                for s in range(m)
-            ]
-        ).first()
-        for s in range(m):
-            centers[s].append([picked_row[f"p{s}"][f"x{j}"] for j in range(sd)])
-
-    # --- encode: nearest code per subspace (exact ints, ties -> lower code)
-    dists = flat.selectExpr(
-        "vec_id",
-        *[
-            f"CAST({shifted_lit(s, centers[s][c])} AS BIGINT) AS d_{s}_{c}"
-            for s in range(m)
-            for c in range(k)
-        ],
-    )
-    def argmin_code(s: int) -> str:
-        branches = []
-        for c in range(k - 1):
-            cond = " AND ".join(f"d_{s}_{c} <= d_{s}_{cc}" for cc in range(c + 1, k))
-            branches.append(f"WHEN {cond} THEN {c}")
-        return f"CASE {' '.join(branches)} ELSE {k - 1} END AS c{s}"
-
-    codes = dists.selectExpr("vec_id", *[argmin_code(s) for s in range(m)])
-    # --- query LUT: 8 rows x (m*k) exact integer entries, broadcast
-    lut = (
-        flat.filter(F.col("vec_id") < _PQ_NQ)
-        .selectExpr(
-            "vec_id AS query_id",
-            *[
-                f"CAST({shifted_lit(s, centers[s][c])} AS BIGINT) AS qd_{s}_{c}"
-                for s in range(m)
-                for c in range(k)
-            ],
-        )
-    )
-    adc_sum = " + ".join(
-        "CASE c{s} ".format(s=s)
-        + " ".join(f"WHEN {c} THEN qd_{s}_{c}" for c in range(k - 1))
-        + f" ELSE qd_{s}_{k - 1} END"
-        for s in range(m)
-    )
+    flat, centers = _pq_codebooks(spark, sf_dir)
+    dim = _PQ_M * _PQ_SUBDIM
+    codes = _pq_codes_df(flat, centers)
+    lut = _pq_lut_df(flat, centers, _PQ_NQ)
     wq = Window.partitionBy("query_id")
     arank = (
         codes.crossJoin(F.broadcast(lut))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .selectExpr("query_id", "vec_id", f"({adc_sum}) AS adc")
+        .selectExpr("query_id", "vec_id", f"({_pq_adc_sum(_PQ_M, _PQ_K)}) AS adc")
         .withColumn(
             "rn", F.row_number().over(wq.orderBy(F.asc("adc"), F.asc("vec_id")))
         )
         .select("query_id", "vec_id", "rn")
     )
-    # --- exhaustive int8 ground truth (same broadcast-queries shape)
+    # exhaustive int8 ground truth (same broadcast-queries shape)
     qflat = flat.filter(F.col("vec_id") < _PQ_NQ).selectExpr(
         "vec_id AS query_id", *[f"q{i} AS p{i}" for i in range(dim)]
     )
@@ -2133,30 +2212,24 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PQ_TOPK)
         .select("query_id", "vec_id")
     )
-    try:
-        return (
-            etop.join(arank, ["query_id", "vec_id"])
-            .groupBy("query_id")
-            .agg(
-                F.sum((F.col("rn") <= _PQ_SHORT).cast("int"))
-                .cast("bigint")
-                .alias("n_hits"),
-                F.sum("rn").cast("bigint").alias("truth_rank_sum"),
-            )
-            .select(
-                F.col("query_id").cast("bigint").alias("query_id"),
-                "n_hits",
-                (
-                    F.floor(F.col("n_hits") * 1.0 / _PQ_TOPK * 10000 + 0.5) / 10000
-                ).alias("shortlist_recall"),
-                "truth_rank_sum",
-            )
-            # 8-row result; release the corpus-sized quantized frame
-            # before returning (the lsh_recall/pagerank lifecycle)
-            .localCheckpoint(eager=True)
+    return (
+        etop.join(arank, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("rn") <= _PQ_SHORT).cast("int"))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.sum("rn").cast("bigint").alias("truth_rank_sum"),
         )
-    finally:
-        flat.unpersist()
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "n_hits",
+            (
+                F.floor(F.col("n_hits") * 1.0 / _PQ_TOPK * 10000 + 0.5) / 10000
+            ).alias("shortlist_recall"),
+            "truth_rank_sum",
+        )
+    )
 
 
 _LOGREG_ITERS, _LOGREG_ETA = 3, 1.0
@@ -2292,3 +2365,131 @@ def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         pt.unpersist()
         yv.unpersist()
+
+
+def _ivf_pq_oracle(
+    n_clusters: int, lloyd_iters: int, n_probe: int,
+    m: int, sd: int, k: int, nq: int, topk: int,
+) -> str:
+    """The composed IVF-PQ serving oracle: the shared unrolled-Lloyd
+    training CTEs (coarse router), the shared PQ codebook CTEs
+    (compressed scorer), then a multi-query probe, the inverted-list
+    candidate join, and ADC ranking inside the probed cells only."""
+    ivf_ctes, prev_c = _ivf_train_ctes(n_clusters, lloyd_iters)
+    return f"""
+    WITH {ivf_ctes},
+    {_pq_cb_ctes(m, sd, k, nq)},
+    qprobe AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT d.vec_id, d.cid,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY d.d2, d.cid) AS rn
+            FROM (SELECT p.vec_id, c.cid,
+                         floor(sum((c.m - p.v) * (c.m - p.v)) * 1e9 + 0.5) / 1e9 AS d2
+                  FROM pt p JOIN {prev_c} c ON p.pos = c.pos
+                  WHERE p.vec_id < {nq}
+                  GROUP BY p.vec_id, c.cid) d
+        ) WHERE rn <= {n_probe}
+    ),
+    cand AS (
+        SELECT q.query_id, a.vec_id
+        FROM qprobe q JOIN af a ON a.cid = q.cid AND a.vec_id <> q.query_id
+    ),
+    padc AS (
+        SELECT c.query_id, c.vec_id, sum(l.qd2) AS adc
+        FROM cand c
+        JOIN codes co ON co.vec_id = c.vec_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.s = co.s AND l.code = co.code
+        GROUP BY c.query_id, c.vec_id
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, vec_id, CAST(adc AS BIGINT) AS adc
+    FROM (
+        SELECT query_id, vec_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rn
+        FROM padc
+    ) WHERE rn <= {topk}"""
+
+
+_IVF_PQ_NPROBE = 4
+
+
+@query(
+    "ivf_pq_serve",
+    oracle=_ivf_pq_oracle(
+        64, 2, _IVF_PQ_NPROBE, _PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_NQ, _PQ_TOPK
+    ),
+    section="2.11 ANN: IVF-PQ serving (coarse route + ADC rescore from compressed codes)",
+)
+def ivf_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-scale ANN serving stack, composed from the repo's
+    two cached index tiers: the IVF coarse router (`_ivf_index` —
+    rank 64 trained centroids, probe the 4 nearest cells) and the PQ
+    compressed scorer (`_pq_codebooks` — score ONLY the probed cells'
+    inverted lists by Asymmetric Distance Computation from 16-bit
+    codes). This is IVFADC (Jegou et al.) minus residual encoding:
+    at 100 TB the full-precision vectors never leave storage at
+    serve time — the router touches 64 centroid rows and the scorer
+    touches ~n_probe/n_clusters of the corpus as 8 small codes per
+    row plus one broadcast 8x4-entry LUT per query. Output: the
+    served top-5 per query with the exact integer ADC key (the
+    serving twin of `pq_recall`, which grades the same codes against
+    ground truth corpus-wide).
+
+    Both tiers train once per session and are provably equal to a
+    fresh retrain (deterministic trainers; the oracle re-derives
+    Lloyd AND the codebooks from scratch every run). Ranking is
+    integer-exact on the PQ side; the only floats are the router's
+    1e9-pinned centroid distances (the established IVF discipline).
+    Join discipline matches ivf_serve_batch: probe and LUT frames
+    are broadcast (n_queries-sized), the candidate fetch is a hash
+    join on vec_id."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import sq_dist_sql
+
+    idx = _ivf_index(spark, sf_dir)
+    flat, centers = _pq_codebooks(spark, sf_dir)
+    qf = idx.flat.filter(F.col("vec_id") < _PQ_NQ).selectExpr(
+        "vec_id AS query_id",
+        "CAST(pmod(vec_id, 1) AS INT) AS jk",
+        *[f"v{i} AS q{i}" for i in range(idx.dim)],
+    )
+    qd2_sql = sq_dist_sql("m", "q", idx.dim)
+    wprobe = Window.partitionBy("query_id").orderBy("qd2", "cid")
+    probe = (
+        idx.cents.withColumn("jk", F.expr("CAST(pmod(cid, 1) AS INT)"))
+        .join(F.broadcast(qf), "jk")
+        .selectExpr(
+            "query_id", "cid", f"floor(({qd2_sql}) * 1e9 + 0.5) / 1e9 AS qd2"
+        )
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= _IVF_PQ_NPROBE)
+        .select("query_id", "cid")
+    )
+    cand = (
+        idx.assigned.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    codes = _pq_codes_df(flat, centers)
+    lut = _pq_lut_df(flat, centers, _PQ_NQ)
+    wq = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), "query_id")
+        .selectExpr(
+            "query_id", "vec_id",
+            # + qn2 recovers the TRUE integer ADC from the shifted sum
+            f"({_pq_adc_sum(_PQ_M, _PQ_K)}) + qn2 AS adc",
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("rn").cast("int").alias("rank"),
+            "vec_id",
+            F.col("adc").cast("bigint").alias("adc"),
+        )
+    )
