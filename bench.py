@@ -142,6 +142,7 @@ HEADLINE = [
     "pr_curve",              # precision/recall sweep (scorer vs rule gate)
     "dp_histogram",          # DP histogram release (seeded Laplace noise)
     "ivf_pq_serve",          # IVF-PQ/ADC serving (route + compressed rescore)
+    "distinct_ngrams",       # distinct-n diversity (type-token ratios)
 ]
 
 

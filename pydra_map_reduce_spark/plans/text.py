@@ -2005,3 +2005,77 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").over(w).cast("bigint").alias("cum_tokens"),
         F.sum("n_new").over(w).cast("bigint").alias("cum_vocab"),
     )
+
+
+@query(
+    "distinct_ngrams",
+    oracle=f"""
+    WITH uni AS (
+        SELECT source, word
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+    ), u AS (
+        SELECT source, count(*) AS n_unigrams,
+               count(DISTINCT word) AS n_distinct_unigrams
+        FROM uni GROUP BY source
+    ), bi AS (
+        SELECT source, pair
+        FROM (SELECT source, unnest({textops.adjacent_pairs_sql('text')}) AS pair
+              FROM documents)
+    ), b AS (
+        SELECT source, count(*) AS n_bigrams,
+               count(DISTINCT pair) AS n_distinct_bigrams
+        FROM bi GROUP BY source
+    )
+    SELECT u.source,
+           CAST(n_unigrams AS BIGINT) AS n_unigrams,
+           CAST(n_distinct_unigrams AS BIGINT) AS n_distinct_unigrams,
+           floor(n_distinct_unigrams * 1.0 / n_unigrams * 10000 + 0.5) / 10000
+               AS distinct_1,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_distinct_bigrams AS BIGINT) AS n_distinct_bigrams,
+           floor(n_distinct_bigrams * 1.0 / n_bigrams * 10000 + 0.5) / 10000
+               AS distinct_2
+    FROM u JOIN b ON u.source = b.source
+    """,
+    section="2.11 distinct-n diversity (per-source unigram/bigram type-token ratios)",
+)
+def distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct-n diversity metric (Li et al., "A
+    Diversity-Promoting Objective Function for Neural Conversation
+    Models"): per source, the ratio of DISTINCT unigrams and bigrams
+    to total — low distinct-2 flags template/boilerplate-heavy or
+    self-repetitive sources the way repetition_ratio flags single
+    documents. Unigrams are the house tokenizer's nonempty tokens;
+    bigrams are the SHARED adjacent-pairs idiom
+    (textops.adjacent_pairs_expr — the BPE/DSIR pair generator).
+
+    Two token-stream scans, each one keyed agg with map-side partial
+    distinct; counts are exact integers and each ratio is one pinned
+    division. At 100 TB swap the exact distinct for HLL
+    (approx_count_distinct) — same plan shape, sketch-mergeable."""
+    d = load_table(spark, sf_dir, "documents")
+    uni = d.select(
+        "source", F.explode(textops.tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unigrams"),
+        F.countDistinct("word").alias("n_distinct_unigrams"),
+    )
+    bi = d.selectExpr(
+        "source", f"explode({textops.adjacent_pairs_expr('text')}) AS pair"
+    )
+    b = bi.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("pair").alias("n_distinct_bigrams"),
+    )
+    ratio = lambda num, den: F.floor(num * 1.0 / den * 10000 + 0.5) / 10000  # noqa: E731
+    return u.join(b, "source").select(
+        "source",
+        "n_unigrams",
+        "n_distinct_unigrams",
+        ratio(F.col("n_distinct_unigrams"), F.col("n_unigrams")).alias("distinct_1"),
+        "n_bigrams",
+        "n_distinct_bigrams",
+        ratio(F.col("n_distinct_bigrams"), F.col("n_bigrams")).alias("distinct_2"),
+    )
