@@ -77,7 +77,7 @@ _DRIVER_PRIORITY = [
 # `dedup_survivor_bias`, `ann_probe_curve`, `token_freq_spectrum`,
 # `good_turing_discount`, `kneser_ney_perplexity`,
 # `minhash_estimate_error`, `association_rules`, `pq_recall`, `perplexity_gate`,
-# `logreg_train`, `vocab_growth`, `pr_curve`, `dp_histogram`, `ivf_pq_serve`, `distinct_ngrams` — plus
+# `logreg_train`, `vocab_growth`, `pr_curve`, `dp_histogram`, `ivf_pq_serve`, `distinct_ngrams`, `term_burstiness` — plus
 # anything added later in round 10. The
 # r10 review sweeps changed NO values: the vector-family rounding pins
 # (allpairs threshold, vector_quantize codes/scale, covariance/pca

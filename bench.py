@@ -143,6 +143,7 @@ HEADLINE = [
     "dp_histogram",          # DP histogram release (seeded Laplace noise)
     "ivf_pq_serve",          # IVF-PQ/ADC serving (route + compressed rescore)
     "distinct_ngrams",       # distinct-n diversity (type-token ratios)
+    "term_burstiness",       # Church-Gale VMR (topicality/boilerplate signal)
 ]
 
 

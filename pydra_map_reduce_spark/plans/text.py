@@ -2079,3 +2079,84 @@ def distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_bigrams",
         ratio(F.col("n_distinct_bigrams"), F.col("n_bigrams")).alias("distinct_2"),
     )
+
+
+_BURST_MIN_COUNT = 50  # corpus-count floor for a term to be rated
+
+
+@query(
+    "term_burstiness",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (
+        SELECT doc_id, word, count(*) AS x
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY doc_id, word
+    ), agg AS (
+        SELECT word,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sx2,
+               CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY word
+    )
+    SELECT word, sx AS n_occurrences, df AS n_docs_with,
+           floor(CAST(n.n_docs * sx2 - sx * sx AS DOUBLE)
+                 / (n.n_docs * sx) * 10000 + 0.5) / 10000 AS vmr
+    FROM agg CROSS JOIN n
+    WHERE sx >= {_BURST_MIN_COUNT}
+    ORDER BY floor(CAST(n.n_docs * sx2 - sx * sx AS DOUBLE)
+                   / (n.n_docs * sx) * 10000 + 0.5) / 10000 DESC, word
+    LIMIT 20
+    """,
+    section="2.11 term burstiness (variance-to-mean ratio, topicality signal)",
+)
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness: the variance-to-mean ratio of each
+    term's per-document count over ALL documents (zeros included) —
+    VMR ≈ 1 is Poisson background (function words), VMR >> 1 marks
+    bursty/topical terms that concentrate in few documents; corpus
+    teams read it to separate content terms from boilerplate
+    vocabulary and to spot template blocks (a near-constant repeated
+    block's terms are extreme-VMR). Top-20 by VMR among terms above a
+    corpus-count floor, ties broken by word.
+
+    Exact-integer formulation: with zeros included, var/mean reduces
+    to (N·Σx² − (Σx)²)/(N·Σx) — both operands exact BIGINTs from
+    map-side-combined keyed sums, ONE division, pinned 4dp before it
+    becomes the ranking key. Two keyed aggs + a 1-row broadcast total
+    + TakeOrdered; nothing leaves the JVM."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        d.select("doc_id", F.explode(textops.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    agg = tf.groupBy("word").agg(
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    vmr = (
+        F.floor(
+            (F.col("n_docs") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+            / (F.col("n_docs") * F.col("sx"))
+            * 10000
+            + 0.5
+        )
+        / 10000
+    )
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .filter(F.col("sx") >= _BURST_MIN_COUNT)
+        .select(
+            "word",
+            F.col("sx").alias("n_occurrences"),
+            F.col("df").alias("n_docs_with"),
+            vmr.alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), "word")
+        .limit(20)
+    )

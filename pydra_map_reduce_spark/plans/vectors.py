@@ -2097,6 +2097,13 @@ def _pq_codebooks(
 
     # per-subspace Gonzalez, all subspaces per pass
     seed = flat.orderBy("vec_id").limit(1).first()
+    if seed is None:
+        # fail loud at the API edge (the ivf_serve guard convention):
+        # an all-NULL/all-zero embedding column would otherwise die on
+        # an opaque NoneType subscript below
+        flat.unpersist()
+        raise ValueError("PQ training found no quantizable vectors (every "
+                         "embedding NULL or all-zero)")
     centers: list[list[list[int]]] = [
         [[seed[f"q{s * sd + j}"] for j in range(sd)]] for s in range(m)
     ]
@@ -2338,6 +2345,12 @@ def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     yv = e.select("vec_id", "y").persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n = yv.count()
+        if n == 0:
+            # fail loud (the misuse-guard convention): -eta/n below is
+            # a Python division, so an empty training frame would die
+            # on ZeroDivisionError instead of naming the real problem
+            raise ValueError("logreg_train: no rows with non-NULL label "
+                             "and embedding to train on")
         r = yv.select("vec_id", (F.lit(0.5) - F.col("y")).alias("r"))
         g = pt.join(r, "vec_id").groupBy("j").agg(F.sum(F.col("r") * F.col("x")).alias("g"))
         w = g.select("j", (F.lit(-eta) * F.col("g") / F.lit(n)).alias("w"))
