@@ -665,6 +665,56 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_EVAL_THRESHOLD = 0.05  # deliberately BELOW the banding design point
 
 
+# Session-cached portable (md5) shingle index for the dedup-EVALUATION
+# family: lsh_recall and minhash_estimate_error build the IDENTICAL
+# index (portable_shingle_ids over the spread corpus) and each paid the
+# full ~3.5 s (sf0.1) build per call because the per-call persist/
+# unpersist pair released exactly what the next evaluator was about to
+# rebuild. The _ivf_index lifecycle applies: keyed by (applicationId,
+# dir, fixture identity), stale/dead entries pruned on miss, storage
+# MEMORY_AND_DISK so an idle session degrades to recompute, not OOM.
+# (The xxhash64 PRODUCTION path is untouched — its index plan differs,
+# so CacheManager sharing never applied across the two families.)
+_PORTABLE_SH_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _portable_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.dedup import _spread, portable_shingle_ids
+    from ..sources.tables import _fixture_key
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_key(f"{sf_dir}/documents.parquet"),
+    )
+    sh = _PORTABLE_SH_CACHE.get(key)
+    if sh is not None:
+        return sh
+    for k2 in list(_PORTABLE_SH_CACHE):
+        stale = k2[:2] == key[:2]
+        try:
+            dead = _PORTABLE_SH_CACHE[k2].sparkSession.sparkContext._jsc is None
+        except Exception:
+            dead = True
+        if stale or dead:
+            if stale and not dead:
+                try:
+                    _PORTABLE_SH_CACHE[k2].unpersist()
+                except Exception:
+                    pass
+            del _PORTABLE_SH_CACHE[k2]
+    d = load_table(spark, sf_dir, "documents")
+    # _spread: without it the pre-shuffle shingling can run
+    # single-partition (the sibling operators' measured 6 s vs 0.3 s)
+    sh = portable_shingle_ids(_spread(d), "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PORTABLE_SH_CACHE[key] = sh
+    return sh
+
+
 @query(
     "lsh_recall",
     oracle=f"""
@@ -720,20 +770,11 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     true hit-rate (the ann_recall convention). All counts are exact
     integers; recall divides them once, floored identically.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    from ..operators.dedup import _spread, portable_shingle_ids
-
     d = load_table(spark, sf_dir, "documents")
-    # _spread + persist: the truth side references this frame in FOUR
-    # subplan instances (inter's two aliases, sizes twice) — without
-    # the pin the tokenize->window->md5->distinct lineage recomputes
-    # per instance, and without the spread the pre-shuffle shingling
-    # can run single-partition (the sibling operators' measured 6 s vs
-    # 0.3 s; same persist convention as minhash_lsh_pairs)
-    sh = portable_shingle_ids(_spread(d), "doc_id", "text").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the session-cached portable index: the truth side references it
+    # in FOUR subplan instances (inter's two aliases, sizes twice),
+    # and minhash_estimate_error reads the same build
+    sh = _portable_shingle_index(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -760,27 +801,23 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits_n = found.join(truth, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).alias("n_hits")
     )
-    # localCheckpoint the one-row report so the shingle cache can be
-    # RELEASED before returning (the pagerank/dedup_clusters pattern —
-    # without it every invocation pins a corpus-sized shingle copy in
-    # the long-lived shared session's executor storage)
-    try:
-        return (
-            truth_n.crossJoin(F.broadcast(found_n))
-            .crossJoin(F.broadcast(hits_n))
-            .select(
-                F.col("n_true").cast("bigint").alias("n_true"),
-                F.col("n_found").cast("bigint").alias("n_found"),
-                F.col("n_hits").cast("bigint").alias("n_hits"),
-                (F.col("n_true") - F.col("n_hits")).cast("bigint").alias("n_missed"),
-                round_half_up(
-                    F.col("n_hits") * 1.0 / F.col("n_true"), 4
-                ).alias("recall"),
-            )
-            .localCheckpoint(eager=True)
+    # the index stays persisted (session cache — see
+    # _portable_shingle_index); the one-row report still checkpoints
+    # so the wide truth lineage isn't replayed by downstream readers
+    return (
+        truth_n.crossJoin(F.broadcast(found_n))
+        .crossJoin(F.broadcast(hits_n))
+        .select(
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_found").cast("bigint").alias("n_found"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_true") - F.col("n_hits")).cast("bigint").alias("n_missed"),
+            round_half_up(
+                F.col("n_hits") * 1.0 / F.col("n_true"), 4
+            ).alias("recall"),
         )
-    finally:
-        sh.unpersist()
+        .localCheckpoint(eager=True)
+    )
 
 
 @query(
@@ -1496,72 +1533,65 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_recall lifecycle — this index plan is UNIQUE to the portable
     evaluation family, so CacheManager sharing with the xxhash64
     production path doesn't apply)."""
-    from pyspark.storagelevel import StorageLevel
-
     from ..operators.dedup import (
-        _spread,
         minhash_band_candidates,
         minhash_signatures,
-        portable_shingle_ids,
     )
 
-    d = load_table(spark, sf_dir, "documents")
-    sh = portable_shingle_ids(_spread(d), "doc_id", "text").persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = _portable_shingle_index(spark, sf_dir)
+    sigs = minhash_signatures(sh, 32)
+    cand = minhash_band_candidates(sigs, 32, 8)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # intersections ONLY for the candidate pairs: fan the (small,
+    # broadcast) pair frame onto doc_a's postings, then match
+    # doc_b's postings on (doc_b, s) — work is Σ|A| over candidate
+    # pairs, never the full co-shingle self-join (the original
+    # posting-list a⋈b computed EVERY co-shingle pair and then
+    # left-joined the candidates against it: the whole lsh_recall
+    # ground-truth cost paid for rows that were thrown away;
+    # measured 5.2 s → 1.6 s at sf0.1)
+    inter = (
+        F.broadcast(cand.select("doc_a", "doc_b"))
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    try:
-        sigs = minhash_signatures(sh, 32)
-        cand = minhash_band_candidates(sigs, 32, 8)
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-        a, b = sh.alias("a"), sh.alias("b")
-        inter = (
-            a.join(
-                b,
-                (F.col("a.s") == F.col("b.s"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .groupBy(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+    sga = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(32)],
+    )
+    sgb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(32)],
+    )
+    n_agree = sum(
+        (
+            F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+            for i in range(32)
+        ),
+        F.lit(0),
+    )
+    agree = (
+        cand.join(sga, "doc_a")
+        .join(sgb, "doc_b")
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    j_true_raw = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+    j_est_raw = F.col("n_agree") / 32.0
+    out = (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_agree").cast("bigint").alias("n_agree"),
+            round_half_up(j_est_raw, 6).alias("j_est"),
+            round_half_up(j_true_raw, 6).alias("j_true"),
+            round_half_up(F.abs(j_est_raw - j_true_raw), 6).alias("abs_err"),
         )
-        sga = sigs.select(
-            F.col("doc_id").alias("doc_a"),
-            *[F.col(f"h{i}").alias(f"ha{i}") for i in range(32)],
-        )
-        sgb = sigs.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"h{i}").alias(f"hb{i}") for i in range(32)],
-        )
-        n_agree = sum(
-            (
-                F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
-                for i in range(32)
-            ),
-            F.lit(0),
-        )
-        agree = (
-            cand.join(sga, "doc_a")
-            .join(sgb, "doc_b")
-            .select("doc_a", "doc_b", n_agree.alias("n_agree"))
-        )
-        ni = F.coalesce(F.col("n_inter"), F.lit(0))
-        j_true_raw = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
-        j_est_raw = F.col("n_agree") / 32.0
-        out = (
-            agree.join(inter, ["doc_a", "doc_b"], "left")
-            .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.col("n_agree").cast("bigint").alias("n_agree"),
-                round_half_up(j_est_raw, 6).alias("j_est"),
-                round_half_up(j_true_raw, 6).alias("j_true"),
-                round_half_up(F.abs(j_est_raw - j_true_raw), 6).alias("abs_err"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        return out
-    finally:
-        sh.unpersist()
+        .localCheckpoint(eager=True)
+    )
+    return out
