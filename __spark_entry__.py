@@ -83,10 +83,18 @@ _DRIVER_PRIORITY = [
 # (allpairs threshold, vector_quantize codes/scale, covariance/pca
 # rendering) and the DECIMAL(38,0) money-sum widening were verified
 # value-identical at all three SFs, so existing evidence stands.
-# Compose the r11 window from (1) those ten + later additions,
+# Compose the r11 window from (1) revenue_share + every addition
+# listed above (19 total: the nine early round-10 additions plus
+# association_rules, pq_recall, perplexity_gate,
+# logreg_train, vocab_growth, pr_curve, dp_histogram, ivf_pq_serve,
+# distinct_ngrams, term_burstiness — all differential-green at three
+# SFs and driver_sim-green locally, none driver-evidenced yet),
 # (2) any r10 reds, then (3) the stalest greens oldest-first (the
 # r4/r5-era aggregation and io families not touched by the sweeps).
-# Keep rows-only queries out of the window.
+# lsh_recall and minhash_estimate_error changed PLAN but not values in
+# the round-10 session (shared session-cached index + candidate-
+# restricted intersection; differential-green at three SFs), so their
+# existing evidence stands. Keep rows-only queries out of the window.
 
 
 def _ordered() -> list[str]:
