@@ -851,3 +851,58 @@ def test_ivf_serve_batch_and_probe_curve_join_discipline(spark):
     # unbroadcast cartesians.
     curve_plan = _executed(REGISTRY["ann_probe_curve"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in curve_plan, curve_plan[:3000]
+
+
+def test_ivf_pq_serve_join_discipline(spark):
+    """IVF-PQ serving must stay on hash/broadcast joins end-to-end:
+    the centroid fan-out rides the non-foldable pmod key (a lit-key
+    join would constant-fold to BroadcastNestedLoopJoin), the probe
+    and LUT frames broadcast, and the candidate/code fetches are
+    keyed — no cartesian, no nested loop anywhere."""
+    df = REGISTRY["ivf_pq_serve"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_pq_recall_plan_shape(spark):
+    """The PQ evaluation's only nested-loop joins are the two
+    deliberate 8-row broadcast fan-outs (LUT and query block); the
+    encode/LUT projections are constant-folded codebook literals, so
+    nothing may fall out of codegen into Python eval."""
+    df = REGISTRY["pq_recall"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
+    assert "BatchEvalPython" not in plan, plan[:3000]
+
+
+def test_perplexity_gate_stats_broadcast(spark):
+    """The per-lang frequency table and totals must broadcast onto
+    the token stream (the unigram_perplexity discipline, keyed by
+    lang) — a shuffled vocab join would re-shuffle the corpus-sized
+    token stream twice."""
+    df = REGISTRY["perplexity_gate"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_pr_curve_no_nested_loop(spark):
+    """The threshold sweep is a projection fan-out (explode of nine
+    literals), NOT a join — and the gate/score doc join stays keyed."""
+    df = REGISTRY["pr_curve"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_vocab_growth_cuts_broadcast(spark):
+    """The decile-cutoff row rides a 1-row broadcast onto the token
+    stream and the doc frame (the length_deciles pattern); only those
+    two single-row fan-outs may be nested-loop."""
+    df = REGISTRY["vocab_growth"].fn(spark, SF_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
