@@ -144,6 +144,7 @@ HEADLINE = [
     "ivf_pq_serve",          # IVF-PQ/ADC serving (route + compressed rescore)
     "distinct_ngrams",       # distinct-n diversity (type-token ratios)
     "term_burstiness",       # Church-Gale VMR (topicality/boilerplate signal)
+    "cross_source_dups",     # source x source duplication matrix
 ]
 
 

@@ -1595,3 +1595,93 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return out
+
+
+@query(
+    "cross_source_dups",
+    oracle="""
+    WITH fpc AS (
+        SELECT md5(substr(replace(text, ' ', ''), 1, 64)) AS fp, source,
+               count(*) AS n
+        FROM documents
+        GROUP BY fp, source
+    ), within AS (
+        SELECT source AS source_a, source AS source_b,
+               count(*) FILTER (WHERE n > 1) AS n_shared_fps,
+               sum(n * (n - 1) // 2) AS n_dup_pairs
+        FROM fpc GROUP BY source
+    ), cross_pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared_fps,
+               sum(a.n * b.n) AS n_dup_pairs
+        FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY a.source, b.source
+    ), unioned AS (
+        SELECT * FROM within WHERE n_dup_pairs > 0
+        UNION ALL
+        SELECT * FROM cross_pairs
+    )
+    SELECT source_a, source_b,
+           CAST(n_shared_fps AS BIGINT) AS n_shared_fps,
+           CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs
+    FROM unioned
+    """,
+    section="2.11 cross-source duplication matrix (mirror/syndication detection)",
+)
+def cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from: the source x source matrix of
+    shared-opening duplicate pairs — documents whose leading 64
+    whitespace-normalized characters fingerprint identically (the
+    template-header / syndicated-lede grain; real crawls duplicate
+    openings far more than whole bodies, and full-content identity is
+    doc_fingerprint's role) — split into within-source rows
+    (self-duplication: n·(n−1)/2 pairs per fingerprint) and
+    cross-source rows (mirrors / syndication: n_a·n_b pairs). The
+    table a crawl team reads to decide which source to keep when
+    deduplicating a merged corpus, where doc_fingerprint only says
+    duplication EXISTS per source.
+
+    Scale shape: one keyed (fp, source) count (map-side combined),
+    then a self-join keyed on the fingerprint whose per-key width is
+    bounded by the SOURCE count, never the corpus (a fingerprint row
+    exists once per (fp, source), so a 10k-copy boilerplate page
+    joins as one row per source pair); within-source pairs come from
+    the same row arithmetically, with no join at all. All counts are
+    exact integers."""
+    fp = F.md5(F.substring(F.regexp_replace(F.col("text"), " ", ""), 1, 64))
+    fpc = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(fp.alias("fp"), F.col("source"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    within = (
+        fpc.groupBy("source")
+        .agg(
+            F.sum((F.col("n") > 1).cast("int")).alias("n_shared_fps"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("n_dup_pairs"),
+        )
+        .filter(F.col("n_dup_pairs") > 0)
+        .select(
+            F.col("source").alias("source_a"),
+            F.col("source").alias("source_b"),
+            "n_shared_fps",
+            "n_dup_pairs",
+        )
+    )
+    a = fpc.select("fp", F.col("source").alias("source_a"), F.col("n").alias("na"))
+    b = fpc.select("fp", F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    cross = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fps"),
+            F.sum(F.col("na") * F.col("nb")).alias("n_dup_pairs"),
+        )
+    )
+    return within.unionAll(cross).select(
+        "source_a",
+        "source_b",
+        F.col("n_shared_fps").cast("bigint").alias("n_shared_fps"),
+        F.col("n_dup_pairs").cast("bigint").alias("n_dup_pairs"),
+    )
