@@ -145,6 +145,7 @@ HEADLINE = [
     "distinct_ngrams",       # distinct-n diversity (type-token ratios)
     "term_burstiness",       # Church-Gale VMR (topicality/boilerplate signal)
     "cross_source_dups",     # source x source duplication matrix
+    "html_text_extract",     # boilerplate strip + roundtrip certification
 ]
 
 

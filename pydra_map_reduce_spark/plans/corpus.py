@@ -1455,3 +1455,111 @@ def group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leak))
         .select("split", "n_users", "n_events", "n_leaked_users")
     )
+
+
+@query(
+    "html_text_extract",
+    oracle="""
+    WITH page AS (
+        SELECT doc_id, source, text,
+               '<html><head><title>Doc ' || doc_id || ' &amp; friends</title>'
+               || '<script>var x = 1 < 2;</script>'
+               || '<style>.nav { color: red }</style></head>'
+               || '<body><nav>Home | About | <a href="/x">Links</a></nav>'
+               || '<h1>Doc ' || doc_id || '</h1><p>'
+               || text
+               || '</p><footer>&copy; example.com</footer></body></html>'
+                   AS html
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, source, text,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(
+                                       regexp_replace(html,
+                                           '(?s)<script.*?</script>', ' ', 'g'),
+                                       '(?s)<style.*?</style>', ' ', 'g'),
+                                   '(?s)<nav>.*?</nav>', ' ', 'g'),
+                               '(?s)<footer>.*?</footer>', ' ', 'g'),
+                           '<[^>]*>', ' ', 'g'),
+                       '&amp;', '&', 'g'),
+                   '[ ]+', ' ', 'g')) AS extracted,
+               regexp_extract(html, '<title>(.*?)</title>', 1) AS title
+        FROM page
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(extracted)) AS BIGINT) AS extracted_chars,
+           CAST(sum(CASE WHEN extracted =
+                    'Doc ' || doc_id || ' & friends Doc ' || doc_id || ' '
+                    || trim(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+    FROM ex
+    GROUP BY source
+    """,
+    section="2.11 HTML text extraction (boilerplate strip, the Common Crawl step)",
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-to-corpus extraction step: strip script/style blocks,
+    drop nav/footer boilerplate elements, flatten the remaining tags,
+    decode entities, and collapse whitespace — the trafilatura-shaped
+    pipeline as a pure JVM regex chain (one scan, whole-stage codegen,
+    no Python — the pii_redact posture). The fixture documents are
+    plain text, so each doc is first wrapped in a deterministic HTML
+    page (title, script, style, nav, h1, footer — the multimodal
+    decoders' synthesize-then-decode convention), and the report
+    counts per source how many documents round-trip EXACTLY back to
+    their known content (title + h1 + body) — a self-certifying
+    extraction the differential grades on both engines' regex
+    dialects (non-greedy dotall via inline (?s) — and NO
+    backreferences: RE2 has none, so element patterns are spelled
+    per tag — entity decode, whitespace collapse).
+
+    At 100 TB this is the map stage after the WARC source
+    (`warc_pipeline` feeds it): narrow, shuffle-free until the
+    per-source rollup's map-side-combined agg."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; friends</title>"),
+        F.lit("<script>var x = 1 < 2;</script>"),
+        F.lit("<style>.nav { color: red }</style></head>"),
+        F.lit('<body><nav>Home | About | <a href="/x">Links</a></nav>'),
+        F.lit("<h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><footer>&copy; example.com</footer></body></html>"),
+    )
+    ex = html
+    for pat, repl in (
+        (r"(?s)<script.*?</script>", " "),
+        (r"(?s)<style.*?</style>", " "),
+        (r"(?s)<nav>.*?</nav>", " "),
+        (r"(?s)<footer>.*?</footer>", " "),
+        (r"<[^>]*>", " "),
+        (r"&amp;", "&"),
+        (r"[ ]+", " "),
+    ):
+        ex = F.regexp_replace(ex, pat, repl)
+    ex = F.trim(ex)
+    expected = F.concat(
+        F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(" & friends Doc "),
+        F.col("doc_id").cast("string"), F.lit(" "), F.trim(F.col("text")),
+    )
+    return (
+        d.select(
+            "source",
+            F.length(ex).alias("n_chars"),
+            (ex == expected).cast("int").alias("ok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("extracted_chars"),
+            F.sum("ok").cast("bigint").alias("n_roundtrip_ok"),
+        )
+    )
