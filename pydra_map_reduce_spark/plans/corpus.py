@@ -1486,8 +1486,7 @@ def group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                                '(?s)<footer>.*?</footer>', ' ', 'g'),
                            '<[^>]*>', ' ', 'g'),
                        '&amp;', '&', 'g'),
-                   '[ ]+', ' ', 'g')) AS extracted,
-               regexp_extract(html, '<title>(.*?)</title>', 1) AS title
+                   '[ ]+', ' ', 'g')) AS extracted
         FROM page
     )
     SELECT source,

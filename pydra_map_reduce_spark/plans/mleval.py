@@ -603,7 +603,8 @@ _DP_EPSILON = 1.0  # release budget; sensitivity of a count histogram is 1
            CAST(true_n AS BIGINT) AS true_n,
            floor((true_n + (-1.0 / {_DP_EPSILON})
                   * CASE WHEN c < 0 THEN -1.0 ELSE 1.0 END
-                  * ln(1.0 - 2.0 * abs(c))) * 10000 + 0.5) / 10000 AS released_n
+                  * ln(greatest(1.0 - 2.0 * abs(c), 1.0 / 4294967296.0)))
+                 * 10000 + 0.5) / 10000 AS released_n
     FROM draw
     """,
     section="2.11 differential-privacy release (Laplace-noised histogram, seeded noise)",
@@ -629,10 +630,14 @@ def dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("true_n"))
     c = textops.hash_uniform(F.concat(F.lit("dp:"), F.col("source"))) - 0.5
+    # greatest(..., 2^-32) clamps the u=0 corner (a ~2^-32-per-key md5
+    # draw): Spark ln(0) is NULL while DuckDB raises — either way the
+    # release would silently lose (or crash on) that group; the clamp
+    # caps the noise at ~22b, deterministically, on both engines
     lap = (
         F.lit(-1.0 / _DP_EPSILON)
         * F.when(c < 0, -1.0).otherwise(1.0)
-        * F.log(1.0 - 2.0 * F.abs(c))
+        * F.log(F.greatest(1.0 - 2.0 * F.abs(c), F.lit(1.0 / 4294967296.0)))
     )
     return counts.select(
         "source",

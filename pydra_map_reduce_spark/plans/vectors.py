@@ -1388,21 +1388,48 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "step long, vec_id long, radius double")
 
 
-@query(
-    "quantize_recall",
-    oracle="""
-    WITH e AS (
+
+# THE int8 symmetric quantization definition (explicit
+# half-away-from-zero — engine round() diverges on the .5 boundaries a
+# 127-scale mapping lands on; see quantize_recall), as a paired
+# Column/SQL builder shared by quantize_recall and the PQ tier
+# (_pq_cb_ctes/_pq_codebooks). vector_quantize keeps its own
+# sign-form oracle because its OUTPUT is the code string itself —
+# change that op's mapping only together with its driver evidence.
+def _int8_flat_exprs(dim: int) -> list[str]:
+    """selectExpr texts q0..q{dim-1} over (vec_id, emb, mx)."""
+    return [
+        f"CAST(CASE WHEN element_at(emb, {i + 1}) < 0"
+        f" THEN -floor(-element_at(emb, {i + 1}) * 127.0 / mx + 0.5)"
+        f" ELSE floor(element_at(emb, {i + 1}) * 127.0 / mx + 0.5) END AS BIGINT)"
+        f" AS q{i}"
+        for i in range(dim)
+    ]
+
+
+def _int8_qz_ctes(e_name: str, qz_name: str) -> str:
+    """SQL twin of :func:`_int8_flat_exprs`: the (emb, mx) projection
+    and the quantized-list CTE, parameterized by CTE names so the text
+    composes next to other CTE families (the PQ serving oracle sits
+    beside _ivf_train_ctes' e/pt)."""
+    return f"""{e_name} AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                greatest(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'),
                         -list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) AS mx
         FROM embeddings
-    ), qz AS (
+    ), {qz_name} AS (
         SELECT vec_id,
                [CAST(CASE WHEN x < 0 THEN -floor(-x * 127.0 / mx + 0.5)
                           ELSE floor(x * 127.0 / mx + 0.5) END AS BIGINT)
                 for x in emb] AS qv
-        FROM e WHERE mx > 0
-    ), pt AS (
+        FROM {e_name} WHERE mx > 0
+    )"""
+
+
+@query(
+    "quantize_recall",
+    oracle=f"""
+    WITH {_int8_qz_ctes("e", "qz")}, pt AS (
         SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM qz
     ), n2 AS (
         SELECT vec_id, sum(v * v) AS n2 FROM pt GROUP BY vec_id
@@ -1481,14 +1508,7 @@ def quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.withColumn(
         "mx", F.greatest(F.array_max("emb"), -F.array_min("emb"))
     ).filter(F.col("mx") > 0)
-    qexpr = [
-        f"CAST(CASE WHEN element_at(emb, {i + 1}) < 0"
-        f" THEN -floor(-element_at(emb, {i + 1}) * 127.0 / mx + 0.5)"
-        f" ELSE floor(element_at(emb, {i + 1}) * 127.0 / mx + 0.5) END AS INT)"
-        f" AS q{i}"
-        for i in range(dim)
-    ]
-    flat = e.selectExpr("vec_id", *qexpr)
+    flat = e.selectExpr("vec_id", *_int8_flat_exprs(dim))
     n2 = " + ".join(f"q{i} * q{i}" for i in range(dim))
     corpus = flat.selectExpr("vec_id", *[f"q{i}" for i in range(dim)], f"({n2}) AS n2")
     queries = corpus.filter(F.col("vec_id") < 8).selectExpr(
@@ -1857,18 +1877,7 @@ def _pq_cb_ctes(m: int, sd: int, k: int, nq: int) -> str:
     definition feeding pq_recall's evaluation and ivf_pq_serve's
     serving oracle."""
     parts = [
-        f"""qe AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-               greatest(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'),
-                        -list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) AS mx
-        FROM embeddings
-    ), qz AS (
-        SELECT vec_id,
-               [CAST(CASE WHEN x < 0 THEN -floor(-x * 127.0 / mx + 0.5)
-                          ELSE floor(x * 127.0 / mx + 0.5) END AS BIGINT)
-                for x in emb] AS qv
-        FROM qe WHERE mx > 0
-    ), qpt AS (
+        f"""{_int8_qz_ctes("qe", "qz")}, qpt AS (
         SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM qz
     ), sp AS (
         SELECT vec_id, CAST((pos - 1) // {sd} AS BIGINT) AS s,
@@ -2086,14 +2095,26 @@ def _pq_codebooks(
     e = e.withColumn(
         "mx", F.greatest(F.array_max("emb"), -F.array_min("emb"))
     ).filter(F.col("mx") > 0)
-    qexpr = [
-        f"CAST(CASE WHEN element_at(emb, {i + 1}) < 0"
-        f" THEN -floor(-element_at(emb, {i + 1}) * 127.0 / mx + 0.5)"
-        f" ELSE floor(element_at(emb, {i + 1}) * 127.0 / mx + 0.5) END AS BIGINT)"
-        f" AS q{i}"
-        for i in range(dim)
-    ]
-    flat = e.selectExpr("vec_id", *qexpr).persist(StorageLevel.MEMORY_AND_DISK)
+    flat = e.selectExpr("vec_id", *_int8_flat_exprs(dim)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        hit = _pq_train(flat)
+        _PQ_CB_CACHE[key] = hit
+        return hit
+    except BaseException:
+        # release the corpus-sized projection on ANY training failure
+        # (executor loss mid-pass, not just the empty-corpus guard) —
+        # a raise between persist and the cache insert would otherwise
+        # pin one orphaned copy per retry in the shared session
+        flat.unpersist()
+        raise
+
+
+def _pq_train(flat: DataFrame) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Gonzalez passes over the persisted int8 projection; caches and
+    returns on success (the caller releases on failure)."""
+    m, sd, k = _PQ_M, _PQ_SUBDIM, _PQ_K
 
     # per-subspace Gonzalez, all subspaces per pass
     seed = flat.orderBy("vec_id").limit(1).first()
@@ -2101,7 +2122,6 @@ def _pq_codebooks(
         # fail loud at the API edge (the ivf_serve guard convention):
         # an all-NULL/all-zero embedding column would otherwise die on
         # an opaque NoneType subscript below
-        flat.unpersist()
         raise ValueError("PQ training found no quantizable vectors (every "
                          "embedding NULL or all-zero)")
     centers: list[list[list[int]]] = [
@@ -2136,9 +2156,7 @@ def _pq_codebooks(
         ).first()
         for s in range(m):
             centers[s].append([picked_row[f"p{s}"][f"x{j}"] for j in range(sd)])
-    hit = (flat, centers)
-    _PQ_CB_CACHE[key] = hit
-    return hit
+    return flat, centers
 
 
 @query(
