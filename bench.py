@@ -146,6 +146,7 @@ HEADLINE = [
     "term_burstiness",       # Church-Gale VMR (topicality/boilerplate signal)
     "cross_source_dups",     # source x source duplication matrix
     "html_text_extract",     # boilerplate strip + roundtrip certification
+    "conversion_latency",    # first-view -> first-purchase latency histogram
 ]
 
 

@@ -1198,3 +1198,68 @@ def consecutive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("is_repeat")).cast("bigint").alias("n_kept"),
         F.sum("is_repeat").cast("bigint").alias("n_dropped"),
     )
+
+
+@query(
+    "conversion_latency",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.first_view
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ), lat AS (
+        SELECT v.user_id,
+               epoch_us(p.first_purchase) - epoch_us(v.first_view) AS us
+        FROM v JOIN p ON p.user_id = v.user_id
+    )
+    SELECT CAST(us // 3600000000 AS BIGINT) AS bucket_hours,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(us) // 1000000 AS BIGINT) AS min_secs,
+           CAST(max(us) // 1000000 AS BIGINT) AS max_secs
+    FROM lat
+    GROUP BY 1
+    """,
+    section="2.9 conversion-latency histogram (first view -> first purchase)",
+)
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the gap from the FIRST
+    view to the first purchase at-or-after it, bucketed by hour — the
+    histogram a growth/attribution team reads next to the funnel
+    counts (funnel says HOW MANY convert; this says HOW LONG they
+    take). Users who never view, or never purchase after their first
+    view, fall out of the inner joins on both sides identically.
+
+    All arithmetic is exact epoch-microsecond integers (the
+    sessionization discipline): two filtered user-keyed MIN
+    aggregates, one user-keyed join with the at-or-after predicate
+    folded in, and a dim-sized histogram rollup. At 100 TB: the two
+    aggregates and the join all share the user_id shuffle key, so AQE
+    coalesces this into the one-exchange-per-side shape; no windows,
+    no global sort."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = v.join(p, "user_id").select(
+        (F.unix_micros("first_purchase") - F.unix_micros("first_view")).alias("us")
+    )
+    return lat.groupBy(
+        F.expr("us DIV 3600000000").cast("bigint").alias("bucket_hours")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.expr("min(us) DIV 1000000").cast("bigint").alias("min_secs"),
+        F.expr("max(us) DIV 1000000").cast("bigint").alias("max_secs"),
+    )
