@@ -147,6 +147,7 @@ HEADLINE = [
     "cross_source_dups",     # source x source duplication matrix
     "html_text_extract",     # boilerplate strip + roundtrip certification
     "conversion_latency",    # first-view -> first-purchase latency histogram
+    "bootstrap_ci",          # seeded Bayesian bootstrap error bar
 ]
 
 

@@ -644,3 +644,94 @@ def dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_n").cast("bigint").alias("true_n"),
         (F.floor((F.col("true_n") + lap) * 10000 + 0.5) / 10000).alias("released_n"),
     )
+
+
+_BS_REPS = 32  # bootstrap replicates; CI from the rank-2/rank-31 order stats
+
+
+@query(
+    "bootstrap_ci",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL
+    ), reps AS (SELECT unnest(range({_BS_REPS})) AS b),
+    wtd AS (
+        SELECT r.b,
+               -ln(greatest(
+                   {textops.hash_uniform_sql("'bs:' || r.b || ':' || d.doc_id")},
+                   1.0 / 4294967296.0)) AS w,
+               d.n_chars AS x
+        FROM d CROSS JOIN reps r
+    ), ms AS (
+        SELECT b, floor(sum(w * x) / sum(w) * 1000000 + 0.5) / 1000000 AS m
+        FROM wtd GROUP BY b
+    ), ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM ms
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+           (SELECT floor(sum(n_chars) * 1.0 / count(*) * 1000000 + 0.5) / 1000000
+            FROM d) AS point_mean,
+           (SELECT m FROM ranked WHERE rk = 2) AS ci_low,
+           (SELECT m FROM ranked WHERE rk = {_BS_REPS - 1}) AS ci_high
+    """,
+    section="2.11 bootstrap confidence interval (seeded Bayesian bootstrap)",
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An error bar for a corpus metric WITHOUT resampling the data:
+    the Bayesian bootstrap (Rubin 1981) — each of 32 replicates
+    reweights every document by an exponential draw w = −ln(u) and
+    recomputes the weighted mean of n_chars; the CI is the
+    rank-2/rank-31 order statistics of the replicate means (≈90%
+    interval). The draws come from the repo's ONE md5-to-[0,1)
+    mapping keyed ('bs:<replicate>:<doc_id>'), so the interval is
+    bit-reproducible across engines, runs, and repartitions — the
+    property that lets a data team attach error bars to corpus
+    dashboards and diff them release-over-release. The u=0 corner is
+    clamped at 2^-32 (the dp_histogram guard: Spark ln(0) is NULL
+    where DuckDB raises).
+
+    Scale shape: ONE corpus scan fans out x32 map-side (a broadcast
+    replicate dim), then a 32-group weighted-mean aggregate with
+    map-side partials; the order statistics run over the 32-row
+    replicate frame (domain-bounded, windowed on a constant-size
+    input — the auc_score grid argument). Replicate means are
+    6dp-pinned BEFORE ranking so both engines order identical
+    doubles."""
+    from pyspark.sql.window import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
+    reps = spark.range(_BS_REPS).select(F.col("id").alias("b"))
+    u = textops.hash_uniform(
+        F.concat(F.lit("bs:"), F.col("b").cast("string"), F.lit(":"),
+                 F.col("doc_id").cast("string"))
+    )
+    w = -F.log(F.greatest(u, F.lit(1.0 / 4294967296.0)))
+    ms = (
+        d.crossJoin(F.broadcast(reps))
+        .select("b", w.alias("w"), F.col("n_chars").alias("x"))
+        .groupBy("b")
+        .agg(
+            (
+                F.floor(F.sum(F.col("w") * F.col("x")) / F.sum("w") * 1e6 + 0.5)
+                / 1e6
+            ).alias("m")
+        )
+    )
+    ranked = ms.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rk")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.floor(F.sum("n_chars") * 1.0 / F.count(F.lit(1)) * 1e6 + 0.5) / 1e6
+        ).alias("point_mean"),
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("m").alias("ci_low"))
+    hi = ranked.filter(F.col("rk") == _BS_REPS - 1).select(
+        F.col("m").alias("ci_high")
+    )
+    return stats.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))

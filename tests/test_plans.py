@@ -245,6 +245,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # over the ten decile-checkpoint rows (fixed by construction),
     # never base rows — documented in the query's docstring
     "vocab_growth",
+    # domain-bounded: the order statistics rank the 32-row replicate
+    # frame (constant by construction), never base rows
+    "bootstrap_ci",
     # LIMIT-bounded: both fusion legs TakeOrdered-cut to 20 rows
     # BEFORE their rank window, so each global window ranks a
     # 20-row frame at any corpus scale (documented in the docstring)
