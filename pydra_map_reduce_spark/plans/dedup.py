@@ -1528,11 +1528,12 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-drift); candidates with NO shared shingle keep j_true = 0
     via the mirrored left join + coalesce. Plan: the small distinct
     candidate frame broadcasts onto the signature/size/intersection
-    frames; the shingle index persists for its three consumers and
-    releases after the bounded per-pair result checkpoints (the
-    lsh_recall lifecycle — this index plan is UNIQUE to the portable
-    evaluation family, so CacheManager sharing with the xxhash64
-    production path doesn't apply)."""
+    frames; the shingle index is the SESSION-CACHED
+    _portable_shingle_index shared with lsh_recall — do NOT unpersist
+    the returned frame (releasing it evicts the shared cache's
+    storage out from under every later evaluator call; the per-call
+    persist/release pair this replaced rebuilt the ~3.5 s index each
+    time)."""
     from ..operators.dedup import (
         minhash_band_candidates,
         minhash_signatures,
@@ -1658,7 +1659,10 @@ def cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         fpc.groupBy("source")
         .agg(
             F.sum((F.col("n") > 1).cast("int")).alias("n_shared_fps"),
-            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("n_dup_pairs"),
+            # integer DIV keeps the pair count exact at any scale — a
+            # double n*(n-1)/2 sum rounds past 2^53 while the oracle's
+            # BIGINT sum does not (r10 review)
+            F.sum(F.expr("n * (n - 1) DIV 2")).cast("bigint").alias("n_dup_pairs"),
         )
         .filter(F.col("n_dup_pairs") > 0)
         .select(

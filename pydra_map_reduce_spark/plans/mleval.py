@@ -657,13 +657,14 @@ _BS_REPS = 32  # bootstrap replicates; CI from the rank-2/rank-31 order stats
     ), reps AS (SELECT unnest(range({_BS_REPS})) AS b),
     wtd AS (
         SELECT r.b,
-               -ln(greatest(
+               CAST(floor(-ln(greatest(
                    {textops.hash_uniform_sql("'bs:' || r.b || ':' || d.doc_id")},
-                   1.0 / 4294967296.0)) AS w,
+                   1.0 / 4294967296.0)) * 1000000 + 0.5) AS BIGINT) AS w,
                d.n_chars AS x
         FROM d CROSS JOIN reps r
     ), ms AS (
-        SELECT b, floor(sum(w * x) / sum(w) * 1000000 + 0.5) / 1000000 AS m
+        SELECT b, floor(CAST(sum(w * x) AS DOUBLE) / sum(w) * 1000000 + 0.5)
+                  / 1000000 AS m
         FROM wtd GROUP BY b
     ), ranked AS (
         SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM ms
@@ -683,20 +684,22 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the weighted mean of n_chars; the CI is the
     rank-2/rank-31 order statistics of the replicate means (≈90%
     interval). The draws come from the repo's ONE md5-to-[0,1)
-    mapping keyed ('bs:<replicate>:<doc_id>'), so the interval is
-    bit-reproducible across engines, runs, and repartitions — the
-    property that lets a data team attach error bars to corpus
-    dashboards and diff them release-over-release. The u=0 corner is
-    clamped at 2^-32 (the dp_histogram guard: Spark ln(0) is NULL
-    where DuckDB raises).
+    mapping keyed ('bs:<replicate>:<doc_id>'), and the weights pin to
+    e6 fixed-point BIGINTs before aggregation, so every replicate sum
+    is EXACT — the interval is bit-reproducible across engines, runs,
+    and repartitions (a raw double weight sum would drift with
+    partition order), the property that lets a data team attach error
+    bars to corpus dashboards and diff them release-over-release. The
+    u=0 corner is clamped at 2^-32 (the dp_histogram guard: Spark
+    ln(0) is NULL where DuckDB raises).
 
-    Scale shape: ONE corpus scan fans out x32 map-side (a broadcast
-    replicate dim), then a 32-group weighted-mean aggregate with
-    map-side partials; the order statistics run over the 32-row
-    replicate frame (domain-bounded, windowed on a constant-size
-    input — the auc_score grid argument). Replicate means are
-    6dp-pinned BEFORE ranking so both engines order identical
-    doubles."""
+    Scale shape: one corpus scan for the point estimate and one that
+    fans out x32 map-side (a broadcast replicate dim) into a 32-group
+    integer aggregate with map-side partials; both order statistics
+    come from ONE pass over the 32-row replicate frame
+    (domain-bounded, windowed on a constant-size input — the
+    auc_score grid argument). Replicate means are one exact-BIGINT
+    division each, 6dp-pinned BEFORE ranking."""
     from pyspark.sql.window import Window
 
     d = (
@@ -709,15 +712,22 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("bs:"), F.col("b").cast("string"), F.lit(":"),
                  F.col("doc_id").cast("string"))
     )
-    w = -F.log(F.greatest(u, F.lit(1.0 / 4294967296.0)))
+    # weights pin to e6 fixed-point BIGINTs BEFORE aggregation: a raw
+    # double sum(w*x) is summation-order-dependent across partitions
+    # and engines (the minhash_estimate_error "no cross-pair float
+    # aggregation" discipline), while integer sums are exact at any
+    # order — the only floats left are ln on identical inputs (pinned)
+    # and ONE division of exact BIGINTs per replicate (r10 review)
+    w = F.floor(
+        -F.log(F.greatest(u, F.lit(1.0 / 4294967296.0))) * 1e6 + 0.5
+    ).cast("bigint")
     ms = (
         d.crossJoin(F.broadcast(reps))
         .select("b", w.alias("w"), F.col("n_chars").alias("x"))
         .groupBy("b")
         .agg(
-            (
-                F.floor(F.sum(F.col("w") * F.col("x")) / F.sum("w") * 1e6 + 0.5)
-                / 1e6
+            round_half_up(
+                F.sum(F.col("w") * F.col("x")).cast("double") / F.sum("w"), 6
             ).alias("m")
         )
     )
@@ -726,12 +736,15 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = d.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        (
-            F.floor(F.sum("n_chars") * 1.0 / F.count(F.lit(1)) * 1e6 + 0.5) / 1e6
-        ).alias("point_mean"),
+        round_half_up(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "point_mean"
+        ),
     )
-    lo = ranked.filter(F.col("rk") == 2).select(F.col("m").alias("ci_low"))
-    hi = ranked.filter(F.col("rk") == _BS_REPS - 1).select(
-        F.col("m").alias("ci_high")
+    # ONE pass over the 32-row ranked frame for both order statistics
+    # (two filter branches would replay the corpus fan-out lineage per
+    # branch; r10 review)
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_low"),
+        F.max(F.when(F.col("rk") == _BS_REPS - 1, F.col("m"))).alias("ci_high"),
     )
-    return stats.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+    return stats.crossJoin(F.broadcast(ci))
