@@ -682,7 +682,7 @@ def _portable_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     from ..operators.dedup import _spread, portable_shingle_ids
-    from ..sources.tables import _fixture_key
+    from ..sources.tables import _fixture_key, prune_stale_session_entries
 
     key = (
         spark.sparkContext.applicationId,
@@ -692,19 +692,7 @@ def _portable_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _PORTABLE_SH_CACHE.get(key)
     if sh is not None:
         return sh
-    for k2 in list(_PORTABLE_SH_CACHE):
-        stale = k2[:2] == key[:2]
-        try:
-            dead = _PORTABLE_SH_CACHE[k2].sparkSession.sparkContext._jsc is None
-        except Exception:
-            dead = True
-        if stale or dead:
-            if stale and not dead:
-                try:
-                    _PORTABLE_SH_CACHE[k2].unpersist()
-                except Exception:
-                    pass
-            del _PORTABLE_SH_CACHE[k2]
+    prune_stale_session_entries(_PORTABLE_SH_CACHE, key, lambda e: e)
     d = load_table(spark, sf_dir, "documents")
     # _spread: without it the pre-shuffle shingling can run
     # single-partition (the sibling operators' measured 6 s vs 0.3 s)

@@ -426,7 +426,7 @@ _IVF_SERVE_CACHE: dict[tuple, "ops.IvfIndex"] = {}
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> "ops.IvfIndex":
-    from ..sources.tables import _fixture_key
+    from ..sources.tables import _fixture_key, prune_stale_session_entries
 
     key = (
         spark.sparkContext.applicationId,
@@ -435,21 +435,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> "ops.IvfIndex":
     )
     idx = _IVF_SERVE_CACHE.get(key)
     if idx is None:
-        for k in list(_IVF_SERVE_CACHE):
-            stale = k[:2] == key[:2]  # same session+dir, older fixture state
-            try:
-                dead = _IVF_SERVE_CACHE[k].flat.sparkSession.sparkContext._jsc is None
-            except Exception:
-                dead = True  # unreachable JVM handle == stopped session
-            if stale or dead:
-                if stale and not dead:
-                    # release the old corpus projection's storage in
-                    # the still-live session before dropping the entry
-                    try:
-                        _IVF_SERVE_CACHE[k].flat.unpersist()
-                    except Exception:
-                        pass
-                del _IVF_SERVE_CACHE[k]
+        prune_stale_session_entries(_IVF_SERVE_CACHE, key, lambda e: e.flat)
         idx = ops.ivf_train_distributed(
             load_table(spark, sf_dir, "embeddings"),
             "vec_id",
@@ -2062,7 +2048,7 @@ def _pq_codebooks(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     from ..operators.similarity import as_double
-    from ..sources.tables import _fixture_key
+    from ..sources.tables import _fixture_key, prune_stale_session_entries
 
     key = (
         spark.sparkContext.applicationId,
@@ -2072,19 +2058,7 @@ def _pq_codebooks(
     hit = _PQ_CB_CACHE.get(key)
     if hit is not None:
         return hit
-    for k2 in list(_PQ_CB_CACHE):
-        stale = k2[:2] == key[:2]
-        try:
-            dead = _PQ_CB_CACHE[k2][0].sparkSession.sparkContext._jsc is None
-        except Exception:
-            dead = True
-        if stale or dead:
-            if stale and not dead:
-                try:
-                    _PQ_CB_CACHE[k2][0].unpersist()
-                except Exception:
-                    pass
-            del _PQ_CB_CACHE[k2]
+    prune_stale_session_entries(_PQ_CB_CACHE, key, lambda e: e[0])
 
     from pyspark import StorageLevel
 

@@ -108,6 +108,30 @@ SCHEMAS: dict[str, T.StructType] = {
 TABLES = tuple(n for n in SCHEMAS if not n.startswith("_"))
 
 
+def prune_stale_session_entries(cache, key, frame_of) -> None:
+    """THE one lifecycle for the session-keyed index caches
+    (_IVF_SERVE_CACHE, _PQ_CB_CACHE, _PORTABLE_SH_CACHE): on a cache
+    miss, drop every entry that is STALE (same (applicationId, dir)
+    prefix as ``key`` but an older fixture identity) or DEAD (its
+    SparkContext has stopped — probed via the entry's frame, reached
+    through ``frame_of``), releasing a stale-but-live entry's storage
+    first. Three hand-rolled copies of this loop had already started
+    to drift before the r10 review factored them here."""
+    for k2 in list(cache):
+        stale = k2[:2] == key[:2]
+        try:
+            dead = frame_of(cache[k2]).sparkSession.sparkContext._jsc is None
+        except Exception:
+            dead = True  # unreachable JVM handle == stopped session
+        if stale or dead:
+            if stale and not dead:
+                try:
+                    frame_of(cache[k2]).unpersist()
+                except Exception:
+                    pass
+            del cache[k2]
+
+
 def _fixture_key(path: str) -> tuple[str, int, float]:
     """(first part file, part count, max part mtime) identity for a
     fixture at this instant. Keying caches on the WHOLE part-file set
