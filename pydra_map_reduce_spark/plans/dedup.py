@@ -1677,3 +1677,112 @@ def cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shared_fps").cast("bigint").alias("n_shared_fps"),
         F.col("n_dup_pairs").cast("bigint").alias("n_dup_pairs"),
     )
+
+
+# grid spans the low-overlap knee AND the dup cliff: the fixture's pair
+# mass is bimodal (boilerplate noise below ~0.06, near-exact dups at
+# ~0.9), and a uniform grid would read flat
+_SWEEP_THRESHOLDS = [0.02, 0.04, 0.06, 0.08, 0.10, 0.25, 0.50, 0.75, 0.85]
+_SWEEP_BANDS = 32  # rows=1: the widest candidate funnel (exploration config)
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_minhash_portable_ctes(32, _SWEEP_BANDS)},
+    jac AS (
+        SELECT c.doc_a, c.doc_b,
+               floor(coalesce(i.n_inter, 0)::DOUBLE
+                     / (sa.n + sb.n - coalesce(i.n_inter, 0)) * 10000 + 0.5)
+                   / 10000 AS j
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+    ),
+    th AS (SELECT unnest(CAST([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]
+                         AS DOUBLE[])) AS threshold)
+    SELECT th.threshold,
+           CAST(sum(CASE WHEN jac.j >= th.threshold THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN jac.j >= th.threshold
+                                    THEN jac.doc_b END) AS BIGINT)
+               AS n_docs_dropped
+    FROM th CROSS JOIN jac
+    GROUP BY th.threshold
+    """,
+    section="2.11 dedup operating-point sweep (pairs/docs-dropped vs Jaccard threshold)",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE to set the dedup line: for nine Jaccard thresholds, how
+    many candidate pairs the production MinHash+LSH pipeline would
+    confirm and how many documents keep-first dedup would drop (the
+    distinct higher-id members of above-threshold pairs) — the
+    companion table to `lsh_recall` (which grades what banding CAN
+    see, against exact ground truth; this prices what each threshold
+    DOES to the corpus among what it sees). Candidates come from the
+    WIDEST banding (rows=1: any shared minhash slot) — the deliberate
+    over-generating exploration config, so the sweep can price cuts
+    BELOW the production 8x4 S-curve knee; one tuning read covers all
+    nine cuts.
+
+    Shares every definition it measures: the session-cached portable
+    shingle index, the minhash_lsh_pairs signature/banding stages,
+    and the candidate-restricted exact-intersection rescore (the
+    minhash_estimate_error shape). Jaccard is 4dp-pinned (the mpairs
+    form) BEFORE the fixed-literal threshold comparisons, every count
+    is an exact integer, and the 9x fan-out is a projection explode
+    into a dim-sized aggregate — one extra shuffle of candidate-pair
+    (not corpus) rows. The rows=1 funnel admits the low-overlap noise
+    mass ON PURPOSE (that's where the knee lives), so its candidate
+    count grows faster than the production pipeline's — at 100 TB run
+    this diagnostic over a document SAMPLE (the ann_recall
+    sample-the-queries posture), not the full corpus; it prices a
+    threshold, it doesn't dedup."""
+    from ..operators.dedup import minhash_band_candidates, minhash_signatures
+
+    sh = _portable_shingle_index(spark, sf_dir)
+    cand = minhash_band_candidates(
+        minhash_signatures(sh, 32), 32, _SWEEP_BANDS
+    ).select("doc_a", "doc_b")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        F.broadcast(cand)
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    jac = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_b",
+            (
+                F.floor(
+                    ni.cast("double") / (F.col("na") + F.col("nb") - ni) * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("j"),
+        )
+    )
+    th = F.explode(
+        F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    return (
+        jac.select("doc_b", "j", th)
+        .groupBy("threshold")
+        .agg(
+            F.sum((F.col("j") >= F.col("threshold")).cast("int"))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("j") >= F.col("threshold"), F.col("doc_b"))
+            )
+            .cast("bigint")
+            .alias("n_docs_dropped"),
+        )
+    )
