@@ -148,6 +148,7 @@ HEADLINE = [
     "html_text_extract",     # boilerplate strip + roundtrip certification
     "conversion_latency",    # first-view -> first-purchase latency histogram
     "bootstrap_ci",          # seeded Bayesian bootstrap error bar
+    "ndcg_eval",             # NDCG@10 of the served IVF ranking
 ]
 
 

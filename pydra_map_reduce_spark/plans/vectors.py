@@ -2498,3 +2498,158 @@ def ivf_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adc").cast("bigint").alias("adc"),
         )
     )
+
+
+import math as _math
+
+_NDCG_K = 10
+# position discounts 1/log2(i+1) computed ONCE here and embedded as
+# LITERALS in both the plan and the oracle — neither engine's libm
+# log2 runs at query time, so the only float work is products and a
+# <=k-term sum of identical doubles (pinned at 4dp)
+_NDCG_DISCOUNTS = [1.0 / _math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
+_NDCG_IDCG = sum(
+    (_NDCG_K + 1 - i) * d for i, d in enumerate(_NDCG_DISCOUNTS, start=1)
+)
+
+
+def _ndcg_oracle(n_clusters: int, lloyd_iters: int, n_probe: int, nq: int) -> str:
+    """NDCG@k of the served IVF ranking against exact-rank gains: the
+    ann_recall CTE shapes with ranks RETAINED, graded-relevance join
+    (rel = k+1 − exact rank, 0 beyond the exact top-k), literal
+    discounts, and one division by the literal ideal DCG."""
+    ctes, prev_c = _ivf_train_ctes(n_clusters, lloyd_iters)
+    k = _NDCG_K
+    disc = " ".join(
+        f"WHEN {i} THEN {d!r}" for i, d in enumerate(_NDCG_DISCOUNTS, start=1)
+    )
+    return f"""
+    WITH {ctes},
+    qpt AS (SELECT vec_id AS query_id, pos, v FROM pt WHERE vec_id < {nq}),
+    qv AS (SELECT vec_id AS query_id, emb AS qvec FROM e WHERE vec_id < {nq}),
+    probe AS (
+        SELECT query_id, cid FROM (
+            SELECT dd.query_id, dd.cid,
+                   row_number() OVER (PARTITION BY dd.query_id
+                                      ORDER BY dd.d2, dd.cid) AS rn
+            FROM (SELECT qp.query_id, c.cid,
+                         floor(sum((c.m - qp.v) * (c.m - qp.v)) * 1e9 + 0.5) / 1e9 AS d2
+                  FROM {prev_c} c JOIN qpt qp ON c.pos = qp.pos
+                  GROUP BY qp.query_id, c.cid) dd
+        ) WHERE rn <= {n_probe}
+    ),
+    served AS (
+        SELECT query_id, vec_id, rn FROM (
+            SELECT pr.query_id, a.vec_id,
+                   row_number() OVER (PARTITION BY pr.query_id
+                                      ORDER BY floor(list_cosine_similarity(e2.emb, q.qvec)
+                                                     * 1e9 + 0.5) / 1e9 DESC,
+                                               a.vec_id) AS rn
+            FROM af a
+            JOIN probe pr ON a.cid = pr.cid
+            JOIN e e2 ON e2.vec_id = a.vec_id
+            JOIN qv q ON q.query_id = pr.query_id
+            WHERE a.vec_id <> pr.query_id
+        ) WHERE rn <= {k}
+    ),
+    exact AS (
+        SELECT query_id, vec_id, {k + 1} - rn AS rel FROM (
+            SELECT q.query_id, e2.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY floor(list_cosine_similarity(e2.emb, q.qvec)
+                                                     * 1e9 + 0.5) / 1e9 DESC,
+                                               e2.vec_id) AS rn
+            FROM e e2 CROSS JOIN qv q
+            WHERE e2.vec_id <> q.query_id
+        ) WHERE rn <= {k}
+    )
+    SELECT s.query_id,
+           floor(sum(coalesce(x.rel, 0) * CASE s.rn {disc} END)
+                 / {_NDCG_IDCG!r} * 10000 + 0.5) / 10000 AS ndcg
+    FROM served s
+    LEFT JOIN exact x ON x.query_id = s.query_id AND x.vec_id = s.vec_id
+    GROUP BY s.query_id"""
+
+
+@query(
+    "ndcg_eval",
+    oracle=_ndcg_oracle(n_clusters=64, lloyd_iters=2, n_probe=4, nq=8),
+    section="2.11 ANN ranking quality: NDCG@10 of the served IVF ranking",
+)
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-quality grade recall@k can't give: NDCG@10 of the
+    served IVF ranking, with graded relevance from the exact ranking
+    (rel = 11 − exact rank inside the true top-10, 0 beyond) — a
+    serve that finds the right documents in the WRONG order scores
+    below one that orders them correctly, where recall counts both
+    the same. Completes the evaluation family: recall@k (set
+    overlap), rank-sum AUC (global ranking power), and now NDCG
+    (position-weighted serving quality).
+
+    Serves from the SAME cached train-once index as ivf_ann_serve
+    (ranks retained from the batched probe+rescore); the exact side
+    is batch_cosine_topk's ranked top-10. Position discounts
+    1/log2(i+1) and the ideal DCG are Python-computed literals
+    embedded in BOTH the plan and the oracle, so no libm log runs at
+    query time on either engine — per-query DCG is a <=10-term sum of
+    identical doubles, 4dp-pinned."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import cosine_sql, rank_key, sq_dist_sql
+
+    k, nq = _NDCG_K, 8
+    idx = _ivf_index(spark, sf_dir)
+    qf = idx.flat.filter(F.col("vec_id") < nq).selectExpr(
+        "vec_id AS query_id",
+        "CAST(pmod(vec_id, 1) AS INT) AS jk",
+        *[f"v{i} AS q{i}" for i in range(idx.dim)],
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("qd2", "cid")
+    probe = (
+        idx.cents.withColumn("jk", F.expr("CAST(pmod(cid, 1) AS INT)"))
+        .join(F.broadcast(qf), "jk")
+        .selectExpr(
+            "query_id", "cid",
+            f"floor(({sq_dist_sql('m', 'q', idx.dim)}) * 1e9 + 0.5) / 1e9 AS qd2",
+        )
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= 4)
+        .select("query_id", "cid")
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        rank_key(F.col("cos_raw")).desc(), "vec_id"
+    )
+    served = (
+        idx.assigned.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(idx.flat, "vec_id")
+        .join(F.broadcast(qf.drop("jk")), "query_id")
+        .selectExpr(
+            "query_id", "vec_id", f"{cosine_sql('v', 'q', idx.dim)} AS cos_raw"
+        )
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "rn")
+    )
+    exact = ops.batch_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_queries=nq, k=k,
+    ).select(
+        "query_id", "vec_id", (F.lit(k + 1) - F.col("rank")).alias("rel")
+    )
+    discount = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS]), F.col("rn")
+    )
+    return (
+        served.join(exact, ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("rel"), F.lit(0)) * discount).alias("term"),
+        )
+        .groupBy("query_id")
+        .agg(
+            (
+                F.floor(F.sum("term") / _NDCG_IDCG * 10000 + 0.5) / 10000
+            ).alias("ndcg")
+        )
+    )
