@@ -77,19 +77,19 @@ _DRIVER_PRIORITY = [
 # `dedup_survivor_bias`, `ann_probe_curve`, `token_freq_spectrum`,
 # `good_turing_discount`, `kneser_ney_perplexity`,
 # `minhash_estimate_error`, `association_rules`, `pq_recall`, `perplexity_gate`,
-# `logreg_train`, `vocab_growth`, `pr_curve`, `dp_histogram`, `ivf_pq_serve`, `distinct_ngrams`, `term_burstiness`, `cross_source_dups`, `html_text_extract`, `conversion_latency`, `bootstrap_ci`, `dedup_threshold_sweep`, `ndcg_eval` — plus
+# `logreg_train`, `vocab_growth`, `pr_curve`, `dp_histogram`, `ivf_pq_serve`, `distinct_ngrams`, `term_burstiness`, `cross_source_dups`, `html_text_extract`, `conversion_latency`, `bootstrap_ci`, `dedup_threshold_sweep`, `ndcg_eval`, `class_weights` — plus
 # anything added later in round 10. The
 # r10 review sweeps changed NO values: the vector-family rounding pins
 # (allpairs threshold, vector_quantize codes/scale, covariance/pca
 # rendering) and the DECIMAL(38,0) money-sum widening were verified
 # value-identical at all three SFs, so existing evidence stands.
 # Compose the r11 window from (1) revenue_share + every addition
-# listed above (25 total: the nine early round-10 additions plus
+# listed above (26 total: the nine early round-10 additions plus
 # association_rules, pq_recall, perplexity_gate,
 # logreg_train, vocab_growth, pr_curve, dp_histogram, ivf_pq_serve,
 # distinct_ngrams, term_burstiness, cross_source_dups,
 # html_text_extract, conversion_latency, bootstrap_ci,
-# dedup_threshold_sweep, ndcg_eval — all
+# dedup_threshold_sweep, ndcg_eval, class_weights — all
 # differential-green at three SFs and driver_sim-green locally, none
 # driver-evidenced yet),
 # (2) any r10 reds, then (3) the stalest greens oldest-first (the

@@ -149,6 +149,7 @@ HEADLINE = [
     "conversion_latency",    # first-view -> first-purchase latency histogram
     "bootstrap_ci",          # seeded Bayesian bootstrap error bar
     "ndcg_eval",             # NDCG@10 of the served IVF ranking
+    "class_weights",         # inverse-freq + effective-number loss weights
 ]
 
 

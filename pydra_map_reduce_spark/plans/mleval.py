@@ -748,3 +748,73 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rk") == _BS_REPS - 1, F.col("m"))).alias("ci_high"),
     )
     return stats.crossJoin(F.broadcast(ci))
+
+
+import math as _math
+
+_CW_BETA = 0.999
+_CW_LN_BETA = _math.log(_CW_BETA)  # Python-computed literal (no runtime libm divergence on the constant)
+
+
+@query(
+    "class_weights",
+    oracle=f"""
+    WITH c AS (
+        SELECT label, count(*) AS n FROM embeddings
+        WHERE label IS NOT NULL GROUP BY label
+    ), tot AS (SELECT sum(n) AS total, count(*) AS n_classes FROM c)
+    SELECT label,
+           CAST(n AS BIGINT) AS n,
+           floor(CAST(total AS DOUBLE) / (n_classes * n) * 1000000 + 0.5)
+               / 1000000 AS w_inverse,
+           floor((1.0 - {_CW_BETA}) / (1.0 - exp(n * {_CW_LN_BETA!r}))
+                 * 100000000 + 0.5) / 100000000 AS w_effective
+    FROM c CROSS JOIN tot
+    """,
+    section="2.11 class weighting (inverse-frequency + effective-number-of-samples)",
+)
+def class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss re-weighting for imbalanced labels, both standard recipes
+    in one table: inverse-frequency (N / (C·n), mean 1 over a
+    balanced corpus) and the effective-number-of-samples weight of
+    Cui et al. ("Class-Balanced Loss", beta=0.999): w = (1−beta) /
+    (1−beta^n), which discounts marginal duplicates-of-information in
+    large classes instead of dividing linearly. The mix/curriculum
+    twin for LABELS (mix_weights plays this role for sources).
+
+    beta^n computes as exp(n·ln beta) with ln(beta) a Python literal
+    embedded on both sides (the decayed_sum cross-libm-pow
+    discipline); exp runs on identical doubles and the 8dp pin
+    absorbs its ulp. One dim-sized keyed count + a 1-row broadcast
+    total — nothing corpus-scale beyond the scan."""
+    c = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_classes")
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "label",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.floor(
+                F.col("total").cast("double")
+                / (F.col("n_classes") * F.col("n"))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("w_inverse"),
+        (
+            F.floor(
+                (1.0 - _CW_BETA)
+                / (1.0 - F.exp(F.col("n") * F.lit(_CW_LN_BETA)))
+                * 1e8
+                + 0.5
+            )
+            / 1e8
+        ).alias("w_effective"),
+    )
