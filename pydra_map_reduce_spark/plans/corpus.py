@@ -1463,13 +1463,21 @@ def group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH page AS (
         SELECT doc_id, source, text,
                '<html><head><title>Doc ' || doc_id || ' &amp; friends</title>'
-               || '<script>var x = 1 < 2;</script>'
+               || '<script type="text/javascript">var x = 1 < 2;</script>'
                || '<style>.nav { color: red }</style></head>'
-               || '<body><nav>Home | About | <a href="/x">Links</a></nav>'
+               || '<body><!-- boilerplate <b>below</b> -->'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '<nav class="top">Home | About | '
+                            || '<a href="/x">Links</a></nav>'
+                       ELSE '<nav>Home | About | '
+                            || '<a href="/x">Links</a></nav>' END
                || '<h1>Doc ' || doc_id || '</h1><p>'
                || text
-               || '</p><footer>&copy; example.com</footer></body></html>'
-                   AS html
+               || '</p>'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '<footer id="f">&copy; example.com</footer>'
+                       ELSE '<footer>&copy; example.com</footer>' END
+               || '</body></html>' AS html
         FROM documents
     ), ex AS (
         SELECT doc_id, source, text,
@@ -1479,11 +1487,15 @@ def group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                            regexp_replace(
                                regexp_replace(
                                    regexp_replace(
-                                       regexp_replace(html,
-                                           '(?s)<script.*?</script>', ' ', 'g'),
-                                       '(?s)<style.*?</style>', ' ', 'g'),
-                                   '(?s)<nav>.*?</nav>', ' ', 'g'),
-                               '(?s)<footer>.*?</footer>', ' ', 'g'),
+                                       regexp_replace(
+                                           regexp_replace(html,
+                                               '(?s)<!--.*?-->', ' ', 'g'),
+                                           '(?s)<script[^>]*>.*?</script>',
+                                           ' ', 'g'),
+                                       '(?s)<style[^>]*>.*?</style>',
+                                       ' ', 'g'),
+                                   '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                               '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
                            '<[^>]*>', ' ', 'g'),
                        '&amp;', '&', 'g'),
                    '[ ]+', ' ', 'g')) AS extracted
@@ -1514,31 +1526,47 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction the differential grades on both engines' regex
     dialects (non-greedy dotall via inline (?s) — and NO
     backreferences: RE2 has none, so element patterns are spelled
-    per tag — entity decode, whitespace collapse).
+    per tag — entity decode, whitespace collapse). Boilerplate
+    patterns are attribute-tolerant (`<nav[^>]*>`, `<footer[^>]*>`,
+    `<script[^>]*>`, `<style[^>]*>`) and HTML comments are stripped
+    first; the synthesized pages alternate attribute-bearing and bare
+    forms by doc_id parity so both shapes are graded.
 
     At 100 TB this is the map stage after the WARC source
     (`warc_pipeline` feeds it): narrow, shuffle-free until the
     per-source rollup's map-side-combined agg."""
     d = load_table(spark, sf_dir, "documents")
+    even = F.col("doc_id") % 2 == 0
     html = F.concat(
         F.lit("<html><head><title>Doc "),
         F.col("doc_id").cast("string"),
         F.lit(" &amp; friends</title>"),
-        F.lit("<script>var x = 1 < 2;</script>"),
+        F.lit('<script type="text/javascript">var x = 1 < 2;</script>'),
         F.lit("<style>.nav { color: red }</style></head>"),
-        F.lit('<body><nav>Home | About | <a href="/x">Links</a></nav>'),
+        F.lit("<body><!-- boilerplate <b>below</b> -->"),
+        F.when(
+            even,
+            F.lit('<nav class="top">Home | About | <a href="/x">Links</a></nav>'),
+        ).otherwise(
+            F.lit('<nav>Home | About | <a href="/x">Links</a></nav>')
+        ),
         F.lit("<h1>Doc "),
         F.col("doc_id").cast("string"),
         F.lit("</h1><p>"),
         F.col("text"),
-        F.lit("</p><footer>&copy; example.com</footer></body></html>"),
+        F.lit("</p>"),
+        F.when(
+            even, F.lit('<footer id="f">&copy; example.com</footer>')
+        ).otherwise(F.lit("<footer>&copy; example.com</footer>")),
+        F.lit("</body></html>"),
     )
     ex = html
     for pat, repl in (
-        (r"(?s)<script.*?</script>", " "),
-        (r"(?s)<style.*?</style>", " "),
-        (r"(?s)<nav>.*?</nav>", " "),
-        (r"(?s)<footer>.*?</footer>", " "),
+        (r"(?s)<!--.*?-->", " "),
+        (r"(?s)<script[^>]*>.*?</script>", " "),
+        (r"(?s)<style[^>]*>.*?</style>", " "),
+        (r"(?s)<nav[^>]*>.*?</nav>", " "),
+        (r"(?s)<footer[^>]*>.*?</footer>", " "),
         (r"<[^>]*>", " "),
         (r"&amp;", "&"),
         (r"[ ]+", " "),

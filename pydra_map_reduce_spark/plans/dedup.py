@@ -682,14 +682,18 @@ def _portable_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     from ..operators.dedup import _spread, portable_shingle_ids
-    from ..sources.tables import _fixture_key, prune_stale_session_entries
+    from ..sources.tables import (
+        _fixture_key,
+        prune_stale_session_entries,
+        session_cache_hit,
+    )
 
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
         _fixture_key(f"{sf_dir}/documents.parquet"),
     )
-    sh = _PORTABLE_SH_CACHE.get(key)
+    sh = session_cache_hit(_PORTABLE_SH_CACHE, key)
     if sh is not None:
         return sh
     prune_stale_session_entries(_PORTABLE_SH_CACHE, key, lambda e: e)
@@ -1134,14 +1138,18 @@ _CLUSTER_LABEL_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.tables import _fixture_key
+    from ..sources.tables import (
+        _fixture_key,
+        prune_stale_session_entries,
+        session_cache_hit,
+    )
 
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
         _fixture_key(f"{sf_dir}/documents.parquet"),
     )
-    labels = _CLUSTER_LABEL_CACHE.get(key)
+    labels = session_cache_hit(_CLUSTER_LABEL_CACHE, key)
     if labels is not None:
         try:
             # touch one block: the cached frame is a localCheckpoint
@@ -1155,16 +1163,7 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             del _CLUSTER_LABEL_CACHE[key]
             labels = None
     if labels is None:
-        for k in list(_CLUSTER_LABEL_CACHE):
-            stale = k[:2] == key[:2]
-            try:
-                dead = (
-                    _CLUSTER_LABEL_CACHE[k].sparkSession.sparkContext._jsc is None
-                )
-            except Exception:
-                dead = True
-            if stale or dead:
-                del _CLUSTER_LABEL_CACHE[k]
+        prune_stale_session_entries(_CLUSTER_LABEL_CACHE, key, lambda e: e)
         d = load_table(spark, sf_dir, "documents")
         pairs = ops.ngram_jaccard_pairs(
             d, "doc_id", "text", n=3, threshold=0.2
@@ -1742,12 +1741,21 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_band_candidates, minhash_signatures
 
     sh = _portable_shingle_index(spark, sf_dir)
-    cand = minhash_band_candidates(
-        minhash_signatures(sh, 32), 32, _SWEEP_BANDS
-    ).select("doc_a", "doc_b")
+    # Materialize the rows=1 candidate frame ONCE (it feeds both the
+    # intersection rescore and the jac join below — without this the
+    # whole signature/banding lineage executes twice), and let AQE
+    # pick the join strategy: with rows=1 banding the candidate mass
+    # grows superlinearly with corpus size, so a broadcast hint here
+    # could exceed executor/driver memory at larger SFs even under
+    # the documented sample-the-corpus posture.
+    cand = (
+        minhash_band_candidates(minhash_signatures(sh, 32), 32, _SWEEP_BANDS)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        F.broadcast(cand)
+        cand
         .join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")

@@ -426,14 +426,18 @@ _IVF_SERVE_CACHE: dict[tuple, "ops.IvfIndex"] = {}
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> "ops.IvfIndex":
-    from ..sources.tables import _fixture_key, prune_stale_session_entries
+    from ..sources.tables import (
+        _fixture_key,
+        prune_stale_session_entries,
+        session_cache_hit,
+    )
 
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
         _fixture_key(f"{sf_dir}/embeddings.parquet"),
     )
-    idx = _IVF_SERVE_CACHE.get(key)
+    idx = session_cache_hit(_IVF_SERVE_CACHE, key)
     if idx is None:
         prune_stale_session_entries(_IVF_SERVE_CACHE, key, lambda e: e.flat)
         idx = ops.ivf_train_distributed(
@@ -2048,14 +2052,18 @@ def _pq_codebooks(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     from ..operators.similarity import as_double
-    from ..sources.tables import _fixture_key, prune_stale_session_entries
+    from ..sources.tables import (
+        _fixture_key,
+        prune_stale_session_entries,
+        session_cache_hit,
+    )
 
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
         _fixture_key(f"{sf_dir}/embeddings.parquet"),
     )
-    hit = _PQ_CB_CACHE.get(key)
+    hit = session_cache_hit(_PQ_CB_CACHE, key)
     if hit is not None:
         return hit
     prune_stale_session_entries(_PQ_CB_CACHE, key, lambda e: e[0])
@@ -2503,6 +2511,11 @@ def ivf_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 import math as _math
 
 _NDCG_K = 10
+# nq / n_probe hoisted as module constants referenced by BOTH the
+# @query oracle call and the plan body (the _PQ_* discipline) — a
+# one-sided edit can no longer silently fork plan and oracle
+_NDCG_NQ = 8
+_NDCG_NPROBE = 4
 # position discounts 1/log2(i+1) computed ONCE here and embedded as
 # LITERALS in both the plan and the oracle — neither engine's libm
 # log2 runs at query time, so the only float work is products and a
@@ -2573,7 +2586,9 @@ def _ndcg_oracle(n_clusters: int, lloyd_iters: int, n_probe: int, nq: int) -> st
 
 @query(
     "ndcg_eval",
-    oracle=_ndcg_oracle(n_clusters=64, lloyd_iters=2, n_probe=4, nq=8),
+    oracle=_ndcg_oracle(
+        n_clusters=64, lloyd_iters=2, n_probe=_NDCG_NPROBE, nq=_NDCG_NQ
+    ),
     section="2.11 ANN ranking quality: NDCG@10 of the served IVF ranking",
 )
 def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2597,7 +2612,7 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import cosine_sql, rank_key, sq_dist_sql
 
-    k, nq = _NDCG_K, 8
+    k, nq = _NDCG_K, _NDCG_NQ
     idx = _ivf_index(spark, sf_dir)
     qf = idx.flat.filter(F.col("vec_id") < nq).selectExpr(
         "vec_id AS query_id",
@@ -2613,7 +2628,7 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"floor(({sq_dist_sql('m', 'q', idx.dim)}) * 1e9 + 0.5) / 1e9 AS qd2",
         )
         .withColumn("rn", F.row_number().over(wprobe))
-        .filter(F.col("rn") <= 4)
+        .filter(F.col("rn") <= _NDCG_NPROBE)
         .select("query_id", "cid")
     )
     wrank = Window.partitionBy("query_id").orderBy(
