@@ -45,6 +45,8 @@ _DRIVER_PRIORITY = [
     "tokenizer_fertility", "vocab_growth", "winnowing_fingerprint",
     "winnowing_neardup",
     # (b) round-11 additions — appended below as they land (≤23)
+    "tumbling_count_batch", "session_window_batch", "lang_id_train",
+    "span_width_sweep",
 ]
 
 

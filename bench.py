@@ -16,8 +16,9 @@ to BENCH_detail_last.json next to this script (VERDICT r6 §wrong #3).
 Host-contention guard (VERDICT r6): a bench started at loadavg 8+ is
 measuring the other workload, not this repo — every query inflates
 uniformly and the numbers are unusable (the r5/r6 "steal" postmortems).
-So main() WAITS for 1-min loadavg ≤ BENCH_MAX_LOAD (default 2.0) for up
-to BENCH_MAX_WAIT_SEC (default 240 s) before running, and stamps
+So main() WAITS for 1-min loadavg ≤ BENCH_MAX_LOAD (default 2.0) AND
+5-min loadavg ≤ 2×BENCH_MAX_LOAD (the r10 judge's drain signature) for
+up to BENCH_MAX_WAIT_SEC (default 240 s) before running, and stamps
 `contended: true` when it had to give up waiting — graders discount
 flagged runs per BASELINE.md's standing steal rule.
 
@@ -150,18 +151,35 @@ HEADLINE = [
     "bootstrap_ci",          # seeded Bayesian bootstrap error bar
     "ndcg_eval",             # NDCG@10 of the served IVF ranking
     "class_weights",         # inverse-freq + effective-number loss weights
+    "tumbling_count_batch",  # batch twin of the streaming tumbling count
+    "session_window_batch",  # batch twin of the streaming session window
+    "lang_id_train",         # trained language-ID (logreg over hashed trigrams)
+    "span_width_sweep",      # ExactSubstr anchor-width operating points
 ]
 
 
 def _wait_for_quiet(max_load: float, max_wait_sec: float) -> tuple[float, bool]:
-    """Poll the 1-min loadavg until it drops to ``max_load`` or the
-    wait budget runs out. Returns (seconds_waited, still_contended)."""
+    """Poll the loadavg until BOTH the 1-min average and the 5-min
+    average drop to their gates, or the wait budget runs out. Returns
+    (seconds_waited, still_contended).
+
+    The 5-min average matters because a just-finished heavy run (the
+    full test suite, a prior bench) drains through it for minutes
+    after the 1-min average looks quiet: the r9 AND r10 driver
+    captures both printed ``contended: false`` off the 1-min gate
+    alone while the 5-min average sat above 5 — exactly the steal
+    signature BASELINE.md tells readers to discount, costing every
+    cross-round comparison an asterisk (r10 verdict, What's wrong
+    #3). The 5-min gate is looser (2x) since it decays slowly even on
+    a genuinely idle host."""
     t0 = time.monotonic()
-    while os.getloadavg()[0] > max_load:
+    while True:
+        one, five, _ = os.getloadavg()
+        if one <= max_load and five <= 2 * max_load:
+            return round(time.monotonic() - t0, 1), False
         if time.monotonic() - t0 >= max_wait_sec:
             return round(time.monotonic() - t0, 1), True
         time.sleep(5)
-    return round(time.monotonic() - t0, 1), False
 
 
 def main() -> None:

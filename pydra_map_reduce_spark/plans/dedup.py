@@ -1794,3 +1794,150 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_dropped"),
         )
     )
+
+
+_SPAN_WIDTHS = (3, 4, 6, 8)  # anchor widths swept around _SPAN_W = 4
+
+
+def _span_width_gid_sql(widths: tuple[int, ...]) -> str:
+    """Per-width duplicated-window gram ids as one UNION ALL over a
+    SINGLE lead-computed token frame — the SQL twin of the plan's
+    one-window-pass explode (lead columns up to max(widths)-1 are
+    computed once; each width reuses its prefix)."""
+    maxw = max(widths)
+    leads = ",\n               ".join(
+        f"lead(w, {i}) OVER win AS w{i}" for i in range(1, maxw)
+    )
+    branches = []
+    for wd in widths:
+        g = "w" + "".join(f" || ' ' || w{i}" for i in range(1, wd))
+        branches.append(
+            f"""SELECT doc_id, pos, {wd} AS width,
+               ('0x' || substr(md5({g}), 1, 8))::BIGINT AS s
+        FROM led WHERE w{wd - 1} IS NOT NULL"""
+        )
+    union = "\n        UNION ALL ".join(branches)
+    return f"""toks AS (
+        SELECT doc_id, unnest(tokens) AS w,
+               generate_subscripts(tokens, 1) - 1 AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ), led AS (
+        SELECT doc_id, pos, w,
+               {leads}
+        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), gid AS (
+        {union}
+    )"""
+
+
+@query(
+    "span_width_sweep",
+    oracle=f"""
+    WITH {_span_width_gid_sql(_SPAN_WIDTHS)},
+    dup AS (
+        SELECT width, s FROM gid
+        GROUP BY width, s HAVING count(DISTINCT doc_id) >= 2
+    ), dp AS (
+        SELECT g.doc_id, g.width, g.pos
+        FROM gid g JOIN dup d ON d.width = g.width AND d.s = g.s
+    ), isl AS (
+        SELECT doc_id, width, pos,
+               pos - row_number() OVER (PARTITION BY doc_id, width
+                                        ORDER BY pos) AS grp
+        FROM dp
+    ), sp AS (
+        SELECT doc_id, width, grp,
+               min(pos) AS a, max(pos) AS b, count(*) AS nw
+        FROM isl GROUP BY doc_id, width, grp
+    )
+    SELECT CAST(width AS INT)                   AS width,
+           CAST(sum(nw) AS BIGINT)              AS n_dup_windows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+           CAST(count(*) AS BIGINT)             AS n_spans,
+           CAST(sum(b + width - a) AS BIGINT)   AS covered_tokens
+    FROM sp GROUP BY width
+    """,
+    section="2.11 ExactSubstr anchor-width sensitivity sweep",
+)
+def span_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE to set the ExactSubstr anchor width: for W in {3,4,6,8},
+    how many duplicated windows, hit documents, merged spans, and
+    covered tokens the rolling-anchor detector finds — the
+    `dedup_threshold_sweep` operating-point pattern applied to span
+    dedup (r10 verdict, Next #7). Anchors of width W are blind to
+    duplicated runs SHORTER than W, so covered_tokens falling as W
+    rises prices that blindness directly, while the W=3 row shows
+    the extra (mostly-noise) mass a tighter anchor would admit;
+    `duplicate_spans`'s production W=4 sits inside the sweep.
+
+    One tokenize + ONE per-doc window pass computes lead columns up
+    to max(W)-1; each width's grams then reuse the shared leads
+    (an array-of-structs explode, no per-width re-window), so the
+    sweep costs one extra narrow explode over the single-width
+    detector, plus per-(width, gram) keyed aggregation — no pair
+    fan-out, the duplicate_spans scale argument times |widths|."""
+    from pyspark.sql.window import Window
+
+    widths = _SPAN_WIDTHS
+    maxw = max(widths)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    led = toks.select(
+        "doc_id", "pos", "w",
+        *[F.lead("w", i).over(win).alias(f"w{i}") for i in range(1, maxw)],
+    )
+    wg = F.array(
+        *[
+            F.when(
+                F.col(f"w{wd - 1}").isNotNull(),
+                F.struct(
+                    F.lit(wd).alias("width"),
+                    F.concat_ws(
+                        " ", "w", *[f"w{i}" for i in range(1, wd)]
+                    ).alias("g"),
+                ),
+            )
+            for wd in widths
+        ]
+    )
+    gid = (
+        led.select("doc_id", "pos", F.explode(wg).alias("wg"))
+        .filter(F.col("wg").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.col("wg.width").alias("width"),
+            F.conv(F.substring(F.md5("wg.g"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    dup = (
+        gid.groupBy("width", "s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("width", "s")
+    )
+    dp = gid.join(dup, ["width", "s"], "left_semi").select(
+        "doc_id", "width", "pos"
+    )
+    iw = Window.partitionBy("doc_id", "width").orderBy("pos")
+    isl = dp.withColumn("grp", F.col("pos") - F.row_number().over(iw))
+    sp = isl.groupBy("doc_id", "width", "grp").agg(
+        F.min("pos").alias("a"), F.max("pos").alias("b"),
+        F.count(F.lit(1)).alias("nw"),
+    )
+    return sp.groupBy("width").agg(
+        F.sum("nw").cast("bigint").alias("n_dup_windows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs_hit"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("b") + F.col("width") - F.col("a"))
+        .cast("bigint")
+        .alias("covered_tokens"),
+    ).select(
+        F.col("width").cast("int").alias("width"),
+        "n_dup_windows", "n_docs_hit", "n_spans", "covered_tokens",
+    )

@@ -818,3 +818,208 @@ def class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e8
         ).alias("w_effective"),
     )
+
+
+_LANGID_ITERS, _LANGID_ETA, _LANGID_DIM = 3, 2.0, 16
+
+
+def _langid_oracle(iters: int, eta: float, dim: int) -> str:
+    """The trained-language-ID oracle: char-trigram extraction (DuckDB
+    list comprehension), md5 hashing-trick buckets (the shared
+    hash_bucket_sql mapping), per-doc count-normalized features, then
+    the SAME unrolled batch-GD CTE chain as _logreg_oracle (vectors.py)
+    with l-prefixed names, closed by a per-language confusion rollup
+    of the trained model's own predictions."""
+    parts = [
+        f"""ld AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, text
+        FROM documents WHERE length(text) >= 3
+    ), lgrams AS (
+        SELECT doc_id,
+               unnest([substr(text, i, 3) for i in range(1, len(text) - 1)]) AS g
+        FROM ld
+    ), lcnt AS (
+        SELECT doc_id, {hash_bucket_sql('g', dim)} AS b, count(*) AS c
+        FROM lgrams GROUP BY doc_id, b
+    ), ltot AS (SELECT doc_id, sum(c) AS tot FROM lcnt GROUP BY doc_id),
+    lx AS (
+        SELECT c.doc_id, c.b + 1 AS j, c.c / t.tot AS x
+        FROM lcnt c JOIN ltot t ON t.doc_id = c.doc_id
+        UNION ALL
+        SELECT doc_id, 0 AS j, 1.0 AS x FROM ld
+    ), ln AS (SELECT count(*) AS n FROM ld),
+    lg1 AS (
+        SELECT p.j, sum((0.5 - d.y) * p.x) AS g
+        FROM lx p JOIN ld d ON d.doc_id = p.doc_id GROUP BY p.j
+    ),
+    lw1 AS (SELECT j, -({eta}) * g / n.n AS w FROM lg1 CROSS JOIN ln n)"""
+    ]
+    for i in range(2, iters + 1):
+        parts.append(f"""
+    lz{i} AS (
+        SELECT p.doc_id, sum(w.w * p.x) AS z
+        FROM lx p JOIN lw{i - 1} w ON w.j = p.j GROUP BY p.doc_id
+    ),
+    lr{i} AS (
+        SELECT z.doc_id, 1.0 / (1.0 + exp(-z.z)) - d.y AS r
+        FROM lz{i} z JOIN ld d ON d.doc_id = z.doc_id
+    ),
+    lg{i} AS (
+        SELECT p.j, sum(r.r * p.x) AS g
+        FROM lx p JOIN lr{i} r ON r.doc_id = p.doc_id GROUP BY p.j
+    ),
+    lw{i} AS (
+        SELECT w.j, w.w - ({eta}) * g.g / n.n AS w
+        FROM lw{i - 1} w JOIN lg{i} g ON g.j = w.j CROSS JOIN ln n
+    )""")
+    parts.append(f"""
+    lzf AS (
+        SELECT p.doc_id, sum(w.w * p.x) AS z
+        FROM lx p JOIN lw{iters} w ON w.j = p.j GROUP BY p.doc_id
+    ),
+    lpred AS (
+        SELECT d.lang,
+               floor(1.0 / (1.0 + exp(-z.z)) * 10000 + 0.5) / 10000 AS p
+        FROM lzf z JOIN ld d ON d.doc_id = z.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pred_en,
+           floor(avg(p) * 10000 + 0.5) / 10000 AS avg_p_en
+    FROM lpred GROUP BY lang""")
+    return "WITH " + ",".join(parts[:-1]) + "," + parts[-1]
+
+
+@query(
+    "lang_id_train",
+    oracle=_langid_oracle(_LANGID_ITERS, _LANGID_ETA, _LANGID_DIM),
+    section="2.11 trained language-ID (logreg over hashed char trigrams)",
+)
+def lang_id_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID the way production systems actually build it (the
+    CLD/fasttext shape) instead of `lang_id`'s fixed stopword rule:
+    hashed character-trigram features (the vocabulary-free encoder —
+    `feature_hashing`'s md5 bucket mapping over 3-char grams,
+    count-normalized per doc), an is-English logistic regression
+    trained IN-ENGINE by three unrolled full-batch GD rounds (the
+    `logreg_train` discipline: static plan, w0=0 makes round 1's
+    sigmoid exactly 0.5 on both engines), then the trained model
+    graded against the fixture lang labels as a per-language
+    confusion rollup (n_pred_en vs n_docs; the fixture vocabulary is
+    shared across langs, so this measures the machinery end-to-end,
+    not linguistics — the `lang_id` caveat).
+
+    Numeric discipline: features are exact ratios of integers
+    (identical doubles both engines), gradients/matvecs carry ~1e-13
+    summation-order noise that three rounds cannot push to the 4dp
+    terminal pin (the logreg_train argument, which pins at 6dp), and
+    the keep-gate compares the PINNED probability so classification
+    can't flip on engine ulps (the linear_quality_score convention).
+
+    Scale shape: identical to logreg_train — each round is two
+    co-partitioned passes over the materialized (doc, j, x) feature
+    frame (one broadcast-weight matvec, one doc-keyed residual join +
+    j-keyed gradient sum); the feature frame is built once; the only
+    driver sync is n. Char-trigram explode is ~|text| rows per doc
+    pre-aggregated to ≤dim+1 feature rows per doc before training.
+    Two measured fixture-scale guards: the corpus is `_spread` before
+    the trigram+md5 pass (a one-file fixture otherwise runs that
+    CPU-heavy stage single-threaded — the shingling operators' 6 s vs
+    0.3 s trap), and the feature/label frames are localCheckpoint
+    (eager) rather than persist — every GD round builds a new plan
+    atop them, and re-analyzing the full trigram-build lineage per
+    round cost more than the rounds themselves (8.3 → 3.6 s warm at
+    sf0.1 across the two fixes)."""
+    from ..operators.dedup import _spread
+
+    eta, iters, dim = _LANGID_ETA, _LANGID_ITERS, _LANGID_DIM
+    d = (
+        _spread(load_table(spark, sf_dir, "documents"))
+        .filter(F.length("text") >= 3)
+        .select(
+            "doc_id", "lang",
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            "text",
+        )
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("g"),
+    )
+    cnt = grams.groupBy("doc_id", hash_bucket("g", dim).alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("tot"))
+    px = (
+        cnt.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("b") + 1).alias("j"),
+            (F.col("c") / F.col("tot")).alias("x"),
+        )
+        .unionAll(
+            d.select("doc_id", F.lit(0).alias("j"), F.lit(1.0).alias("x"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    yv = d.select("doc_id", "y").localCheckpoint(eager=True)
+    n = yv.count()
+    if n == 0:
+        raise ValueError(
+            "lang_id_train: no documents with length >= 3 to train on"
+        )
+    r = yv.select("doc_id", (F.lit(0.5) - F.col("y")).alias("r"))
+    g = px.join(r, "doc_id").groupBy("j").agg(
+        F.sum(F.col("r") * F.col("x")).alias("g")
+    )
+    w = g.select("j", (F.lit(-eta) * F.col("g") / F.lit(n)).alias("w"))
+    for _ in range(2, iters + 1):
+        z = (
+            px.join(F.broadcast(w), "j")
+            .select("doc_id", (F.col("w") * F.col("x")).alias("t"))
+            .groupBy("doc_id")
+            .agg(F.sum("t").alias("z"))
+        )
+        r = z.join(yv, "doc_id").select(
+            "doc_id",
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")
+            ).alias("r"),
+        )
+        g = px.join(r, "doc_id").groupBy("j").agg(
+            F.sum(F.col("r") * F.col("x")).alias("g")
+        )
+        w = w.join(F.broadcast(g), "j").select(
+            "j",
+            (F.col("w") - F.lit(eta) * F.col("g") / F.lit(n)).alias("w"),
+        )
+    zf = (
+        px.join(F.broadcast(w), "j")
+        .select("doc_id", (F.col("w") * F.col("x")).alias("t"))
+        .groupBy("doc_id")
+        .agg(F.sum("t").alias("z"))
+    )
+    pred = zf.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        round_half_up(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 4
+        ).alias("p"),
+    )
+    return (
+        pred.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("p") >= 0.5).cast("int"))
+            .cast("bigint")
+            .alias("n_pred_en"),
+            round_half_up(F.avg("p"), 4).alias("avg_p_en"),
+        )
+        .localCheckpoint(eager=True)
+    )

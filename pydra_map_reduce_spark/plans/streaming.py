@@ -134,34 +134,22 @@ def _drain(df: DataFrame, mode: str) -> DataFrame:
         spark.catalog.dropTempView(name)
 
 
-@query(
-    "streaming_tumbling_count",
-    oracle=None,  # rows-only: streaming engine run; batch anchor = tumbling_window
-    section="2.9 streaming tumbling window + watermark (2.1 streaming source/sink)",
-)
-def streaming_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked 1-hour tumbling counts via the streaming engine."""
-    agg = (
-        _stream_events(spark, sf_dir)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+def _tumbling_count_agg(df: DataFrame) -> DataFrame:
+    """THE 1-hour tumbling count plan shared by the streaming form and
+    its oracle-backed batch twin (the _static_join_summary twin
+    discipline: one definition, two execution engines)."""
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
-    return _drain(agg, "complete")
 
 
-@query(
-    "streaming_session_window",
-    oracle=None,  # rows-only; batch anchor = sessionization
-    section="2.9 streaming session window",
-)
-def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window (30-minute gap) under the streaming engine."""
-    agg = (
-        _stream_events(spark, sf_dir)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+def _session_window_agg(df: DataFrame) -> DataFrame:
+    """THE native session_window (30-minute gap) per-user count plan,
+    shared by the streaming form and its oracle-backed batch twin."""
+    return (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
@@ -170,7 +158,97 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "streaming_tumbling_count",
+    oracle=None,  # rows-only: streaming engine run; batch twin = tumbling_count_batch
+    section="2.9 streaming tumbling window + watermark (2.1 streaming source/sink)",
+)
+def streaming_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling counts via the streaming engine."""
+    agg = _tumbling_count_agg(
+        _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    )
     return _drain(agg, "complete")
+
+
+@query(
+    "tumbling_count_batch",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    section="2.9 streaming tumbling window, ORACLE-BACKED batch twin",
+)
+def tumbling_count_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DuckDB-checkable half of the `streaming_tumbling_count`
+    twin pair: the IDENTICAL `_tumbling_count_agg` plan run as a
+    batch scan. In complete output mode the drained stream emits
+    every window, so stream ≡ batch is exact equality — the local
+    suite pins that anchor, and this entry pins batch ≡ oracle,
+    closing the chain for the driver ledger (the
+    stream_static_join_batch precedent). 1-hour epoch-aligned
+    windows are date_trunc('hour') on the oracle side."""
+    return _tumbling_count_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "streaming_session_window",
+    oracle=None,  # rows-only; batch twin = session_window_batch
+    section="2.9 streaming session window",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-minute gap) under the streaming engine."""
+    agg = _session_window_agg(
+        _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    )
+    return _drain(agg, "complete")
+
+
+@query(
+    "session_window_batch",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                        AS sess_start,
+           max(ts) + INTERVAL 30 MINUTE   AS sess_end,
+           count(*)                       AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+    section="2.9 streaming session window, ORACLE-BACKED batch twin",
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of `streaming_session_window`: the IDENTICAL native
+    `_session_window_agg` plan (F.session_window works unchanged on a
+    batch frame). The oracle re-derives native session semantics via
+    lag-gap-cumsum — probed this round on exact boundaries: an event
+    at EXACTLY last_ts + gap merges (break rule is strictly `>`, the
+    same rule `events._session_label_ctes` encodes), and the native
+    window's end is last event + gap, so the oracle emits
+    max(ts) + INTERVAL 30 MINUTE. Ties need no event_id tie-break
+    here: the session label depends only on the ts sequence, and the
+    per-session count is tie-order invariant. Closes the last
+    un-twinned streaming rows-only pair (r10 verdict, Next #5)."""
+    return _session_window_agg(load_table(spark, sf_dir, "events"))
 
 
 @query(

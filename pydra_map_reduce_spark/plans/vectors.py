@@ -1610,39 +1610,40 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     small BY CONSTRUCTION (the ivf small-k driver-sync precedent).
     Relevance and sims are 1e9-pinned before collection, so the
     Python mix (0.7·rel − 0.3·maxsim on IEEE doubles) is the same
-    arithmetic the unrolled SQL oracle performs on its side."""
+    arithmetic the unrolled SQL oracle performs on its side.
+
+    Array-native cosine (the cosine_topk form) rather than the
+    64-column flatten: the r11 quiet-host profile put ~2.3 s of
+    mmr's 3.3 s in DRIVER-side construction/analysis of the
+    130-column flattened plans (execution on the corpus is trivial),
+    and `cosine()` is arithmetically identical to the flat form —
+    same left-fold product sum (IEEE 0.0+p0 ≡ p0) and the same
+    √(a·a)·√(b·b) denominator — so the 1e9-pinned values are
+    unchanged. Measured 3.33 → ~1.0 s warm."""
     import math
 
-    from ..operators.similarity import _flat_cosine, _flatten
+    from ..operators.similarity import as_double, cosine
 
-    dim = 64
     emb = load_table(spark, sf_dir, "embeddings")
-    a = _flatten(emb, "vec_id", "embedding", dim, "a")
-    b = a.filter(F.col("aid") == 0).select(
-        *[F.col(f"a{i}").alias(f"b{i}") for i in range(dim)],
-        F.col("anorm").alias("bnorm"),
-    )
+    e = emb.select("vec_id", as_double("embedding").alias("emb"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
     pin = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
     rel = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("aid") != 0)
-        .select(F.col("aid").alias("vec_id"), pin(_flat_cosine("a", "b", dim)).alias("rel"))
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", pin(cosine(F.col("emb"), F.col("qv"))).alias("rel"))
     )
     short = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(_MMR_SHORTLIST).collect()
     ids = [r["vec_id"] for r in short]
     rels = {r["vec_id"]: r["rel"] for r in short}
-    sa = a.filter(F.col("aid").isin(ids))
-    sb = sa.select(
-        F.col("aid").alias("bid"),
-        *[F.col(f"a{i}").alias(f"b{i}") for i in range(dim)],
-        F.col("anorm").alias("bnorm"),
-    )
+    sa = e.filter(F.col("vec_id").isin(ids))
+    sb = sa.select(F.col("vec_id").alias("bid"), F.col("emb").alias("bemb"))
     sims = {
         (r["x"], r["y"]): r["sim"]
-        for r in sa.join(F.broadcast(sb), F.col("aid") < F.col("bid"))
+        for r in sa.join(F.broadcast(sb), F.col("vec_id") < F.col("bid"))
         .select(
-            F.col("aid").alias("x"), F.col("bid").alias("y"),
-            pin(_flat_cosine("a", "b", dim)).alias("sim"),
+            F.col("vec_id").alias("x"), F.col("bid").alias("y"),
+            pin(cosine(F.col("emb"), F.col("bemb"))).alias("sim"),
         )
         .collect()
     }
