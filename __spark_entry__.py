@@ -46,7 +46,9 @@ _DRIVER_PRIORITY = [
     "winnowing_neardup",
     # (b) round-11 additions — appended below as they land (≤23)
     "tumbling_count_batch", "session_window_batch", "lang_id_train",
-    "span_width_sweep",
+    "span_width_sweep", "recursive_cte_hops", "retention_cohorts",
+    "token_budget_plan", "pack_len_sweep", "jm_lambda_sweep",
+    "negative_sample",
 ]
 
 

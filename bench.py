@@ -155,6 +155,12 @@ HEADLINE = [
     "session_window_batch",  # batch twin of the streaming session window
     "lang_id_train",         # trained language-ID (logreg over hashed trigrams)
     "span_width_sweep",      # ExactSubstr anchor-width operating points
+    "recursive_cte_hops",    # WITH RECURSIVE reachability (declarative iteration)
+    "retention_cohorts",     # weekly cohort x offset retention matrix
+    "token_budget_plan",     # per-source epochs under a temperature mix
+    "pack_len_sweep",        # padding waste vs context length grid
+    "jm_lambda_sweep",       # LM smoothing operating points
+    "negative_sample",       # seeded contrastive negatives (positive-excluding)
 ]
 
 

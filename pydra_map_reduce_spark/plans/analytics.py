@@ -912,3 +912,87 @@ def skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "key")
         .limit(10)
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ), j AS (
+        SELECT f.cohort_week, a.user_id,
+               CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT)
+                   AS week_offset
+        FROM act a JOIN firsts f ON f.user_id = a.user_id
+    ), sizes AS (
+        SELECT cohort_week, count(*) AS n_cohort FROM firsts
+        GROUP BY cohort_week
+    ), ret AS (
+        SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+        FROM j WHERE week_offset BETWEEN 0 AND 3
+        GROUP BY cohort_week, week_offset
+    )
+    SELECT r.cohort_week, r.week_offset,
+           CAST(r.n_active AS BIGINT)  AS n_active,
+           CAST(s.n_cohort AS BIGINT)  AS n_cohort,
+           floor(r.n_active::DOUBLE / s.n_cohort * 10000 + 0.5) / 10000
+               AS retention
+    FROM ret r JOIN sizes s ON s.cohort_week = r.cohort_week
+    """,
+    section="2.9/2.11 retention cohort matrix (weekly signup cohorts x week offset)",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic cohort-retention matrix: users bucketed by the ISO
+    week of their FIRST event (Monday-truncated in both engines),
+    then for offsets 0..3 weeks the share of each cohort active in
+    that week — the table behind every retention curve and the
+    per-cohort engagement read `rolling_active_users` can't give
+    (it has no cohort axis).
+
+    Exactness: week buckets are date_trunc('week') DATEs, so the
+    offset is an exact integer (Monday-to-Monday gaps are multiples
+    of 7 days); counts are integers and the single ratio is 4dp
+    half-up pinned. Plan: one groupBy(user) for first events, one
+    distinct over (user, week) — both map-side combined on the same
+    user_id shuffle — then dim-sized (cohort, offset) aggregation;
+    no window, no fan-out, carries to 100 TB unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_ts")).cast("date").alias("cohort_week"),
+        )
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    j = act.join(firsts, "user_id").select(
+        "cohort_week",
+        "user_id",
+        (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    ret = (
+        j.filter(F.col("week_offset").between(0, 3))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        round_half_up(
+            F.col("n_active").cast("double") / F.col("n_cohort"), 4
+        ).alias("retention"),
+    )

@@ -1590,3 +1590,143 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ok").cast("bigint").alias("n_roundtrip_ok"),
         )
     )
+
+
+_BUDGET_TOKENS = 2_000_000  # planning target (the per-run token budget)
+_BUDGET_ALPHA_SQRT = True  # temperature = 0.5 (sqrt rebalancing)
+
+
+@query(
+    "token_budget_plan",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), wts AS (
+        SELECT source, n_tokens,
+               floor(sqrt(n_tokens) * 1e6 + 0.5) / 1e6 AS w_raw
+        FROM per_src
+    ), tot AS (
+        SELECT floor(sum(w_raw) * 1e6 + 0.5) / 1e6 AS w_tot FROM wts
+    )
+    SELECT w.source, w.n_tokens,
+           floor(w.w_raw / t.w_tot * 1e6 + 0.5) / 1e6 AS weight,
+           CAST(floor(w.w_raw / t.w_tot * {_BUDGET_TOKENS} + 0.5) AS BIGINT)
+               AS target_tokens,
+           floor(floor(w.w_raw / t.w_tot * {_BUDGET_TOKENS} + 0.5)
+                 / w.n_tokens * 10000 + 0.5) / 10000 AS epochs,
+           CAST(ceil(floor(w.w_raw / t.w_tot * {_BUDGET_TOKENS} + 0.5)
+                     / w.n_tokens) AS BIGINT) AS repeat_factor
+    FROM wts w CROSS JOIN tot t
+    """,
+    section="2.11 token-budget planner (per-source epochs under a temperature mix)",
+)
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planning table a data loader is configured FROM: given a
+    run's token budget (2M here) and a sqrt-temperature source mix
+    (α=0.5 — the mix_temperature family's rebalancing, applied to
+    sources), the per-source target token count, implied epochs over
+    the available data, and the integer repeat factor (epochs
+    rounded up — how many times the loader must cycle a small source
+    to fill its share). Low-resource sources land repeat_factor > 1
+    (the 'epochs over small high-quality sets' decision every
+    training run makes); large sources get < 1 epoch.
+
+    Numeric discipline: token counts are exact integers; √n is
+    6dp-pinned per source AND the normalizer sum is 6dp-pinned
+    before the one division (a raw float sum's order-noise could
+    flip the floor at a target-token boundary); every downstream
+    column derives from those two pinned doubles by identical
+    IEEE ops. Plan: one map-side-combined token agg (dim-sized
+    output), a 1-row broadcast total, pure arithmetic after —
+    the mix_weights shape."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    wts = per_src.select(
+        "source", "n_tokens",
+        round_half_up(F.sqrt(F.col("n_tokens")), 6).alias("w_raw"),
+    )
+    tot = wts.agg(round_half_up(F.sum("w_raw"), 6).alias("w_tot"))
+    tgt = F.floor(
+        F.col("w_raw") / F.col("w_tot") * _BUDGET_TOKENS + 0.5
+    )
+    return wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        round_half_up(F.col("w_raw") / F.col("w_tot"), 6).alias("weight"),
+        tgt.cast("bigint").alias("target_tokens"),
+        round_half_up(tgt / F.col("n_tokens"), 4).alias("epochs"),
+        F.ceil(tgt / F.col("n_tokens")).cast("bigint").alias("repeat_factor"),
+    )
+
+
+_PACK_LENS = (64, 128, 256, 512)
+
+
+@query(
+    "pack_len_sweep",
+    oracle=f"""
+    WITH docs AS (
+        SELECT len(string_split(text, ' ')) AS t FROM documents
+    ), lens AS (
+        SELECT unnest(CAST([{", ".join(str(l) for l in _PACK_LENS)}]
+                      AS INT[])) AS max_len
+    )
+    SELECT l.max_len,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(d.t) AS BIGINT)      AS total_tokens,
+           CAST(sum(ceil(d.t::DOUBLE / l.max_len)) AS BIGINT) AS n_seqs_boundary,
+           CAST(sum(ceil(d.t::DOUBLE / l.max_len) * l.max_len - d.t) AS BIGINT)
+               AS pad_tokens,
+           floor(sum(ceil(d.t::DOUBLE / l.max_len) * l.max_len - d.t)::DOUBLE
+                 / sum(ceil(d.t::DOUBLE / l.max_len) * l.max_len)
+                 * 10000 + 0.5) / 10000 AS pad_ratio,
+           CAST(ceil(sum(d.t)::DOUBLE / l.max_len) AS BIGINT) AS n_seqs_concat
+    FROM docs d CROSS JOIN lens l
+    GROUP BY l.max_len
+    """,
+    section="2.11 packing-efficiency sweep (padding waste vs context length)",
+)
+def pack_len_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT context length to pack at: for each max_len in the sweep,
+    the cost of document-boundary packing (each doc chunked to its
+    own ⌈t/L⌉ sequences — `doc_chunks`' layout) as padded-token waste
+    vs the concat-packing floor (`sequence_pack`'s layout, whose only
+    waste is the final partial sequence). pad_ratio is the share of
+    the padded grid spent on padding — the number that decides
+    whether cross-document attention masking is worth implementing
+    at a given context length.
+
+    All columns are exact integer arithmetic on token counts (ceil
+    of an exact small-integer ratio is engine-stable; the dim-sized
+    4-row fan-out is a broadcast explode) except the one 4dp-pinned
+    ratio. One corpus scan, map-side combined."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(F.size(F.split("text", " ")).alias("t"))
+    lens = F.explode(
+        F.array(*[F.lit(l).cast("int") for l in _PACK_LENS])
+    ).alias("max_len")
+    seqs = F.ceil(F.col("t").cast("double") / F.col("max_len"))
+    return (
+        docs.select("t", lens)
+        .groupBy("max_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("total_tokens"),
+            F.sum(seqs).cast("bigint").alias("n_seqs_boundary"),
+            F.sum(seqs * F.col("max_len") - F.col("t"))
+            .cast("bigint")
+            .alias("pad_tokens"),
+            round_half_up(
+                F.sum(seqs * F.col("max_len") - F.col("t")).cast("double")
+                / F.sum(seqs * F.col("max_len")),
+                4,
+            ).alias("pad_ratio"),
+            F.ceil(F.sum("t").cast("double") / F.first("max_len"))
+            .cast("bigint")
+            .alias("n_seqs_concat"),
+        )
+    )

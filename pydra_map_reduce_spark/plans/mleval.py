@@ -1023,3 +1023,100 @@ def lang_id_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+_NEG_NQ, _NEG_KPOS, _NEG_N = 8, 5, 4
+
+
+@query(
+    "negative_sample",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), qv AS (
+        SELECT vec_id AS query_id, emb AS qvec FROM e WHERE vec_id < {_NEG_NQ}
+    ), pos AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e2.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY floor(list_cosine_similarity(e2.emb, q.qvec)
+                                                     * 1e9 + 0.5) / 1e9 DESC,
+                                               e2.vec_id) AS rn
+            FROM e e2 CROSS JOIN qv q
+            WHERE e2.vec_id <> q.query_id
+        ) WHERE rn <= {_NEG_KPOS}
+    ), cand AS (
+        SELECT q.query_id, e2.vec_id,
+               {textops.hash_uniform_sql("(q.query_id || '_' || e2.vec_id)")}
+                   AS draw
+        FROM e e2 CROSS JOIN qv q
+        WHERE e2.vec_id <> q.query_id
+    ), neg AS (
+        SELECT query_id, vec_id, draw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY draw, vec_id) AS neg_rank
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.query_id = c.query_id
+                            AND p.vec_id = c.vec_id)
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neg_rank AS INT)    AS neg_rank,
+           vec_id, draw
+    FROM neg WHERE neg_rank <= {_NEG_N}
+    """,
+    section="2.11 contrastive negative sampling (seeded, positive-excluding)",
+)
+def negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair construction for contrastive/embedding training:
+    for each of the {nq} query vectors, {n} uniform random negatives
+    drawn from the corpus EXCLUDING the query's exact top-{kpos}
+    neighbors (which would be false negatives — the standard
+    in-batch-negatives hygiene) and itself. Draws are the repo's
+    deterministic md5 dyadic-rational uniform keyed on
+    (query_id, vec_id), so the sample is reproducible bit-for-bit
+    across engines, runs, and repartitions (the weighted_sample
+    contract), and the per-query ranking (draw, vec_id) needs no RNG
+    state anywhere.
+
+    Positives come from the SAME batched exact top-k definition the
+    evaluation family uses (operators.similarity.batch_cosine_topk;
+    the oracle re-derives it with the 1e9-pinned rank key). Plan:
+    one broadcast-query corpus cosine pass for the positives, one
+    broadcast-query hash-draw pass + anti-join for the candidates,
+    one per-query window over rows that a corpus-scale run would
+    pre-filter with a draw < k'/N threshold before ranking (the
+    weighted_sample scale argument)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import batch_cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = batch_cosine_topk(
+        e, "vec_id", "embedding", n_queries=_NEG_NQ, k=_NEG_KPOS
+    ).select("query_id", "vec_id")
+    ids = e.select("vec_id")
+    q = ids.filter(F.col("vec_id") < _NEG_NQ).select(
+        F.col("vec_id").alias("query_id")
+    )
+    cand = (
+        ids.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(pos, ["query_id", "vec_id"], "left_anti")
+        .select(
+            "query_id", "vec_id",
+            textops.hash_uniform(
+                F.concat_ws("_", "query_id", "vec_id")
+            ).alias("draw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("draw", "vec_id")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= _NEG_N)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            "vec_id", "draw",
+        )
+    )

@@ -558,10 +558,11 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "trigram_perplexity_jm",
-    oracle="""
-    WITH toks AS (
+# ONE text for the JM trigram-LM model tables (trigram/bigram/unigram
+# counts + continuation denominators + corpus total) — shared by
+# trigram_perplexity_jm and jm_lambda_sweep so the model the sweep
+# prices is EXACTLY the model the production query scores with.
+_JM_MODEL_CTES = """toks AS (
         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
     ), tg AS (
         SELECT doc_id, tokens[i] AS w1, tokens[i+1] AS w2, tokens[i+2] AS w3
@@ -587,7 +588,13 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
         SELECT CAST(count(*) AS BIGINT) AS n
         FROM (SELECT unnest(tokens) AS w FROM toks)
-    )
+    )"""
+
+
+@query(
+    "trigram_perplexity_jm",
+    oracle=f"""
+    WITH {_JM_MODEL_CTES}
     SELECT tg.doc_id,
            count(*) AS n_trigrams,
            floor(exp(-avg(ln(
@@ -2159,4 +2166,135 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("vmr"), "word")
         .limit(20)
+    )
+
+
+_JM_SWEEP = (
+    (0.8, 0.15, 0.05),
+    (0.6, 0.3, 0.1),
+    (0.4, 0.4, 0.2),
+    (0.2, 0.5, 0.3),
+    (0.1, 0.3, 0.6),
+)
+
+
+def _jm_sweep_oracle(configs: tuple[tuple[float, float, float], ...]) -> str:
+    """Corpus-level JM perplexity per lambda config: the SHARED model
+    CTEs (_JM_MODEL_CTES — the exact tables trigram_perplexity_jm
+    scores with), one per-trigram component frame, then one branch
+    per config over it."""
+    # lam literals CAST to DOUBLE: DuckDB types a bare 0.05 as
+    # DECIMAL(3,2), which the hash-safe canonicalization rejects (the
+    # r7 decimal trap); Spark's F.lit(0.05) is already a double
+    branches = "\n    UNION ALL ".join(
+        f"""SELECT CAST({l3} AS DOUBLE) AS lam3,
+               CAST({l2} AS DOUBLE) AS lam2,
+               CAST({l1} AS DOUBLE) AS lam1,
+               floor(exp(-avg(ln({l3} * pt + {l2} * pb + {l1} * pu)))
+                     * 100 + 0.5) / 100 AS ppl
+        FROM comp"""
+        for l3, l2, l1 in configs
+    )
+    return f"""
+    WITH {_JM_MODEL_CTES},
+    comp AS (
+        SELECT tri.nt / tri_pre.ntp AS pt,
+               bi.nb / bi_pre.nbp   AS pb,
+               uni.nu / tot.n       AS pu
+        FROM tg
+        JOIN tri ON tri.w1 = tg.w1 AND tri.w2 = tg.w2 AND tri.w3 = tg.w3
+        JOIN tri_pre ON tri_pre.w1 = tg.w1 AND tri_pre.w2 = tg.w2
+        JOIN bi ON bi.w2 = tg.w2 AND bi.w3 = tg.w3
+        JOIN bi_pre ON bi_pre.w2 = tg.w2
+        JOIN uni ON uni.w3 = tg.w3
+        CROSS JOIN tot
+    )
+    {branches}"""
+
+
+@query(
+    "jm_lambda_sweep",
+    oracle=_jm_sweep_oracle(_JM_SWEEP),
+    section="2.11 LM smoothing operating points (JM lambda sweep, corpus perplexity)",
+)
+def jm_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE to set the interpolation weights: corpus-level perplexity
+    under the Jelinek-Mercer trigram LM for five (λ3, λ2, λ1)
+    mixtures spanning trigram-heavy to unigram-heavy — the
+    dedup_threshold_sweep operating-point pattern applied to LM
+    smoothing (deleted-interpolation's grid half, with the held-out
+    EM step left to the caller). `trigram_perplexity_jm`'s production
+    (0.6, 0.3, 0.1) sits inside the sweep; the model tables are THE
+    same definitions via the shared _JM_MODEL_CTES text.
+
+    Plan: the model joins run ONCE into a per-trigram component
+    frame (pt, pb, pu — exact integer ratios); the 5-config fan-out
+    is a broadcast-sized explode over it, so the sweep prices five
+    smoothing choices for one extra projection + one grouped agg
+    over 5·|trigrams| rows. exp(-avg(ln)) amplifies summation-order
+    noise ~1e-13 → ~1e-8 (the established exp/log class), absorbed
+    by the 2dp pin its production sibling uses."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "w1")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.select(
+        "doc_id", "w1",
+        F.lead("w1", 1).over(wdoc).alias("w2"),
+        F.lead("w1", 2).over(wdoc).alias("w3"),
+    )
+    tg = seq.filter(F.col("w3").isNotNull())
+    bg = seq.select("w1", "w2").filter(F.col("w2").isNotNull()).select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3")
+    )
+    tri = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("nt"))
+    tri_pre = tri.groupBy("w1", "w2").agg(F.sum("nt").alias("ntp"))
+    bi = bg.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nb"))
+    bi_pre = bi.groupBy("w2").agg(F.sum("nb").alias("nbp"))
+    uni = toks.select(F.col("w1").alias("w3")).groupBy("w3").agg(
+        F.count(F.lit(1)).alias("nu")
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    comp = (
+        tg.join(tri, ["w1", "w2", "w3"])
+        .join(tri_pre, ["w1", "w2"])
+        .join(bi, ["w2", "w3"])
+        .join(bi_pre, ["w2"])
+        .join(uni, ["w3"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("nt") / F.col("ntp")).alias("pt"),
+            (F.col("nb") / F.col("nbp")).alias("pb"),
+            (F.col("nu") / F.col("n")).alias("pu"),
+        )
+    )
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(l3).alias("lam3"),
+                    F.lit(l2).alias("lam2"),
+                    F.lit(l1).alias("lam1"),
+                )
+                for l3, l2, l1 in _JM_SWEEP
+            ]
+        )
+    ).alias("c")
+    mix = (
+        F.col("c.lam3") * F.col("pt")
+        + F.col("c.lam2") * F.col("pb")
+        + F.col("c.lam1") * F.col("pu")
+    )
+    return (
+        comp.select("pt", "pb", "pu", cfg)
+        .groupBy("c.lam3", "c.lam2", "c.lam1")
+        .agg(
+            round_half_up(F.exp(-F.avg(F.log(mix))), 2).alias("ppl")
+        )
+        .select(
+            F.col("lam3"), F.col("lam2"), F.col("lam1"), "ppl"
+        )
     )
