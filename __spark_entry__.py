@@ -48,7 +48,8 @@ _DRIVER_PRIORITY = [
     "tumbling_count_batch", "session_window_batch", "lang_id_train",
     "span_width_sweep", "recursive_cte_hops", "retention_cohorts",
     "token_budget_plan", "pack_len_sweep", "jm_lambda_sweep",
-    "negative_sample",
+    "negative_sample", "lsh_band_sweep", "knn_k_sweep", "ece_summary",
+    "embedding_isotropy",
 ]
 
 

@@ -161,6 +161,10 @@ HEADLINE = [
     "pack_len_sweep",        # padding waste vs context length grid
     "jm_lambda_sweep",       # LM smoothing operating points
     "negative_sample",       # seeded contrastive negatives (positive-excluding)
+    "lsh_band_sweep",        # LSH S-curve operating points (candidate mass)
+    "knn_k_sweep",           # k-NN accuracy vs neighborhood size
+    "ece_summary",           # expected/max calibration error roll-up
+    "embedding_isotropy",    # mean-direction energy (collapse diagnostic)
 ]
 
 

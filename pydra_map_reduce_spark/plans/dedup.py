@@ -224,6 +224,31 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sigs_ctes(n_hashes: int = 32, p: int = 4_294_967_311) -> str:
+    """CTE text through the signature table (sh0 → sh → sigs) — the
+    shared prefix of every portable-minhash oracle, factored so the
+    banding-config sweep prices EXACTLY the signatures the production
+    pipeline bands (a re-typed copy of the hash family here is the
+    drift hazard the _JM_MODEL_CTES convention exists to prevent)."""
+    # hash family must match operators/dedup.py: _A[i]=2(i+1)+1, _B[i]=(i+1)²+7
+    hs = ",\n               ".join(
+        f"min(({2 * (i + 1) + 1}*s + {(i + 1) ** 2 + 7}) % {p}) AS h{i}"
+        for i in range(n_hashes)
+    )
+    return f"""sh0 AS (
+        SELECT doc_id,
+               unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                                     for i in range(1, len(tokens) - 1)])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ), sh AS (
+        SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS s FROM sh0
+    ), sigs AS (
+        SELECT doc_id,
+               {hs}
+        FROM sh GROUP BY doc_id
+    )"""
+
+
 def _minhash_portable_ctes(
     n_hashes: int = 32, bands: int = 8, p: int = 4_294_967_311, threshold: float = 0.8
 ) -> str:
@@ -237,29 +262,13 @@ def _minhash_portable_ctes(
     ``mpairs(doc_a, doc_b, jaccard)`` holds the thresholded pairs;
     shared by the pair query and the cluster query's closure."""
     rows = n_hashes // bands
-    # hash family must match operators/dedup.py: _A[i]=2(i+1)+1, _B[i]=(i+1)²+7
-    hs = ",\n               ".join(
-        f"min(({2 * (i + 1) + 1}*s + {(i + 1) ** 2 + 7}) % {p}) AS h{i}"
-        for i in range(n_hashes)
-    )
     band_sel = "\n        UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, concat_ws('_', "
         + ", ".join(f"h{b * rows + r}" for r in range(rows))
         + ") AS sig FROM sigs"
         for b in range(bands)
     )
-    return f"""sh0 AS (
-        SELECT doc_id,
-               unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
-                                     for i in range(1, len(tokens) - 1)])) AS g
-        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    ), sh AS (
-        SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS s FROM sh0
-    ), sigs AS (
-        SELECT doc_id,
-               {hs}
-        FROM sh GROUP BY doc_id
-    ), bnd AS (
+    return f"""{_minhash_sigs_ctes(n_hashes, p)}, bnd AS (
         {band_sel}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1941,3 +1950,91 @@ def span_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("int").alias("width"),
         "n_dup_windows", "n_docs_hit", "n_spans", "covered_tokens",
     )
+
+
+_BAND_CONFIGS = ((32, 1), (16, 2), (8, 4), (4, 8))  # (bands, rows), 32 hashes
+
+
+def _lsh_band_sweep_oracle(
+    configs: tuple[tuple[int, int], ...], n_hashes: int = 32
+) -> str:
+    """Candidate mass per LSH banding config over the SHARED signature
+    tables (_minhash_sigs_ctes — exactly what the production pipeline
+    bands): per config one band CTE + one candidate CTE, then a union
+    of one-row counts."""
+    parts = [_minhash_sigs_ctes(n_hashes)]
+    sels = []
+    for bands, rows in configs:
+        band_sel = "\n        UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat_ws('_', "
+            + ", ".join(f"h{b * rows + r}" for r in range(rows))
+            + ") AS sig FROM sigs"
+            for b in range(bands)
+        )
+        parts.append(f"""bnd{bands} AS (
+        {band_sel}
+    ), cand{bands} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bnd{bands} a JOIN bnd{bands} b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )""")
+        sels.append(
+            f"""SELECT {bands} AS n_bands, {rows} AS rows_per_band,
+               CAST(count(*) AS BIGINT) AS n_cand_pairs,
+               CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_flagged
+        FROM cand{bands}"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(sels)
+    )
+
+
+@query(
+    "lsh_band_sweep",
+    oracle=_lsh_band_sweep_oracle(_BAND_CONFIGS),
+    section="2.11 LSH banding-config sweep (S-curve operating points, candidate mass)",
+)
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE to set the LSH S-curve: for each (bands, rows) split of
+    the 32-hash MinHash signature — (32,1) widest through (4,8)
+    strictest — the candidate-pair mass and the keep-first flagged
+    document count. The banding threshold ≈ (1/b)^(1/r) moves from
+    ~0.03 to ~0.84 across the sweep, so this one table prices the
+    recall-vs-cost curve the production 8x4 config sits on
+    (`dedup_threshold_sweep` sweeps the RESCORE threshold at fixed
+    widest banding; this sweeps the BANDING itself — together they
+    bracket the two knobs a dedup deployment tunes).
+
+    Signatures are computed ONCE from the session-cached portable
+    shingle index and materialized (localCheckpoint) before the four
+    bandings read them; each banding is the production
+    minhash_band_candidates definition, so candidate sets — not a
+    re-typed approximation — are what's counted. Counts only, never
+    materialized pair lists, so even the (32,1) funnel is one
+    keyed-agg pass; at corpus scale the same sample-the-corpus
+    posture as dedup_threshold_sweep applies."""
+    from ..operators.dedup import minhash_band_candidates, minhash_signatures
+
+    sh = _portable_shingle_index(spark, sf_dir)
+    sigs = minhash_signatures(sh, 32).localCheckpoint(eager=True)
+    parts = []
+    for bands, rows in _BAND_CONFIGS:
+        cand = minhash_band_candidates(sigs, 32, bands)
+        parts.append(
+            cand.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_cand_pairs"),
+                F.countDistinct("doc_b").cast("bigint").alias("n_docs_flagged"),
+            ).select(
+                F.lit(bands).cast("int").alias("n_bands"),
+                F.lit(rows).cast("int").alias("rows_per_band"),
+                "n_cand_pairs",
+                "n_docs_flagged",
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    return out

@@ -1120,3 +1120,169 @@ def negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "draw",
         )
     )
+
+
+_KNN_SWEEP_KS = (1, 3, 5, 9)
+
+
+@query(
+    "knn_k_sweep",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS true_label, emb AS qv
+          FROM e WHERE vec_id < {_KNN_QUERIES}),
+    scored AS (
+        SELECT q.query_id, q.true_label, e.label,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY floor(list_cosine_similarity(e.emb, q.qv)
+                                                 * 1e9 + 0.5) / 1e9 DESC,
+                                           e.vec_id) AS rank
+        FROM e CROSS JOIN q
+        WHERE e.vec_id >= {_KNN_QUERIES}
+    ),
+    ks AS (SELECT unnest(CAST([{", ".join(str(k) for k in _KNN_SWEEP_KS)}]
+                         AS INT[])) AS k),
+    votes AS (
+        SELECT ks.k, s.query_id, s.true_label, s.label, count(*) AS n_votes
+        FROM scored s CROSS JOIN ks
+        WHERE s.rank <= ks.k
+        GROUP BY ks.k, s.query_id, s.true_label, s.label
+    ),
+    best AS (
+        SELECT k, query_id, true_label, label AS pred_label,
+               row_number() OVER (PARTITION BY k, query_id
+                                  ORDER BY n_votes DESC, label) AS vr
+        FROM votes
+    )
+    SELECT k,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           floor(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 ::DOUBLE / count(*) * 10000 + 0.5) / 10000 AS accuracy
+    FROM best WHERE vr = 1 GROUP BY k
+    """,
+    section="2.11 k-NN neighborhood-size sweep (accuracy vs k)",
+)
+def knn_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT k to vote with: `knn_classify`'s majority-label transfer
+    evaluated at k in {1,3,5,9} from ONE scored ranking — the
+    operating-point-sweep pattern applied to the serving
+    hyperparameter (production k=5 sits inside). The ranked
+    neighbor frame is computed once (the identical 9dp rank-key
+    ordering knn_classify uses, top max(k) rows kept per query);
+    each k then re-votes over its prefix — a broadcast-sized explode
+    + two dim-sized window/agg layers, so the sweep costs one corpus
+    pass regardless of |ks|. Tie rule everywhere: higher votes, then
+    smaller label — deterministic in both engines."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import as_double, cosine, rank_key
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("qv"),
+    )
+    maxk = max(_KNN_SWEEP_KS)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "vec_id")
+    scored = (
+        e.filter(F.col("vec_id") >= _KNN_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id", "true_label", "label", "vec_id",
+            rank_key(cosine(F.col("emb"), F.col("qv"))).alias("cos_r"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= maxk)
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k).cast("int") for k in _KNN_SWEEP_KS])
+    ).alias("k")
+    votes = (
+        scored.select("query_id", "true_label", "label", "rank", ks)
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k", "query_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("k", "query_id").orderBy(
+        F.col("n_votes").desc(), "label"
+    )
+    best = votes.withColumn("vr", F.row_number().over(wv)).filter(
+        F.col("vr") == 1
+    )
+    correct = (F.col("label") == F.col("true_label")).cast("int")
+    return best.groupBy("k").agg(
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        round_half_up(
+            F.sum(correct).cast("double") / F.count(F.lit(1)), 4
+        ).alias("accuracy"),
+    )
+
+
+@query(
+    "ece_summary",
+    oracle=f"""
+    WITH b AS (
+        SELECT least(CAST(floor(value / {_CAL_BIN}) AS BIGINT), 9) AS bin,
+               count(*) AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), tot AS (SELECT sum(n) AS nt FROM b),
+    gaps AS (
+        SELECT b.n, t.nt,
+               abs(b.pos::DOUBLE / b.n
+                   - b.cents / 100.0 / b.n / 500.0) AS gap
+        FROM b CROSS JOIN tot t
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_scored,
+           floor(sum(n::DOUBLE / nt * gap) * 1000000 + 0.5) / 1000000 AS ece,
+           floor(max(gap) * 1000000 + 0.5) / 1000000 AS mce
+    FROM gaps
+    """,
+    section="2.11 expected calibration error (ECE/MCE over the reliability bins)",
+)
+def ece_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-number calibration verdict on top of
+    `calibration_bins`' reliability table: Expected Calibration Error
+    (bin-weight-averaged |empirical rate − mean predicted|) and
+    Maximum Calibration Error, with the score normalized to [0,1] by
+    the 500-unit value range so rate and mean-score live on one
+    scale. The SAME width-50/clamped-top binning and cents-exact
+    score sums as calibration_bins (a drifted bin rule here would
+    grade a different diagram than the one reported).
+
+    Numerics: per-bin rate and mean are exact-integer ratios; the
+    weighted sum runs over ≤10 bins, so summation-order noise is
+    ~1e-17 against a 6dp pin. One scan, dim-sized aggregation."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    b = e.groupBy(
+        F.least(
+            F.floor(F.col("value") / _CAL_BIN).cast("bigint"), F.lit(9)
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(purchase).alias("pos"),
+        F.sum(cents("value")).alias("cents"),
+    )
+    tot = b.agg(F.sum("n").alias("nt"))
+    gap = F.abs(
+        F.col("pos").cast("double") / F.col("n")
+        - F.col("cents") / 100.0 / F.col("n") / 500.0
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select("n", "nt", gap.alias("gap"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_scored"),
+            round_half_up(
+                F.sum(F.col("n").cast("double") / F.col("nt") * F.col("gap")), 6
+            ).alias("ece"),
+            round_half_up(F.max("gap"), 6).alias("mce"),
+        )
+    )

@@ -2669,3 +2669,74 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg")
         )
     )
+
+
+@query(
+    "embedding_isotropy",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        WHERE embedding IS NOT NULL
+    ), pt AS (
+        SELECT vec_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+        FROM e
+    ), nrm AS (
+        SELECT vec_id, sqrt(sum(v * v)) AS nr FROM pt GROUP BY vec_id
+    ), unitm AS (
+        SELECT p.pos, avg(p.v / n.nr) AS m
+        FROM pt p JOIN nrm n ON n.vec_id = p.vec_id
+        WHERE n.nr > 0
+        GROUP BY p.pos
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM nrm WHERE nr > 0) AS n_vecs,
+           (SELECT floor(avg(nr) * 10000 + 0.5) / 10000
+            FROM nrm WHERE nr > 0) AS mean_norm,
+           floor(sum(m * m) * 1000000 + 0.5) / 1000000 AS isotropy_loss
+    FROM unitm
+    """,
+    section="2.11 embedding isotropy / collapse diagnostic (mean-direction energy)",
+)
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation-collapse screen for an embedding column: the
+    squared norm of the MEAN UNIT VECTOR, which equals the average
+    pairwise cosine across the corpus (E[cos(vi,vj)] = ||E[v̂]||²) —
+    0 for a perfectly isotropic cloud, →1 as embeddings collapse
+    onto one direction (the anisotropy problem that degrades cosine
+    retrieval and that whitening/ABTT fixes), plus the mean L2 norm.
+    Complements `embedding_covariance`/`pca_power_component` (second
+    moments around the mean) with the first-moment diagnostic a
+    retrieval team checks before trusting cosine at all.
+
+    Numerics: per-vector norms are exact fold sums; the per-dim mean
+    of unit coordinates carries ~1e-15 summation-order noise into a
+    64-term squared sum, far under the 6dp pin (the established
+    avg-then-pin class; mean_norm pinned at 4dp). Plan: one flatten
+    pass, one (vec-keyed) norm agg, one (pos-keyed) mean agg — two
+    keyed shuffles of narrow frames, no pair fan-out anywhere (the
+    all-pairs identity is computed, never enumerated)."""
+    from ..operators.similarity import as_double
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    pt = e.select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("pos0", "v")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    nrm = pt.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nr")
+    ).filter(F.col("nr") > 0)
+    unitm = (
+        pt.join(nrm, "vec_id")
+        .groupBy("pos")
+        .agg(F.avg(F.col("v") / F.col("nr")).alias("m"))
+    )
+    stats = nrm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        round_half_up(F.avg("nr"), 4).alias("mean_norm"),
+    )
+    iso = unitm.agg(
+        round_half_up(F.sum(F.col("m") * F.col("m")), 6).alias("isotropy_loss")
+    )
+    return stats.crossJoin(F.broadcast(iso)).select(
+        "n_vecs", "mean_norm", "isotropy_loss"
+    )
