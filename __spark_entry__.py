@@ -49,7 +49,11 @@ _DRIVER_PRIORITY = [
     "span_width_sweep", "recursive_cte_hops", "retention_cohorts",
     "token_budget_plan", "pack_len_sweep", "jm_lambda_sweep",
     "negative_sample", "lsh_band_sweep", "knn_k_sweep", "ece_summary",
-    "embedding_isotropy",
+    "embedding_isotropy", "bm25_param_sweep", "ivf_cell_profile",
+    "split_balance_audit", "doc_keywords", "try_arithmetic",
+    # (c) stalest-green rotation fill to exactly 50 (oldest driver
+    # evidence first: all four last ledgered in round 4)
+    "collect_values", "limit_head", "top_k", "sentiment_lexicon",
 ]
 
 

@@ -165,6 +165,11 @@ HEADLINE = [
     "knn_k_sweep",           # k-NN accuracy vs neighborhood size
     "ece_summary",           # expected/max calibration error roll-up
     "embedding_isotropy",    # mean-direction energy (collapse diagnostic)
+    "bm25_param_sweep",      # Okapi k1/b operating points
+    "ivf_cell_profile",      # per-cell occupancy + inertia (index health)
+    "split_balance_audit",   # label distribution across hash splits
+    "doc_keywords",          # per-doc top tf-idf terms
+    "try_arithmetic",        # NULL-on-failure expression semantics
 ]
 
 

@@ -1730,3 +1730,70 @@ def pack_len_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_seqs_concat"),
         )
     )
+
+
+@query(
+    "split_balance_audit",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT lang, {_SPLIT_CASE_SQL} AS split FROM documents
+    ), cells AS (
+        SELECT split, lang, count(*) AS n FROM tagged GROUP BY split, lang
+    ), ms AS (
+        SELECT split, sum(n) AS ns FROM cells GROUP BY split
+    ), ml AS (
+        SELECT lang, sum(n) AS nl FROM cells GROUP BY lang
+    ), tot AS (SELECT sum(n) AS nt FROM cells)
+    SELECT c.split, c.lang,
+           CAST(c.n AS BIGINT) AS n_docs,
+           floor(ms.ns * ml.nl / CAST(t.nt AS DOUBLE) * 10000 + 0.5) / 10000
+               AS expected,
+           floor((c.n - ms.ns * ml.nl / CAST(t.nt AS DOUBLE))
+                 * (c.n - ms.ns * ml.nl / CAST(t.nt AS DOUBLE))
+                 / (ms.ns * ml.nl / CAST(t.nt AS DOUBLE)) * 10000 + 0.5)
+               / 10000 AS chi2_term
+    FROM cells c
+    JOIN ms ON ms.split = c.split
+    JOIN ml ON ml.lang = c.lang
+    CROSS JOIN tot t
+    """,
+    section="2.11 split balance audit (label distribution across train/val/test)",
+)
+def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the hash split preserve the label distribution? For every
+    (split, lang) cell: observed count, the independence-expected
+    count ns·nl/N, and the chi-squared contribution — the audit a
+    team runs before trusting that a val-set metric generalizes
+    (a content-correlated split key skews exactly this table).
+    Splits are THE shared md5-prefix rule (_SPLIT_CASE_SQL /
+    _split_col — dataset_split's definition, not a re-type), so this
+    audits the actual production assignment.
+
+    Numerics: expected = exact-integer product over an exact-integer
+    total, one IEEE division identical in both engines; the chi2 term
+    is fixed-order arithmetic on that value, 4dp-pinned. Plan: one
+    scan into a ≤|splits|·|langs| cell frame; every join after is
+    dim-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select("lang", _split_col("doc_id").alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ms = cells.groupBy("split").agg(F.sum("n").alias("ns"))
+    ml = cells.groupBy("lang").agg(F.sum("n").alias("nl"))
+    tot = cells.agg(F.sum("n").alias("nt"))
+    exp_ = F.col("ns") * F.col("nl") / F.col("nt").cast("double")
+    return (
+        cells.join(ms, "split")
+        .join(ml, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split", "lang",
+            F.col("n").cast("bigint").alias("n_docs"),
+            round_half_up(exp_, 4).alias("expected"),
+            round_half_up(
+                (F.col("n") - exp_) * (F.col("n") - exp_) / exp_, 4
+            ).alias("chi2_term"),
+        )
+    )

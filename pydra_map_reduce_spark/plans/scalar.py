@@ -515,3 +515,53 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+@query(
+    "try_arithmetic",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN CAST(floor(value) AS BIGINT) % 3 <> 0
+                           THEN value END) AS BIGINT) AS n_div_ok,
+           floor(sum(CASE WHEN CAST(floor(value) AS BIGINT) % 3 <> 0
+                          THEN value / (CAST(floor(value) AS BIGINT) % 3)
+                          END) * 100 + 0.5) / 100 AS sum_safe_div,
+           CAST(count(TRY_CAST(event_type AS BIGINT)) AS BIGINT)
+               AS n_type_casts,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.plan') AS BIGINT))
+                AS BIGINT) AS sum_plan_nums
+    FROM events WHERE value IS NOT NULL
+    """,
+    section="2.8 error-safe expressions (try_divide / try_cast NULL-on-failure)",
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic at corpus scale: `try_divide` turns
+    division-by-zero into NULL instead of a job-killing exception
+    (here: value over floor(value) mod 3, NULL whenever the mod is
+    0), and `try_cast` turns malformed strings into NULL instead of
+    failing the stage (a non-numeric event_type; a JSON field that
+    is sometimes non-numeric). On a 100 TB run these are the
+    difference between one poison record costing a retry storm and
+    it costing one NULL — the jsonl_quarantine philosophy at the
+    expression level. The oracle mirrors try_divide with an explicit
+    zero-guard CASE (DuckDB raises on integer division by zero) and
+    try_cast with TRY_CAST; counts of surviving rows are the
+    evidence the NULL-on-failure semantics agree."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mod3 = F.floor("value").cast("bigint") % 3
+    safe_div = F.try_divide(F.col("value"), F.nullif(mod3, F.lit(0)))
+    return e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(F.when(mod3 != 0, F.col("value")))
+        .cast("bigint")
+        .alias("n_div_ok"),
+        round_half_up(F.sum(safe_div), 2).alias("sum_safe_div"),
+        F.count(F.expr("try_cast(event_type AS BIGINT)"))
+        .cast("bigint")
+        .alias("n_type_casts"),
+        F.sum(
+            F.expr("try_cast(get_json_object(props, '$.plan') AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("sum_plan_nums"),
+    )

@@ -2298,3 +2298,191 @@ def jm_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lam3"), F.col("lam2"), F.col("lam1"), "ppl"
         )
     )
+
+
+_BM25_SWEEP = ((0.9, 0.75), (1.2, 0.75), (1.5, 0.75), (1.2, 0.25), (1.2, 1.0))
+
+
+def _bm25_sweep_oracle(configs: tuple[tuple[float, float], ...]) -> str:
+    """Top-3 retrieval per (k1, b) config over the SHARED BM25 tables
+    (_BM25_CTES_SQL) and the same data-driven 3-rarest-term query as
+    bm25_topk. Derived constants (k1+1, 1-b) are computed in Python
+    and injected as repr literals so both engines parse the IDENTICAL
+    doubles — `1 - 0.4` evaluates differently as DuckDB DECIMAL
+    arithmetic (exact 0.6 → nearest double) than as Python float
+    subtraction (0.6000000000000001), and that ulp would sit inside
+    the 9dp rank key."""
+    branches = []
+    for k1, b in configs:
+        term = (
+            f"ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)"
+            f" * tf.tf * {k1 + 1.0!r}"
+            f" / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * lens.len / s.avglen))"
+        )
+        branches.append(f"""SELECT CAST({k1!r} AS DOUBLE) AS k1,
+               CAST({b!r} AS DOUBLE) AS b, rank, doc_id, bm25 FROM (
+            SELECT tf.doc_id,
+                   row_number() OVER (ORDER BY floor(sum({term}) * 1e9 + 0.5) / 1e9 DESC,
+                                      tf.doc_id) AS rank,
+                   floor(sum({term}) * 10000 + 0.5) / 10000 AS bm25
+            FROM tf
+            JOIN qterms q ON tf.word = q.word
+            JOIN lens ON lens.doc_id = tf.doc_id
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+        ) WHERE rank <= 3""")
+    body = "\n    UNION ALL ".join(branches)
+    return f"""
+    WITH {_BM25_CTES_SQL}, qterms AS (
+        SELECT word, df FROM dfr ORDER BY df, word LIMIT 3
+    )
+    {body}"""
+
+
+@query(
+    "bm25_param_sweep",
+    oracle=_bm25_sweep_oracle(_BM25_SWEEP),
+    section="2.11 BM25 parameter sweep (k1/b operating points, top-3 per config)",
+)
+def bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE to set Okapi's knobs: the top-3 retrieved documents per
+    (k1, b) config — saturation low/production/high, then length
+    normalization off-ish (b=0.25) and full (b=1.0) at fixed k1 —
+    over the SAME term statistics and data-driven query as
+    `bm25_topk` (production (1.2, 0.75) sits inside). Reading how the
+    podium reshuffles across configs is how a search team tunes BM25
+    without labels; with labels, plug these rankings into `ndcg_eval`
+    style grading.
+
+    One tokenize + the shared `_bm25_frames` stats; the per-config
+    fan-out is an explode over the ≤3-term scored frame (corpus work
+    does not multiply with |configs|); ranking uses the
+    family-standard 9dp floor rank key per config. Derived constants
+    are Python-computed doubles injected into both sides (see the
+    oracle builder: DECIMAL-vs-float subtraction is a real ulp
+    divergence)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf, lens, stats, dfr = _bm25_frames(d)
+    qterms = dfr.orderBy("df", "word").limit(3)
+    base = (
+        tf.join(F.broadcast(qterms.select("word", "df")), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(k1).alias("k1"), F.lit(b).alias("b"))
+                for k1, b in _BM25_SWEEP
+            ]
+        )
+    ).alias("c")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = sum(
+        (
+            F.when(
+                (F.col("c.k1") == F.lit(k1)) & (F.col("c.b") == F.lit(b)),
+                idf
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("len") / F.col("avglen"))
+                ),
+            ).otherwise(0.0)
+            for k1, b in _BM25_SWEEP
+        ),
+        F.lit(0.0),
+    )
+    scored = (
+        base.select("doc_id", "tf", "df", "len", "n_docs", "avglen", cfg)
+        .groupBy("c.k1", "c.b", "doc_id")
+        .agg(F.sum(score).alias("raw"))
+    )
+    w = Window.partitionBy("k1", "b").orderBy(
+        (F.floor(F.col("raw") * 1e9 + 0.5) / 1e9).desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "k1", "b", "rank", "doc_id",
+            round_half_up(F.col("raw"), 4).alias("bm25"),
+        )
+    )
+
+
+_KW_DOCS, _KW_TOPK = 20, 3
+
+
+@query(
+    "doc_keywords",
+    oracle=f"""
+    WITH {_BM25_CTES_SQL},
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               floor(tf.tf * ln((s.n_docs + 1.0) / (d.df + 1.0))
+                     * 1e9 + 0.5) / 1e9 AS w9
+        FROM tf
+        JOIN dfr d ON d.word = tf.word
+        CROSS JOIN stats s
+        WHERE tf.doc_id < {_KW_DOCS}
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, word,
+           floor(w9 * 10000 + 0.5) / 10000 AS tfidf
+    FROM (
+        SELECT doc_id, word, w9,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY w9 DESC, word) AS rank
+        FROM scored
+    ) WHERE rank <= {_KW_TOPK}
+    """,
+    section="2.11 per-document keyword extraction (top tf-idf terms)",
+)
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction the corpus-statistics way: each document's
+    top-3 terms by tf·idf (smoothed ln((N+1)/(df+1)), so df=N terms
+    score ~0 instead of exactly 0 and the ranking still discriminates
+    inside boilerplate-heavy corpora) — the per-DOC projection of the
+    corpus-level `tf_idf` table, and the input to tag clouds, topic
+    labeling, and sparse retrieval pruning. Reported for the doc_id <
+    20 demonstration block; the plan is identical at any cut.
+
+    Shares `_BM25_CTES_SQL`'s tf/df/stats tables (one tokenize; the
+    doc_id predicate prunes the tf side BEFORE scoring while df stays
+    corpus-wide, as idf must). Ranking is the 9dp floor key with the
+    word tie-break; scores re-pinned at 4dp for display. Per-doc
+    window over ≤|terms-in-doc| rows after a broadcast df join — no
+    corpus-wide window anywhere."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf, lens, stats, dfr = _bm25_frames(d)
+    w9 = F.floor(
+        F.col("tf")
+        * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+        * 1e9
+        + 0.5
+    ) / 1e9
+    scored = (
+        tf.filter(F.col("doc_id") < _KW_DOCS)
+        .join(F.broadcast(dfr), "word")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select("doc_id", "word", w9.alias("w9"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("w9").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KW_TOPK)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "word",
+            round_half_up(F.col("w9"), 4).alias("tfidf"),
+        )
+    )

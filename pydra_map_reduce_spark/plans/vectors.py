@@ -2740,3 +2740,67 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(iso)).select(
         "n_vecs", "mean_norm", "isotropy_loss"
     )
+
+
+def _ivf_cell_profile_oracle(n_clusters: int, lloyd_iters: int) -> str:
+    """Per-cell occupancy + inertia from the SAME unrolled-Lloyd
+    training CTEs every IVF oracle shares; the ad CTE is the af
+    argmin with its pinned d2 retained instead of discarded."""
+    ctes, prev_c = _ivf_train_ctes(n_clusters, lloyd_iters)
+    return f"""
+    WITH {ctes},
+    ad AS (
+        SELECT vec_id, cid, d2 FROM (
+            SELECT d.vec_id, d.cid, d.d2,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY d.d2, d.cid) AS rn
+            FROM (SELECT p.vec_id, c.cid,
+                         floor(sum((p.v - c.m) * (p.v - c.m)) * 1e9 + 0.5) / 1e9 AS d2
+                  FROM pt p JOIN {prev_c} c ON p.pos = c.pos
+                  GROUP BY p.vec_id, c.cid) d
+        ) WHERE rn = 1
+    )
+    SELECT cid,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           floor(avg(d2) * 1000000 + 0.5) / 1000000 AS mean_d2
+    FROM ad GROUP BY cid
+    """
+
+
+@query(
+    "ivf_cell_profile",
+    oracle=_ivf_cell_profile_oracle(64, 2),
+    section="2.11 ANN index health: per-cell occupancy + inertia profile",
+)
+def ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health read on the trained IVF router: per cell, how many
+    vectors landed there and their mean squared distance to the
+    centroid — the occupancy-skew + inertia profile that tells an ANN
+    deployment whether probing n cells gives predictable latency
+    (balanced cells) and recall (tight cells). A cell holding 30% of
+    the corpus makes every probe that hits it a scan; this is the
+    table that catches it BEFORE serving does (the skew_stats
+    discipline applied to the vector index).
+
+    Serves from the SAME session-cached train-once index as
+    ivf_ann_serve (assignments are already materialized; this adds
+    one hash join to the flat projection + one broadcast of the
+    64-row centroid frame to recover each vector's pinned d2, then a
+    dim-sized agg). The oracle retrains with the shared unrolled
+    CTEs — deterministic trainer, so cache ≡ retrain, re-certified by
+    this differential every run."""
+    from ..operators.similarity import sq_dist_sql
+
+    idx = _ivf_index(spark, sf_dir)
+    ad = (
+        idx.assigned.join(idx.flat, "vec_id")
+        .join(F.broadcast(idx.cents), "cid")
+        .selectExpr(
+            "cid",
+            f"floor(({sq_dist_sql('v', 'm', idx.dim)}) * 1e9 + 0.5) / 1e9 AS d2",
+        )
+    )
+    return ad.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        round_half_up(F.avg("d2"), 6).alias("mean_d2"),
+    )
