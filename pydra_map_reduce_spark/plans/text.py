@@ -2357,7 +2357,12 @@ def bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     One tokenize + the shared `_bm25_frames` stats; the per-config
     fan-out is an explode over the ≤3-term scored frame (corpus work
     does not multiply with |configs|); ranking uses the
-    family-standard 9dp floor rank key per config. Derived constants
+    family-standard 9dp floor rank key per config. The per-config
+    window partitions on only |configs| keys, which is safe BECAUSE
+    the ranked frame is not corpus-sized: the qterms join restricts
+    it to documents containing one of the 3 RAREST terms (low df by
+    construction), the same bound that keeps bm25_topk's global
+    TakeOrdered honest. Derived constants
     are Python-computed doubles injected into both sides (see the
     oracle builder: DECIMAL-vs-float subtraction is a real ulp
     divergence)."""
