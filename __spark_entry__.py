@@ -51,9 +51,10 @@ _DRIVER_PRIORITY = [
     "negative_sample", "lsh_band_sweep", "knn_k_sweep", "ece_summary",
     "embedding_isotropy", "bm25_param_sweep", "ivf_cell_profile",
     "split_balance_audit", "doc_keywords", "try_arithmetic",
+    "mr_cogroup_join", "lang_trigram_divergence", "activity_profile",
     # (c) stalest-green rotation fill to exactly 50 (oldest driver
-    # evidence first: all four last ledgered in round 4)
-    "collect_values", "limit_head", "top_k", "sentiment_lexicon",
+    # evidence: last ledgered in round 4)
+    "collect_values",
 ]
 
 

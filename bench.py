@@ -170,6 +170,9 @@ HEADLINE = [
     "split_balance_audit",   # label distribution across hash splits
     "doc_keywords",          # per-doc top tf-idf terms
     "try_arithmetic",        # NULL-on-failure expression semantics
+    "mr_cogroup_join",       # two-sided applyInPandas (reduce-side join)
+    "lang_trigram_divergence", # pairwise TV distance (lang separability)
+    "activity_profile",      # dow x hour traffic heatmap
 ]
 
 

@@ -1923,6 +1923,12 @@ def span_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("s"),
         )
+        # materialized ONCE: gid feeds both the duplicated-gram
+        # derivation and the semi-join back, and without this the
+        # 4-width explode + md5 pass executes twice (measured
+        # 4.8 → 2.8 s warm at sf0.1; the narrow frame is 4 small
+        # columns per window position)
+        .localCheckpoint(eager=True)
     )
     dup = (
         gid.groupBy("width", "s")

@@ -1263,3 +1263,52 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min(us) DIV 1000000").cast("bigint").alias("min_secs"),
         F.expr("max(us) DIV 1000000").cast("bigint").alias("max_secs"),
     )
+
+
+@query(
+    "activity_profile",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(dayofweek(ts) AS INT) AS dow,
+               CAST(hour(ts) AS INT)      AS hr,
+               count(*) AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        FROM events GROUP BY 1, 2
+    ), tot AS (SELECT sum(n) AS nt FROM cells)
+    SELECT dow, hr,
+           CAST(n AS BIGINT)  AS n_events,
+           CAST(np AS BIGINT) AS n_purchases,
+           floor(n::DOUBLE / t.nt * 1000000 + 0.5) / 1000000 AS share
+    FROM cells CROSS JOIN tot t
+    """,
+    section="2.9/2.11 activity profile (day-of-week x hour traffic heatmap)",
+)
+def activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The traffic-heatmap rollup behind capacity planning and
+    anomaly baselines: events bucketed by (day-of-week, hour) with
+    per-cell purchase counts and the cell's share of total traffic —
+    the seasonality table `anomaly_zscore` screens deviations
+    AGAINST. Day-of-week is pinned to DuckDB's numbering (0=Sunday:
+    Spark's dayofweek() is 1-based Sunday, so the engine subtracts
+    1 — an off-by-one that would silently rotate the profile while
+    each engine stayed self-consistent).
+
+    One scan, map-side-combined agg into ≤168 cells, a 1-row
+    broadcast total — dim-sized output at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np"),
+    )
+    tot = cells.agg(F.sum("n").alias("nt"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow", "hr",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("np").cast("bigint").alias("n_purchases"),
+        round_half_up(F.col("n").cast("double") / F.col("nt"), 6).alias("share"),
+    )

@@ -562,3 +562,79 @@ def running_balance_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.running_balance(
         e, "user_id", ["ts", "event_id"], delta, cap=_RB_CAP
     )
+
+
+@query(
+    "mr_cogroup_join",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey, count(*) AS n_lines,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS lc
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(o.o_orderkey % 16 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(coalesce(l.n_lines, 0)) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                    - coalesce(l.lc, 0)) AS BIGINT) AS gap_cents
+    FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey % 16
+    """,
+    section="2.10 cogrouped map (two-sided applyInPandas, the MR reduce-side join)",
+)
+def mr_cogroup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-sided grouped-map escape hatch —
+    ``a.groupBy(k).cogroup(b.groupBy(k)).applyInPandas(fn)`` — the
+    Spark surface for a reduce-side join whose per-key logic is
+    ARBITRARY Python over BOTH inputs at once (the last MR primitive
+    the §2.10 family was missing: map, flatMap, reduce, UDTF,
+    partition map, Arrow map, and now cogroup). Per hash bucket of
+    orders+lineitems, the pandas fn merges the two frames on
+    o_orderkey and reports the order-header-vs-line-sum price gap —
+    bucketing on ``o_orderkey % 16`` keeps the group count fixed
+    (the applyInPandas whole-group-in-memory caveat bounds per-group
+    size to ~1/16 of the corpus; at 100 TB raise the modulus so
+    groups fit executors — the shard_pack_partitioned argument).
+
+    Everything numeric is integer cents inside pandas (int64 sums —
+    partition- and pandas-version-stable), so the oracle is the
+    plain SQL join+rollup with identical rounding."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.pmod("o_orderkey", F.lit(16)).cast("bigint").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("oc"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.pmod("l_orderkey", F.lit(16)).cast("bigint").alias("bucket"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("lc"),
+    )
+
+    def merge(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        lsum = (
+            ldf.groupby("o_orderkey", as_index=False).agg(
+                n_lines=("lc", "size"), lc=("lc", "sum")
+            )
+            if len(ldf)
+            else pd.DataFrame({"o_orderkey": [], "n_lines": [], "lc": []})
+        )
+        m = odf.merge(lsum, on="o_orderkey", how="left")
+        n_lines = int(m["n_lines"].fillna(0).sum())
+        gap = int((m["oc"] - m["lc"].fillna(0)).sum())
+        return pd.DataFrame(
+            {
+                "bucket": [int(key[0])],
+                "n_orders": [len(m)],
+                "n_lines": [n_lines],
+                "gap_cents": [gap],
+            }
+        )
+
+    return (
+        o.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
+        .applyInPandas(
+            merge,
+            "bucket bigint, n_orders bigint, n_lines bigint, gap_cents bigint",
+        )
+    )

@@ -2491,3 +2491,98 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("w9"), 4).alias("tfidf"),
         )
     )
+
+
+_LTD_DIM = 16  # trigram hash buckets (the lang_id_train feature space)
+
+
+@query(
+    "lang_trigram_divergence",
+    oracle=f"""
+    WITH g AS (
+        SELECT lang, {textops.hash_bucket_sql('t', _LTD_DIM)} AS b, count(*) AS c
+        FROM (SELECT lang,
+                     unnest([substr(text, i, 3) for i in range(1, len(text) - 1)]) AS t
+              FROM documents WHERE length(text) >= 3)
+        GROUP BY lang, b
+    ), tot AS (
+        SELECT lang, sum(c) AS n FROM g GROUP BY lang
+    ), grid AS (
+        SELECT l.lang, r.b
+        FROM (SELECT DISTINCT lang FROM documents) l
+        CROSS JOIN (SELECT unnest(range({_LTD_DIM})) AS b) r
+    ), p AS (
+        SELECT gr.lang, gr.b, coalesce(g.c, 0)::DOUBLE / t.n AS p
+        FROM grid gr
+        LEFT JOIN g ON g.lang = gr.lang AND g.b = gr.b
+        JOIN tot t ON t.lang = gr.lang
+    )
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           floor(0.5 * sum(abs(a.p - b.p)) * 1000000 + 0.5) / 1000000
+               AS tv_distance
+    FROM p a JOIN p b ON a.b = b.b AND a.lang < b.lang
+    GROUP BY a.lang, b.lang
+    """,
+    section="2.11 language separability (pairwise TV distance over trigram features)",
+)
+def lang_trigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW separable the languages actually are in the feature space
+    the trained classifier sees: pairwise total-variation distance
+    between per-language distributions over the SAME 16 hashed
+    char-trigram buckets `lang_id_train` trains on (TV = half the L1
+    gap; 0 = identical, 1 = disjoint). This is the diagnostic that
+    EXPLAINS a near-chance classifier — on this synthetic fixture the
+    distances sit near 0 because every 'language' shares one
+    vocabulary, which is precisely what a data team needs to see
+    before blaming the model (and what real multilingual corpora
+    would push toward 1).
+
+    Exactness: per-bucket probabilities are exact integer ratios on
+    a dense lang × bucket grid (absent buckets coalesce to 0 on both
+    engines); the 16-term |Δ| sum is 6dp-pinned. Plan: one trigram
+    pass into a |langs|·16-cell frame; everything after is dim-sized
+    (the pairwise join is |langs|²·16 rows)."""
+    from ..operators.dedup import _spread
+
+    d = _spread(load_table(spark, sf_dir, "documents")).filter(
+        F.length("text") >= 3
+    )
+    tri = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("t"),
+    )
+    g = tri.groupBy("lang", textops.hash_bucket("t", _LTD_DIM).alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = g.groupBy("lang").agg(F.sum("c").alias("n"))
+    langs = d.select("lang").distinct()
+    grid = langs.crossJoin(
+        F.broadcast(
+            d.sparkSession.range(_LTD_DIM).select(F.col("id").cast("bigint").alias("b"))
+        )
+    )
+    p = (
+        grid.join(g, ["lang", "b"], "left")
+        .join(tot, "lang")
+        .select(
+            "lang", "b",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n")).alias("p"),
+        )
+    )
+    a = p.select(F.col("lang").alias("lang_a"), "b", F.col("p").alias("pa"))
+    bb = p.select(F.col("lang").alias("lang_b"), "b", F.col("p").alias("pb"))
+    return (
+        a.join(bb, "b")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            round_half_up(
+                0.5 * F.sum(F.abs(F.col("pa") - F.col("pb"))), 6
+            ).alias("tv_distance")
+        )
+    )
