@@ -2509,7 +2509,8 @@ _LTD_DIM = 16  # trigram hash buckets (the lang_id_train feature space)
         SELECT lang, sum(c) AS n FROM g GROUP BY lang
     ), grid AS (
         SELECT l.lang, r.b
-        FROM (SELECT DISTINCT lang FROM documents) l
+        FROM (SELECT DISTINCT lang FROM documents
+              WHERE length(text) >= 3) l
         CROSS JOIN (SELECT unnest(range({_LTD_DIM})) AS b) r
     ), p AS (
         SELECT gr.lang, gr.b, coalesce(g.c, 0)::DOUBLE / t.n AS p

@@ -909,3 +909,57 @@ def test_vocab_growth_cuts_broadcast(spark):
     plan = _executed(df)
     assert "CartesianProduct" not in plan, plan[:3000]
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
+
+
+def test_round11_sweeps_no_cartesian(spark):
+    """The round-11 sweep/diagnostic family must fan out via
+    broadcast-sized explodes or keyed joins, never a cartesian:
+    lsh_band_sweep (4 bandings over checkpointed signatures),
+    span_width_sweep (4 widths over one lead pass), knn_k_sweep
+    (per-k prefix re-vote), bm25_param_sweep (config explode over the
+    rare-term-bounded scored frame), jm_lambda_sweep (config explode
+    over the component frame)."""
+    for name in (
+        "lsh_band_sweep", "span_width_sweep", "knn_k_sweep",
+        "bm25_param_sweep", "jm_lambda_sweep",
+    ):
+        plan = _executed(REGISTRY[name].fn(spark, _SF0001_DIR))
+        assert "CartesianProduct" not in plan, (name, plan[:3000])
+
+
+def test_negative_sample_anti_join_keyed(spark):
+    """The positive-exclusion must be a keyed anti join (broadcast or
+    shuffled), and the only nested-loop is the broadcast of the
+    8-row query block."""
+    df = REGISTRY["negative_sample"].fn(spark, _SF0001_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
+
+
+def test_mr_cogroup_join_uses_cogroup(spark):
+    """The two-sided grouped map must plan as FlatMapCoGroupsInPandas
+    (the real cogroup operator), not a join the pandas fn re-does."""
+    df = REGISTRY["mr_cogroup_join"].fn(spark, _SF0001_DIR)
+    plan = _executed(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:3000]
+
+
+def test_ivf_cell_profile_broadcast_centroids(spark):
+    """The 64-row centroid frame must broadcast onto the corpus side;
+    the flat join stays keyed."""
+    df = REGISTRY["ivf_cell_profile"].fn(spark, _SF0001_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_doc_keywords_df_broadcast(spark):
+    """The vocab-sized df table and the 1-row stats frame broadcast;
+    the tf side is pruned by the doc_id predicate at the scan."""
+    df = REGISTRY["doc_keywords"].fn(spark, _SF0001_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    fmt = _formatted(df)
+    assert "doc_id" in fmt and "PushedFilters" in fmt, fmt[:2000]
