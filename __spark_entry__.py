@@ -58,12 +58,14 @@ _DRIVER_PRIORITY = [
 ]
 
 
-# Round-12 rotation queue: after the r11 window lands, every
-# oracle-backed query in the registry will have driver evidence EXCEPT
-# any round-11 additions that did not fit this window. Compose the r12
-# window from (1) those overflow additions, (2) any r11 reds, then
-# (3) the stalest greens oldest-first (the r4/r5-era aggregation and io
-# families). Keep rows-only queries out of the window.
+# Round-12 rotation queue: after the r11 window lands, the only
+# oracle-backed queries WITHOUT driver evidence are the round-11
+# additions that did not fit this window — `ordered_string_agg` (plus
+# anything added after it this round). Compose the r12 window from
+# (1) those overflow additions, (2) any r11 reds, then (3) the
+# stalest greens oldest-first (limit_head, top_k, sentiment_lexicon
+# carry r4 evidence; then the r5-era aggregation and io families).
+# Keep rows-only queries out of the window.
 
 
 def _ordered() -> list[str]:

@@ -173,6 +173,7 @@ HEADLINE = [
     "mr_cogroup_join",       # two-sided applyInPandas (reduce-side join)
     "lang_trigram_divergence", # pairwise TV distance (lang separability)
     "activity_profile",      # dow x hour traffic heatmap
+    "ordered_string_agg",    # listagg WITHIN GROUP (ANSI ordered concat)
 ]
 
 

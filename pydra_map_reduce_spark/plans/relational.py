@@ -1412,3 +1412,82 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("edge")
+
+
+@query(
+    "ordered_string_agg",
+    oracle="""
+    WITH top3 AS (
+        SELECT n_nationkey, n_name, c_name FROM (
+            SELECT n.n_nationkey, n.n_name, c.c_name,
+                   row_number() OVER (PARTITION BY n.n_nationkey
+                                      ORDER BY c.c_acctbal DESC, c.c_custkey)
+                       AS rn
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        ) WHERE rn <= 3
+    )
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           (SELECT string_agg(t.c_name, '|' ORDER BY t.c_name)
+            FROM top3 t JOIN nation n2 ON n2.n_nationkey = t.n_nationkey
+            WHERE n2.n_regionkey = r.r_regionkey) AS top_customers
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, r.r_regionkey
+    """,
+    section="2.4 ordered string aggregation (listagg WITHIN GROUP, Spark 4)",
+)
+def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation — Spark 4's ANSI
+    `listagg(x, sep) WITHIN GROUP (ORDER BY x)` (DuckDB twin:
+    `string_agg(... ORDER BY ...)`): per region, the ordered
+    comma-list of its nations and the ordered pipe-list of each
+    nation's top-3 customers by account balance. The WITHIN GROUP
+    order is the whole point — an unordered listagg is
+    partition-order nondeterministic and could never be
+    oracle-checked (the collect_values family sorts arrays for the
+    same reason). Nation rows are unique per key, so no DISTINCT
+    modifier is needed — which also sidesteps a real Spark 4.1 bug:
+    listagg(DISTINCT ...) WITHIN GROUP mixed with another distinct
+    aggregate crashes RewriteDistinctAggregates with a
+    SortOrder ClassCastException.
+
+    Plan: dims join broadcast; the top-3 cut is a per-nation window
+    (keyed, k rows survive); the final agg concatenates dim-sized
+    groups. At 100 TB listagg output length is the caller's
+    responsibility — this shape only ever aggregates bounded
+    dimension strings, never corpus text."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    top3 = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_regionkey", "c_name")
+    )
+    per_region_top = top3.groupBy("n_regionkey").agg(
+        F.expr("listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name)").alias(
+            "top_customers"
+        )
+    )
+    nations = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_regionkey")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        )
+    )
+    return nations.join(per_region_top, "n_regionkey").select(
+        "r_name", "nations", "n_nations", "top_customers"
+    )
