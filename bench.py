@@ -174,6 +174,7 @@ HEADLINE = [
     "lang_trigram_divergence", # pairwise TV distance (lang separability)
     "activity_profile",      # dow x hour traffic heatmap
     "ordered_string_agg",    # listagg WITHIN GROUP (ANSI ordered concat)
+    "gopher_repetition_panel", # top-n-gram / duplicated-5-gram Gopher gates
 ]
 
 

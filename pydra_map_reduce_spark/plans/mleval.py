@@ -1286,3 +1286,144 @@ def ece_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.max("gap"), 6).alias("mce"),
         )
     )
+
+
+# (n, kind, threshold%) — Gopher Table A1's repetition block, token
+# proxy: top-n-gram fraction caps for n=2..4, duplicated-5-gram
+# coverage cap. Threshold compares are integer cross-multiplications
+# (maxc·n·100 ≤ pct·n_tokens) — no floats anywhere in the gate.
+_REP_PANEL = (("top", 2, 20), ("top", 3, 18), ("top", 4, 16), ("dup", 5, 15))
+
+
+def _rep_panel_oracle() -> str:
+    grams = []
+    for n in (2, 3, 4, 5):
+        expr = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace("t[i+0]", "t[i]")
+        grams.append(
+            f"""SELECT doc_id, {n} AS n,
+               unnest([{expr} for i in range(1, len(t) - {n - 2})]) AS gram
+        FROM toks"""
+        )
+    gsel = "\n        UNION ALL ".join(grams)
+    passes = []
+    for kind, n, pct in _REP_PANEL:
+        col = f"max{n}" if kind == "top" else f"dup{n}"
+        passes.append(
+            f"CASE WHEN coalesce({col}, 0) * {n} * 100 <= {pct} * nt "
+            f"THEN 1 ELSE 0 END"
+        )
+    pass_cols = ",\n           ".join(
+        f"CAST(sum({p}) AS BIGINT) AS pass_{kind}{n}"
+        for (kind, n, pct), p in zip(_REP_PANEL, passes)
+    )
+    pass_all = " * ".join(f"({p})" for p in passes)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS nt
+        FROM documents
+    ), g AS (
+        {gsel}
+    ), cnt AS (
+        SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram
+    ), per AS (
+        SELECT doc_id, n, max(c) AS maxc,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc
+        FROM cnt GROUP BY doc_id, n
+    ), wide AS (
+        SELECT t.doc_id, t.source, t.nt,
+               max(CASE WHEN p.n = 2 THEN p.maxc END) AS max2,
+               max(CASE WHEN p.n = 3 THEN p.maxc END) AS max3,
+               max(CASE WHEN p.n = 4 THEN p.maxc END) AS max4,
+               max(CASE WHEN p.n = 5 THEN p.dupc END) AS dup5
+        FROM toks t LEFT JOIN per p ON p.doc_id = t.doc_id
+        GROUP BY t.doc_id, t.source, t.nt
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {pass_cols},
+           CAST(sum({pass_all}) AS BIGINT) AS pass_all
+    FROM wide GROUP BY source"""
+
+
+@query(
+    "gopher_repetition_panel",
+    oracle=_rep_panel_oracle(),
+    section="2.11 Gopher repetition gates (top-n-gram caps, duplicated-5-gram coverage)",
+)
+def gopher_repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition HALF of the published Gopher filter table that
+    `gopher_rules` (length/word-shape/stopwords) doesn't cover: per
+    document, the most-frequent-2/3/4-gram token fraction must stay
+    under 20/18/16% and the token mass inside DUPLICATED 5-grams
+    under 15% — the gates that catch looped boilerplate and template
+    spam that unigram `repetition_ratio` misses. Reported per source
+    as per-gate and all-gates pass counts (the gopher_rules shape).
+
+    Exactness: every gate is an integer cross-multiplication
+    (maxc·n·100 ≤ pct·n_tokens) — no float ever enters the decision,
+    so no rounding boundary exists to diverge on. Plan: ONE per-doc
+    window pass computes leads up to 4; the four gram sizes explode
+    from the shared leads (the span_width_sweep trick), aggregate to
+    per-(doc, n) max/dup-sum, and pivot to one row per doc —
+    map-side-combined keyed aggs end to end, no pair fan-out.
+    Documents shorter than n contribute no n-grams and coalesce to
+    0 (= pass) on both engines."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    led = toks.select(
+        "doc_id", "pos", "w",
+        *[F.lead("w", i).over(win).alias(f"w{i}") for i in range(1, 5)],
+    )
+    wg = F.array(
+        *[
+            F.when(
+                F.col(f"w{n - 1}").isNotNull(),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ", "w", *[f"w{i}" for i in range(1, n)]
+                    ).alias("gram"),
+                ),
+            )
+            for n in (2, 3, 4, 5)
+        ]
+    )
+    cnt = (
+        led.select("doc_id", F.explode(wg).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("doc_id", "g.n", "g.gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = cnt.groupBy("doc_id", "n").agg(
+        F.max("c").alias("maxc"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dupc"),
+    )
+    wide = per.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("maxc"))).alias("max2"),
+        F.max(F.when(F.col("n") == 3, F.col("maxc"))).alias("max3"),
+        F.max(F.when(F.col("n") == 4, F.col("maxc"))).alias("max4"),
+        F.max(F.when(F.col("n") == 5, F.col("dupc"))).alias("dup5"),
+    )
+    nt = d.select("doc_id", "source", F.size(F.split("text", " ")).alias("nt"))
+    joined = nt.join(wide, "doc_id", "left")
+    gates = {}
+    for kind, n, pct in _REP_PANEL:
+        col = f"max{n}" if kind == "top" else f"dup{n}"
+        gates[f"pass_{kind}{n}"] = F.when(
+            F.coalesce(F.col(col), F.lit(0)) * n * 100 <= pct * F.col("nt"),
+            1,
+        ).otherwise(0)
+    pass_all = None
+    for g in gates.values():
+        pass_all = g if pass_all is None else pass_all * g
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[F.sum(g).cast("bigint").alias(name) for name, g in gates.items()],
+        F.sum(pass_all).cast("bigint").alias("pass_all"),
+    )
