@@ -175,6 +175,8 @@ HEADLINE = [
     "activity_profile",      # dow x hour traffic heatmap
     "ordered_string_agg",    # listagg WITHIN GROUP (ANSI ordered concat)
     "gopher_repetition_panel", # top-n-gram / duplicated-5-gram Gopher gates
+    "dedup_growth_curve",    # duplicate fraction vs corpus prefix (novelty decay)
+    "dup_quality_profile",   # near-dup members vs singletons (quality interplay)
 ]
 
 

@@ -2044,3 +2044,145 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionAll(p_)
     return out
+
+
+@query(
+    "dedup_growth_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+        FROM documents
+    ), mx AS (SELECT max(doc_id) AS m FROM documents),
+    cuts AS (SELECT unnest(CAST([1, 2, 3, 4] AS INT[])) AS q)
+    SELECT c.q AS quartile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f.first_id < f.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dups,
+           floor(sum(CASE WHEN f.first_id < f.doc_id THEN 1 ELSE 0 END)
+                 ::DOUBLE / count(*) * 10000 + 0.5) / 10000 AS dup_frac
+    FROM firsts f
+    CROSS JOIN mx
+    JOIN cuts c ON f.doc_id * 4 <= mx.m * c.q
+    GROUP BY c.q
+    """,
+    section="2.11 dedup growth curve (duplicate fraction vs corpus prefix)",
+)
+def dedup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOES more crawl buy more novelty: the exact-duplicate fraction
+    of the corpus at its first 25/50/75/100% (by ingestion order =
+    doc_id) — the `vocab_growth` read applied to dedup. A curve whose
+    dup_frac climbs with the prefix says each marginal crawl slice
+    repeats more of what's already held (the diminishing-returns
+    signal that caps a crawl's useful size); flat says novelty is
+    holding. Uses THE keep-first identity (`exact_dedup`'s md5
+    content hash, first occurrence = min doc_id).
+
+    Exactness: prefix membership is the integer cross-multiplication
+    doc_id·4 ≤ max_id·q (no float quantile), counts are integers,
+    one 4dp-pinned ratio. Plan: one hash window per content group
+    (the same shuffle exact_dedup runs), a 1-row broadcast max, and
+    a ≤4-way prefix fan-out joined on the cut predicate — each doc
+    lands in the suffix of cuts it belongs to, map-side combined."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    firsts = d.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("first_id"),
+    )
+    mx = d.agg(F.max("doc_id").alias("m"))
+    cuts = F.explode(F.array(*[F.lit(q).cast("int") for q in (1, 2, 3, 4)])).alias("q")
+    is_dup = (F.col("first_id") < F.col("doc_id")).cast("int")
+    return (
+        firsts.crossJoin(F.broadcast(mx))
+        .select("doc_id", "first_id", "m", cuts)
+        .filter(F.col("doc_id") * 4 <= F.col("m") * F.col("q"))
+        .groupBy(F.col("q").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(is_dup).cast("bigint").alias("n_dups"),
+            round_half_up(
+                F.sum(is_dup).cast("double") / F.count(F.lit(1)), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "dup_quality_profile",
+    oracle=_ngram_pair_ctes(0.2, 100) + """,
+    dup_docs AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs
+        )
+    ), q AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               least(1.0, greatest(0.0,
+                   0.2 + 0.12 * ((n_chars - len(string_split(text, ' ')) + 1.0)
+                                 / len(string_split(text, ' ')))
+                   - 0.5 * (len(list_filter(string_split(text, ' '),
+                                            w -> w IN ('the', 'a')))::DOUBLE
+                            / len(string_split(text, ' '))))) AS quality
+        FROM documents
+    )
+    SELECT (d.doc_id IS NOT NULL) AS is_near_dup,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(sum(CAST(floor(q.quality * 10000 + 0.5) AS BIGINT))::DOUBLE
+                 / count(*) + 0.5) / 10000 AS avg_quality,
+           floor(sum(q.n_tokens)::DOUBLE / count(*) * 100 + 0.5) / 100
+               AS avg_tokens
+    FROM q LEFT JOIN dup_docs d ON d.doc_id = q.doc_id
+    GROUP BY (d.doc_id IS NOT NULL)
+    """,
+    section="2.11 duplication-quality interplay (near-dup members vs singletons)",
+)
+def dup_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARE the near-duplicates the junk: mean heuristic quality and
+    length for documents inside a near-dup pair (exact 3-gram Jaccard
+    ≥ 0.2 — the `_cluster_labels` clustering threshold) against the
+    untouched singletons — the analysis that decides whether dedup
+    doubles as a quality filter (syndicated boilerplate usually drags
+    the dup side down) or is orthogonal on this corpus. Quality is
+    THE shared heuristic (`textops.quality_features`, quality_score's
+    definition); membership comes from the session-cached pair graph
+    labels, so this profiles exactly what `dedup_clusters` clusters.
+
+    Plan: cached cluster labels (build-once) left-join the per-doc
+    quality frame (one scan, pure column math), two-group rollup.
+    Float discipline: per-doc quality pins to 4dp FIXED-POINT
+    INTEGERS before the group sum, so the average is one division of
+    exact BIGINTs — identical in any engine at any partition order
+    (a raw-float avg hit a .xxxx5 boundary on this very fixture:
+    0.7144 vs 0.7143)."""
+    from ..operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = _cluster_labels(spark, sf_dir).select("doc_id").distinct()
+    q = textops.quality_features(d, "doc_id", "text", "n_chars").select(
+        "doc_id", "n_tokens", "quality"
+    )
+    q4 = F.floor(F.col("quality") * 10000 + 0.5).cast("bigint")
+    return (
+        q.join(labels.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy((F.col("hit").isNotNull()).alias("is_near_dup"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.floor(
+                    F.sum(q4).cast("double") / F.count(F.lit(1)) + 0.5
+                )
+                / 10000
+            ).alias("avg_quality"),
+            (
+                F.floor(
+                    F.sum("n_tokens").cast("double")
+                    / F.count(F.lit(1))
+                    * 100
+                    + 0.5
+                )
+                / 100
+            ).alias("avg_tokens"),
+        )
+    )
