@@ -61,8 +61,10 @@ _DRIVER_PRIORITY = [
 # Round-12 rotation queue: after the r11 window lands, the only
 # oracle-backed queries WITHOUT driver evidence are the round-11
 # additions that did not fit this window — `ordered_string_agg`,
-# `gopher_repetition_panel`, `dedup_growth_curve`, and
-# `dup_quality_profile` (plus anything added after them this round). Compose the r12 window from
+# `gopher_repetition_panel`, `dedup_growth_curve`,
+# `dup_quality_profile`, `join_asof_nearest`, and
+# `normalized_exact_dedup` (plus anything added after them this
+# round). Compose the r12 window from
 # (1) those overflow additions, (2) any r11 reds, then (3) the
 # stalest greens oldest-first (limit_head, top_k, sentiment_lexicon
 # carry r4 evidence; then the r5-era aggregation and io families).

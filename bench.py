@@ -177,6 +177,8 @@ HEADLINE = [
     "gopher_repetition_panel", # top-n-gram / duplicated-5-gram Gopher gates
     "dedup_growth_curve",    # duplicate fraction vs corpus prefix (novelty decay)
     "dup_quality_profile",   # near-dup members vs singletons (quality interplay)
+    "join_asof_nearest",     # nearest-direction as-of (min |dt| struct key)
+    "normalized_exact_dedup", # casefold/punct-strip equivalence-class dedup
 ]
 
 

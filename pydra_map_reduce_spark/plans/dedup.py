@@ -2186,3 +2186,65 @@ def dup_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_tokens"),
         )
     )
+
+
+@query(
+    "normalized_exact_dedup",
+    oracle="""
+    WITH n AS (
+        SELECT source,
+               md5(text) AS raw_h,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS norm_h
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)              AS n_docs,
+           CAST(count(DISTINCT raw_h) AS BIGINT)  AS n_raw_unique,
+           CAST(count(DISTINCT norm_h) AS BIGINT) AS n_norm_unique,
+           CAST(count(DISTINCT raw_h) - count(DISTINCT norm_h) AS BIGINT)
+               AS n_extra_dups
+    FROM n GROUP BY source
+    """,
+    section="2.11 normalized exact dedup (casefold/punct-strip equivalence classes)",
+)
+def normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style 'fuzzy exact' dedup step between byte-exact
+    hashing and MinHash: documents hash AFTER lowercasing, stripping
+    non-alphanumerics, and collapsing whitespace, so trivially
+    reformatted copies (case, punctuation, spacing) collapse into one
+    equivalence class that byte-exact `exact_dedup` counts as
+    distinct. Reported per source as raw-unique vs normalized-unique
+    counts — n_extra_dups is exactly the duplicate mass the
+    normalization finds that byte hashing misses, the number that
+    decides whether the cheap normalize-then-hash pass is worth its
+    slot before the expensive near-dup tiers.
+
+    The normalization chain is plain lower/regexp_replace/trim —
+    RE2-safe, identical dialect both engines, whole-stage codegen;
+    one scan into per-source distinct counts (two-phase distinct
+    aggregation, map-side partials). At 100 TB this is exactly
+    exact_dedup's plan with a cheaper key."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    return (
+        d.select("source", F.md5("text").alias("raw_h"), norm.alias("norm_h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("raw_h").cast("bigint").alias("n_raw_unique"),
+            F.countDistinct("norm_h").cast("bigint").alias("n_norm_unique"),
+            (F.countDistinct("raw_h") - F.countDistinct("norm_h"))
+            .cast("bigint")
+            .alias("n_extra_dups"),
+        )
+    )

@@ -903,3 +903,67 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money_sum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o.o_orderkey, e.ts, e.event_type,
+               abs(epoch_us(e.ts)
+                   - epoch_us(TIMESTAMP '{ASOF_ANCHOR}'
+                              + INTERVAL (o.o_orderkey % {ASOF_DAY_MOD}) DAY))
+                   AS dist_us,
+               row_number() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY abs(epoch_us(e.ts)
+                                - epoch_us(TIMESTAMP '{ASOF_ANCHOR}'
+                                           + INTERVAL (o.o_orderkey % {ASOF_DAY_MOD}) DAY)),
+                            e.ts, e.event_id) AS rn
+        FROM orders o
+        JOIN events e ON e.user_id = o.o_custkey
+    )
+    SELECT o_orderkey, ts AS nearest_ts, event_type AS nearest_type,
+           CAST(dist_us AS BIGINT) AS dist_us
+    FROM ranked WHERE rn = 1
+    """,
+    section="2.3 as-of join, NEAREST direction (min |ts − t| per key)",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third as-of direction (pandas/polars merge_asof
+    'nearest'), completing backward (`join_asof`), forward
+    (`join_asof_forward`), and point-in-time: for each order's
+    synthetic cutoff, its customer's event with the SMALLEST absolute
+    time distance, either side of the cutoff — the sensor-alignment /
+    feature-join mode where the closest reading wins regardless of
+    direction. Tie rule (equidistant before/after): earlier ts, then
+    smaller event_id — spelled identically in both engines.
+
+    Distance is exact integer microseconds (unix_micros/epoch_us —
+    no float time math to diverge on). Same scale shape as
+    join_asof: the equi-join on the customer key bounds the shuffle,
+    and min_by with a (dist, ts, event_id) struct key collapses each
+    order's candidates map-side (one row per order per task crosses
+    the exchange — the SortAggregate note on join_asof applies)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cutoff",
+        F.lit(ASOF_ANCHOR).cast("timestamp")
+        + F.make_interval(days=(F.col("o_orderkey") % ASOF_DAY_MOD).cast("int")),
+    )
+    e = load_table(spark, sf_dir, "events")
+    dist = F.abs(F.unix_micros(e.ts) - F.unix_micros(o.cutoff))
+    nearest = F.min_by(
+        F.struct(F.col("ts"), F.col("event_type"), dist.alias("d")),
+        F.struct(dist.alias("d"), F.col("ts"), F.col("event_id")),
+    ).alias("m")
+    return (
+        o.join(e, e.user_id == o.o_custkey)
+        .groupBy("o_orderkey")
+        .agg(nearest)
+        .select(
+            "o_orderkey",
+            F.col("m.ts").alias("nearest_ts"),
+            F.col("m.event_type").alias("nearest_type"),
+            F.col("m.d").cast("bigint").alias("dist_us"),
+        )
+    )
