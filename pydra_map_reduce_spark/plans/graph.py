@@ -328,9 +328,23 @@ def recursive_cte_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterates over that dim-sized graph only, with the depth guard
     h < 4 bounding the walk census the way _BFS_ROUNDS bounds the
     unrolled loop."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rec_v")
-    edges = spark.sql(
-        _REC_EDGES_SQL.format(tbl="events_rec_v")
-    ).localCheckpoint(eager=True)
-    edges.createOrReplaceTempView("edges_rec_v")
-    return spark.sql(_REC_HOPS_SQL.format(edges="edges_rec_v"))
+    # Unique per-call view names (the _drain pattern): session-global
+    # fixed names would race/clobber under concurrent query execution
+    # in one SparkSession. spark.sql() analyzes eagerly — the returned
+    # plan holds the resolved relation, not the view name — so both
+    # views are dropped in the finally and nothing leaks into the
+    # catalog.
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:12]
+    ev_name, edge_name = f"events_rec_{tag}", f"edges_rec_{tag}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(ev_name)
+    try:
+        edges = spark.sql(
+            _REC_EDGES_SQL.format(tbl=ev_name)
+        ).localCheckpoint(eager=True)
+        edges.createOrReplaceTempView(edge_name)
+        return spark.sql(_REC_HOPS_SQL.format(edges=edge_name))
+    finally:
+        spark.catalog.dropTempView(ev_name)
+        spark.catalog.dropTempView(edge_name)

@@ -619,8 +619,13 @@ def mr_cogroup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             else pd.DataFrame({"o_orderkey": [], "n_lines": [], "lc": []})
         )
         m = odf.merge(lsum, on="o_orderkey", how="left")
-        n_lines = int(m["n_lines"].fillna(0).sum())
-        gap = int((m["oc"] - m["lc"].fillna(0)).sum())
+        # The left merge NaN-coerces n_lines/lc to float64; cast back to
+        # int64 BEFORE the arithmetic so the cent sums stay exact past
+        # 2^53 at scale (float64 sums are silently lossy there).
+        lines_i = m["n_lines"].fillna(0).astype("int64")
+        lc_i = m["lc"].fillna(0).astype("int64")
+        n_lines = int(lines_i.sum())
+        gap = int((m["oc"] - lc_i).sum())
         return pd.DataFrame(
             {
                 "bucket": [int(key[0])],

@@ -1488,6 +1488,10 @@ def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_nations"),
         )
     )
-    return nations.join(per_region_top, "n_regionkey").select(
+    # LEFT join: the oracle's correlated scalar subquery keeps a region
+    # whose nations have no customer rows (top_customers NULL); an inner
+    # join would drop that region and fail the differential on such a
+    # fixture.
+    return nations.join(per_region_top, "n_regionkey", "left").select(
         "r_name", "nations", "n_nations", "top_customers"
     )
