@@ -21,54 +21,55 @@ from pydra_map_reduce_spark.plans import REGISTRY
 # iteration order (observed: exactly the first 50 entries). Every query
 # is green in the full local suite (tests/test_correctness.py replays
 # the same differential check over ALL of them), so the dict is ordered
-# to rotate driver coverage round over round. Round-11 window, exactly
-# as the r10 queue comment planned (r10 came back 50/50 green, so no
-# red-retry slots): (a) the 27 oracle-backed queries with ZERO driver
-# evidence in any ledger — revenue_share (value-changed in the r9
-# sweeps, displaced from the r10 window) plus the 26 round-10
-# additions; (b) the round-11 additions, appended as they land.
+# to rotate driver coverage round over round. Round-12 window, exactly
+# as the r11 queue comment planned (r11 came back 50/50 green, so no
+# red-retry slots): (a) the 6 oracle-backed round-11 overflow
+# additions — the only queries with ZERO driver evidence entering this
+# round; (b) round-12 additions, appended as they land; (c) fill to
+# exactly 50 with the stalest greens oldest-first (ngram_jaccard_neardup
+# last ledgered r2; the r4 cohort predates the exact-cents and
+# portable-rounding overhauls, so its re-certification is real signal).
 # Rows-only queries stay excluded (the driver can only record
 # `err: no_oracle` for them, wasting the slot). Everything previously
 # green moves behind the window and stays covered by the local suite,
 # which replays the identical differential over all of them at three
 # SFs.
 _DRIVER_PRIORITY = [
-    # (a) zero-driver-evidence backlog — 27
-    "revenue_share",
-    "ann_probe_curve", "association_rules", "bootstrap_ci",
-    "class_weights", "conversion_latency", "cross_source_dups",
-    "dedup_survivor_bias", "dedup_threshold_sweep", "distinct_ngrams",
-    "dp_histogram", "good_turing_discount", "html_text_extract",
-    "ivf_pq_serve", "kneser_ney_perplexity", "logreg_train",
-    "minhash_estimate_error", "ndcg_eval", "perplexity_gate",
-    "pq_recall", "pr_curve", "term_burstiness", "token_freq_spectrum",
-    "tokenizer_fertility", "vocab_growth", "winnowing_fingerprint",
-    "winnowing_neardup",
-    # (b) round-11 additions — appended below as they land (≤23)
-    "tumbling_count_batch", "session_window_batch", "lang_id_train",
-    "span_width_sweep", "recursive_cte_hops", "retention_cohorts",
-    "token_budget_plan", "pack_len_sweep", "jm_lambda_sweep",
-    "negative_sample", "lsh_band_sweep", "knn_k_sweep", "ece_summary",
-    "embedding_isotropy", "bm25_param_sweep", "ivf_cell_profile",
-    "split_balance_audit", "doc_keywords", "try_arithmetic",
-    "mr_cogroup_join", "lang_trigram_divergence", "activity_profile",
+    # (a) zero-driver-evidence backlog (round-11 overflow) — 6
+    "ordered_string_agg", "gopher_repetition_panel",
+    "dedup_growth_curve", "dup_quality_profile", "join_asof_nearest",
+    "normalized_exact_dedup",
+    # (b) round-12 additions — appended here as they land
     # (c) stalest-green rotation fill to exactly 50 (oldest driver
-    # evidence: last ledgered in round 4)
-    "collect_values",
+    # evidence first: r2, then the r4 cohort, then r5-era; trim from
+    # the TAIL as (b) grows)
+    "ngram_jaccard_neardup",
+    "union_missing_columns", "intersect_all_rows", "except_all_rows",
+    "word_count", "text_stats", "tf_idf", "sentiment_lexicon",
+    "lang_id", "quality_score", "token_count_bpe", "doc_fingerprint",
+    "cosine_topk", "allpairs_similarity", "ann_lsh_topk",
+    "label_centroids", "top_k", "limit_head", "rollup_agg", "cube_agg",
+    "grouping_sets", "profile_table", "lsh_allpairs_cosine",
+    "vector_quantize",
+    "cohort_retention", "tumbling_window", "sliding_window",
+    "sessionization", "funnel", "join_asof", "pricing_summary",
+    "count_distinct", "pii_redact", "dataset_split", "shard_pack",
+    "shard_pack_partitioned", "doc_chunks", "unicode_normalize",
+    "heavy_hitters", "mix_weights", "corpus_pipeline", "corpus_shuffle",
+    "contamination_screen", "repetition_ratio",
 ]
 
 
-# Round-12 rotation queue: after the r11 window lands, the only
-# oracle-backed queries WITHOUT driver evidence are the round-11
-# additions that did not fit this window — `ordered_string_agg`,
-# `gopher_repetition_panel`, `dedup_growth_curve`,
-# `dup_quality_profile`, `join_asof_nearest`, and
-# `normalized_exact_dedup` (plus anything added after them this
-# round). Compose the r12 window from
-# (1) those overflow additions, (2) any r11 reds, then (3) the
-# stalest greens oldest-first (limit_head, top_k, sentiment_lexicon
-# carry r4 evidence; then the r5-era aggregation and io families).
-# Keep rows-only queries out of the window.
+# Round-13 rotation queue: after the r12 window lands, compose the r13
+# window from (1) any r12 additions that did not fit this window,
+# (2) any r12 reds, then (3) the stalest greens oldest-first (the
+# remaining r5 cohort: unigram_perplexity, word_cooccurrence,
+# vocab_coverage, behavior_profile_topk, histogram, gap_fill,
+# anomaly_zscore, merge_upsert, mr_map_arrow, embedding_neardup,
+# pagerank, stratified_sample_hash, dedup_clusters_exact,
+# minhash_lsh_portable, simhash_portable, boilerplate_ngrams — then
+# r5 leftovers displaced from this window's tail). Keep rows-only
+# queries out of the window.
 
 
 def _ordered() -> list[str]:
