@@ -182,6 +182,44 @@ HEADLINE = [
 ]
 
 
+# Queries that are BY DESIGN multiples of their serving twins —
+# operating-point sweeps, index/sketch evaluations against exact ground
+# truth, and in-engine training loops. Their warm cost prices the
+# diagnostic work itself (a sweep over N configs costs ~N serving
+# passes; an eval query pays for its exact ground truth). Splitting the
+# headline total into core-serving vs diagnostic keeps cross-round
+# subset comparisons one-line as the headline grows (VERDICT r11 #8).
+DIAGNOSTIC = {
+    # operating-point sweeps (N configs per pass by construction)
+    "span_width_sweep", "lsh_band_sweep", "knn_k_sweep",
+    "jm_lambda_sweep", "bm25_param_sweep", "pack_len_sweep",
+    "ann_probe_curve",
+    # index/sketch evaluation vs exact ground truth (recall/error/NDCG
+    # queries price the brute-force truth they compare against)
+    "ann_recall", "lsh_recall", "minhash_estimate_error", "pq_recall",
+    "quantize_recall", "ndcg_eval", "ivf_cell_profile",
+    # train-per-call oracle-parity diagnostics and in-engine training
+    "ivf_ann_topk_distributed", "lang_id_train", "logreg_train",
+    # corpus-science curves (whole-corpus prefix/interplay censuses)
+    "vocab_growth", "dedup_growth_curve", "dup_quality_profile",
+    "dedup_survivor_bias", "cross_source_dups",
+}
+
+# Perf tripwires: per-query 5-rep quiet-host reference costs (sec,
+# sf0.1 local[32]) pinned when a query was investigated and its cost
+# root-caused as structural (BASELINE.md names each capture). The
+# detail file records measured/reference per round; a ratio past 2.0
+# is the documented revisit trigger (VERDICT r11: ivf_ann_topk_
+# distributed drifted 3.06→4.26 across rounds of DRAIN captures —
+# the quiet-host A/B read 3.86 median with every structural variant
+# [one-plan, spread, persisted-flat, min_by-carried update] inside
+# noise of the current shape; the cost is the job-overhead floor of
+# a train-per-call diagnostic whose serving twin is ~0.5 s warm).
+TRIPWIRE_REF = {
+    "ivf_ann_topk_distributed": 3.86,
+}
+
+
 def _wait_for_quiet(max_load: float, max_wait_sec: float) -> tuple[float, bool]:
     """Poll the loadavg until BOTH the 1-min average and the 5-min
     average drop to their gates, or the wait budget runs out. Returns
@@ -241,10 +279,23 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         warm[name] = round(min(runs), 3)
 
+    core_total = round(sum(v for k, v in warm.items() if k not in DIAGNOSTIC), 3)
+    diag_total = round(sum(v for k, v in warm.items() if k in DIAGNOSTIC), 3)
+    tripwires = {
+        k: {
+            "ref_sec": ref,
+            "ratio": round(warm[k] / ref, 2),
+            "tripped": warm[k] > 2 * ref,
+        }
+        for k, ref in TRIPWIRE_REF.items()
+        if k in warm
+    }
     line = {
         "metric": "headline_total_sec",
         "value": round(sum(warm.values()), 3),
         "unit": "sec",
+        "core_total_sec": core_total,
+        "diag_total_sec": diag_total,
         "queries": {k: round(v, 2) for k, v in warm.items()},
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": sf,
@@ -259,7 +310,17 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_detail_last.json"
     )
     with open(detail_path, "w") as f:
-        json.dump({**line, "queries_cold": cold, "queries_warm": warm}, f, indent=1)
+        json.dump(
+            {
+                **line,
+                "queries_cold": cold,
+                "queries_warm": warm,
+                "diagnostic_queries": sorted(DIAGNOSTIC & set(warm)),
+                "tripwires": tripwires,
+            },
+            f,
+            indent=1,
+        )
 
     # Hard guarantee for the 2000-char capture window, hit at 77
     # queries in round 9: if the full per-query map no longer fits,
