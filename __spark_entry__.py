@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     "dedup_growth_curve", "dup_quality_profile", "join_asof_nearest",
     "normalized_exact_dedup",
     # (b) round-12 additions — appended here as they land
+    "quality_classifier_gate",
     # (c) stalest-green rotation fill to exactly 50 (oldest driver
     # evidence first: r2, then the r4 cohort, then r5-era; trim from
     # the TAIL as (b) grows)
@@ -56,7 +57,7 @@ _DRIVER_PRIORITY = [
     "count_distinct", "pii_redact", "dataset_split", "shard_pack",
     "shard_pack_partitioned", "doc_chunks", "unicode_normalize",
     "heavy_hitters", "mix_weights", "corpus_pipeline", "corpus_shuffle",
-    "contamination_screen", "repetition_ratio",
+    "contamination_screen",
 ]
 
 

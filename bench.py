@@ -179,6 +179,7 @@ HEADLINE = [
     "dup_quality_profile",   # near-dup members vs singletons (quality interplay)
     "join_asof_nearest",     # nearest-direction as-of (min |dt| struct key)
     "normalized_exact_dedup", # casefold/punct-strip equivalence-class dedup
+    "quality_classifier_gate", # trained quality gate (weak labels -> GD -> keep rates)
 ]
 
 
@@ -200,6 +201,7 @@ DIAGNOSTIC = {
     "quantize_recall", "ndcg_eval", "ivf_cell_profile",
     # train-per-call oracle-parity diagnostics and in-engine training
     "ivf_ann_topk_distributed", "lang_id_train", "logreg_train",
+    "quality_classifier_gate",
     # corpus-science curves (whole-corpus prefix/interplay censuses)
     "vocab_growth", "dedup_growth_curve", "dup_quality_profile",
     "dedup_survivor_bias", "cross_source_dups",

@@ -1427,3 +1427,221 @@ def gopher_repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(g).cast("bigint").alias(name) for name, g in gates.items()],
         F.sum(pass_all).cast("bigint").alias("pass_all"),
     )
+
+
+_QCG_ITERS, _QCG_ETA, _QCG_DIM = 3, 2.0, 16
+_QCG_THRESHOLDS = (0.3, 0.5, 0.7)
+
+
+def _qcg_oracle(iters: int, eta: float, dim: int) -> str:
+    """The trained-quality-gate oracle: the shared Gopher flag CTEs
+    provide the rule labels, hashed word-token features come from the
+    SAME ws lists the flags tokenized (one tokenization, two
+    consumers), and the classifier is the identical unrolled batch-GD
+    CTE chain as _langid_oracle/_logreg_oracle with q-prefixed names,
+    closed by the per-source keep-rate report at the fixed score
+    thresholds."""
+    keep_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN p >= {t!r} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS keep_{str(t).replace('0.', '0')}0"
+        for t in _QCG_THRESHOLDS
+    )
+    parts = [
+        f"""{_GOPHER_FLAGS_CTES},
+    qlab AS (
+        SELECT f.doc_id, f.source,
+               CAST(f.ok_nwords * f.ok_meanlen * f.ok_maxlen * f.ok_stop
+                    AS DOUBLE) AS y
+        FROM flags f
+    ), qtok AS (
+        SELECT doc_id, unnest(ws) AS tok FROM toks
+    ), qcnt AS (
+        SELECT doc_id, {hash_bucket_sql('tok', dim)} AS b, count(*) AS c
+        FROM qtok GROUP BY doc_id, b
+    ), qtot AS (SELECT doc_id, sum(c) AS tot FROM qcnt GROUP BY doc_id),
+    qx AS (
+        SELECT c.doc_id, c.b + 1 AS j, c.c / t.tot AS x
+        FROM qcnt c JOIN qtot t ON t.doc_id = c.doc_id
+        UNION ALL
+        SELECT doc_id, 0 AS j, 1.0 AS x FROM qlab
+    ), qn AS (SELECT count(*) AS n FROM qlab),
+    qg1 AS (
+        SELECT p.j, sum((0.5 - d.y) * p.x) AS g
+        FROM qx p JOIN qlab d ON d.doc_id = p.doc_id GROUP BY p.j
+    ),
+    qw1 AS (SELECT j, -({eta}) * g / n.n AS w FROM qg1 CROSS JOIN qn n)"""
+    ]
+    for i in range(2, iters + 1):
+        parts.append(f"""
+    qz{i} AS (
+        SELECT p.doc_id, sum(w.w * p.x) AS z
+        FROM qx p JOIN qw{i - 1} w ON w.j = p.j GROUP BY p.doc_id
+    ),
+    qr{i} AS (
+        SELECT z.doc_id, 1.0 / (1.0 + exp(-z.z)) - d.y AS r
+        FROM qz{i} z JOIN qlab d ON d.doc_id = z.doc_id
+    ),
+    qg{i} AS (
+        SELECT p.j, sum(r.r * p.x) AS g
+        FROM qx p JOIN qr{i} r ON r.doc_id = p.doc_id GROUP BY p.j
+    ),
+    qw{i} AS (
+        SELECT w.j, w.w - ({eta}) * g.g / n.n AS w
+        FROM qw{i - 1} w JOIN qg{i} g ON g.j = w.j CROSS JOIN qn n
+    )""")
+    parts.append(f"""
+    qzf AS (
+        SELECT p.doc_id, sum(w.w * p.x) AS z
+        FROM qx p JOIN qw{iters} w ON w.j = p.j GROUP BY p.doc_id
+    ),
+    qp AS (
+        SELECT d.source, d.y,
+               floor(1.0 / (1.0 + exp(-z.z)) * 10000 + 0.5) / 10000 AS p
+        FROM qzf z JOIN qlab d ON d.doc_id = z.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_rule_pass,
+           floor(avg(p) * 10000 + 0.5) / 10000 AS avg_p,
+           {keep_cols}
+    FROM qp GROUP BY source""")
+    return "WITH " + ",".join(parts[:-1]) + "," + parts[-1]
+
+
+@query(
+    "quality_classifier_gate",
+    oracle=_qcg_oracle(_QCG_ITERS, _QCG_ETA, _QCG_DIM),
+    section="2.11 trained quality-classifier gate (DCLM/FineWeb-Edu shape)",
+)
+def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern model-based corpus gate (the DCLM / FineWeb-Edu
+    recipe, both public): TRAIN a quality classifier on cheap weak
+    labels, SCORE every document with it, and report the keep rate a
+    data team would ship at each candidate threshold. Weak labels are
+    the all-four-Gopher-rules pass bit from the SHARED `_gopher_flags`
+    definition (the published-rule gate standing in for the LLM-judge
+    labels those pipelines source); features are hashed word-token
+    counts (the `feature_hashing` md5-bucket trick, count-normalized
+    per doc, + intercept); the model is an is-quality logistic
+    regression trained IN-ENGINE by three unrolled full-batch GD
+    rounds (the `logreg_train` / `lang_id_train` discipline). Output,
+    per source: docs, rule-gate passes, mean predicted quality, and
+    keep counts at score thresholds 0.3 / 0.5 / 0.7 — the
+    threshold-attrition view that turns a trained scorer into a
+    shippable filter config (the `pr_curve` sweep grades the scorer;
+    this grades the GATE).
+
+    Numeric discipline (the lang_id_train argument end to end):
+    features are exact ratios of integers, w0=0 makes round 1's
+    sigmoid exactly 0.5 on both engines, three rounds of ~1e-13
+    matvec noise cannot reach the 4dp score pin, and every threshold
+    compares the PINNED score against an exact-decimal literal whose
+    pinned-grid division (k/10000) rounds to the identical double in
+    both engines — no classification can flip on an engine ulp.
+
+    Scale shape: one tokenize pass feeds both the label flags and the
+    hashed features; the (doc, j, x) feature frame and the label
+    frame are localCheckpoint'd once (the measured lang_id_train
+    fix: per-round re-analysis of the tokenize lineage cost more
+    than the GD rounds); each round is two co-partitioned keyed
+    passes (broadcast-weight matvec, doc-keyed residual join +
+    j-keyed gradient sum); the only driver sync is n. At 100 TB the
+    recipe is unchanged — DCLM trains on a sample, scores the full
+    corpus; sampling here is the `stratified_sample_hash` composition
+    point, deliberately not baked in."""
+    from ..operators.dedup import _spread
+
+    eta, iters, dim = _QCG_ETA, _QCG_ITERS, _QCG_DIM
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    lab = (
+        _gopher_flags(d)
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.col("ok_nwords")
+                * F.col("ok_meanlen")
+                * F.col("ok_maxlen")
+                * F.col("ok_stop")
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # the SAME explicit-whitespace tokenization the flags used (one
+    # definition on the oracle side: qtok unnests the flags' ws lists)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).alias("tok"),
+    )
+    cnt = toks.groupBy("doc_id", hash_bucket("tok", dim).alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("tot"))
+    px = (
+        cnt.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("b") + 1).alias("j"),
+            (F.col("c") / F.col("tot")).alias("x"),
+        )
+        .unionAll(
+            lab.select("doc_id", F.lit(0).alias("j"), F.lit(1.0).alias("x"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    yv = lab.select("doc_id", "y")
+    n = lab.count()
+    if n == 0:
+        raise ValueError("quality_classifier_gate: no documents to train on")
+    r = yv.select("doc_id", (F.lit(0.5) - F.col("y")).alias("r"))
+    g = px.join(r, "doc_id").groupBy("j").agg(
+        F.sum(F.col("r") * F.col("x")).alias("g")
+    )
+    w = g.select("j", (F.lit(-eta) * F.col("g") / F.lit(n)).alias("w"))
+    for _ in range(2, iters + 1):
+        z = (
+            px.join(F.broadcast(w), "j")
+            .select("doc_id", (F.col("w") * F.col("x")).alias("t"))
+            .groupBy("doc_id")
+            .agg(F.sum("t").alias("z"))
+        )
+        r = z.join(yv, "doc_id").select(
+            "doc_id",
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")
+            ).alias("r"),
+        )
+        g = px.join(r, "doc_id").groupBy("j").agg(
+            F.sum(F.col("r") * F.col("x")).alias("g")
+        )
+        w = w.join(F.broadcast(g), "j").select(
+            "j",
+            (F.col("w") - F.lit(eta) * F.col("g") / F.lit(n)).alias("w"),
+        )
+    zf = (
+        px.join(F.broadcast(w), "j")
+        .select("doc_id", (F.col("w") * F.col("x")).alias("t"))
+        .groupBy("doc_id")
+        .agg(F.sum("t").alias("z"))
+    )
+    scored = zf.join(lab, "doc_id").select(
+        "source",
+        "y",
+        round_half_up(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 4
+        ).alias("p"),
+    )
+    keep_aggs = [
+        F.sum((F.col("p") >= F.lit(t)).cast("int"))
+        .cast("bigint")
+        .alias(f"keep_{str(t).replace('0.', '0')}0")
+        for t in _QCG_THRESHOLDS
+    ]
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_rule_pass"),
+        round_half_up(F.avg("p"), 4).alias("avg_p"),
+        *keep_aggs,
+    )
