@@ -40,7 +40,8 @@ _DRIVER_PRIORITY = [
     "dedup_growth_curve", "dup_quality_profile", "join_asof_nearest",
     "normalized_exact_dedup",
     # (b) round-12 additions — appended here as they land
-    "quality_classifier_gate",
+    "quality_classifier_gate", "streaming_dedup_batch",
+    "late_drop_batch",
     # (c) stalest-green rotation fill to exactly 50 (oldest driver
     # evidence first: r2, then the r4 cohort, then r5-era; trim from
     # the TAIL as (b) grows)
@@ -56,8 +57,7 @@ _DRIVER_PRIORITY = [
     "sessionization", "funnel", "join_asof", "pricing_summary",
     "count_distinct", "pii_redact", "dataset_split", "shard_pack",
     "shard_pack_partitioned", "doc_chunks", "unicode_normalize",
-    "heavy_hitters", "mix_weights", "corpus_pipeline", "corpus_shuffle",
-    "contamination_screen",
+    "heavy_hitters", "mix_weights", "corpus_pipeline",
 ]
 
 

@@ -180,6 +180,8 @@ HEADLINE = [
     "join_asof_nearest",     # nearest-direction as-of (min |dt| struct key)
     "normalized_exact_dedup", # casefold/punct-strip equivalence-class dedup
     "quality_classifier_gate", # trained quality gate (weak labels -> GD -> keep rates)
+    "streaming_dedup_batch", # batch twin: inject dupes -> dropDuplicates -> counts
+    "late_drop_batch",       # batch twin: watermark-cutoff rules, declaratively
 ]
 
 

@@ -373,6 +373,147 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_batch",
+    oracle="""
+    WITH dupes AS (
+        SELECT event_id FROM events
+        WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10 = 0
+    )
+    SELECT (SELECT count(*) FROM events) + (SELECT count(*) FROM dupes)
+               AS n_input,
+           (SELECT count(DISTINCT event_id) FROM events) AS n_after_dedup,
+           (SELECT count(*) FROM dupes) AS n_injected
+    """,
+    section="2.9 stateful stream dedup, ORACLE-BACKED batch twin",
+)
+def streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DuckDB-checkable half of the `streaming_dedup` twin pair:
+    the same inject-then-dedup scenario run as a batch
+    ``dropDuplicates`` — union the corpus with a deterministic ~10%
+    duplicate slice, drop on event_id, and report (rows in, rows
+    surviving, rows injected). A broken dedup reads
+    n_after_dedup > the distinct-id count; a dedup that over-drops
+    reads under it. The injection selector is the PORTABLE md5 bucket
+    (`hash_bucket` — the streaming form uses the JVM hash for speed,
+    which is exactly why it stays rows-only and this twin exists;
+    the suite's anchor test pins stream ≡ batch on the summary
+    counts). Exact duplicates make the survivor row value-identical
+    whichever copy wins, so dropDuplicates' arbitrary pick cannot
+    leak nondeterminism into the result. Scale shape: one keyed
+    distinct (the dedup shuffle) + three scalar counts; the injected
+    slice never materializes driver-side."""
+    from ..operators.textops import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    dupes = e.filter(
+        hash_bucket(F.col("event_id").cast("string"), 10) == 0
+    )
+    un = e.unionAll(dupes)
+    after = un.dropDuplicates(["event_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_dedup")
+    )
+    n_in = un.agg(F.count(F.lit(1)).cast("bigint").alias("n_input"))
+    n_inj = dupes.agg(F.count(F.lit(1)).cast("bigint").alias("n_injected"))
+    return (
+        n_in.crossJoin(F.broadcast(after))
+        .crossJoin(F.broadcast(n_inj))
+        .select("n_input", "n_after_dedup", "n_injected")
+    )
+
+
+# the synthetic two-micro-batch late-drop scenario, shared by the
+# streaming proof (streaming_late_drop) and its oracle-backed batch
+# twin (late_drop_batch): batch 1 establishes watermark 12:20; the
+# 10:20 row in batch 2 arrives after its 10:00 window was finalized
+_LATE_BATCH_1 = [
+    ("2024-01-01 10:05:00", "a"),
+    ("2024-01-01 10:10:00", "b"),
+    ("2024-01-01 12:30:00", "c"),
+]
+_LATE_BATCH_2 = [
+    ("2024-01-01 10:20:00", "late"),
+    ("2024-01-01 12:40:00", "d"),
+]
+
+
+def _values_sql(rows: list[tuple[str, str]]) -> str:
+    return ", ".join(f"('{ts}', '{k}')" for ts, k in rows)
+
+
+@query(
+    "late_drop_batch",
+    oracle=f"""
+    WITH b1(ts_s, k) AS (VALUES {_values_sql(_LATE_BATCH_1)}),
+    b2(ts_s, k) AS (VALUES {_values_sql(_LATE_BATCH_2)}),
+    t1 AS (SELECT CAST(ts_s AS TIMESTAMP) AS ts FROM b1),
+    t2 AS (SELECT CAST(ts_s AS TIMESTAMP) AS ts FROM b2),
+    wm1 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM t1),
+    surv2 AS (
+        SELECT t2.ts FROM t2 CROSS JOIN wm1
+        WHERE date_trunc('hour', t2.ts) + INTERVAL 1 HOUR > wm1.wm
+    ),
+    fwm AS (
+        SELECT max(ts) - INTERVAL 10 MINUTE AS wm
+        FROM (SELECT ts FROM t1 UNION ALL SELECT ts FROM t2)
+    ),
+    survivors AS (SELECT ts FROM t1 UNION ALL SELECT ts FROM surv2)
+    SELECT date_trunc('hour', s.ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM survivors s CROSS JOIN fwm
+    WHERE date_trunc('hour', s.ts) + INTERVAL 1 HOUR <= fwm.wm
+    GROUP BY date_trunc('hour', s.ts)
+    """,
+    section="2.9 watermark late-data drop, ORACLE-BACKED batch twin",
+)
+def late_drop_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of `streaming_late_drop`: the watermark-cutoff RULES
+    applied declaratively to the identical two-micro-batch scenario
+    (shared module literals), closing the last un-twinned streaming
+    rows-only pair. Three rules, each one filter:
+
+    1. late drop — a batch-2 row is dropped iff its 1-hour window was
+       already FINALIZED under the batch-1 watermark (window end <=
+       max(batch-1 ts) - 10 min; the rule is on window end, not raw
+       ts: a row older than the watermark whose window is still open
+       is accepted, exactly as the streaming engine keeps it);
+    2. watermark advance — the final watermark derives from the max
+       event time over EVERYTHING ingested (late rows update the
+       event-time stats before the stateful operator excludes them);
+    3. append emission — only windows whose end has passed the final
+       watermark appear in the sink.
+
+    Result: exactly [(10:00, 2)] — the late 10:20 row is absent from
+    its finalized window and the 12:00 window is still open. The
+    suite's anchor test pins this twin equal to the streaming sink
+    content row for row. All frames are literal-sized; the two
+    1-row watermark frames broadcast."""
+    _pin_conf(spark, "spark.sql.session.timeZone", "UTC")
+
+    def lit_df(rows: list[tuple[str, str]]) -> DataFrame:
+        return spark.createDataFrame(rows, "ts_s string, k string").select(
+            F.to_timestamp("ts_s").alias("ts")
+        )
+
+    b1, b2 = lit_df(_LATE_BATCH_1), lit_df(_LATE_BATCH_2)
+    wend = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+    wm1 = b1.agg((F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm"))
+    surv2 = b2.crossJoin(F.broadcast(wm1)).filter(wend > F.col("wm")).select("ts")
+    fwm = (
+        b1.unionAll(b2)
+        .agg((F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm"))
+    )
+    return (
+        b1.select("ts")
+        .unionAll(surv2)
+        .crossJoin(F.broadcast(fwm))
+        .filter(wend <= F.col("wm"))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@query(
     "streaming_parquet_sink",
     oracle=None,  # rows-only: file sink + checkpoint lifecycle
     section="2.1 streaming sink (parquet + checkpoint, exactly-once files)",

@@ -128,6 +128,38 @@ def test_streaming_late_drop_excludes_late_row(spark):
     assert got == [("2024-01-01 10:00:00", 2)], got
 
 
+def test_late_drop_batch_matches_streaming_sink(spark):
+    """The oracle-backed late_drop_batch twin must equal the streaming
+    sink's append-mode content row for row — closing the stream ≡
+    batch ≡ oracle chain for the watermark-drop proof (the
+    tumbling_count_batch pattern). The twin returns a timestamp
+    window_start; the streaming form renders a UTC string (its anchor
+    compares literals), so the batch side formats for the compare."""
+    stream = [
+        (r["window_start"], r["n"])
+        for r in REGISTRY["streaming_late_drop"].fn(spark, SF_DIR).collect()
+    ]
+    batch = [
+        (r["window_start"].strftime("%Y-%m-%d %H:%M:%S"), r["n"])
+        for r in REGISTRY["late_drop_batch"].fn(spark, SF_DIR).collect()
+    ]
+    assert stream == batch == [("2024-01-01 10:00:00", 2)], (stream, batch)
+
+
+def test_streaming_dedup_batch_matches_streaming(spark):
+    """The oracle-backed streaming_dedup_batch twin and the stateful
+    streaming dedup must agree on the survivor count (the batch
+    distinct-id count), and the twin's bookkeeping must balance:
+    injected duplicates in, exactly the unique ids out."""
+    stream_row = tuple(REGISTRY["streaming_dedup"].fn(spark, SF_DIR).first())
+    twin = REGISTRY["streaming_dedup_batch"].fn(spark, SF_DIR).first()
+    assert stream_row == (twin["n_after_dedup"], twin["n_after_dedup"]), (
+        stream_row, dict(twin.asDict()),
+    )
+    assert twin["n_input"] - twin["n_injected"] == twin["n_after_dedup"]
+    assert twin["n_injected"] > 0
+
+
 def test_stream_join_matches_batch_anchor(spark):
     """The watermarked stream-stream attribution join must produce the
     same summary as its registered batch twin. The anchor IS the
