@@ -42,6 +42,9 @@ _DRIVER_PRIORITY = [
     # (b) round-12 additions — appended here as they land
     "quality_classifier_gate", "streaming_dedup_batch",
     "late_drop_batch",
+    # value-changed this round (3 -> 16 merge rules): r9 evidence is
+    # stale for the new outputs, so both re-enter the window
+    "bpe_merges", "bpe_encode",
     # (c) stalest-green rotation fill to exactly 50 (oldest driver
     # evidence first: r2, then the r4 cohort, then r5-era; trim from
     # the TAIL as (b) grows)
@@ -57,7 +60,7 @@ _DRIVER_PRIORITY = [
     "sessionization", "funnel", "join_asof", "pricing_summary",
     "count_distinct", "pii_redact", "dataset_split", "shard_pack",
     "shard_pack_partitioned", "doc_chunks", "unicode_normalize",
-    "heavy_hitters", "mix_weights", "corpus_pipeline",
+    "heavy_hitters",
 ]
 
 
