@@ -182,6 +182,8 @@ HEADLINE = [
     "quality_classifier_gate", # trained quality gate (weak labels -> GD -> keep rates)
     "streaming_dedup_batch", # batch twin: inject dupes -> dropDuplicates -> counts
     "late_drop_batch",       # batch twin: watermark-cutoff rules, declaratively
+    "multimodal_resize",     # BMP decode + nearest-neighbor downsample (Arrow batch)
+    "bigram_greedy_decode",  # greedy argmax chain over the bigram LM (generation)
 ]
 
 

@@ -1449,3 +1449,119 @@ def phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
     )
+
+
+_RS_SRC_W, _RS_SRC_H, _RS_OUT_W, _RS_OUT_H = 8, 4, 4, 2
+
+
+@query(
+    "multimodal_resize",
+    # the resized image samples the source at (2x, 2y): re-derive the
+    # per-channel sums of exactly those pixels from the synthesis
+    # formula in pure integer SQL
+    oracle=f"""
+    WITH px AS (
+        SELECT d.doc_id, 2 * tx.x AS sx, 2 * ty.y AS sy
+        FROM documents d, range({_RS_OUT_W}) tx(x), range({_RS_OUT_H}) ty(y)
+    )
+    SELECT doc_id,
+           CAST({_RS_SRC_W} AS INT) AS src_w,
+           CAST({_RS_SRC_H} AS INT) AS src_h,
+           CAST({_RS_OUT_W} AS INT) AS out_w,
+           CAST({_RS_OUT_H} AS INT) AS out_h,
+           CAST(sum((doc_id * 11 + 3 * sx + 5 * sy) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 17 + 7 * sx + 2 * sy) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 23 + sx + 9 * sy)     % 256) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY doc_id
+    """,
+    section="2.11 multimodal: image RESIZE (nearest-neighbor over decoded pixels)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE step of a multimodal training pipeline — the one
+    image transform the §multimodal brief lists that the decode family
+    didn't yet cover: synthesize a valid 8×4 24-bit BMP per document
+    (the `multimodal_image_decode` formula family), DECODE it with the
+    same pure-struct parser discipline, then nearest-neighbor
+    downsample to 4×2 — out(x, y) = in(floor(x·sx), floor(y·sy)) with
+    sx = sy = 2, the standard NN index map — and report the resized
+    image's per-channel integer sums. Resizing happens INSIDE the
+    Arrow-batched decode pass (decode → numpy-free integer indexing →
+    sums), the batch shape real preprocessing uses: payload in, small
+    typed features out, nothing corpus-scale crossing to the driver.
+
+    The oracle re-derives the sums by sampling the synthesis formula
+    at exactly the (2x, 2y) source coordinates — so header parse,
+    bottom-up row/BGR undo, the NN index map, and the channel sums
+    are ALL externally verified. Integer sums keep the comparison
+    engine-exact (the decode family convention)."""
+    import struct
+
+    W, H = _RS_SRC_W, _RS_SRC_H
+    OW, OH = _RS_OUT_W, _RS_OUT_H
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                rows = b""
+                for y in range(H - 1, -1, -1):  # BMP rows are bottom-up
+                    row = b""
+                    for x in range(W):
+                        r = (doc_id * 11 + 3 * x + 5 * y) % 256
+                        g = (doc_id * 17 + 7 * x + 2 * y) % 256
+                        b = (doc_id * 23 + x + 9 * y) % 256
+                        row += struct.pack("<BBB", b, g, r)  # BGR on disk
+                    rows += row  # W*3 == 24 bytes: already 4-aligned
+                img_size = len(rows)
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, W, H, 1, 24, 0, img_size, 2835, 2835, 0, 0
+                )
+                payloads.append(header + rows)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "doc_id long, payload binary")
+
+    def decode_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                assert b[:2] == b"BM", "not a BMP"
+                (off,) = struct.unpack_from("<I", b, 10)
+                w, h = struct.unpack_from("<ii", b, 18)
+                (bpp,) = struct.unpack_from("<H", b, 28)
+                assert bpp == 24, "parser handles 24-bit only"
+                row_bytes = (w * 3 + 3) & ~3
+                # nearest-neighbor index map (floor(out·scale)); the
+                # sums touch ONLY the sampled source pixels, exactly
+                # what a real resize kernel reads
+                sx, sy = w // OW, h // OH
+                sr = sg = sb = 0
+                for oy in range(OH):
+                    y = oy * sy
+                    base = off + (h - 1 - y) * row_bytes  # undo bottom-up
+                    for ox in range(OW):
+                        x = ox * sx
+                        bb, gg, rr = struct.unpack_from("<BBB", b, base + 3 * x)
+                        sr += rr
+                        sg += gg
+                        sb += bb
+                out.append((doc_id, w, h, OW, OH, sr, sg, sb))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "src_w", "src_h", "out_w", "out_h",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode_resize,
+        "doc_id long, src_w int, src_h int, out_w int, out_h int, "
+        "sum_r long, sum_g long, sum_b long",
+    )

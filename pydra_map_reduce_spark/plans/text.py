@@ -2676,3 +2676,104 @@ def lang_trigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_distance")
         )
     )
+
+
+_GREEDY_STEPS = 8
+
+
+@query(
+    "bigram_greedy_decode",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), bg AS (
+        SELECT tokens[i] AS w1, tokens[i+1] AS w2
+        FROM (SELECT tokens, unnest(generate_series(1, len(tokens) - 1)) AS i
+              FROM toks)
+    ), cnt AS (
+        SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+    ), start AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS n
+            FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY w
+        ) ORDER BY n DESC, w LIMIT 1
+    ), gen(step, token) AS (
+        SELECT 0 AS step, w AS token FROM start
+        UNION ALL
+        SELECT g.step + 1,
+               (SELECT c.w2 FROM cnt c WHERE c.w1 = g.token
+                ORDER BY c.n DESC, c.w2 LIMIT 1)
+        FROM gen g WHERE g.step < {_GREEDY_STEPS} AND g.token IS NOT NULL
+    )
+    SELECT CAST(step AS BIGINT) AS step, token
+    FROM gen WHERE token IS NOT NULL
+    """,
+    section="2.11 greedy LM decoding (argmax bigram chain, in-engine generation)",
+)
+def bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATE from the corpus's own bigram LM, inside the engine:
+    start at the corpus's most frequent token and take 8 greedy steps,
+    each picking argmax-count next token (count desc, token asc — the
+    BPE arg-max tie-break) — the decode loop of an LM reduced to its
+    deterministic core, over the same model tables bigram_perplexity
+    scores with. The output is the generated (step, token) chain;
+    cycles (greedy decoding's classic degeneracy) simply re-emit the
+    loop, and a token with no observed continuation ends the chain
+    early on both engines (the oracle's NULL guard ≡ the engine's
+    inner-join truncation).
+
+    Plan shape: the bigram table builds once and localCheckpoints
+    (model-sized, the keyed-agg output of one corpus pass); each step
+    is a 1-row broadcast equi-join into it + a TakeOrdered arg-max —
+    all 9 steps compose LAZILY into one plan over the checkpointed
+    leaves (1-row frames chain without re-executing the corpus scan),
+    one job at the terminal action. The oracle runs the identical
+    recursion declaratively (WITH RECURSIVE + correlated arg-max
+    subquery), so chain identity — start pick, every arg-max, every
+    tie-break, the stop rule — is externally verified. At 100 TB the
+    model build is the only corpus-scale stage; decoding is dim-sized
+    regardless of corpus."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "w1")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select("w1", F.lead("w1", 1).over(wdoc).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    cnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    start = (
+        toks.groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1")
+        .limit(1)
+        .select(
+            F.lit(0).cast("bigint").alias("step"), F.col("w1").alias("token")
+        )
+        .localCheckpoint(eager=True)
+    )
+    steps, cur = [start], start
+    for k in range(1, _GREEDY_STEPS + 1):
+        cur = (
+            cnt.join(
+                F.broadcast(cur.select(F.col("token").alias("w1"))), "w1"
+            )
+            .orderBy(F.col("n").desc(), "w2")
+            .limit(1)
+            .select(
+                F.lit(k).cast("bigint").alias("step"),
+                F.col("w2").alias("token"),
+            )
+        )
+        steps.append(cur)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out
