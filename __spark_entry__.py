@@ -45,7 +45,7 @@ _DRIVER_PRIORITY = [
     # value-changed this round (3 -> 16 merge rules): r9 evidence is
     # stale for the new outputs, so both re-enter the window
     "bpe_merges", "bpe_encode",
-    "multimodal_resize", "bigram_greedy_decode",
+    "multimodal_resize", "bigram_greedy_decode", "rocchio_expansion",
     # (c) stalest-green rotation fill to exactly 50 (oldest driver
     # evidence first: r2, then the r4 cohort, then r5-era; trim from
     # the TAIL as (b) grows)
@@ -60,7 +60,7 @@ _DRIVER_PRIORITY = [
     "cohort_retention", "tumbling_window", "sliding_window",
     "sessionization", "funnel", "join_asof", "pricing_summary",
     "count_distinct", "pii_redact", "dataset_split", "shard_pack",
-    "shard_pack_partitioned", "doc_chunks",
+    "shard_pack_partitioned",
 ]
 
 

@@ -184,6 +184,7 @@ HEADLINE = [
     "late_drop_batch",       # batch twin: watermark-cutoff rules, declaratively
     "multimodal_resize",     # BMP decode + nearest-neighbor downsample (Arrow batch)
     "bigram_greedy_decode",  # greedy argmax chain over the bigram LM (generation)
+    "rocchio_expansion",     # PRF loop: retrieve -> expand -> re-retrieve
 ]
 
 

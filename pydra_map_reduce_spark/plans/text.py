@@ -2777,3 +2777,118 @@ def bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionAll(s)
     return out
+
+
+_PRF_K_REL, _PRF_K_EXP, _PRF_TOPK = 5, 3, 10
+
+
+@query(
+    "rocchio_expansion",
+    oracle=f"""
+    WITH {{ctes}}, qterms AS (
+        SELECT word, df FROM dfr ORDER BY df, word LIMIT 3
+    ), pass1 AS (
+        SELECT tf.doc_id, sum({{okapi}}) AS raw
+        FROM tf
+        JOIN qterms q ON tf.word = q.word
+        JOIN lens ON lens.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ), prel AS (
+        SELECT doc_id FROM pass1
+        ORDER BY floor(raw * 1e9 + 0.5) / 1e9 DESC, doc_id
+        LIMIT {_PRF_K_REL}
+    ), cand AS (
+        SELECT tf.word,
+               sum(tf.tf * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0))
+                   AS w
+        FROM tf
+        JOIN prel p ON p.doc_id = tf.doc_id
+        JOIN dfr d ON d.word = tf.word
+        CROSS JOIN stats s
+        WHERE tf.word NOT IN (SELECT word FROM qterms)
+        GROUP BY tf.word
+    ), expansion AS (
+        SELECT c.word, d.df FROM cand c JOIN dfr d ON d.word = c.word
+        ORDER BY floor(c.w * 1e9 + 0.5) / 1e9 DESC, c.word
+        LIMIT {_PRF_K_EXP}
+    ), qexp AS (
+        SELECT word, df FROM qterms UNION ALL SELECT word, df FROM expansion
+    ), pass2 AS (
+        SELECT tf.doc_id, sum({{okapi2}}) AS raw
+        FROM tf
+        JOIN qexp q ON tf.word = q.word
+        JOIN lens ON lens.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, floor(raw * 10000 + 0.5) / 10000 AS bm25
+    FROM pass2
+    ORDER BY floor(raw * 1e9 + 0.5) / 1e9 DESC, doc_id
+    LIMIT {_PRF_TOPK}
+    """.format(ctes=_BM25_CTES_SQL, okapi=_OKAPI_TERM_SQL, okapi2=_OKAPI_TERM_SQL),
+    section="2.11 Rocchio pseudo-relevance feedback (retrieve -> expand -> re-retrieve)",
+)
+def rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic IR relevance-feedback loop (Rocchio 1971, public —
+    the query-expansion step modern RAG stacks still run as 'PRF'):
+    retrieve BM25 top-5 for the data-driven 3-rarest-terms query,
+    treat them as pseudo-relevant, score every term they contain by
+    its summed tf·idf mass inside that set (the Rocchio positive
+    centroid, original query terms excluded), expand the query with
+    the top-3 terms, and re-retrieve the final top-10 with the 6-term
+    query. Shares `_bm25_frames`/_BM25_CTES_SQL with bm25_topk and
+    rrf_fusion, so all three retrievers score from the identical
+    statistics.
+
+    Determinism: every cut (pseudo-rel top-5, expansion top-3, final
+    top-10) orders by the family-standard 9dp floor rank key with a
+    doc_id/word tie-break; the Rocchio weight sums ≤5 tf·idf terms
+    (1-ulp class), the final score ≤6 Okapi terms — the bm25_topk
+    argument. Plan shape: qterms/expansion/stats are vocab- or 1-row
+    frames (broadcast); the two scoring passes are keyed joins over
+    the same (doc_id, word) tf exchange; the candidate weighting
+    touches only the 5 pseudo-rel docs' terms (semi-join first)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf, lens, stats, dfr = _bm25_frames(d)
+    qterms = dfr.orderBy("df", "word").limit(3).select("word", "df")
+
+    def score(query_terms: DataFrame) -> DataFrame:
+        return (
+            tf.join(F.broadcast(query_terms), "word")
+            .join(lens, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.sum(_okapi_score()).alias("raw"))
+        )
+
+    prel = (
+        score(qterms)
+        .orderBy((F.floor(F.col("raw") * 1e9 + 0.5) / 1e9).desc(), "doc_id")
+        .limit(_PRF_K_REL)
+        .select("doc_id")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    cand = (
+        tf.join(F.broadcast(prel), "doc_id")
+        .join(dfr, "word")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms.select("word")), "word", "left_anti")
+        .groupBy("word")
+        .agg(F.sum(F.col("tf") * idf).alias("w"))
+    )
+    expansion = (
+        cand.join(dfr, "word")
+        .orderBy((F.floor(F.col("w") * 1e9 + 0.5) / 1e9).desc(), "word")
+        .limit(_PRF_K_EXP)
+        .select("word", "df")
+    )
+    qexp = qterms.unionAll(expansion)
+    return (
+        score(qexp)
+        .orderBy((F.floor(F.col("raw") * 1e9 + 0.5) / 1e9).desc(), "doc_id")
+        .limit(_PRF_TOPK)
+        .select("doc_id", round_half_up(F.col("raw"), 4).alias("bm25"))
+    )
