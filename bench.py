@@ -185,6 +185,7 @@ HEADLINE = [
     "multimodal_resize",     # BMP decode + nearest-neighbor downsample (Arrow batch)
     "bigram_greedy_decode",  # greedy argmax chain over the bigram LM (generation)
     "rocchio_expansion",     # PRF loop: retrieve -> expand -> re-retrieve
+    "beam_decode",           # width-2 beam search over the bigram LM
 ]
 
 

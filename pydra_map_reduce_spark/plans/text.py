@@ -2892,3 +2892,138 @@ def rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PRF_TOPK)
         .select("doc_id", round_half_up(F.col("raw"), 4).alias("bm25"))
     )
+
+
+_BEAM_WIDTH, _BEAM_STEPS = 2, 5
+
+
+def _beam_oracle(width: int, steps: int) -> str:
+    """Unrolled beam-search CTE chain over the bigram LM: start beam,
+    then per step expand (join on last token) -> rank (9dp-floored
+    cumulative log-prob, sequence tie-break) -> cut to `width`."""
+    ctes = [
+        """toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    )""",
+        """bgd AS (
+        SELECT tokens[i] AS w1, tokens[i+1] AS w2
+        FROM (SELECT tokens, unnest(generate_series(1, len(tokens) - 1)) AS i
+              FROM toks)
+    )""",
+        "cnt AS (SELECT w1, w2, count(*) AS n FROM bgd GROUP BY w1, w2)",
+        "pre AS (SELECT w1, sum(n) AS np FROM cnt GROUP BY w1)",
+        """b0 AS (
+        SELECT w AS seq, w AS last, 0.0 AS lp FROM (
+            SELECT w, count(*) AS n
+            FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY w
+        ) ORDER BY n DESC, w LIMIT 1
+    )""",
+    ]
+    for k in range(1, steps + 1):
+        ctes.append(f"""c{k} AS (
+        SELECT b.seq || ' ' || c.w2 AS seq, c.w2 AS last,
+               b.lp + ln(c.n * 1.0 / p.np) AS lp
+        FROM b{k - 1} b
+        JOIN cnt c ON c.w1 = b.last
+        JOIN pre p ON p.w1 = b.last
+    )""")
+        ctes.append(f"""b{k} AS (
+        SELECT seq, last, lp FROM (
+            SELECT seq, last, lp,
+                   row_number() OVER (ORDER BY floor(lp * 1e9 + 0.5) / 1e9 DESC,
+                                               seq) AS rn
+            FROM c{k}
+        ) WHERE rn <= {width}
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(row_number() OVER (ORDER BY floor(lp * 1e9 + 0.5) / 1e9 DESC,
+                                            seq) AS BIGINT) AS rank,
+           seq,
+           floor(lp * 10000 + 0.5) / 10000 AS logprob
+    FROM b{steps}"""
+
+
+@query(
+    "beam_decode",
+    oracle=_beam_oracle(_BEAM_WIDTH, _BEAM_STEPS),
+    section="2.11 beam-search LM decoding (width-2 bigram beam, in-engine)",
+)
+def beam_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-search decoding over the corpus bigram LM — the actual LM
+    inference algorithm `bigram_greedy_decode` is the width-1 special
+    case of: keep the `_BEAM_WIDTH` best partial sequences by
+    cumulative log-probability, expand each through every observed
+    continuation, re-rank, cut, repeat for `_BEAM_STEPS` steps. Output
+    = the surviving beams with their 4dp-floored scores. Beam scores
+    are sums of ln(n/np) over exact-integer ratios; every cut orders
+    by the family-standard 9dp floor key with the full SEQUENCE as the
+    tie-break (two beams can never collide on it — it encodes the
+    path), so beam membership cannot flip on a libm ulp (the bm25_topk
+    rank-key argument). A beam whose last token has no observed
+    continuation dies in the inner join, exactly as the oracle's join
+    drops it.
+
+    Plan shape: the LM tables (cnt, pre) build in one corpus pass and
+    localCheckpoint (model-sized); each step expands ≤width beams via
+    a broadcast equi-join into them, ranks width·fanout candidate
+    rows in one unpartitioned window (bounded by the beam fanout, not
+    the corpus), and cuts — all steps compose lazily into one job.
+    At 100 TB only the model build scales with data; decode cost is
+    width × steps × fanout regardless of corpus."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "w1")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select("w1", F.lead("w1", 1).over(wdoc).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    cnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    pre = cnt.groupBy("w1").agg(F.sum("n").alias("np")).localCheckpoint(
+        eager=True
+    )
+    beams = (
+        toks.groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1")
+        .limit(1)
+        .select(
+            F.col("w1").alias("seq"),
+            F.col("w1").alias("last"),
+            F.lit(0.0).alias("lp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rank_key = (F.floor(F.col("lp") * 1e9 + 0.5) / 1e9).desc()
+    wrank = Window.orderBy(rank_key, "seq")
+    for _ in range(_BEAM_STEPS):
+        cand = (
+            cnt.join(
+                F.broadcast(beams.select(F.col("last").alias("w1"), "seq", "lp")),
+                "w1",
+            )
+            .join(pre, "w1")
+            .select(
+                F.concat_ws(" ", "seq", "w2").alias("seq"),
+                F.col("w2").alias("last"),
+                (F.col("lp") + F.log(F.col("n") * 1.0 / F.col("np"))).alias("lp"),
+            )
+        )
+        beams = (
+            cand.withColumn("rn", F.row_number().over(wrank))
+            .filter(F.col("rn") <= _BEAM_WIDTH)
+            .select("seq", "last", "lp")
+        )
+    return beams.select(
+        F.row_number().over(wrank).cast("bigint").alias("rank"),
+        "seq",
+        (F.floor(F.col("lp") * 10000 + 0.5) / 10000).alias("logprob"),
+    )
