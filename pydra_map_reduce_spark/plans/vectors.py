@@ -543,12 +543,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COV_CTE = """cells AS (
+_COV_CTE = """cells AS MATERIALIZED (
         SELECT vec_id,
                generate_subscripts(embedding, 1) AS i,
                unnest(CAST(embedding AS DOUBLE[])) AS v
         FROM embeddings
-    ), cov AS (
+    ), cov AS MATERIALIZED (
         SELECT a.i AS i, b.i AS j,
                sum(a.v * b.v) / count(*)
                  - (sum(a.v) / count(*)) * (sum(b.v) / count(*)) AS c
@@ -2817,3 +2817,147 @@ def ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         round_half_up(F.avg("d2"), 6).alias("mean_d2"),
     )
+
+
+@query(
+    "pca_top2_components",
+    oracle=f"""
+    WITH {_COV_CTE}, x0 AS (
+        SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v
+        FROM (SELECT DISTINCT i FROM cov)
+    ), y1 AS MATERIALIZED (
+        SELECT c.i, sum(c.c * x.v) AS v FROM cov c JOIN x0 x ON x.i = c.j GROUP BY c.i
+    ), x1 AS MATERIALIZED (
+        SELECT i, v / (SELECT sqrt(sum(v * v)) FROM y1) AS v FROM y1
+    ), y2 AS MATERIALIZED (
+        SELECT c.i, sum(c.c * x.v) AS v FROM cov c JOIN x1 x ON x.i = c.j GROUP BY c.i
+    ), x2 AS MATERIALIZED (
+        SELECT i, v / (SELECT sqrt(sum(v * v)) FROM y2) AS v FROM y2
+    ), y3 AS MATERIALIZED (
+        SELECT c.i, sum(c.c * x.v) AS v FROM cov c JOIN x2 x ON x.i = c.j GROUP BY c.i
+    ), x3 AS MATERIALIZED (
+        SELECT i, v / (SELECT sqrt(sum(v * v)) FROM y3) AS v FROM y3
+    ), lam AS MATERIALIZED (
+        SELECT sum(c.c * a.v * b.v) AS l
+        FROM cov c JOIN x3 a ON a.i = c.i JOIN x3 b ON b.i = c.j
+    ), cov2 AS MATERIALIZED (
+        SELECT c.i, c.j, c.c - (SELECT l FROM lam) * a.v * b.v AS c
+        FROM cov c JOIN x3 a ON a.i = c.i JOIN x3 b ON b.i = c.j
+    ), w0 AS (
+        SELECT i, CASE WHEN i = 2 THEN 1.0 ELSE 0.0 END AS v
+        FROM (SELECT DISTINCT i FROM cov)
+    ), z1 AS MATERIALIZED (
+        SELECT c.i, sum(c.c * x.v) AS v FROM cov2 c JOIN w0 x ON x.i = c.j GROUP BY c.i
+    ), w1 AS MATERIALIZED (
+        SELECT i, v / (SELECT sqrt(sum(v * v)) FROM z1) AS v FROM z1
+    ), z2 AS MATERIALIZED (
+        SELECT c.i, sum(c.c * x.v) AS v FROM cov2 c JOIN w1 x ON x.i = c.j GROUP BY c.i
+    ), w2 AS MATERIALIZED (
+        SELECT i, v / (SELECT sqrt(sum(v * v)) FROM z2) AS v FROM z2
+    ), z3 AS MATERIALIZED (
+        SELECT c.i, sum(c.c * x.v) AS v FROM cov2 c JOIN w2 x ON x.i = c.j GROUP BY c.i
+    ), w3 AS MATERIALIZED (
+        SELECT i, v / (SELECT sqrt(sum(v * v)) FROM z3) AS v FROM z3
+    )
+    SELECT CAST(a.i AS INT) AS i,
+           sign(a.v) * floor(abs(a.v) * 1000000 + 0.5) / 1000000 + 0.0 AS pc1,
+           sign(b.v) * floor(abs(b.v) * 1000000 + 0.5) / 1000000 + 0.0 AS pc2
+    FROM x3 a JOIN w3 b ON b.i = a.i
+    """,
+    section="2.11 distributed linear algebra: top-2 PCA (deflated power iteration)",
+)
+def pca_top2_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TWO principal components by deflated power iteration — the
+    step past `pca_power_component` that proves the deflation
+    recurrence (the Hotelling route to a top-k PCA without a full
+    eigensolver): PC1 = three power rounds from e_1 on the shared
+    `_cov_matrix`; lambda_1 = the Rayleigh quotient x'Cx of the PC1
+    iterate; C_2 = C - lambda_1 x x' (rank-one deflation, built as a
+    projection over the persisted covariance cells — never a second
+    corpus pass); PC2 = three power rounds from e_2 on C_2. Output:
+    (i, pc1, pc2) loadings, terminally 6dp signed-pinned.
+
+    Scale shape: the corpus is touched ONCE (the Gram partials of
+    _cov_matrix); everything after runs on d^2-row frames — matvec =
+    broadcast-join the d-row iterate on j + i-keyed sum (the pagerank
+    shape), deflation = two d-row broadcast joins onto the cell
+    frame. The d-row PC1 iterate localCheckpoints before it fans into
+    the Rayleigh quotient, the deflated matrix, AND the final join
+    (three consumers; an uncut iterate would replay its three matvecs
+    into each). Determinism: both engines start from the same unit
+    vectors and run identical arithmetic on covariances that agree to
+    ~1e-13 (the embedding_covariance differential pins that); six
+    rounds of drift stay ~1e-12, far under the 6dp pin — the
+    pca_power_component argument, one deflation deeper."""
+    from pyspark import StorageLevel
+
+    cmat = _cov_matrix(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        def power3(mat: DataFrame, start_i: int) -> DataFrame:
+            x = mat.select("i").distinct().select(
+                "i",
+                F.when(F.col("i") == start_i, F.lit(1.0))
+                .otherwise(F.lit(0.0))
+                .alias("v"),
+            )
+            for _ in range(3):
+                # the d-row iterate CHECKPOINTS per round: the norm
+                # scalar and the normalized vector both read y, and an
+                # uncut y doubles the matvec subtree per round (2^3 by
+                # round 3 — measured ~11 s for the two components;
+                # three tiny checkpoint jobs per component instead)
+                y = (
+                    mat.join(F.broadcast(x.withColumnRenamed("i", "j")), "j")
+                    .select("i", (F.col("c") * F.col("v")).alias("t"))
+                    .groupBy("i")
+                    .agg(F.sum("t").alias("v"))
+                    .localCheckpoint(eager=True)
+                )
+                norm = y.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("s"))
+                x = y.crossJoin(F.broadcast(norm)).select(
+                    "i", (F.col("v") / F.col("s")).alias("v")
+                )
+            return x
+
+        pc1 = power3(cmat, 1).localCheckpoint(eager=True)
+        lam = (
+            cmat.join(F.broadcast(pc1.select(F.col("i"), F.col("v").alias("a"))), "i")
+            .join(
+                F.broadcast(
+                    pc1.select(F.col("i").alias("j"), F.col("v").alias("b"))
+                ),
+                "j",
+            )
+            .agg(F.sum(F.col("c") * F.col("a") * F.col("b")).alias("l"))
+        )
+        cov2 = (
+            cmat.join(F.broadcast(pc1.select("i", F.col("v").alias("a"))), "i")
+            .join(
+                F.broadcast(
+                    pc1.select(F.col("i").alias("j"), F.col("v").alias("b"))
+                ),
+                "j",
+            )
+            .crossJoin(F.broadcast(lam))
+            .select(
+                "i", "j",
+                (F.col("c") - F.col("l") * F.col("a") * F.col("b")).alias("c"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            pc2 = power3(cov2, 2)
+            return (
+                pc1.select("i", F.col("v").alias("v1"))
+                .join(pc2.select("i", F.col("v").alias("v2")), "i")
+                .select(
+                    "i",
+                    (signed_round_half_up(F.col("v1"), 6) + F.lit(0.0)).alias("pc1"),
+                    (signed_round_half_up(F.col("v2"), 6) + F.lit(0.0)).alias("pc2"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            cov2.unpersist()
+    finally:
+        cmat.unpersist()
