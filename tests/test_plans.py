@@ -963,3 +963,37 @@ def test_doc_keywords_df_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan[:3000]
     fmt = _formatted(df)
     assert "doc_id" in fmt and "PushedFilters" in fmt, fmt[:2000]
+
+
+def test_round12_additions_no_cartesian(spark):
+    """The round-12 family must fan out via broadcast-sized frames or
+    keyed joins, never a cartesian: quality_classifier_gate (broadcast
+    weight/stat frames per GD round), rocchio_expansion (broadcast
+    query/expansion term sets over the keyed tf exchange),
+    bigram_greedy_decode and beam_decode (1-row/width-row broadcast
+    steps into the checkpointed LM tables), pca_top2_components
+    (d-row broadcast matvecs + rank-one deflation joins)."""
+    for name in (
+        "quality_classifier_gate", "rocchio_expansion",
+        "bigram_greedy_decode", "beam_decode", "pca_top2_components",
+    ):
+        plan = _executed(REGISTRY[name].fn(spark, _SF0001_DIR))
+        assert "CartesianProduct" not in plan, (name, plan[:3000])
+
+
+def test_quality_classifier_gate_broadcast_weights(spark):
+    """Each GD round's 17-row weight vector must broadcast onto the
+    feature frame (a shuffled weight join would exchange the corpus
+    once per round)."""
+    df = REGISTRY["quality_classifier_gate"].fn(spark, _SF0001_DIR)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_streaming_dedup_batch_keyed_distinct(spark):
+    """The batch dedup twin must plan the survivor count as a keyed
+    (hash) aggregate over event_id — never a nested-loop pairing."""
+    df = REGISTRY["streaming_dedup_batch"].fn(spark, _SF0001_DIR)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "HashAggregate" in plan, plan[:3000]
