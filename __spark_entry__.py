@@ -46,7 +46,7 @@ _DRIVER_PRIORITY = [
     # stale for the new outputs, so both re-enter the window
     "bpe_merges", "bpe_encode",
     "multimodal_resize", "bigram_greedy_decode", "rocchio_expansion",
-    "beam_decode", "pca_top2_components",
+    "beam_decode", "pca_top2_components", "temperature_sample_decode",
     # (c) stalest-green rotation fill to exactly 50 (oldest driver
     # evidence first: r2, then the r4 cohort, then r5-era; trim from
     # the TAIL as (b) grows)
@@ -60,7 +60,7 @@ _DRIVER_PRIORITY = [
     "vector_quantize",
     "cohort_retention", "tumbling_window", "sliding_window",
     "sessionization", "funnel", "join_asof", "pricing_summary",
-    "count_distinct", "pii_redact", "dataset_split",
+    "count_distinct", "pii_redact",
 ]
 
 

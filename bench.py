@@ -186,6 +186,7 @@ HEADLINE = [
     "bigram_greedy_decode",  # greedy argmax chain over the bigram LM (generation)
     "rocchio_expansion",     # PRF loop: retrieve -> expand -> re-retrieve
     "beam_decode",           # width-2 beam search over the bigram LM
+    "temperature_sample_decode", # seeded categorical sampling decode
 ]
 
 

@@ -3027,3 +3027,163 @@ def beam_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq",
         (F.floor(F.col("lp") * 10000 + 0.5) / 10000).alias("logprob"),
     )
+
+
+_TSAMP_STEPS, _TSAMP_INV_T = 6, repr(1.0 / 0.7)
+
+
+def _tsamp_u(step: int) -> str:
+    """The step's seeded uniform draw as an exact dyadic literal,
+    computed ONCE in Python (hashlib md5 == Spark md5 == DuckDB md5 —
+    the _rp_signs precedent) and embedded in BOTH the Column plan and
+    the oracle SQL, so neither engine hashes at runtime and the draws
+    cannot drift. Same first-8-hex/2^32 mapping as hash_uniform."""
+    import hashlib
+
+    return repr(
+        int(hashlib.md5(f"dec:{step}".encode()).hexdigest()[:8], 16)
+        / 4294967296.0
+    )
+
+
+def _tsamp_oracle(steps: int) -> str:
+    ctes = [
+        """toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    )""",
+        """bgs AS (
+        SELECT tokens[i] AS w1, tokens[i+1] AS w2
+        FROM (SELECT tokens, unnest(generate_series(1, len(tokens) - 1)) AS i
+              FROM toks)
+    )""",
+        "cnts AS MATERIALIZED (SELECT w1, w2, count(*) AS n FROM bgs GROUP BY w1, w2)",
+        "pres AS MATERIALIZED (SELECT w1, sum(n) AS np FROM cnts GROUP BY w1)",
+        """s0 AS (
+        SELECT 0 AS step, w AS token FROM (
+            SELECT w, count(*) AS n
+            FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY w
+        ) ORDER BY n DESC, w LIMIT 1
+    )""",
+    ]
+    for k in range(1, steps + 1):
+        ctes.append(f"""c{k} AS (
+        SELECT c.w2,
+               exp(ln(c.n * 1.0 / p.np) * {_TSAMP_INV_T}) AS w
+        FROM s{k - 1} s JOIN cnts c ON c.w1 = s.token
+        JOIN pres p ON p.w1 = s.token
+    )""")
+        ctes.append(f"""s{k} AS (
+        SELECT {k} AS step, w2 AS token FROM (
+            SELECT w2,
+                   sum(w) OVER (ORDER BY w2
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+                   sum(w) OVER () AS z
+            FROM c{k}
+        ) WHERE floor(cum / z * 1e9 + 0.5) / 1e9 > {_tsamp_u(k)}
+        ORDER BY w2 LIMIT 1
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST(step AS BIGINT) AS step, token FROM s{k}"
+        for k in range(steps + 1)
+    )
+    return f"WITH {', '.join(ctes)} {selects}"
+
+
+@query(
+    "temperature_sample_decode",
+    oracle=_tsamp_oracle(_TSAMP_STEPS),
+    section="2.11 temperature-sampled LM decoding (seeded categorical draws)",
+)
+def temperature_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third decoding mode next to greedy and beam: SAMPLE from
+    the bigram LM at temperature 0.7 — per step, weight each observed
+    continuation by p^(1/T) (computed as exp(ln(n/np)·(1/T)) with the
+    1/T repr-literal shared verbatim by both engines — the
+    decayed_sum cross-libm discipline), draw u from the step's SEEDED
+    md5 uniform (an exact dyadic embedded as a literal on both sides,
+    the _rp_signs precedent — bit-identical, reproducible, no runtime
+    RNG), and take the first token whose normalized cumulative weight
+    crosses u (token-ascending cumsum: both engines sum the SAME
+    terms in the SAME order, so the inverse-CDF pick diverges only if
+    a cum/Z value sits within libm-ulp distance of its own 9dp
+    rounding edge AND the edge of u — the bm25 rank-key argument).
+    Deterministic sampling is the reproducibility contract of a
+    training-data pipeline: the same corpus and seed regenerate the
+    same synthetic stream bit-for-bit.
+
+    Plan shape: identical to bigram_greedy_decode — the LM tables
+    build once and localCheckpoint; each step is a 1-row broadcast
+    join into them plus a fanout-bounded window (ordered cumsum over
+    one token's continuations), all steps composing lazily into one
+    job. The oracle unrolls the same steps as CTEs (MATERIALIZED
+    model tables — the DuckDB inline-doubling guard)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "w1")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select("w1", F.lead("w1", 1).over(wdoc).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    cnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    pre = cnt.groupBy("w1").agg(F.sum("n").alias("np")).localCheckpoint(
+        eager=True
+    )
+    cur = (
+        toks.groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1")
+        .limit(1)
+        .select(
+            F.lit(0).cast("bigint").alias("step"), F.col("w1").alias("token")
+        )
+        .localCheckpoint(eager=True)
+    )
+    wcum = Window.orderBy("w2").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    steps = [cur]
+    for k in range(1, _TSAMP_STEPS + 1):
+        cand = (
+            cnt.join(
+                F.broadcast(cur.select(F.col("token").alias("w1"))), "w1"
+            )
+            .join(pre, "w1")
+            .select(
+                "w2",
+                F.expr(
+                    f"exp(ln(n * 1.0 / np) * {_TSAMP_INV_T})"
+                ).alias("w"),
+            )
+        )
+        cur = (
+            cand.select(
+                "w2",
+                F.sum("w").over(wcum).alias("cum"),
+                F.sum("w").over(wall).alias("z"),
+            )
+            .filter(
+                F.floor(F.col("cum") / F.col("z") * 1e9 + 0.5) / 1e9
+                > F.lit(float(_tsamp_u(k)))
+            )
+            .orderBy("w2")
+            .limit(1)
+            .select(
+                F.lit(k).cast("bigint").alias("step"),
+                F.col("w2").alias("token"),
+            )
+        )
+        steps.append(cur)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out
