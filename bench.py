@@ -187,6 +187,7 @@ HEADLINE = [
     "rocchio_expansion",     # PRF loop: retrieve -> expand -> re-retrieve
     "beam_decode",           # width-2 beam search over the bigram LM
     "temperature_sample_decode", # seeded categorical sampling decode
+    "l_diversity_audit",     # sensitive-attribute leakage audit (QI-domain agg)
 ]
 
 

@@ -996,3 +996,66 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active").cast("double") / F.col("n_cohort"), 4
         ).alias("retention"),
     )
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+    WITH sens AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        FROM customer
+    ), qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS grp,
+               count(DISTINCT band) AS l
+        FROM sens
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(count(*) AS BIGINT)                    AS n_groups,
+           CAST(min(l) AS BIGINT)                      AS l_diversity,
+           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)
+                AS BIGINT)                             AS groups_below_3,
+           CAST(sum(CASE WHEN l < 3 THEN grp ELSE 0 END)
+                AS BIGINT)                             AS customers_at_risk
+    FROM qi
+    """,
+    section="2.11 privacy audit: l-diversity of a sensitive attribute",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit k-anonymity alone misses (Machanavajjhala et al.,
+    public): a group can be large (k-anonymous) yet leak its members'
+    sensitive value when everyone in it SHARES that value — so per
+    quasi-identifier group (nation, market segment), count the
+    DISTINCT values of the sensitive attribute (the account-balance
+    thousand-band, the banding a release would publish) and report
+    the dataset's l-diversity (the least-diverse group), plus the
+    groups and records below the conventional l=3 bar. Same
+    QI-domain-bounded shape as `k_anonymity_audit`: one keyed agg
+    whose group space is the QI domain regardless of row count, with
+    the distinct-count inside the same exchange. The band boundary is
+    floor of an exact-cents decimal scaled by 1000 — no float can sit
+    on it. All outputs exact integers."""
+    d = load_table(spark, sf_dir, "customer")
+    qi = (
+        d.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("grp"),
+            F.countDistinct("band").alias("l"),
+        )
+    )
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("l").cast("bigint").alias("l_diversity"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_below_3"),
+        F.sum(F.when(F.col("l") < 3, F.col("grp")).otherwise(0))
+        .cast("bigint")
+        .alias("customers_at_risk"),
+    )
