@@ -256,6 +256,14 @@ _GLOBAL_WINDOW_ALLOWED = {
     # one row PER PARTITION (~hundreds at any corpus scale), never base
     # rows — that bound is the query's entire design (docstring)
     "stable_row_ids",
+    # beam-fanout-bounded: the per-step rank window orders width ×
+    # continuation-fanout candidate rows (the decode state), never
+    # base rows — the corpus only ever feeds the checkpointed LM
+    # tables (docstring)
+    "beam_decode",
+    # fanout-bounded for the same reason: the inverse-CDF cumsum runs
+    # over ONE token's observed continuations per step (docstring)
+    "temperature_sample_decode",
 }
 
 
