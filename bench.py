@@ -188,6 +188,7 @@ HEADLINE = [
     "beam_decode",           # width-2 beam search over the bigram LM
     "temperature_sample_decode", # seeded categorical sampling decode
     "l_diversity_audit",     # sensitive-attribute leakage audit (QI-domain agg)
+    "bbit_minhash_error",    # 1-bit sketch estimator vs full hashes vs exact J
 ]
 
 
@@ -207,6 +208,7 @@ DIAGNOSTIC = {
     # queries price the brute-force truth they compare against)
     "ann_recall", "lsh_recall", "minhash_estimate_error", "pq_recall",
     "quantize_recall", "ndcg_eval", "ivf_cell_profile",
+    "bbit_minhash_error",
     # train-per-call oracle-parity diagnostics and in-engine training
     "ivf_ann_topk_distributed", "lang_id_train", "logreg_train",
     "quality_classifier_gate",

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as ops
-from ..operators.textops import round_half_up
+from ..operators.textops import round_half_up, signed_round_half_up
 from ..sources.tables import load_table
 from .registry import query
 
@@ -2247,4 +2247,130 @@ def normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_extra_dups"),
         )
+    )
+
+
+_MH_BBIT_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.h{i} % 2 = b.h{i} % 2 THEN 1 ELSE 0 END" for i in range(32)
+)
+
+
+@query(
+    "bbit_minhash_error",
+    oracle=f"""
+    WITH {_minhash_portable_ctes()},
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               ({_MH_AGREE_SQL}) AS n_agree,
+               ({_MH_BBIT_AGREE_SQL}) AS n_agree_1bit
+        FROM cand c
+        JOIN sigs a ON a.doc_id = c.doc_a
+        JOIN sigs b ON b.doc_id = c.doc_b
+    )
+    SELECT g.doc_a, g.doc_b,
+           CAST(g.n_agree_1bit AS BIGINT) AS n_agree_1bit,
+           sign(2.0 * g.n_agree_1bit / 32.0 - 1.0)
+               * floor(abs(2.0 * g.n_agree_1bit / 32.0 - 1.0) * 1e6 + 0.5)
+               / 1e6 + 0.0 AS j_1bit,
+           floor(g.n_agree / 32.0 * 1e6 + 0.5) / 1e6 AS j_full,
+           floor(coalesce(i.n_inter, 0)::DOUBLE
+                 / (sa.n + sb.n - coalesce(i.n_inter, 0)) * 1e6 + 0.5) / 1e6
+               AS j_true,
+           floor(abs(2.0 * g.n_agree_1bit / 32.0 - 1.0
+                     - coalesce(i.n_inter, 0)::DOUBLE
+                       / (sa.n + sb.n - coalesce(i.n_inter, 0)))
+                 * 1e6 + 0.5) / 1e6 AS abs_err_1bit
+    FROM agree g
+    LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+    JOIN sizes sa ON sa.doc_id = g.doc_a
+    JOIN sizes sb ON sb.doc_id = g.doc_b
+    """,
+    section="2.11 b-bit MinHash accuracy (1-bit slot agreement vs full hashes vs exact J)",
+)
+def bbit_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The space/accuracy trade sketch systems actually ship (Li &
+    Koenig 2010, public): store only the LOWEST BIT of each MinHash
+    slot — 32 bits per document instead of 32 64-bit hashes — and
+    estimate Jaccard from 1-bit agreement via Ĵ₁ = 2·A − 1 (for b=1
+    the unrelated-pair agreement floor is 1/2, so A ≈ J + (1−J)/2
+    inverts to 2A−1; negative estimates on dissimilar pairs are the
+    estimator's documented behavior, not an error — kept raw so the
+    table shows it). Per LSH candidate pair: the 1-bit agreement
+    count, Ĵ₁, the full-hash Ĵ (`minhash_estimate_error`'s
+    estimator), and the exact Jaccard — the three-way comparison a
+    team reads to decide whether the 64× storage cut is worth the
+    ~2× variance inflation at matched slot count. Same shared
+    machinery end to end (session-cached portable shingle index,
+    minhash_signatures, band candidates; the oracle re-derives all of
+    it from the shared portable CTEs), and the same exact-integer
+    discipline: every value is a deterministic function of integer
+    agreement counts and set sizes, pinned at 6dp only on output.
+    Plan: identical to minhash_estimate_error — broadcast candidate
+    frame, candidate-restricted intersection counting (never the full
+    co-shingle self-join)."""
+    from ..operators.dedup import (
+        minhash_band_candidates,
+        minhash_signatures,
+    )
+
+    sh = _portable_shingle_index(spark, sf_dir)
+    sigs = minhash_signatures(sh, 32)
+    cand = minhash_band_candidates(sigs, 32, 8)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        F.broadcast(cand.select("doc_a", "doc_b"))
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sga = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(32)],
+    )
+    sgb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(32)],
+    )
+    n_agree = sum(
+        (
+            F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+            for i in range(32)
+        ),
+        F.lit(0),
+    )
+    n_agree_1bit = sum(
+        (
+            F.when(F.col(f"ha{i}") % 2 == F.col(f"hb{i}") % 2, 1).otherwise(0)
+            for i in range(32)
+        ),
+        F.lit(0),
+    )
+    agree = (
+        cand.join(sga, "doc_a")
+        .join(sgb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            n_agree.alias("n_agree"),
+            n_agree_1bit.alias("n_agree_1bit"),
+        )
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    j_true_raw = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+    j_1bit_raw = 2.0 * F.col("n_agree_1bit") / 32.0 - 1.0
+    j_full_raw = F.col("n_agree") / 32.0
+    return (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_agree_1bit").cast("bigint").alias("n_agree_1bit"),
+            (signed_round_half_up(j_1bit_raw, 6) + F.lit(0.0)).alias("j_1bit"),
+            round_half_up(j_full_raw, 6).alias("j_full"),
+            round_half_up(j_true_raw, 6).alias("j_true"),
+            round_half_up(F.abs(j_1bit_raw - j_true_raw), 6).alias("abs_err_1bit"),
+        )
+        .localCheckpoint(eager=True)
     )
