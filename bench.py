@@ -189,6 +189,7 @@ HEADLINE = [
     "temperature_sample_decode", # seeded categorical sampling decode
     "l_diversity_audit",     # sensitive-attribute leakage audit (QI-domain agg)
     "bbit_minhash_error",    # 1-bit sketch estimator vs full hashes vs exact J
+    "benford_audit",         # first-digit forensic screen (9-group agg)
 ]
 
 

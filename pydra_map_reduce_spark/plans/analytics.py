@@ -1059,3 +1059,85 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("customers_at_risk"),
     )
+
+
+# Benford first-digit shares log10(1 + 1/d), computed ONCE in Python
+# and embedded as repr literals in BOTH the Column plan and the oracle
+# (the decayed_sum cross-libm discipline: neither engine evaluates
+# log10 at runtime, so the expectation cannot drift by a libm ulp).
+_BENFORD_P = {
+    d: repr(__import__("math").log10(1 + 1 / d)) for d in range(1, 10)
+}
+# CAST AS DOUBLE: DuckDB types a bare 16-digit literal DECIMAL and
+# keeps the whole chi2 chain in DECIMAL (overflow at the 1e6 scale,
+# and a different rounding lattice than the engine's doubles) — the
+# bm25_param_sweep DECIMAL-vs-float guard
+_BENFORD_CASE_SQL = (
+    "CASE digit "
+    + " ".join(
+        f"WHEN '{d}' THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items()
+    )
+    + " END"
+)
+
+
+@query(
+    "benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), obs AS (
+        SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit
+    ), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           floor(n_obs * 1.0 / t.n * 1000000 + 0.5) / 1000000 AS obs_share,
+           floor(({_BENFORD_CASE_SQL}) * 1000000 + 0.5) / 1000000
+               AS benford_share,
+           floor(
+               (n_obs - t.n * ({_BENFORD_CASE_SQL}))
+               * (n_obs - t.n * ({_BENFORD_CASE_SQL}))
+               / (t.n * ({_BENFORD_CASE_SQL})) * 1000000 + 0.5
+           ) / 1000000 AS chi2_term
+    FROM obs CROSS JOIN tot t
+    """,
+    section="2.11 Benford first-digit audit (fraud/data-quality screen)",
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic forensic data-quality screen (Benford 1938, public;
+    the auditors' first test on financial columns): the distribution
+    of first significant digits of order totals against the Benford
+    expectation P(d) = log10(1 + 1/d), with the per-digit chi-square
+    contribution — large terms point at fabricated or truncated value
+    ranges. The first digit derives from EXACT INTEGER CENTS
+    (round(x·100) as BIGINT, then the integer's first character —
+    scaling by 100 never changes the leading significant digit), so
+    no float log or double-to-string shortest-repr edge can disagree
+    between engines; the nine Benford shares are repr literals
+    embedded on both sides. One keyed 9-group agg + a 1-row broadcast
+    total — the QI-domain shape: constant group space at any corpus
+    size. (Synthetic uniform-ish fixture prices will FAIL the test —
+    large chi2 terms — which is itself the expected, verifiable
+    output.)"""
+    d = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = d.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1, 1,
+        ).alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    p = F.expr(_BENFORD_CASE_SQL)
+    exp_n = F.col("n") * p
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        round_half_up(F.col("n_obs") * 1.0 / F.col("n"), 6).alias("obs_share"),
+        round_half_up(p, 6).alias("benford_share"),
+        round_half_up(
+            (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n, 6
+        ).alias("chi2_term"),
+    )
