@@ -190,6 +190,7 @@ HEADLINE = [
     "l_diversity_audit",     # sensitive-attribute leakage audit (QI-domain agg)
     "bbit_minhash_error",    # 1-bit sketch estimator vs full hashes vs exact J
     "benford_audit",         # first-digit forensic screen (9-group agg)
+    "map_funcs2",            # map HOF surface (codegen, one scan)
 ]
 
 

@@ -565,3 +565,60 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_plan_nums"),
     )
+
+
+@query(
+    "map_funcs2",
+    oracle="""
+    SELECT event_id,
+           CAST(2 * k + 1 AS BIGINT)     AS k_doubled,
+           CAST((CASE WHEN k >= 50 THEN 1 ELSE 0 END)
+              + (CASE WHEN lt >= 50 THEN 1 ELSE 0 END)
+              + (CASE WHEN cents >= 50 THEN 1 ELSE 0 END) AS INT) AS n_big,
+           CAST(3 * cents + 1 AS BIGINT) AS cents_tripled,
+           'CENTS,K,LEN'                 AS keys_upper
+    FROM (
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(length(event_type) AS BIGINT)                AS lt,
+               CAST(round(value * 100) AS BIGINT)                AS cents
+        FROM events WHERE event_id < 500 AND value IS NOT NULL
+    )
+    """,
+    section="2.8 map family II (higher-order: transform_values/map_filter/map_zip_with/transform_keys)",
+)
+def map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order half of the map surface `map_funcs` leaves
+    untouched: build a 3-entry typed map per event (the JSON 'k', the
+    event-type length, exact value cents), then exercise every map
+    HOF — transform_values (v -> 2v+1), map_filter (v >= 50),
+    map_zip_with (original + transformed), transform_keys (upper) —
+    and project SCALAR witnesses of each (the element the transform
+    touched, the filtered size, the zipped element, the sorted
+    re-keyed key list). The oracle re-derives each witness by plain
+    arithmetic on the three entry values — a DuckDB map runtime is
+    unnecessary precisely because every HOF here is a pointwise
+    integer function, which also keeps the comparison engine-exact.
+    Whole-stage codegen throughout; one scan, no shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") < 500) & F.col("value").isNotNull()
+    )
+    k_val = F.element_at(
+        F.from_json("props", T.MapType(T.StringType(), T.LongType())), "k"
+    )
+    m = F.create_map(
+        F.lit("k"), k_val,
+        F.lit("len"), F.length("event_type").cast("long"),
+        F.lit("cents"), F.round(F.col("value") * 100).cast("long"),
+    )
+    tv = F.transform_values(m, lambda _, v: v * 2 + 1)
+    flt = F.map_filter(m, lambda _, v: v >= 50)
+    zw = F.map_zip_with(m, tv, lambda _, a, b: a + b)
+    tk = F.transform_keys(m, lambda k, _: F.upper(k))
+    return e.select(
+        "event_id",
+        F.element_at(tv, "k").alias("k_doubled"),
+        F.size(flt).alias("n_big"),
+        F.element_at(zw, "cents").alias("cents_tripled"),
+        F.array_join(F.array_sort(F.map_keys(tk)), ",").alias("keys_upper"),
+    )
