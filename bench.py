@@ -191,6 +191,7 @@ HEADLINE = [
     "bbit_minhash_error",    # 1-bit sketch estimator vs full hashes vs exact J
     "benford_audit",         # first-digit forensic screen (9-group agg)
     "map_funcs2",            # map HOF surface (codegen, one scan)
+    "array_funcs3",          # array HOF predicate surface (codegen, one scan)
 ]
 
 

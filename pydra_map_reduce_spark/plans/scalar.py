@@ -622,3 +622,51 @@ def map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(zw, "cents").alias("cents_tripled"),
         F.array_join(F.array_sort(F.map_keys(tk)), ",").alias("keys_upper"),
     )
+
+
+@query(
+    "array_funcs3",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN m % 3 = 0 THEN n ELSE n // 3 END AS INT) AS n_div3,
+           (m % 2 = 0)                                             AS all_even,
+           CAST((n * n * n - n) / 3 AS BIGINT)                     AS idx_sum,
+           CAST(CASE WHEN n >= 3 THEN 3 ELSE 0 END AS BIGINT)      AS pos3
+    FROM (
+        SELECT o_orderkey,
+               o_orderkey % 6 + 2 AS n,
+               o_orderkey % 5 + 1 AS m
+        FROM orders WHERE o_orderkey < 1000
+    )
+    """,
+    section="2.8 array family III (higher-order predicates: exists/forall/filter/indexed transform)",
+)
+def array_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order PREDICATE half of the array surface the two
+    existing array queries leave untouched: per order, build
+    arr = sequence(1, n) (n = o_orderkey%6+2) and its scaled form
+    arr·m (m = o_orderkey%5+1), then exercise filter (multiples of
+    3 in the scaled array), forall (all-even — true iff m is even),
+    transform with the INDEX lambda ((x, i) -> x·i, summed by the
+    fold), and array_position (position of 3 in arr). The oracle
+    re-derives every witness in closed form over (n, m) — e.g. the
+    0-based indexed transform sums Σ i·(i−1) = (n³−n)/3 — so the
+    comparison is pure integer arithmetic. One scan, whole-stage
+    codegen, no shuffle; the key-pruned o_orderkey < 1000 predicate
+    pushes to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    n = F.pmod("o_orderkey", F.lit(6)) + 2
+    m = F.pmod("o_orderkey", F.lit(5)) + 1
+    arr = F.sequence(F.lit(1).cast("long"), n.cast("long"))
+    arr_m = F.transform(arr, lambda x: x * m)
+    return o.select(
+        "o_orderkey",
+        F.size(F.filter(arr_m, lambda x: x % 3 == 0)).alias("n_div3"),
+        F.forall(arr_m, lambda x: x % 2 == 0).alias("all_even"),
+        F.aggregate(
+            F.transform(arr, lambda x, i: x * i),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("idx_sum"),
+        F.array_position(arr, 3).alias("pos3"),
+    )
