@@ -371,3 +371,69 @@ def psi_drift(
         F.max("k").cast("bigint").alias("n_bins"),
         round_half_up(F.sum((p_s - p_r) * F.log(p_s / p_r)), 4).alias("psi"),
     )
+
+
+def unrolled_gd(
+    px: DataFrame,
+    yv: DataFrame,
+    key: str,
+    n: int,
+    eta: float,
+    iters: int,
+) -> DataFrame:
+    """THE unrolled full-batch logistic-regression GD loop — ONE
+    definition for the three in-engine trainers (logreg_train over
+    embedding features, lang_id_train over hashed char trigrams,
+    quality_classifier_gate over hashed word tokens), which had
+    drifted into three identical copies before round 12 factored them
+    here (the _minhash_sigs_ctes precedent: a re-typed copy of the
+    recurrence is the drift hazard).
+
+    Inputs: ``px`` = the (key, j, x) feature frame (j=0 intercept
+    rows included), ``yv`` = the (key, y) labels, ``n`` = label
+    count (the caller's one driver sync). Returns the (j, w) weight
+    frame after ``iters`` rounds. Arithmetic order is EXACTLY the
+    original loops' — w0 = 0 makes round 1's sigmoid exactly 0.5 on
+    both engines, so round 1 collapses to the closed gradient the
+    w1 CTE of every paired oracle writes; later rounds are one
+    broadcast-weight matvec + one key-joined residual + one j-keyed
+    gradient sum each — two co-partitioned passes over the feature
+    frame per round, weights always broadcast-sized."""
+    r = yv.select(key, (F.lit(0.5) - F.col("y")).alias("r"))
+    g = px.join(r, key).groupBy("j").agg(
+        F.sum(F.col("r") * F.col("x")).alias("g")
+    )
+    w = g.select("j", (F.lit(-eta) * F.col("g") / F.lit(n)).alias("w"))
+    for _ in range(2, iters + 1):
+        z = (
+            px.join(F.broadcast(w), "j")
+            .select(key, (F.col("w") * F.col("x")).alias("t"))
+            .groupBy(key)
+            .agg(F.sum("t").alias("z"))
+        )
+        r = z.join(yv, key).select(
+            key,
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")
+            ).alias("r"),
+        )
+        g = px.join(r, key).groupBy("j").agg(
+            F.sum(F.col("r") * F.col("x")).alias("g")
+        )
+        w = w.join(F.broadcast(g), "j").select(
+            "j",
+            (F.col("w") - F.lit(eta) * F.col("g") / F.lit(n)).alias("w"),
+        )
+    return w
+
+
+def gd_scores(px: DataFrame, w: DataFrame, key: str) -> DataFrame:
+    """(key, z): the trained model's logit per entity — the broadcast
+    matvec every trainer's scoring pass runs (sigmoid/pinning is the
+    caller's, since each query renders at its own precision)."""
+    return (
+        px.join(F.broadcast(w), "j")
+        .select(key, (F.col("w") * F.col("x")).alias("t"))
+        .groupBy(key)
+        .agg(F.sum("t").alias("z"))
+    )

@@ -975,37 +975,10 @@ def lang_id_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             "lang_id_train: no documents with length >= 3 to train on"
         )
-    r = yv.select("doc_id", (F.lit(0.5) - F.col("y")).alias("r"))
-    g = px.join(r, "doc_id").groupBy("j").agg(
-        F.sum(F.col("r") * F.col("x")).alias("g")
-    )
-    w = g.select("j", (F.lit(-eta) * F.col("g") / F.lit(n)).alias("w"))
-    for _ in range(2, iters + 1):
-        z = (
-            px.join(F.broadcast(w), "j")
-            .select("doc_id", (F.col("w") * F.col("x")).alias("t"))
-            .groupBy("doc_id")
-            .agg(F.sum("t").alias("z"))
-        )
-        r = z.join(yv, "doc_id").select(
-            "doc_id",
-            (
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")
-            ).alias("r"),
-        )
-        g = px.join(r, "doc_id").groupBy("j").agg(
-            F.sum(F.col("r") * F.col("x")).alias("g")
-        )
-        w = w.join(F.broadcast(g), "j").select(
-            "j",
-            (F.col("w") - F.lit(eta) * F.col("g") / F.lit(n)).alias("w"),
-        )
-    zf = (
-        px.join(F.broadcast(w), "j")
-        .select("doc_id", (F.col("w") * F.col("x")).alias("t"))
-        .groupBy("doc_id")
-        .agg(F.sum("t").alias("z"))
-    )
+    from ..operators.quality import gd_scores, unrolled_gd
+
+    w = unrolled_gd(px, yv, "doc_id", n, eta, iters)
+    zf = gd_scores(px, w, "doc_id")
     pred = zf.join(d.select("doc_id", "lang"), "doc_id").select(
         "lang",
         round_half_up(
@@ -1595,37 +1568,10 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = lab.count()
     if n == 0:
         raise ValueError("quality_classifier_gate: no documents to train on")
-    r = yv.select("doc_id", (F.lit(0.5) - F.col("y")).alias("r"))
-    g = px.join(r, "doc_id").groupBy("j").agg(
-        F.sum(F.col("r") * F.col("x")).alias("g")
-    )
-    w = g.select("j", (F.lit(-eta) * F.col("g") / F.lit(n)).alias("w"))
-    for _ in range(2, iters + 1):
-        z = (
-            px.join(F.broadcast(w), "j")
-            .select("doc_id", (F.col("w") * F.col("x")).alias("t"))
-            .groupBy("doc_id")
-            .agg(F.sum("t").alias("z"))
-        )
-        r = z.join(yv, "doc_id").select(
-            "doc_id",
-            (
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")
-            ).alias("r"),
-        )
-        g = px.join(r, "doc_id").groupBy("j").agg(
-            F.sum(F.col("r") * F.col("x")).alias("g")
-        )
-        w = w.join(F.broadcast(g), "j").select(
-            "j",
-            (F.col("w") - F.lit(eta) * F.col("g") / F.lit(n)).alias("w"),
-        )
-    zf = (
-        px.join(F.broadcast(w), "j")
-        .select("doc_id", (F.col("w") * F.col("x")).alias("t"))
-        .groupBy("doc_id")
-        .agg(F.sum("t").alias("z"))
-    )
+    from ..operators.quality import gd_scores, unrolled_gd
+
+    w = unrolled_gd(px, yv, "doc_id", n, eta, iters)
+    zf = gd_scores(px, w, "doc_id")
     scored = zf.join(lab, "doc_id").select(
         "source",
         "y",

@@ -2365,26 +2365,9 @@ def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             # on ZeroDivisionError instead of naming the real problem
             raise ValueError("logreg_train: no rows with non-NULL label "
                              "and embedding to train on")
-        r = yv.select("vec_id", (F.lit(0.5) - F.col("y")).alias("r"))
-        g = pt.join(r, "vec_id").groupBy("j").agg(F.sum(F.col("r") * F.col("x")).alias("g"))
-        w = g.select("j", (F.lit(-eta) * F.col("g") / F.lit(n)).alias("w"))
-        for _ in range(2, _LOGREG_ITERS + 1):
-            z = (
-                pt.join(F.broadcast(w), "j")
-                .select("vec_id", (F.col("w") * F.col("x")).alias("t"))
-                .groupBy("vec_id")
-                .agg(F.sum("t").alias("z"))
-            )
-            r = z.join(yv, "vec_id").select(
-                "vec_id",
-                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")).alias("r"),
-            )
-            g = pt.join(r, "vec_id").groupBy("j").agg(
-                F.sum(F.col("r") * F.col("x")).alias("g")
-            )
-            w = w.join(F.broadcast(g), "j").select(
-                "j", (F.col("w") - F.lit(eta) * F.col("g") / F.lit(n)).alias("w")
-            )
+        from ..operators.quality import unrolled_gd
+
+        w = unrolled_gd(pt, yv, "vec_id", n, eta, _LOGREG_ITERS)
         return w.select(
             F.col("j").cast("int").alias("j"),
             (signed_round_half_up(F.col("w"), 6) + F.lit(0.0)).alias("weight"),
