@@ -192,6 +192,7 @@ HEADLINE = [
     "benford_audit",         # first-digit forensic screen (9-group agg)
     "map_funcs2",            # map HOF surface (codegen, one scan)
     "array_funcs3",          # array HOF predicate surface (codegen, one scan)
+    "multimodal_audio_features", # RMS/peak/ZCR inside the Arrow decode pass
 ]
 
 

@@ -1565,3 +1565,110 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, src_w int, src_h int, out_w int, out_h int, "
         "sum_r long, sum_g long, sum_b long",
     )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH smp AS (
+        SELECT e.vec_id, t.i,
+               (e.vec_id * 13 + t.i * 37) % 4096 - 2048 AS s
+        FROM embeddings e, range(16) t(i)
+    ), lagged AS (
+        SELECT vec_id, i, s,
+               lag(s) OVER (PARTITION BY vec_id ORDER BY i) AS prev
+        FROM smp
+    )
+    SELECT vec_id,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           floor(sqrt(sum(s * s) / 16.0) * 1000000 + 0.5) / 1000000 AS rms,
+           CAST(max(abs(s)) AS BIGINT) AS peak,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                          AND (s >= 0) <> (prev >= 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings
+    FROM lagged
+    GROUP BY vec_id
+    """,
+    section="2.11 multimodal: audio FEATURE EXTRACT (RMS/peak/zero-crossings over decoded PCM)",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-extract step of an audio pipeline — the second
+    multimodal transform the brief lists (decode exists, resize landed
+    for images; this is the audio analogue): synthesize the SAME valid
+    PCM WAV as `multimodal_audio_decode`, decode it with the same RIFF
+    chunk walk, then compute the classic frame features INSIDE the
+    Arrow-batched pass — signal energy Σs² (exact integer), RMS
+    (one sqrt on an identical double, 6dp-pinned), peak amplitude,
+    and the zero-crossing count ((sᵢ ≥ 0) XOR (sᵢ₋₁ ≥ 0) — the
+    speech/music discriminator every audio frontend ships). The
+    oracle re-derives every feature from the sample formula with a
+    lag window. Same bounded-batch posture as the decode family:
+    payload in, a handful of typed features out, nothing corpus-scale
+    near the driver."""
+    import struct
+
+    N, RATE = 16, 8000
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for vec_id in pdf["vec_id"]:
+                samples = [
+                    (vec_id * 13 + i * 37) % 4096 - 2048 for i in range(N)
+                ]
+                data = struct.pack(f"<{N}h", *samples)
+                fmt = struct.pack("<HHIIHH", 1, 1, RATE, RATE * 2, 2, 16)
+                wav = (
+                    struct.pack(
+                        "<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE"
+                    )
+                    + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+                    + struct.pack("<4sI", b"data", len(data)) + data
+                )
+                payloads.append(wav)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
+
+    media = e.mapInPandas(synth, "vec_id long, payload binary")
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out = []
+            for vec_id, payload in zip(pdf["vec_id"], pdf["payload"]):
+                b = bytes(payload)
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "not a WAV"
+                pos, bits, data = 12, None, None
+                while pos + 8 <= len(b):
+                    cid, size = struct.unpack_from("<4sI", b, pos)
+                    body = b[pos + 8 : pos + 8 + size]
+                    if cid == b"fmt ":
+                        _, _, _, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + size + (size & 1)
+                assert bits == 16 and data is not None
+                n = len(data) // 2
+                s = struct.unpack(f"<{n}h", data)
+                energy = sum(x * x for x in s)
+                # the oracle's floor-form 6dp pin, verbatim (Python and
+                # both engines sqrt the identical double)
+                rms = math.floor(math.sqrt(energy / 16.0) * 1e6 + 0.5) / 1e6
+                peak = max(abs(x) for x in s)
+                zc = sum(
+                    1
+                    for a, bb in zip(s, s[1:])
+                    if (a >= 0) != (bb >= 0)
+                )
+                out.append((vec_id, energy, rms, peak, zc))
+            yield pd.DataFrame(
+                out,
+                columns=["vec_id", "energy", "rms", "peak", "zero_crossings"],
+            )
+
+    return media.mapInPandas(
+        features,
+        "vec_id long, energy long, rms double, peak long, zero_crossings long",
+    )
