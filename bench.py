@@ -193,6 +193,8 @@ HEADLINE = [
     "map_funcs2",            # map HOF surface (codegen, one scan)
     "array_funcs3",          # array HOF predicate surface (codegen, one scan)
     "multimodal_audio_features", # RMS/peak/ZCR inside the Arrow decode pass
+    "join_asof_tolerance",   # staleness-bounded as-of (feature-store semantics)
+    "id_gap_audit",          # missing-id detection via successor anti-lookup
 ]
 
 

@@ -967,3 +967,73 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.d").cast("bigint").alias("dist_us"),
         )
     )
+
+
+_ASOF_TOL_DAYS = 2
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o.o_orderkey, e.ts, e.event_type,
+               row_number() OVER (PARTITION BY o.o_orderkey
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM orders o
+        JOIN events e ON e.user_id = o.o_custkey
+                     AND e.ts <= TIMESTAMP '{ASOF_ANCHOR}' + INTERVAL (o.o_orderkey % {ASOF_DAY_MOD}) DAY
+                     AND e.ts >  TIMESTAMP '{ASOF_ANCHOR}' + INTERVAL (o.o_orderkey % {ASOF_DAY_MOD}) DAY
+                                 - INTERVAL {_ASOF_TOL_DAYS} DAY
+    )
+    SELECT o.o_orderkey, r.ts AS last_event_ts, r.event_type AS last_event_type
+    FROM orders o
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+           ON r.o_orderkey = o.o_orderkey
+    """,
+    section="2.3 as-of join with TOLERANCE (latest event in (t - tol, t], else NULL)",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tolerance-bounded as-of (pandas merge_asof's `tolerance`
+    parameter, the semantics production feature stores serve): per
+    order, the latest customer event within the 2-day window
+    (cutoff − tol, cutoff]; an order whose customer was idle across
+    the whole window keeps a NULL match instead of reaching
+    arbitrarily far back — the staleness bound that makes an as-of
+    feature SAFE to train on (an unbounded as-of silently joins
+    week-old state). Same scale shape as `join_asof` — equi-join on
+    the key with the interval predicate filtering IN-join, max_by
+    struct argmax so the shuffle carries one row per matched order —
+    plus a left join back to orders so unmatched orders survive with
+    NULLs (the matched frame is order-keyed and order-bounded, never
+    pair-bounded). The window is half-open (t − tol, t]: the oracle's
+    `>` mirrors the engine's `>` exactly, so a boundary event at
+    exactly t − tol is excluded by BOTH engines by construction."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cutoff",
+        F.lit(ASOF_ANCHOR).cast("timestamp")
+        + F.make_interval(days=(F.col("o_orderkey") % ASOF_DAY_MOD).cast("int")),
+    )
+    e = load_table(spark, sf_dir, "events")
+    last = F.max_by(
+        F.struct(F.col("ts"), F.col("event_type")),
+        F.struct(F.col("ts"), F.col("event_id")),
+    ).alias("m")
+    lo = o.cutoff - F.make_interval(days=F.lit(_ASOF_TOL_DAYS))
+    matched = (
+        o.join(
+            e,
+            (e.user_id == o.o_custkey) & (e.ts <= o.cutoff) & (e.ts > lo),
+        )
+        .groupBy("o_orderkey")
+        .agg(last)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .join(matched, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.col("m.ts").alias("last_event_ts"),
+            F.col("m.event_type").alias("last_event_type"),
+        )
+    )

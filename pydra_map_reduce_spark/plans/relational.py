@@ -1495,3 +1495,72 @@ def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nations.join(per_region_top, "n_regionkey", "left").select(
         "r_name", "nations", "n_nations", "top_customers"
     )
+
+
+@query(
+    "id_gap_audit",
+    oracle="""
+    WITH ks AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderstatus = 'F'
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(min(k) AS BIGINT)   AS min_key,
+               CAST(max(k) AS BIGINT)   AS max_key
+        FROM ks
+    ),
+    runs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_gap_runs
+        FROM ks a
+        LEFT JOIN ks b ON b.k = a.k + 1
+        CROSS JOIN stats s
+        WHERE b.k IS NULL AND a.k < s.max_key
+    )
+    SELECT s.n_keys, s.min_key, s.max_key,
+           CAST(s.max_key - s.min_key + 1 - s.n_keys AS BIGINT)
+               AS n_missing,
+           r.n_gap_runs
+    FROM stats s CROSS JOIN runs r
+    """,
+    section="2.4 sequence-gap audit (missing-id detection without a global sort)",
+)
+def id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQ primitive behind 'did the extract drop rows?': over the
+    order-key sequence, report span statistics, the TOTAL missing-id
+    count (max − min + 1 − n, pure aggregation), and the number of
+    GAP RUNS — keys k whose successor k+1 is absent (k < max) — via a
+    self ANTI lookup on k+1, i.e. a keyed equi-join, NEVER the
+    lag-over-global-order window the naive form writes (a
+    partition-less ordered window single-threads the whole key space
+    at 100 TB; the equi-join shuffles by key hash and scales
+    linearly). All outputs exact integers; run counts and totals
+    agree with the window form by construction (each maximal missing
+    interval is preceded by exactly one present key)."""
+    ks = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    stats = ks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.min("k").cast("bigint").alias("min_key"),
+        F.max("k").cast("bigint").alias("max_key"),
+    )
+    nxt = ks.select((F.col("k") - 1).alias("k"))
+    runs = (
+        ks.join(nxt, "k", "left_anti")
+        .crossJoin(F.broadcast(stats.select("max_key")))
+        .filter(F.col("k") < F.col("max_key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_gap_runs"))
+    )
+    return stats.crossJoin(F.broadcast(runs)).select(
+        "n_keys",
+        "min_key",
+        "max_key",
+        (F.col("max_key") - F.col("min_key") + 1 - F.col("n_keys"))
+        .cast("bigint")
+        .alias("n_missing"),
+        "n_gap_runs",
+    )
