@@ -65,16 +65,21 @@ _DRIVER_PRIORITY = [
 ]
 
 
-# Round-13 rotation queue: after the r12 window lands, compose the r13
-# window from (1) any r12 additions that did not fit this window,
-# (2) any r12 reds, then (3) the stalest greens oldest-first (the
-# remaining r5 cohort: unigram_perplexity, word_cooccurrence,
-# vocab_coverage, behavior_profile_topk, histogram, gap_fill,
-# anomaly_zscore, merge_upsert, mr_map_arrow, embedding_neardup,
-# pagerank, stratified_sample_hash, dedup_clusters_exact,
-# minhash_lsh_portable, simhash_portable, boilerplate_ngrams — then
-# r5 leftovers displaced from this window's tail). Keep rows-only
-# queries out of the window.
+# Round-13 rotation queue: every r12 addition fit this window (no
+# overflow). Compose the r13 window from (1) any r12 reds, (2) r13
+# additions as they land, then (3) the stalest greens oldest-first —
+# the r5 cohort displaced from this window's tail (sessionization,
+# funnel, join_asof, pricing_summary, count_distinct, pii_redact,
+# dataset_split, shard_pack, shard_pack_partitioned, doc_chunks,
+# unicode_normalize, heavy_hitters, mix_weights, corpus_pipeline,
+# corpus_shuffle, contamination_screen, repetition_ratio,
+# tumbling_window, sliding_window) plus the remaining r5 greens
+# (unigram_perplexity, word_cooccurrence, vocab_coverage,
+# behavior_profile_topk, histogram, gap_fill, anomaly_zscore,
+# merge_upsert, mr_map_arrow, embedding_neardup, pagerank,
+# stratified_sample_hash, dedup_clusters_exact, minhash_lsh_portable,
+# simhash_portable, boilerplate_ngrams). Keep rows-only queries out
+# of the window.
 
 
 def _ordered() -> list[str]:
