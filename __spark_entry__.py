@@ -49,7 +49,7 @@ _DRIVER_PRIORITY = [
     "beam_decode", "pca_top2_components", "temperature_sample_decode",
     "l_diversity_audit", "bbit_minhash_error", "benford_audit",
     "map_funcs2", "array_funcs3", "multimodal_audio_features",
-    "join_asof_tolerance", "id_gap_audit",
+    "join_asof_tolerance", "id_gap_audit", "platt_scaling",
     # (c) stalest-green rotation fill to exactly 50 (oldest driver
     # evidence first: r2, then the r4 cohort, then r5-era; trim from
     # the TAIL as (b) grows)
@@ -61,7 +61,6 @@ _DRIVER_PRIORITY = [
     "label_centroids", "top_k", "limit_head", "rollup_agg", "cube_agg",
     "grouping_sets", "profile_table", "lsh_allpairs_cosine",
     "vector_quantize",
-    "cohort_retention",
 ]
 
 

@@ -195,6 +195,7 @@ HEADLINE = [
     "multimodal_audio_features", # RMS/peak/ZCR inside the Arrow decode pass
     "join_asof_tolerance",   # staleness-bounded as-of (feature-store semantics)
     "id_gap_audit",          # missing-id detection via successor anti-lookup
+    "platt_scaling",         # calibration fit via the shared GD loop
 ]
 
 
@@ -217,7 +218,7 @@ DIAGNOSTIC = {
     "bbit_minhash_error",
     # train-per-call oracle-parity diagnostics and in-engine training
     "ivf_ann_topk_distributed", "lang_id_train", "logreg_train",
-    "quality_classifier_gate",
+    "quality_classifier_gate", "platt_scaling",
     # corpus-science curves (whole-corpus prefix/interplay censuses)
     "vocab_growth", "dedup_growth_curve", "dup_quality_profile",
     "dedup_survivor_bias", "cross_source_dups",

@@ -13,7 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import textops
-from ..operators.textops import cents, hash_bucket, hash_bucket_sql, round_half_up
+from ..operators.textops import (
+    cents,
+    hash_bucket,
+    hash_bucket_sql,
+    round_half_up,
+    signed_round_half_up,
+)
 from ..sources.tables import load_table
 from .registry import query
 
@@ -1590,4 +1596,166 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("n_rule_pass"),
         round_half_up(F.avg("p"), 4).alias("avg_p"),
         *keep_aggs,
+    )
+
+
+_PLATT_ITERS, _PLATT_ETA = 3, 2.0
+
+
+def _platt_oracle(iters: int, eta: float) -> str:
+    """Platt-scaling oracle: the shared Gopher flag CTEs (labels) +
+    the shared linear-scorer CTEs (the score being calibrated), then
+    the standard unrolled-GD chain over the TWO-feature frame
+    (intercept + pinned score), closed by the reliability-bin rollup
+    of the calibrated probability with the trained weights attached."""
+    parts = [
+        f"""{_GOPHER_FLAGS_CTES},
+    {_LINEAR_SCORE_CTES},
+    plab AS (
+        SELECT f.doc_id,
+               CAST(f.ok_nwords * f.ok_meanlen * f.ok_maxlen * f.ok_stop
+                    AS DOUBLE) AS y
+        FROM flags f
+    ), px AS (
+        SELECT s.doc_id, 0 AS j, 1.0 AS x FROM lscored s
+        UNION ALL
+        SELECT s.doc_id, 1 AS j, s.quality AS x FROM lscored s
+    ), pn AS (SELECT count(*) AS n FROM lscored),
+    pg1 AS (
+        SELECT p.j, sum((0.5 - d.y) * p.x) AS g
+        FROM px p JOIN plab d ON d.doc_id = p.doc_id GROUP BY p.j
+    ),
+    pw1 AS (SELECT j, -({eta}) * g / n.n AS w FROM pg1 CROSS JOIN pn n)"""
+    ]
+    for i in range(2, iters + 1):
+        parts.append(f"""
+    pz{i} AS (
+        SELECT p.doc_id, sum(w.w * p.x) AS z
+        FROM px p JOIN pw{i - 1} w ON w.j = p.j GROUP BY p.doc_id
+    ),
+    pr{i} AS (
+        SELECT z.doc_id, 1.0 / (1.0 + exp(-z.z)) - d.y AS r
+        FROM pz{i} z JOIN plab d ON d.doc_id = z.doc_id
+    ),
+    pg{i} AS (
+        SELECT p.j, sum(r.r * p.x) AS g
+        FROM px p JOIN pr{i} r ON r.doc_id = p.doc_id GROUP BY p.j
+    ),
+    pw{i} AS (
+        SELECT w.j, w.w - ({eta}) * g.g / n.n AS w
+        FROM pw{i - 1} w JOIN pg{i} g ON g.j = w.j CROSS JOIN pn n
+    )""")
+    parts.append(f"""
+    pzf AS (
+        SELECT p.doc_id, sum(w.w * p.x) AS z
+        FROM px p JOIN pw{iters} w ON w.j = p.j GROUP BY p.doc_id
+    ),
+    pcal AS (
+        SELECT d.y,
+               floor(1.0 / (1.0 + exp(-z.z)) * 10000 + 0.5) / 10000 AS p
+        FROM pzf z JOIN plab d ON d.doc_id = z.doc_id
+    ),
+    pwts AS (
+        SELECT max(CASE WHEN j = 0 THEN w END) AS w0,
+               max(CASE WHEN j = 1 THEN w END) AS w1
+        FROM pw{iters}
+    )
+    SELECT CAST(floor(p * 100) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(avg(p) * 10000 + 0.5) / 10000 AS avg_calibrated,
+           floor(avg(y) * 10000 + 0.5) / 10000 AS pass_rate,
+           sign(w.w0) * floor(abs(w.w0) * 1000000 + 0.5) / 1000000 + 0.0
+               AS w_intercept,
+           sign(w.w1) * floor(abs(w.w1) * 1000000 + 0.5) / 1000000 + 0.0
+               AS w_slope
+    FROM pcal CROSS JOIN pwts w
+    GROUP BY bin, w.w0, w.w1""")
+    return "WITH " + ",".join(parts[:-1]) + "," + parts[-1]
+
+
+@query(
+    "platt_scaling",
+    oracle=_platt_oracle(_PLATT_ITERS, _PLATT_ETA),
+    section="2.11 Platt scaling (score calibration via the shared GD loop)",
+)
+def platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrate a scorer, don't just measure its miscalibration:
+    Platt scaling (Platt 1999, public — sigmoid(a·s + b) fitted by
+    logistic regression on the score alone) is the fix a team applies
+    after `calibration_bins`/`ece_summary` show the raw quality score
+    over- or under-confident. The score is the shared linear scorer's
+    PINNED quality; labels are the shared Gopher all-pass bit; the
+    fit is three unrolled GD rounds over the TWO-feature frame
+    (intercept + score) through the factored
+    operators/quality.unrolled_gd — the third consumer of the shared
+    loop, and the degenerate case that proves it at d=1. Output: the
+    reliability table of the CALIBRATED probability (PERCENT bin — the
+    3-round fit's calibrated range is narrow, so decile bins would
+    collapse to one row; count, mean calibrated p, observed pass
+    rate) with the trained (intercept,
+    slope) attached — read avg_calibrated against pass_rate per bin
+    to see the correction. Numeric discipline: the score enters
+    training already 4dp-pinned (identical doubles), w0 = 0 makes
+    round 1 exact on both engines, the calibrated p pins at 4dp
+    before binning, and bin = floor(100p) computes the same double
+    both sides. Scale shape: the feature frame is two rows per doc
+    (one exchange), weights broadcast every round."""
+    from ..operators.dedup import _spread
+    from ..operators.quality import gd_scores, unrolled_gd
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    lab = _gopher_flags(d).select(
+        "doc_id",
+        (
+            F.col("ok_nwords")
+            * F.col("ok_meanlen")
+            * F.col("ok_maxlen")
+            * F.col("ok_stop")
+        )
+        .cast("double")
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+    s = _linear_scored(d).select("doc_id", "quality")
+    px = (
+        s.select("doc_id", F.lit(0).alias("j"), F.lit(1.0).alias("x"))
+        .unionAll(
+            s.select("doc_id", F.lit(1).alias("j"), F.col("quality").alias("x"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = lab.count()
+    if n == 0:
+        raise ValueError("platt_scaling: no documents to calibrate on")
+    w = unrolled_gd(px, lab, "doc_id", n, _PLATT_ETA, _PLATT_ITERS)
+    wts = w.agg(
+        F.max(F.when(F.col("j") == 0, F.col("w"))).alias("w0"),
+        F.max(F.when(F.col("j") == 1, F.col("w"))).alias("w1"),
+    )
+    pcal = gd_scores(px, w, "doc_id").select(
+        "doc_id",
+        round_half_up(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 4
+        ).alias("p"),
+    )
+    return (
+        pcal.join(lab, "doc_id")
+        .groupBy(F.floor(F.col("p") * 100).cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            round_half_up(F.avg("p"), 4).alias("avg_calibrated"),
+            round_half_up(F.avg("y"), 4).alias("pass_rate"),
+        )
+        .crossJoin(F.broadcast(wts))
+        .select(
+            "bin",
+            "n_docs",
+            "avg_calibrated",
+            "pass_rate",
+            (signed_round_half_up(F.col("w0"), 6) + F.lit(0.0)).alias(
+                "w_intercept"
+            ),
+            (signed_round_half_up(F.col("w1"), 6) + F.lit(0.0)).alias(
+                "w_slope"
+            ),
+        )
     )
