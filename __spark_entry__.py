@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = [
     "l_diversity_audit", "bbit_minhash_error", "benford_audit",
     "map_funcs2", "array_funcs3", "multimodal_audio_features",
     "join_asof_tolerance", "id_gap_audit", "platt_scaling",
+    "blocking_quality",
     # (c) stalest-green rotation fill to exactly 50 (oldest driver
     # evidence first: r2, then the r4 cohort, then r5-era; trim from
     # the TAIL as (b) grows)
@@ -60,7 +61,6 @@ _DRIVER_PRIORITY = [
     "cosine_topk", "allpairs_similarity", "ann_lsh_topk",
     "label_centroids", "top_k", "limit_head", "rollup_agg", "cube_agg",
     "grouping_sets", "profile_table", "lsh_allpairs_cosine",
-    "vector_quantize",
 ]
 
 

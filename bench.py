@@ -196,6 +196,7 @@ HEADLINE = [
     "join_asof_tolerance",   # staleness-bounded as-of (feature-store semantics)
     "id_gap_audit",          # missing-id detection via successor anti-lookup
     "platt_scaling",         # calibration fit via the shared GD loop
+    "blocking_quality",      # ER blocking eval (reduction ratio / completeness)
 ]
 
 
@@ -215,7 +216,7 @@ DIAGNOSTIC = {
     # queries price the brute-force truth they compare against)
     "ann_recall", "lsh_recall", "minhash_estimate_error", "pq_recall",
     "quantize_recall", "ndcg_eval", "ivf_cell_profile",
-    "bbit_minhash_error",
+    "bbit_minhash_error", "blocking_quality",
     # train-per-call oracle-parity diagnostics and in-engine training
     "ivf_ann_topk_distributed", "lang_id_train", "logreg_train",
     "quality_classifier_gate", "platt_scaling",

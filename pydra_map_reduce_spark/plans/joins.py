@@ -1037,3 +1037,113 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.event_type").alias("last_event_type"),
         )
     )
+
+
+_BQ_SAMPLE_KEYS = 300  # ground-truth sample bound (all-pairs truth domain)
+
+
+@query(
+    "blocking_quality",
+    oracle=f"""
+    WITH s AS (
+        SELECT p_partkey, p_name, p_brand, p_size FROM part
+        WHERE p_partkey < {_BQ_SAMPLE_KEYS}
+    ), truth AS (
+        SELECT a.p_partkey AS p_a, b.p_partkey AS p_b,
+               a.p_brand = b.p_brand AND a.p_size = b.p_size AS blocked
+        FROM s a JOIN s b ON a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ), cand AS (
+        SELECT count(*) AS n_candidates
+        FROM s a JOIN s b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+    ), ns AS (SELECT CAST(count(*) AS BIGINT) AS n_entities FROM s)
+    SELECT ns.n_entities,
+           CAST(ns.n_entities * (ns.n_entities - 1) / 2 AS BIGINT)
+               AS n_allpairs,
+           CAST(c.n_candidates AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT sum(CASE WHEN blocked THEN 1 ELSE 0 END)
+                 FROM truth) AS BIGINT) AS n_found,
+           floor((1.0 - c.n_candidates * 2.0
+                        / (ns.n_entities * (ns.n_entities - 1)))
+                 * 1000000 + 0.5) / 1000000 AS reduction_ratio,
+           floor((SELECT sum(CASE WHEN blocked THEN 1 ELSE 0 END)
+                  FROM truth) * 1.0
+                 / (SELECT count(*) FROM truth) * 1000000 + 0.5) / 1000000
+               AS pair_completeness
+    FROM ns CROSS JOIN cand c
+    """,
+    section="2.11 blocking-quality evaluation (reduction ratio / pair completeness)",
+)
+def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two numbers that grade an entity-resolution BLOCKING scheme
+    (Christen 2012, public): reduction ratio (how much of the n²/2
+    comparison space the (brand, size) blocks prune) and pair
+    completeness (what fraction of the TRUE matches — edit distance
+    ≤ 4, `fuzzy_blocked_join`'s rule — the blocks retain). The exact
+    all-pairs ground truth is priced over a BOUNDED key sample
+    (p_partkey < 300 — the lsh_recall/sample-the-corpus posture: at
+    100 TB you grade blocking on a sample, never the corpus², and the
+    sample's self-pairing broadcasts a ≤300-row frame, bounded by
+    construction); the production blocking itself needs no sample —
+    this query's whole point is measuring the trade the blocked join
+    made. All counts exact integers; the two ratios divide exact
+    BIGINTs once, 6dp-pinned."""
+    s = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < _BQ_SAMPLE_KEYS)
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    lt = F.col("a.p_partkey") < F.col("b.p_partkey")
+    same_block = (F.col("a.p_brand") == F.col("b.p_brand")) & (
+        F.col("a.p_size") == F.col("b.p_size")
+    )
+    truth = (
+        a.join(b, lt)
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4)
+        .select(same_block.alias("blocked"))
+    )
+    tstats = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum(F.col("blocked").cast("int")).cast("bigint").alias("n_found"),
+    )
+    cand = a.join(b, same_block & lt).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    ns = s.agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"))
+    allpairs = (F.col("n_entities") * (F.col("n_entities") - 1) / 2).cast(
+        "bigint"
+    )
+    return (
+        ns.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(tstats))
+        .select(
+            "n_entities",
+            allpairs.alias("n_allpairs"),
+            "n_candidates",
+            "n_truth",
+            "n_found",
+            (
+                F.floor(
+                    (
+                        1.0
+                        - F.col("n_candidates")
+                        * 2.0
+                        / (F.col("n_entities") * (F.col("n_entities") - 1))
+                    )
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("reduction_ratio"),
+            (
+                F.floor(
+                    F.col("n_found") * 1.0 / F.col("n_truth") * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("pair_completeness"),
+        )
+    )
