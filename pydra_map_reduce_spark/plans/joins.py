@@ -1109,7 +1109,17 @@ def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tstats = truth.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_truth"),
         F.sum(F.col("blocked").cast("int")).cast("bigint").alias("n_found"),
-    )
+    ).localCheckpoint(eager=True)
+    # Fail loud on an empty truth set (the bpe exhaustion-guard
+    # pattern, r12 advice): with zero sampled true matches both engines
+    # would agree on a NULL pair_completeness and the differential
+    # would green a degenerate report. The checkpoint prices the truth
+    # self-join once; the guard read is a 1-row fetch from it.
+    if tstats.first()["n_truth"] == 0:
+        raise ValueError(
+            f"blocking_quality: no true-match pairs in the p_partkey < "
+            f"{_BQ_SAMPLE_KEYS} sample — widen the key sample"
+        )
     cand = a.join(b, same_block & lt).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates")
     )

@@ -1723,9 +1723,21 @@ def platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    n = lab.count()
+    # n must be the row count of the SCORED frame (px is 2 rows/doc of
+    # it) because the oracle's pn CTE counts lscored, not the Gopher
+    # flags frame. Today both frames cover every document; deriving n
+    # from px keeps the trained weights differential-identical if a
+    # filter ever lands on either side, and the assert fails loud
+    # instead of silently diverging (r12 advice).
+    n = px.count() // 2
     if n == 0:
         raise ValueError("platt_scaling: no documents to calibrate on")
+    n_lab = lab.count()
+    if n_lab != n:
+        raise ValueError(
+            f"platt_scaling: label frame covers {n_lab} docs but the "
+            f"scored frame covers {n} — the frames must be aligned"
+        )
     w = unrolled_gd(px, lab, "doc_id", n, _PLATT_ETA, _PLATT_ITERS)
     wts = w.agg(
         F.max(F.when(F.col("j") == 0, F.col("w"))).alias("w0"),

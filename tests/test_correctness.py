@@ -139,9 +139,21 @@ def test_late_drop_batch_matches_streaming_sink(spark):
         (r["window_start"], r["n"])
         for r in REGISTRY["streaming_late_drop"].fn(spark, SF_DIR).collect()
     ]
+    # Format IN-ENGINE under the pinned UTC session timezone: collect()
+    # converts timestamps through the driver's OS timezone, so a
+    # driver-side strftime would shift the string on a non-UTC host
+    # and fail this assert spuriously (r12 advice).
+    from pyspark.sql import functions as F
+
     batch = [
-        (r["window_start"].strftime("%Y-%m-%d %H:%M:%S"), r["n"])
-        for r in REGISTRY["late_drop_batch"].fn(spark, SF_DIR).collect()
+        (r["ws"], r["n"])
+        for r in REGISTRY["late_drop_batch"]
+        .fn(spark, SF_DIR)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "n",
+        )
+        .collect()
     ]
     assert stream == batch == [("2024-01-01 10:00:00", 2)], (stream, batch)
 
