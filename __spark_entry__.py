@@ -35,50 +35,50 @@ from pydra_map_reduce_spark.plans import REGISTRY
 # which replays the identical differential over all of them at three
 # SFs.
 _DRIVER_PRIORITY = [
-    # (a) zero-driver-evidence backlog (round-11 overflow) — 6
-    "ordered_string_agg", "gopher_repetition_panel",
-    "dedup_growth_curve", "dup_quality_profile", "join_asof_nearest",
-    "normalized_exact_dedup",
-    # (b) round-12 additions — appended here as they land
-    "quality_classifier_gate", "streaming_dedup_batch",
-    "late_drop_batch",
-    # value-changed this round (3 -> 16 merge rules): r9 evidence is
-    # stale for the new outputs, so both re-enter the window
-    "bpe_merges", "bpe_encode",
-    "multimodal_resize", "bigram_greedy_decode", "rocchio_expansion",
-    "beam_decode", "pca_top2_components", "temperature_sample_decode",
-    "l_diversity_audit", "bbit_minhash_error", "benford_audit",
-    "map_funcs2", "array_funcs3", "multimodal_audio_features",
-    "join_asof_tolerance", "id_gap_audit", "platt_scaling",
-    "blocking_quality",
-    # (c) stalest-green rotation fill to exactly 50 (oldest driver
-    # evidence first: r2, then the r4 cohort, then r5-era; trim from
-    # the TAIL as (b) grows)
-    "ngram_jaccard_neardup",
-    "union_missing_columns", "intersect_all_rows", "except_all_rows",
-    "word_count", "text_stats", "tf_idf", "sentiment_lexicon",
-    "lang_id", "quality_score", "token_count_bpe", "doc_fingerprint",
-    "cosine_topk", "allpairs_similarity", "ann_lsh_topk",
-    "label_centroids", "top_k", "limit_head", "rollup_agg", "cube_agg",
-    "grouping_sets", "profile_table", "lsh_allpairs_cosine",
+    # Round-13 window. r12 came back 50/50 green (zero reds), so the
+    # window is (a) round-13 additions as they land, then (b) the
+    # stalest-green rotation fill: the ledger union's oldest stratum is
+    # one r4 query (vector_quantize) + the 40-query r5 cohort — all of
+    # which predate the exact-cents and portable-rounding overhauls, so
+    # their re-certification is real signal. Trim the TAIL as (a)
+    # grows; overflow rolls to the r14 queue below.
+    # (a) round-13 additions — appended here as they land
+    "dedup_clusters_minhash", "unigram_lm_tokens", "minhash_cluster_stats",
+    "robust_scale_features", "mutual_information_gate",
+    "sampled_pair_jaccard", "cond_entropy_profile",
+    "absolute_discount_perplexity", "isotonic_calibration",
+    # (b) stalest-green fill, oldest driver evidence first
+    "vector_quantize",
+    "anomaly_zscore", "behavior_profile_topk", "bigram_perplexity",
+    "boilerplate_ngrams", "cohort_retention", "contamination_screen",
+    "corpus_pipeline", "corpus_shuffle", "count_distinct",
+    "dataset_split", "dedup_clusters_exact", "doc_chunks",
+    "embedding_neardup", "funnel", "gap_fill", "heavy_hitters",
+    "histogram", "join_asof", "merge_upsert", "minhash_lsh_portable",
+    "mix_apply", "mix_weights", "mr_map_arrow", "mr_partition_map",
+    "pagerank", "pii_redact", "pricing_summary", "repetition_ratio",
+    "scan_agg_pushdown", "sessionization", "shard_pack",
+    "shard_pack_partitioned", "simhash_portable", "sliding_window",
+    "stratified_sample_hash", "tumbling_window", "unicode_normalize",
+    "unigram_perplexity", "vocab_coverage", "word_cooccurrence",
 ]
 
 
-# Round-13 rotation queue: every r12 addition fit this window (no
-# overflow). Compose the r13 window from (1) any r12 reds, (2) r13
-# additions as they land, then (3) the stalest greens oldest-first —
-# the r5 cohort displaced from this window's tail (sessionization,
-# funnel, join_asof, pricing_summary, count_distinct, pii_redact,
-# dataset_split, shard_pack, shard_pack_partitioned, doc_chunks,
-# unicode_normalize, heavy_hitters, mix_weights, corpus_pipeline,
-# corpus_shuffle, contamination_screen, repetition_ratio,
-# tumbling_window, sliding_window) plus the remaining r5 greens
-# (unigram_perplexity, word_cooccurrence, vocab_coverage,
-# behavior_profile_topk, histogram, gap_fill, anomaly_zscore,
-# merge_upsert, mr_map_arrow, embedding_neardup, pagerank,
-# stratified_sample_hash, dedup_clusters_exact, minhash_lsh_portable,
-# simhash_portable, boilerplate_ngrams). Keep rows-only queries out
-# of the window.
+# Round-14 rotation queue: compose the r14 window from (1) any r13
+# reds, (2) r14 additions as they land, then (3) the stalest greens
+# oldest-first — the r5 queries this window displaced for r13
+# additions, if any, then the r6 cohort (39 queries: ab_test_zscore,
+# compact_small_files, correlated_subquery, dedup_clusters,
+# dedup_clusters_star, distinct_rows, exact_dedup, filter_predicates,
+# global_sort, groupby_multi_agg, inmemory_source, ivf_ann_topk,
+# join_anti, join_asof_forward, join_cross, join_full_outer,
+# join_left_outer, join_right_outer, join_semi, length_deciles,
+# local_supplier_volume, mr_flatmap, mr_map, mr_reduce_by_key,
+# mr_udtf_expand, multimodal_features, multimodal_frame_sample,
+# ngram_jaccard_capped, project_conditional, promo_revenue,
+# rename_drop, returned_items, rfm_segments, selective_agg_funcs,
+# shipping_priority, text_scan, transition_matrix, triangle_count,
+# udtf_lateral). Keep rows-only queries out of the window.
 
 
 def _ordered() -> list[str]:

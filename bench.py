@@ -10,8 +10,12 @@ BENCH_r06.json into `parsed: null`):
 
 `value` is the warm total (min of 2 runs per query — steady state);
 `cold_total_sec` is the first-run total (includes codegen/compile and
-cold caches). Per-query COLD detail is no longer in the line — it goes
-to BENCH_detail_last.json next to this script (VERDICT r6 §wrong #3).
+cold caches). Per-query COLD detail is no longer in the line — every
+capture writes a TIMESTAMPED detail file under bench_captures/
+(committed; the stdout line names it in `capture`) plus the
+BENCH_detail_last.json convenience slot (VERDICT r6 §wrong #3;
+r12 next #3 killed the single-slot-only scheme after it lost the
+round's quietest capture).
 
 Host-contention guard (VERDICT r6): a bench started at loadavg 8+ is
 measuring the other workload, not this repo — every query inflates
@@ -324,23 +328,29 @@ def main() -> None:
         "waited_for_quiet_sec": waited,
         "contended": contended,
     }
-    # full per-query cold/warm detail lives in a side file so the
-    # stdout line stays inside the driver's 2000-char capture window
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail_last.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                **line,
-                "queries_cold": cold,
-                "queries_warm": warm,
-                "diagnostic_queries": sorted(DIAGNOSTIC & set(warm)),
-                "tripwires": tripwires,
-            },
-            f,
-            indent=1,
-        )
+    # Full per-query cold/warm detail goes to a TIMESTAMPED file under
+    # bench_captures/ (committed — git does not ignore it) so no
+    # capture is ever lost to single-slot overwrite: round 12's
+    # quietest detail (124.2 s) was destroyed exactly that way because
+    # BENCH_detail_last.json is both gitignored and one slot deep
+    # (VERDICT r12 §wrong #2 / next #3). The last-capture slot is kept
+    # as a convenience pointer for interactive loops.
+    here = os.path.dirname(os.path.abspath(__file__))
+    cap_dir = os.path.join(here, "bench_captures")
+    os.makedirs(cap_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
+    capture_path = os.path.join(cap_dir, f"capture_{stamp}.json")
+    line["capture"] = f"bench_captures/capture_{stamp}.json"
+    detail = {
+        **line,
+        "queries_cold": cold,
+        "queries_warm": warm,
+        "diagnostic_queries": sorted(DIAGNOSTIC & set(warm)),
+        "tripwires": tripwires,
+    }
+    for path in (capture_path, os.path.join(here, "BENCH_detail_last.json")):
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1)
 
     # Hard guarantee for the 2000-char capture window, hit at 77
     # queries in round 9: if the full per-query map no longer fits,
@@ -362,7 +372,7 @@ def main() -> None:
                 sum(v for k, v in warm.items() if k not in kept), 2
             )
             line["others_n"] = len(warm) - keep_n
-            line["full_queries_in"] = "BENCH_detail_last.json"
+            line["full_queries_in"] = line["capture"]
             out = json.dumps(line, separators=(",", ":"))
             if len(out) <= 1950:
                 break
@@ -373,7 +383,7 @@ def main() -> None:
             line["queries"] = {}
             line["others_total_sec"] = round(sum(warm.values()), 2)
             line["others_n"] = len(warm)
-            line["full_queries_in"] = "BENCH_detail_last.json"
+            line["full_queries_in"] = line["capture"]
             out = json.dumps(line, separators=(",", ":"))
     print(out)
 

@@ -2374,3 +2374,79 @@ def bbit_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "dedup_clusters_minhash",
+    # End-to-end oracle: the SHARED portable-minhash pair CTEs (the
+    # exact prefix minhash_lsh_portable / dedup_clusters certify) →
+    # recursive transitive closure → min-id survivor rule → per-source
+    # retention. labels covers only docs in ≥1 near-dup pair; a doc is
+    # dropped iff it sits in a component whose minimum id is smaller
+    # (doc_id <> cluster_id), so retention needs no survivor list —
+    # just n_raw minus the drop count.
+    oracle="WITH RECURSIVE "
+    + _minhash_portable_ctes()
+    + ","
+    + _closure_ctes("mpairs")
+    + """, dropped AS (
+        SELECT doc_id FROM labels WHERE doc_id <> cluster_id
+    ), raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+    drops AS (
+        SELECT d.source, count(*) AS n_dropped
+        FROM dropped dr JOIN documents d ON d.doc_id = dr.doc_id
+        GROUP BY d.source
+    )
+    SELECT r.source,
+           CAST(r.n_raw AS BIGINT) AS n_raw,
+           CAST(coalesce(dp.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(r.n_raw - coalesce(dp.n_dropped, 0) AS BIGINT) AS n_retained,
+           floor((r.n_raw - coalesce(dp.n_dropped, 0)) * 1.0 / r.n_raw
+                 * 10000 + 0.5) / 10000 AS retention
+    FROM raw r LEFT JOIN drops dp ON dp.source = r.source
+    """,
+    section="2.11 end-to-end fuzzy-dedup pipeline (MinHash pairs -> CC -> survivor retention)",
+)
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup pipeline a 100 TB corpus run actually SHIPS
+    (the NeMo-Curator / BigCode shape, both public): MinHash+LSH
+    banded candidate pairs → exact-Jaccard rescore at 0.8 → connected
+    components over the surviving near-dup graph → keep the minimum
+    doc_id per component → per-source retention report. Every stage is
+    individually registered and driver-green (minhash_lsh_portable:
+    the pair graph; dedup_clusters/_star: the CC labeling;
+    dedup_report: the reporting rollup) — this query certifies the
+    COMPOSITION, which is what r12's verdict asked for (next #5): the
+    pieces passing separately does not prove the glue joins them on
+    the right keys. Scale shape: candidate generation is banded
+    (no all-pairs stage anywhere), CC is the iterative min-label
+    propagation whose rounds scale with component diameter (the
+    large-star variant swaps in for deep chains), and the survivor
+    rule + report are two keyed aggregates and one broadcast-sized
+    join back to `documents` — the whole chain is linear in corpus
+    size at fixed duplicate rate."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ops.minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=32, bands=8,
+        threshold=0.8, portable_hash=True,
+    )
+    labels = ops.dedup_clusters(pairs)
+    dropped = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    raw = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    drops = (
+        dropped.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    n_dropped = F.coalesce(F.col("n_dropped"), F.lit(0))
+    return raw.join(drops, "source", "left").select(
+        "source",
+        F.col("n_raw").cast("bigint").alias("n_raw"),
+        n_dropped.cast("bigint").alias("n_dropped"),
+        (F.col("n_raw") - n_dropped).cast("bigint").alias("n_retained"),
+        round_half_up(
+            (F.col("n_raw") - n_dropped) * F.lit(1.0) / F.col("n_raw"), 4
+        ).alias("retention"),
+    )

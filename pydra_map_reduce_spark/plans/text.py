@@ -3187,3 +3187,269 @@ def temperature_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionAll(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer trainer — SURVEY §2.11.
+# Kudo (2018, public): candidate subword pieces scored by a unigram LM
+# whose probabilities are fitted by EM over the segmentation lattice.
+# This trainer runs TWO full soft-EM rounds (forward-backward expected
+# counts over every segmentation, not Viterbi hard assignment) over a
+# bounded candidate pool: every single character (coverage guarantee)
+# plus the top-24 multi-char substrings (length 2-4) by occurrence
+# frequency. Bounds that make it engine-exact and scale-shaped:
+#  - the corpus is touched ONCE (the word-frequency aggregate); every
+#    EM frame after that is VOCAB-sized (distinct words), and the only
+#    driver syncs are the model-sized piece table (<= 48 rows/round —
+#    the _bpe_learn "shipped artifact is driver-sized" contract);
+#  - the lattice DP is unrolled over word positions (fail-loud guard
+#    at _UNI_MAXLEN, the bpe exhaustion-guard pattern), each step an
+#    EXPLICIT fixed-order 4-term sum so no engine's aggregation order
+#    enters the recurrence; Spark localCheckpoints every 4 steps so
+#    CollapseProject cannot inline the DP into a tetranacci-sized
+#    expression tree (the mmr wide-plan trap), and the oracle marks
+#    every DP step MATERIALIZED (the DuckDB CTE-inlining trap);
+#  - expected counts and probabilities are 6dp-pinned between rounds
+#    (the unrolled_gd discipline), so both engines feed bit-identical
+#    doubles into the next round.
+_UNI_MAXLEN = 12   # unroll bound; fail loud if a fixture word exceeds it
+_UNI_PL = 4        # max candidate piece length
+_UNI_V = 24        # multi-char candidate pool size
+_UNI_ROUNDS = 2    # EM rounds
+_UNI_TOPN = 20     # output rows
+
+
+def _unigram_round_ctes(r: int, prev: str) -> str:
+    """One EM round as DuckDB CTE text: forward/backward DP over word
+    positions against piece table `prev`, expected-count E-step, then
+    the 6dp-pinned M-step table p{r}. Every DP step is MATERIALIZED:
+    f{k} is consumed by up to four later steps, and inlining would
+    re-expand the recurrence combinatorially (the round-12 gotcha)."""
+    parts = [
+        f"fb{r}_0 AS MATERIALIZED (SELECT word, len, 1.0 AS f0, 1.0 AS g0 FROM wl)"
+    ]
+    for k in range(1, _UNI_MAXLEN + 1):
+        fterms = " + ".join(
+            f"f{k - l} * coalesce((SELECT p FROM {prev} "
+            f"WHERE piece = substr(word, {k - l + 1}, {l})), 0.0)"
+            for l in range(1, min(_UNI_PL, k) + 1)
+        )
+        gterms = " + ".join(
+            f"coalesce((SELECT p FROM {prev} "
+            f"WHERE piece = substr(word, len - {k} + 1, {l})), 0.0) * g{k - l}"
+            for l in range(1, min(_UNI_PL, k) + 1)
+        )
+        parts.append(
+            f"fb{r}_{k} AS MATERIALIZED (SELECT *, {fterms} AS f{k}, "
+            f"{gterms} AS g{k} FROM fb{r}_{k - 1})"
+        )
+    flist = "[" + ", ".join(f"f{i}" for i in range(_UNI_MAXLEN + 1)) + "]"
+    glist = "[" + ", ".join(f"g{i}" for i in range(_UNI_MAXLEN + 1)) + "]"
+    parts.append(f"""ec{r} AS MATERIALIZED (
+        SELECT o.piece,
+               floor(sum(o.cnt * 1.0 / list_extract({flist}, o.len + 1)
+                         * list_extract({flist}, o.s)
+                         * pp.p
+                         * list_extract({glist}, o.len - o.s - o.l + 2))
+                     * 1000000 + 0.5) / 1000000 AS c
+        FROM occs o
+        JOIN fb{r}_{_UNI_MAXLEN} fb ON fb.word = o.word
+        JOIN {prev} pp ON pp.piece = o.piece
+        GROUP BY o.piece
+    )""")
+    parts.append(
+        f"tot{r} AS (SELECT floor(sum(c) * 1000000 + 0.5) / 1000000 AS t "
+        f"FROM ec{r})"
+    )
+    parts.append(f"""p{r} AS MATERIALIZED (
+        SELECT piece,
+               floor(c / (SELECT t FROM tot{r}) * 1000000 + 0.5) / 1000000 AS p
+        FROM ec{r}
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _unigram_oracle() -> str:
+    rounds = ",\n    ".join(
+        _unigram_round_ctes(r, f"p{r - 1}") for r in range(1, _UNI_ROUNDS + 1)
+    )
+    return f"""
+    WITH wl AS MATERIALIZED (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt, length(w) AS len
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ), occs AS MATERIALIZED (
+        SELECT word, cnt, len, s, l, substr(word, s, l) AS piece
+        FROM wl, range(1, {_UNI_MAXLEN + 1}) rs(s), range(1, {_UNI_PL + 1}) rl(l)
+        WHERE s + l - 1 <= len
+    ), cands AS (
+        SELECT piece, sum(cnt) AS f FROM occs WHERE l >= 2 GROUP BY piece
+    ), topv AS (
+        SELECT piece, f FROM (
+            SELECT piece, f, row_number() OVER (ORDER BY f DESC, piece) AS rk
+            FROM cands) WHERE rk <= {_UNI_V}
+    ), chars AS (
+        SELECT piece, sum(cnt) AS f FROM occs WHERE l = 1 GROUP BY piece
+    ), pool AS MATERIALIZED (
+        SELECT piece, f FROM chars UNION ALL SELECT piece, f FROM topv
+    ), p0 AS MATERIALIZED (
+        SELECT piece,
+               floor(f * 1.0 / (SELECT sum(f) FROM pool) * 1000000 + 0.5)
+                   / 1000000 AS p
+        FROM pool
+    ),
+    {rounds}
+    SELECT rank, piece, p FROM (
+        SELECT CAST(row_number() OVER (ORDER BY p DESC, piece) AS INTEGER)
+                   AS rank,
+               piece, p
+        FROM p{_UNI_ROUNDS})
+    WHERE rank <= {_UNI_TOPN}
+    """
+
+
+@query(
+    "unigram_lm_tokens",
+    oracle=_unigram_oracle(),
+    section="2.11 unigram-LM (SentencePiece-style) tokenizer trainer (unrolled EM)",
+)
+def unigram_lm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a SentencePiece-style unigram-LM subword vocabulary
+    in-engine (r12 verdict next #6) and return the top-20 pieces with
+    their fitted probabilities after two full soft-EM rounds. See the
+    module-comment block above for the algorithm, the bounds, and the
+    engine-exactness discipline; the E-step here is the textbook
+    forward-backward occupancy — for the arc (s, l) of a word,
+    expected count = cnt / Z * fwd(s-1) * p(piece) * bwd(suffix after
+    the arc) — summed per piece, 6dp-pinned, renormalized (M-step),
+    and fed back for round two. The fwd/bwd recurrences are explicit
+    fixed-order sums (never a SQL aggregate), so the only
+    order-dependent float summations are the two pinned reductions
+    the oracle pins identically. DP entries past a word's length
+    compute engine-DIVERGENT garbage (negative/overflowing substr
+    starts) but are provably never read: valid entries (k <= len)
+    recurse only on valid entries, and the E-step indexes f at
+    s <= len, Z at len, g at len-(s+l-1) <= len."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    wl = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("len", F.length("word"))
+        .localCheckpoint(eager=True)
+    )
+    mx = wl.agg(F.max("len").alias("m")).first()["m"]
+    if mx is None or mx > _UNI_MAXLEN:
+        raise ValueError(
+            f"unigram_lm_tokens: corpus word length {mx} exceeds the "
+            f"{_UNI_MAXLEN}-position unroll bound — raise _UNI_MAXLEN"
+        )
+    from pyspark.sql.window import Window
+
+    occs = (
+        wl.select(
+            "word", "cnt", "len",
+            F.explode(F.sequence(F.lit(1), F.col("len"))).alias("s"),
+        )
+        .select(
+            "word", "cnt", "len", "s",
+            F.explode(
+                F.array(*[F.lit(l) for l in range(1, _UNI_PL + 1)])
+            ).alias("l"),
+        )
+        .filter(F.col("s") + F.col("l") - 1 <= F.col("len"))
+        .withColumn("piece", F.col("word").substr(F.col("s"), F.col("l")))
+        .localCheckpoint(eager=True)
+    )
+    cands = occs.filter(F.col("l") >= 2).groupBy("piece").agg(
+        F.sum("cnt").alias("f")
+    )
+    topv = (
+        cands.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("f").desc(), "piece")),
+        )
+        .filter(F.col("rk") <= _UNI_V)
+        .select("piece", "f")
+    )
+    chars = occs.filter(F.col("l") == 1).groupBy("piece").agg(
+        F.sum("cnt").alias("f")
+    )
+    # model-sized driver sync #0: the candidate pool (<= 24 + alphabet)
+    pool = {r["piece"]: r["f"] for r in chars.unionAll(topv).collect()}
+    total = sum(pool.values())  # exact int
+    pmap = {
+        k: math.floor(v / total * 1000000 + 0.5) / 1000000
+        for k, v in pool.items()
+    }
+
+    fb_base = wl.select(
+        "word", "len", F.lit(1.0).alias("f0"), F.lit(1.0).alias("g0")
+    )
+    for _r in range(1, _UNI_ROUNDS + 1):
+        mp = F.create_map(
+            *[x for kv in sorted(pmap.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        )
+
+        def pz(e):  # noqa: B023 — rebuilt each round on purpose
+            return F.coalesce(F.element_at(mp, e), F.lit(0.0))
+
+        fb = fb_base
+        for k in range(1, _UNI_MAXLEN + 1):
+            ft = None
+            gt = None
+            for l in range(1, min(_UNI_PL, k) + 1):
+                fterm = F.col(f"f{k - l}") * pz(
+                    F.col("word").substr(F.lit(k - l + 1), F.lit(l))
+                )
+                gterm = pz(
+                    F.col("word").substr(
+                        F.col("len") - F.lit(k) + F.lit(1), F.lit(l)
+                    )
+                ) * F.col(f"g{k - l}")
+                ft = fterm if ft is None else ft + fterm
+                gt = gterm if gt is None else gt + gterm
+            fb = fb.withColumn(f"f{k}", ft).withColumn(f"g{k}", gt)
+            if k % 4 == 0:
+                # break lineage so CollapseProject cannot inline the DP
+                # recurrence into one combinatorial projection (31-row
+                # frame — the checkpoint is plan hygiene, not data)
+                fb = fb.localCheckpoint(eager=True)
+        farr = F.array(*[F.col(f"f{i}") for i in range(_UNI_MAXLEN + 1)])
+        garr = F.array(*[F.col(f"g{i}") for i in range(_UNI_MAXLEN + 1)])
+        w = (
+            F.col("cnt") * F.lit(1.0)
+            / F.element_at(farr, F.col("len") + F.lit(1))
+            * F.element_at(farr, F.col("s"))
+            * pz(F.col("piece"))
+            * F.element_at(
+                garr, F.col("len") - F.col("s") - F.col("l") + F.lit(2)
+            )
+        )
+        ec = (
+            occs.join(fb.drop("len"), "word")
+            .filter(F.element_at(mp, F.col("piece")).isNotNull())
+            .groupBy("piece")
+            .agg(round_half_up(F.sum(w), 6).alias("c"))
+        )
+        # model-sized driver sync #r: the expected-count table
+        counts = {r["piece"]: r["c"] for r in ec.collect()}
+        t = (
+            math.floor(
+                sum(counts[k] for k in sorted(counts)) * 1000000 + 0.5
+            )
+            / 1000000
+        )
+        pmap = {
+            k: math.floor(v / t * 1000000 + 0.5) / 1000000
+            for k, v in counts.items()
+        }
+
+    top = sorted(pmap.items(), key=lambda kv: (-kv[1], kv[0]))[:_UNI_TOPN]
+    return spark.createDataFrame(
+        [(i + 1, k, float(v)) for i, (k, v) in enumerate(top)],
+        schema="rank int, piece string, p double",
+    )
