@@ -43,10 +43,10 @@ _DRIVER_PRIORITY = [
     # their re-certification is real signal. Trim the TAIL as (a)
     # grows; overflow rolls to the r14 queue below.
     # (a) round-13 additions — appended here as they land
-    "dedup_clusters_minhash", "unigram_lm_tokens", "minhash_cluster_stats",
-    "robust_scale_features", "mutual_information_gate",
-    "sampled_pair_jaccard", "cond_entropy_profile",
-    "absolute_discount_perplexity", "isotonic_calibration",
+    "dedup_clusters_minhash", "unigram_lm_tokens",
+    "tfidf_doc_similarity", "char_entropy_gate", "cond_entropy_profile",
+    "isotonic_calibration", "mi_feature_ranking",
+    "robust_scale_features", "quantile_bucketize",
     # (b) stalest-green fill, oldest driver evidence first
     "vector_quantize",
     "anomaly_zscore", "behavior_profile_topk", "bigram_perplexity",

@@ -201,6 +201,15 @@ HEADLINE = [
     "id_gap_audit",          # missing-id detection via successor anti-lookup
     "platt_scaling",         # calibration fit via the shared GD loop
     "blocking_quality",      # ER blocking eval (reduction ratio / completeness)
+    "dedup_clusters_minhash",# end-to-end fuzzy dedup (pairs -> CC -> retention)
+    "unigram_lm_tokens",     # SentencePiece-style unigram trainer (unrolled EM)
+    "tfidf_doc_similarity",  # sparse lexical cosine via posting-list join
+    "char_entropy_gate",     # per-doc char-entropy gibberish screen
+    "cond_entropy_profile",  # next-event conditional entropy (predictability)
+    "isotonic_calibration",  # PAV calibration via the max-min bin grid
+    "mi_feature_ranking",    # MI(feature; pass bit) filter-method ranking
+    "robust_scale_features", # median/IQR standardization + outlier census
+    "quantile_bucketize",    # equal-frequency binning (ntile total order)
 ]
 
 
@@ -223,7 +232,8 @@ DIAGNOSTIC = {
     "bbit_minhash_error", "blocking_quality",
     # train-per-call oracle-parity diagnostics and in-engine training
     "ivf_ann_topk_distributed", "lang_id_train", "logreg_train",
-    "quality_classifier_gate", "platt_scaling",
+    "quality_classifier_gate", "platt_scaling", "unigram_lm_tokens",
+    "isotonic_calibration",
     # corpus-science curves (whole-corpus prefix/interplay censuses)
     "vocab_growth", "dedup_growth_curve", "dup_quality_profile",
     "dedup_survivor_bias", "cross_source_dups",

@@ -1312,3 +1312,65 @@ def activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").cast("bigint").alias("n_purchases"),
         round_half_up(F.col("n").cast("double") / F.col("nt"), 6).alias("share"),
     )
+
+
+@query(
+    "cond_entropy_profile",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ), tot AS (
+        SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type,
+           CAST(t.n_from AS BIGINT) AS n_from,
+           CAST(count(*) AS BIGINT) AS n_next,
+           floor(-sum(p.n * 1.0 / t.n_from * ln(p.n * 1.0 / t.n_from))
+                 * 10000 + 0.5) / 10000 AS h_nats
+    FROM pairs p JOIN tot t ON p.from_type = t.from_type
+    GROUP BY p.from_type, t.n_from
+    """,
+    section="2.11 conditional next-event entropy (sequence predictability profile)",
+)
+def cond_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H(next | current = c) per event type — the predictability
+    roll-up of the first-order Markov model `transition_matrix`
+    estimates: a type with near-zero conditional entropy funnels users
+    deterministically (or marks instrumentation duplication), one near
+    ln(n_next) branches uniformly. Same per-user lead() pass and
+    dim-sized pair counts as the transition matrix ((ts, event_id)
+    tie order, one user_id shuffle); entropy sums integer-count
+    ratios — ln of identical doubles — over at most |event_types|
+    terms, 4dp-pinned because group order differs per engine."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    p = F.col("n") * F.lit(1.0) / F.col("n_from")
+    return (
+        pairs.join(tot, "from_type")
+        .groupBy("from_type", "n_from")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_next"),
+            round_half_up(-F.sum(p * F.log(p)), 4).alias("h_nats"),
+        )
+        .select(
+            "from_type",
+            F.col("n_from").cast("bigint").alias("n_from"),
+            "n_next",
+            "h_nats",
+        )
+    )

@@ -1771,3 +1771,234 @@ def platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "isotonic_calibration",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_CTES},
+    {_LINEAR_SCORE_CTES},
+    ijt AS (
+        SELECT s.quality,
+               f.ok_nwords * f.ok_meanlen * f.ok_maxlen * f.ok_stop AS y
+        FROM lscored s JOIN flags f ON f.doc_id = s.doc_id
+    ), ib AS MATERIALIZED (
+        SELECT CAST(floor(quality * 100) AS BIGINT) AS bin,
+               count(*) AS w, sum(y) AS ones
+        FROM ijt GROUP BY 1
+    ), ipb AS MATERIALIZED (
+        SELECT bin, w, ones,
+               sum(w) OVER (ORDER BY bin) AS cw,
+               sum(ones) OVER (ORDER BY bin) AS cy
+        FROM ib
+    ), iseg AS MATERIALIZED (
+        SELECT j.bin AS jb, k.bin AS kb,
+               (k.cy - (j.cy - j.ones)) * 1.0 / (k.cw - (j.cw - j.w)) AS avgr
+        FROM ipb j JOIN ipb k ON j.bin <= k.bin
+    ), ilvl AS (
+        SELECT i.bin, s.jb, min(s.avgr) AS mn
+        FROM ipb i JOIN iseg s ON s.jb <= i.bin AND s.kb >= i.bin
+        GROUP BY i.bin, s.jb
+    ), iso AS (SELECT bin, max(mn) AS g FROM ilvl GROUP BY bin)
+    SELECT b.bin,
+           CAST(b.w AS BIGINT) AS n_docs,
+           floor(b.ones * 1.0 / b.w * 10000 + 0.5) / 10000 AS rate_raw,
+           floor(iso.g * 10000 + 0.5) / 10000 AS rate_iso
+    FROM ib b JOIN iso ON iso.bin = b.bin
+    """,
+    section="2.11 isotonic (PAV) score calibration — the non-parametric twin of Platt",
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression calibration of the shared linear scorer
+    against the shared Gopher pass bit — the NON-PARAMETRIC
+    alternative a team reaches for when Platt's sigmoid shape is
+    wrong (Zadrozny & Elkan 2002, public). Computed over the percent
+    score bins via the max-min characterization of the PAV solution
+    (Barlow et al. 1972): fitted rate at bin i =
+    max over j <= i of min over k >= i of the weighted pass rate of
+    bins j..k — which needs only exact-integer prefix sums and a
+    bin-grid join, so unlike the sequential pool-adjacent-violators
+    loop it is order-free, engine-exact (every avg is a ratio of
+    integers; min/max over identical doubles), and embarrassingly
+    parallel. Scale: one corpus pass to bin, then all work is on the
+    BIN grid (B <= 100 rows, O(B^3) grid rows) — broadcast-sized.
+    Output: per bin, the raw pass rate and the isotonic
+    (non-decreasing) calibrated rate."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    lab = _gopher_flags(d).select(
+        "doc_id",
+        (
+            F.col("ok_nwords")
+            * F.col("ok_meanlen")
+            * F.col("ok_maxlen")
+            * F.col("ok_stop")
+        ).alias("y"),
+    )
+    s = _linear_scored(d).select("doc_id", "quality")
+    ib = (
+        s.join(lab, "doc_id")
+        .groupBy(F.floor(F.col("quality") * 100).cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("w"), F.sum("y").alias("ones"))
+        .localCheckpoint(eager=True)  # bin-grid frame, consumed 4x below
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ipb = ib.select(
+        "bin", "w", "ones",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("ones").over(wcum).alias("cy"),
+    )
+    j = ipb.select(
+        F.col("bin").alias("jb"),
+        (F.col("cy") - (F.col("cy") - F.col("ones"))).alias("_drop"),
+        (F.col("cy") - F.col("ones")).alias("cy0"),
+        (F.col("cw") - F.col("w")).alias("cw0"),
+    ).drop("_drop")
+    k = ipb.select(
+        F.col("bin").alias("kb"), F.col("cy").alias("kcy"), F.col("cw").alias("kcw")
+    )
+    iseg = (
+        j.join(k, F.col("jb") <= F.col("kb"))
+        .select(
+            "jb", "kb",
+            (
+                (F.col("kcy") - F.col("cy0"))
+                * F.lit(1.0)
+                / (F.col("kcw") - F.col("cw0"))
+            ).alias("avgr"),
+        )
+    )
+    i = ipb.select(F.col("bin").alias("bin"))
+    ilvl = (
+        i.join(iseg, (F.col("jb") <= F.col("bin")) & (F.col("kb") >= F.col("bin")))
+        .groupBy("bin", "jb")
+        .agg(F.min("avgr").alias("mn"))
+    )
+    iso = ilvl.groupBy("bin").agg(F.max("mn").alias("g"))
+    return ib.join(iso, "bin").select(
+        "bin",
+        F.col("w").cast("bigint").alias("n_docs"),
+        round_half_up(F.col("ones") * 1.0 / F.col("w"), 4).alias("rate_raw"),
+        round_half_up(F.col("g"), 4).alias("rate_iso"),
+    )
+
+
+@query(
+    "mi_feature_ranking",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_CTES},
+    mfeat AS (
+        SELECT d.doc_id,
+               f.ok_nwords * f.ok_meanlen * f.ok_maxlen * f.ok_stop AS y,
+               CASE WHEN regexp_matches(d.text, '[0-9]') THEN 1 ELSE 0 END
+                   AS has_digit,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_en,
+               CASE WHEN d.n_chars >= 500 THEN 1 ELSE 0 END AS long_doc,
+               CASE WHEN len(string_split(d.text, ' ')) >= 60 THEN 1 ELSE 0 END
+                   AS many_words
+        FROM documents d JOIN flags f ON f.doc_id = d.doc_id
+    ), stk AS (
+        SELECT 'has_digit' AS feature, has_digit AS f, y FROM mfeat
+        UNION ALL SELECT 'is_en', is_en, y FROM mfeat
+        UNION ALL SELECT 'long_doc', long_doc, y FROM mfeat
+        UNION ALL SELECT 'many_words', many_words, y FROM mfeat
+    ), cnt AS (
+        SELECT feature, count(*) AS n, sum(f) AS n1, sum(y) AS ny,
+               sum(f * y) AS n11
+        FROM stk GROUP BY feature
+    ), tab AS (
+        SELECT feature, n, n1, ny, n11,
+               n1 - n11 AS n10, ny - n11 AS n01, n - n1 - ny + n11 AS n00
+        FROM cnt
+    )
+    SELECT feature,
+           CAST(n1 AS BIGINT) AS n_pos,
+           floor((CASE WHEN n11 > 0 THEN n11 * 1.0 / n
+                       * ln(n * 1.0 * n11 / (n1 * 1.0 * ny)) ELSE 0.0 END
+                + CASE WHEN n10 > 0 THEN n10 * 1.0 / n
+                       * ln(n * 1.0 * n10 / (n1 * 1.0 * (n - ny))) ELSE 0.0 END
+                + CASE WHEN n01 > 0 THEN n01 * 1.0 / n
+                       * ln(n * 1.0 * n01 / ((n - n1) * 1.0 * ny)) ELSE 0.0 END
+                + CASE WHEN n00 > 0 THEN n00 * 1.0 / n
+                       * ln(n * 1.0 * n00 / ((n - n1) * 1.0 * (n - ny)))
+                  ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS mi_nats
+    FROM tab
+    """,
+    section="2.11 mutual-information feature ranking (filter-method feature selection)",
+)
+def mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; quality-pass) in nats for a panel
+    of cheap binary document features against the shared Gopher
+    all-pass bit — filter-method feature selection (Guyon & Elisseeff
+    2003, public): the ranking tells a gate-builder which signals
+    carry label information BEFORE any model trains, and near-zero MI
+    flags a feature as dead weight. Each feature's 2x2 contingency
+    table is exact integers from one corpus pass (stack -> one keyed
+    agg); MI is a FIXED-ORDER four-term sum of integer-ratio
+    logarithms (zero cells contribute zero by the standard
+    convention), 6dp-pinned. Products like n*n11 stay under 2^53 far
+    past fixture scale — at true 100 TB row counts, widen to
+    ln-difference form. Scale: one scan, 4 rows per doc into a
+    4-group agg."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = _gopher_flags(d).select(
+        "doc_id",
+        (
+            F.col("ok_nwords")
+            * F.col("ok_meanlen")
+            * F.col("ok_maxlen")
+            * F.col("ok_stop")
+        ).alias("y"),
+    )
+    feat = d.join(lab, "doc_id").select(
+        "y",
+        F.when(F.col("text").rlike("[0-9]"), 1).otherwise(0).alias("has_digit"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        F.when(F.col("n_chars") >= 500, 1).otherwise(0).alias("long_doc"),
+        F.when(F.size(F.split("text", " ")) >= 60, 1)
+        .otherwise(0)
+        .alias("many_words"),
+    )
+    stk = feat.select(
+        F.expr(
+            "stack(4, 'has_digit', has_digit, 'is_en', is_en, "
+            "'long_doc', long_doc, 'many_words', many_words)"
+        ).alias("feature", "f"),
+        "y",
+    )
+    tab = (
+        stk.groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("f").alias("n1"),
+            F.sum("y").alias("ny"),
+            F.sum(F.col("f") * F.col("y")).alias("n11"),
+        )
+        .select(
+            "feature", "n", "n1", "ny", "n11",
+            (F.col("n1") - F.col("n11")).alias("n10"),
+            (F.col("ny") - F.col("n11")).alias("n01"),
+            (F.col("n") - F.col("n1") - F.col("ny") + F.col("n11")).alias("n00"),
+        )
+    )
+
+    def term(nab, na, nb):
+        return F.when(
+            nab > 0,
+            nab * F.lit(1.0) / F.col("n")
+            * F.log(F.col("n") * F.lit(1.0) * nab / (na * F.lit(1.0) * nb)),
+        ).otherwise(F.lit(0.0))
+
+    n, n1, ny = F.col("n"), F.col("n1"), F.col("ny")
+    mi = (
+        term(F.col("n11"), n1, ny)
+        + term(F.col("n10"), n1, n - ny)
+        + term(F.col("n01"), n - n1, ny)
+        + term(F.col("n00"), n - n1, n - ny)
+    )
+    return tab.select(
+        "feature",
+        F.col("n1").cast("bigint").alias("n_pos"),
+        round_half_up(mi, 6).alias("mi_nats"),
+    )

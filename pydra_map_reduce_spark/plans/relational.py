@@ -1564,3 +1564,176 @@ def id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_missing"),
         "n_gap_runs",
     )
+
+
+@query(
+    "robust_scale_features",
+    oracle="""
+    WITH cb AS (
+        SELECT c_nationkey, c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ), rk AS (
+        SELECT c_nationkey, cents,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY cents, c_custkey) AS rn,
+               count(*) OVER (PARTITION BY c_nationkey) AS cnt
+        FROM cb
+    ), qs AS (
+        SELECT c_nationkey, max(cnt) AS n_custs,
+               max(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT)
+                        THEN cents END) AS q25,
+               max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT)
+                        THEN cents END) AS med,
+               max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT)
+                        THEN cents END) AS q75
+        FROM rk GROUP BY c_nationkey
+    ), oc AS (
+        SELECT cb.c_nationkey,
+               sum(CASE WHEN abs((cb.cents - q.med) * 1.0
+                                 / (q.q75 - q.q25)) > 1.5
+                        THEN 1 ELSE 0 END) AS n_outliers
+        FROM cb JOIN qs q ON q.c_nationkey = cb.c_nationkey
+        WHERE q.q75 > q.q25
+        GROUP BY cb.c_nationkey
+    )
+    SELECT n.n_name,
+           CAST(q.n_custs AS BIGINT) AS n_custs,
+           q.med / 100.0 AS median_bal,
+           (q.q75 - q.q25) / 100.0 AS iqr,
+           CAST(coalesce(oc.n_outliers, 0) AS BIGINT) AS n_outliers
+    FROM qs q
+    JOIN nation n ON n.n_nationkey = q.c_nationkey
+    LEFT JOIN oc ON oc.c_nationkey = q.c_nationkey
+    """,
+    section="2.11 robust feature scaling (median/IQR standardization + outlier census)",
+)
+def robust_scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust standardization of a numeric feature per
+    group — the feature-hygiene scaler that, unlike z-scoring
+    (anomaly_zscore), is immune to the very outliers it is asked to
+    find. Quantiles are DISCRETE (value at rank ceil(q*n), ties broken
+    by c_custkey) over exact integer cents, so med/q25/q75 are
+    integers, the scaled value (cents - med)/IQR is a ratio of
+    integers — bit-identical across engines with NO interpolation
+    (an interpolated quantile of 2dp money lands exactly on the .xx5
+    half-way boundary the round-5 postmortem documents) — and the
+    |scaled| > 1.5 Tukey-style gate compares identical doubles.
+    Scale: one nationkey-partitioned window pass (rank + count), a
+    25-group agg, and a broadcast join of the 25-row quantile frame
+    back onto customers."""
+    from ..operators.textops import cents
+
+    c = load_table(spark, sf_dir, "customer")
+    cb = c.select(
+        "c_nationkey", "c_custkey", cents("c_acctbal").alias("cents")
+    )
+    from pyspark.sql.window import Window
+
+    wq = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    wc = Window.partitionBy("c_nationkey")
+    rk = cb.select(
+        "c_nationkey", "cents",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+
+    def at(q):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("cnt")).cast("bigint"),
+                F.col("cents"),
+            )
+        )
+
+    qs = rk.groupBy("c_nationkey").agg(
+        F.max("cnt").alias("n_custs"),
+        at(0.25).alias("q25"),
+        at(0.50).alias("med"),
+        at(0.75).alias("q75"),
+    )
+    scaled = (F.col("cents") - F.col("med")) * F.lit(1.0) / (
+        F.col("q75") - F.col("q25")
+    )
+    oc = (
+        cb.join(F.broadcast(qs), "c_nationkey")
+        .filter(F.col("q75") > F.col("q25"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.when(F.abs(scaled) > 1.5, 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        qs.join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+            "c_nationkey",
+        )
+        .join(oc, "c_nationkey", "left")
+        .select(
+            "n_name",
+            F.col("n_custs").cast("bigint").alias("n_custs"),
+            (F.col("med") / 100.0).alias("median_bal"),
+            ((F.col("q75") - F.col("q25")) / 100.0).alias("iqr"),
+            F.coalesce(F.col("n_outliers"), F.lit(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+_QB_BUCKETS = 8
+
+
+@query(
+    "quantile_bucketize",
+    oracle=f"""
+    WITH nt AS (
+        SELECT c_acctbal,
+               ntile({_QB_BUCKETS}) OVER (ORDER BY c_acctbal, c_custkey)
+                   AS bucket
+        FROM customer
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(c_acctbal) AS lo,
+           max(c_acctbal) AS hi,
+           floor(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
+                 / count(*) * 10000 + 0.5) / 10000 AS avg_bal
+    FROM nt GROUP BY bucket
+    """,
+    section="2.11 equal-frequency feature binning (quantile bucketizer)",
+)
+def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning of a numeric feature into
+    {_QB_BUCKETS} buckets (the QuantileDiscretizer/feature-binning
+    step of a training pipeline) with per-bucket boundaries and
+    means. ntile over the (value, key) total order makes bucket
+    assignment deterministic through ties in both engines; means sum
+    fixed-point cents so summation order cannot move the 4th decimal.
+    Scale honesty: ntile is a GLOBAL sort — fine for the exact,
+    oracle-checkable semantics certified here; the 100 TB path
+    computes approximate boundaries (approx_percentile) and
+    broadcast-joins them as range predicates, trading exact
+    equal-frequency for a single scan (the approx_percentile query is
+    that path's registered twin)."""
+    from ..operators.textops import cents
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    nt = c.select(
+        "c_acctbal",
+        F.ntile(_QB_BUCKETS)
+        .over(Window.orderBy("c_acctbal", "c_custkey"))
+        .alias("bucket"),
+    )
+    return nt.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        round_half_up(
+            F.sum(cents("c_acctbal")) / 100.0 / F.count(F.lit(1)), 4
+        ).alias("avg_bal"),
+    )

@@ -3453,3 +3453,169 @@ def unigram_lm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, k, float(v)) for i, (k, v) in enumerate(top)],
         schema="rank int, piece string, p double",
     )
+
+
+_TDS_MAX_DF = 100   # posting-list cap (stop-term drop), the Jaccard-family bound
+_TDS_THRESHOLD = 0.5
+
+
+@query(
+    "tfidf_doc_similarity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY doc_id, w
+    ), kept AS (
+        SELECT w, count(*) AS df FROM tok GROUP BY w
+        HAVING count(*) <= {_TDS_MAX_DF}
+    ), wt AS MATERIALIZED (
+        SELECT t.doc_id, t.w,
+               floor(t.tf * ln((SELECT count(*) FROM documents) * 1.0 / k.df)
+                     * 1000000 + 0.5) / 1000000 AS wgt
+        FROM tok t JOIN kept k ON k.w = t.w
+    ), nrm AS (
+        SELECT doc_id, floor(sum(wgt * wgt) * 1000000 + 0.5) / 1000000 AS n2
+        FROM wt GROUP BY doc_id
+    ), dp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               floor(sum(a.wgt * b.wgt) * 1000000 + 0.5) / 1000000 AS dot
+        FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_a, d.doc_b,
+           floor(d.dot / sqrt(na.n2 * nb.n2) * 10000 + 0.5) / 10000 AS cosine
+    FROM dp d
+    JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b
+    WHERE d.dot / sqrt(na.n2 * nb.n2) >= {_TDS_THRESHOLD}
+    """,
+    section="2.11 sparse lexical doc-doc similarity (tf-idf posting-list cosine)",
+)
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-document cosine over SPARSE tf-idf vectors via the
+    inverted index — the lexical near-dup/mirror detector that
+    complements the dense-embedding pairs (allpairs_similarity) and
+    the set-based Jaccard family: tf-idf cosine catches documents
+    that share the same RARE vocabulary with different word order,
+    which shingle Jaccard dilutes. The dot products come from a
+    posting-list self-join on shared terms (the DISCO/all-pairs
+    bound, public): a term's posting list caps at df <= {_TDS_MAX_DF}
+    — dropping ubiquitous terms both bounds every join bucket AND is
+    the standard stop-term hygiene, so candidate work is
+    sum_w df_w^2 over kept terms, never corpus^2. idf = ln(N/df) is
+    6dp-pinned per (doc, term) BEFORE any product, so both engines'
+    dot/norm reductions consume bit-identical doubles; dot and norm^2
+    are 6dp-pinned after their (order-dependent) sums, and the 0.5
+    gate sits far from fixture values at every SF."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    kept = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _TDS_MAX_DF)
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    wt = (
+        tok.join(kept, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            round_half_up(
+                F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df")), 6
+            ).alias("wgt"),
+        )
+        .localCheckpoint(eager=True)  # consumed 3x: norms + both join sides
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        round_half_up(F.sum(F.col("wgt") * F.col("wgt")), 6).alias("n2")
+    )
+    a = wt.select(F.col("doc_id").alias("doc_a"), "w", F.col("wgt").alias("wa"))
+    b = wt.select(F.col("doc_id").alias("doc_b"), "w", F.col("wgt").alias("wb"))
+    dp = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(round_half_up(F.sum(F.col("wa") * F.col("wb")), 6).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    raw = F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2"))
+    return (
+        dp.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(raw >= _TDS_THRESHOLD)
+        .select("doc_a", "doc_b", round_half_up(raw, 4).alias("cosine"))
+    )
+
+
+_CEG_THRESHOLD = 3.0  # nats; gate applied to the PINNED entropy
+
+
+@query(
+    "char_entropy_gate",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, source, c, count(*) AS k
+        FROM (SELECT doc_id, source, unnest(string_split(text, '')) AS c
+              FROM documents)
+        WHERE c <> ' '
+        GROUP BY doc_id, source, c
+    ), ent AS (
+        SELECT doc_id, source,
+               floor((ln(sum(k)) - sum(k * ln(k)) / sum(k)) * 1000000 + 0.5)
+                   / 1000000 AS h
+        FROM ch GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h >= {_CEG_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           floor(sum(CASE WHEN h >= {_CEG_THRESHOLD} THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 10000 + 0.5) / 10000 AS pass_rate,
+           floor(avg(h) * 10000 + 0.5) / 10000 AS avg_entropy
+    FROM ent GROUP BY source
+    """,
+    section="2.11 character-entropy quality gate (gibberish/low-diversity screen)",
+)
+def char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the (non-space) character
+    distribution — the cheap gibberish screen a corpus gate runs
+    before anything tokenizes: binary blobs and aaaa-spam sit far
+    below natural text, base64/hex noise far above a narrow alphabet.
+    H = ln(n) - sum(k ln k)/n from exact integer char counts, so the
+    only float inputs are ln of identical integers; the per-doc sum is
+    order-dependent and therefore 6dp-PINNED, and the >= {_CEG_THRESHOLD}
+    gate is applied to the PINNED value — both engines compare the
+    same double, so the gate cannot straddle (the round-5 lesson,
+    applied at the comparison instead of after it). Scale: one
+    explode + two keyed aggs; the per-doc state is alphabet-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = (
+        d.select(
+            "doc_id", "source", F.explode(F.split("text", "")).alias("c")
+        )
+        .filter(F.col("c") != " ")
+        .groupBy("doc_id", "source", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    ent = ch.groupBy("doc_id", "source").agg(
+        round_half_up(
+            F.log(F.sum("k")) - F.sum(F.col("k") * F.log("k")) / F.sum("k"), 6
+        ).alias("h")
+    )
+    passed = F.when(F.col("h") >= _CEG_THRESHOLD, 1).otherwise(0)
+    return ent.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(passed).cast("bigint").alias("n_pass"),
+        round_half_up(F.sum(passed) * 1.0 / F.count(F.lit(1)), 4).alias(
+            "pass_rate"
+        ),
+        round_half_up(F.avg("h"), 4).alias("avg_entropy"),
+    )
