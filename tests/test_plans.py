@@ -1005,3 +1005,78 @@ def test_streaming_dedup_batch_keyed_distinct(spark):
     plan = _executed(df)
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "HashAggregate" in plan, plan[:3000]
+
+
+def test_round13_additions_no_cartesian(spark):
+    """The round-13 family must stay keyed/broadcast: the minhash
+    pipeline composition (banded equi-joins + CC label joins), tf-idf
+    posting self-join (term-keyed), isotonic's bin-grid joins
+    (range-predicate over a <=100-row bin frame is broadcast-sized,
+    never corpus-sided), robust scaling (broadcast 25-row quantile
+    frame), and the unigram trainer (map-literal lookups — no joins
+    against the piece table at all)."""
+    for name in (
+        "dedup_clusters_minhash", "tfidf_doc_similarity",
+        "char_entropy_gate", "cond_entropy_profile",
+        "mi_feature_ranking", "robust_scale_features",
+        "quantile_bucketize", "unigram_lm_tokens",
+    ):
+        plan = _executed(REGISTRY[name].fn(spark, _SF0001_DIR))
+        assert "CartesianProduct" not in plan, (name, plan[:3000])
+
+
+def test_robust_scale_quantiles_broadcast(spark):
+    """The 25-row per-nation quantile frame must broadcast back onto
+    customers (shuffling the fact side for a dim-sized join is the
+    exact anti-pattern this query documents against)."""
+    plan = _executed(REGISTRY["robust_scale_features"].fn(spark, _SF0001_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_isotonic_rate_is_nondecreasing(spark):
+    """The PAV fit must be monotone non-decreasing in the score bin —
+    the defining property of isotonic regression (if this breaks, the
+    max-min grid is indexed wrong, even if the differential happens
+    to agree because the oracle is wrong the same way)."""
+    rows = (
+        REGISTRY["isotonic_calibration"]
+        .fn(spark, _SF0001_DIR)
+        .orderBy("bin")
+        .collect()
+    )
+    assert len(rows) >= 2
+    iso = [r["rate_iso"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:])), iso
+    # and it must actually differ from the raw rates somewhere
+    # (otherwise the fixture exercises nothing)
+    assert any(r["rate_iso"] != r["rate_raw"] for r in rows)
+
+
+def test_unigram_lm_probabilities_normalize(spark):
+    """The trained unigram LM must be a probability distribution over
+    the candidate pool (top-20 shown; the full pool sums to ~1 — the
+    top-20 alone must sum to <= 1 + rounding slack) and every piece
+    must be a substring the corpus actually contains."""
+    rows = REGISTRY["unigram_lm_tokens"].fn(spark, _SF0001_DIR).collect()
+    assert len(rows) == 20
+    total = sum(r["p"] for r in rows)
+    assert 0.0 < total <= 1.0 + 1e-4, total
+    assert all(1 <= len(r["piece"]) <= 4 for r in rows)
+    # ranks are 1..20 in p-descending order
+    ps = [r["p"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert all(a >= b for a, b in zip(ps, ps[1:])), ps
+
+
+def test_dedup_clusters_minhash_books_balance(spark):
+    """Per-source bookkeeping must balance (raw = dropped + retained)
+    and the composed pipeline must agree with its own stages: total
+    dropped = (cluster members - clusters) over the portable minhash
+    pair graph that dedup_clusters also consumes."""
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["dedup_clusters_minhash"].fn(spark, _SF0001_DIR).collect()
+    assert all(r["n_raw"] == r["n_dropped"] + r["n_retained"] for r in rows)
+    total_dropped = sum(r["n_dropped"] for r in rows)
+    clusters = REGISTRY["dedup_clusters"].fn(spark, _SF0001_DIR).collect()
+    expected = sum(r["n_members"] - 1 for r in clusters)
+    assert total_dropped == expected, (total_dropped, expected)
