@@ -210,6 +210,10 @@ HEADLINE = [
     "mi_feature_ranking",    # MI(feature; pass bit) filter-method ranking
     "robust_scale_features", # median/IQR standardization + outlier census
     "quantile_bucketize",    # equal-frequency binning (ntile total order)
+    "kmv_distinct_sketch",   # portable KMV/theta distinct sketch + accuracy
+    "zipf_fit",              # rank-frequency log-log OLS (corpus shape)
+    "weighted_sample_aes",   # Efraimidis-Spirakis weighted top-k sample
+    "fellegi_sunter_scores", # record-linkage m/u agreement weights
 ]
 
 
@@ -229,7 +233,8 @@ DIAGNOSTIC = {
     # queries price the brute-force truth they compare against)
     "ann_recall", "lsh_recall", "minhash_estimate_error", "pq_recall",
     "quantize_recall", "ndcg_eval", "ivf_cell_profile",
-    "bbit_minhash_error", "blocking_quality",
+    "bbit_minhash_error", "blocking_quality", "kmv_distinct_sketch",
+    "fellegi_sunter_scores",
     # train-per-call oracle-parity diagnostics and in-engine training
     "ivf_ann_topk_distributed", "lang_id_train", "logreg_train",
     "quality_classifier_gate", "platt_scaling", "unigram_lm_tokens",

@@ -1797,3 +1797,64 @@ def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+_WS_K = 50  # weighted-sample size
+
+
+@query(
+    "weighted_sample_aes",
+    oracle=f"""
+    WITH ws AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1) / 4294967297.0) / n_chars AS lnk
+        FROM documents WHERE n_chars > 0
+    ), sel AS (
+        SELECT doc_id, n_chars, lnk FROM ws
+        ORDER BY lnk DESC, doc_id LIMIT {_WS_K}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY lnk DESC, doc_id) AS BIGINT)
+               AS rank,
+           doc_id,
+           CAST(n_chars AS BIGINT) AS weight,
+           sign(lnk) * floor(abs(lnk) * 1000000 + 0.5) / 1000000 + 0.0
+               AS log_key
+    FROM sel
+    """,
+    section="2.11 weighted sampling without replacement (Efraimidis-Spirakis, deterministic keys)",
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement by the one-pass
+    A-ES key method (Efraimidis & Spirakis 2006, public): each item
+    draws u in (0,1] and keeps key u^(1/w); the k largest keys are a
+    weighted sample — the distributed answer to "sample documents
+    proportionally to length/quality" that naive per-row Bernoulli
+    cannot give at a fixed k. Determinism: u comes from the md5-prefix
+    hash of doc_id ((h+1)/2^32+1 in (0,1]), so the draw is
+    reproducible across engines and epochs (the corpus_shuffle
+    convention); ranking uses ln(u)/w — monotone in the key, no
+    exponentiation — with doc_id tie-break. Scale: one scan + TakeOrdered
+    top-k (combiner-style, never a global sort); the rank window runs
+    on the k-row result."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    lnk = F.log((h + 1) / F.lit(4294967297.0)) / F.col("n_chars")
+    sel = (
+        d.select("doc_id", "n_chars", lnk.alias("lnk"))
+        .orderBy(F.col("lnk").desc(), "doc_id")
+        .limit(_WS_K)
+    )
+    return sel.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("lnk").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rank"),
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (signed_round_half_up(F.col("lnk"), 6) + F.lit(0.0)).alias("log_key"),
+    )

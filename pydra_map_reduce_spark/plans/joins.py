@@ -1157,3 +1157,117 @@ def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_completeness"),
         )
     )
+
+
+@query(
+    "fellegi_sunter_scores",
+    oracle=f"""
+    WITH s AS (
+        SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+        WHERE p_partkey < {_BQ_SAMPLE_KEYS}
+    ), pr AS (
+        SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                    THEN 1 ELSE 0 END AS m,
+               CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS ab,
+               CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS at,
+               CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS asz
+        FROM s a JOIN s b ON a.p_partkey < b.p_partkey
+    ), c AS (
+        SELECT sum(m) AS nm, count(*) - sum(m) AS nu,
+               sum(ab * m) AS ab_m, sum(ab * (1 - m)) AS ab_u,
+               sum(at * m) AS at_m, sum(at * (1 - m)) AS at_u,
+               sum(asz * m) AS asz_m, sum(asz * (1 - m)) AS asz_u
+        FROM pr
+    ), fields AS (
+        SELECT 'brand' AS field, ab_m AS a_m, ab_u AS a_u, nm, nu FROM c
+        UNION ALL SELECT 'type', at_m, at_u, nm, nu FROM c
+        UNION ALL SELECT 'size', asz_m, asz_u, nm, nu FROM c
+    ), probs AS (
+        SELECT field,
+               (a_m + 0.5) / (nm + 1.0) AS m_prob,
+               (a_u + 0.5) / (nu + 1.0) AS u_prob
+        FROM fields
+    )
+    SELECT field,
+           floor(m_prob * 1000000 + 0.5) / 1000000 AS m_prob,
+           floor(u_prob * 1000000 + 0.5) / 1000000 AS u_prob,
+           sign(ln(m_prob / u_prob))
+             * floor(abs(ln(m_prob / u_prob)) * 10000 + 0.5) / 10000 + 0.0
+               AS w_agree,
+           sign(ln((1 - m_prob) / (1 - u_prob)))
+             * floor(abs(ln((1 - m_prob) / (1 - u_prob))) * 10000 + 0.5)
+               / 10000 + 0.0 AS w_disagree
+    FROM probs
+    """,
+    section="2.11 Fellegi-Sunter record-linkage weights (m/u estimation over a labeled sample)",
+)
+def fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate the Fellegi-Sunter (1969, public) match/unmatch
+    agreement weights that turn field comparisons into a record-
+    linkage score — the probabilistic layer on top of the blocking
+    (`blocking_quality`) and fuzzy-join (`fuzzy_blocked_join`)
+    machinery: per field, m = P(agree | match) and u = P(agree |
+    non-match), with the log-likelihood-ratio weights ln(m/u)
+    (agreement) and ln((1-m)/(1-u)) (disagreement) a linker sums per
+    candidate pair. Ground-truth match = the family's edit-distance
+    rule (levenshtein <= 4) over the SAME bounded key sample the
+    blocking evaluation prices (all-pairs truth on a sample, never
+    corpus^2); probabilities carry +0.5/+1 Laplace smoothing so a
+    never-agreeing field yields finite weights instead of ln(0)
+    (standard practice, and engine-exact: halves are exact doubles).
+    All counts integer-exact; ratios and ln are identical doubles;
+    outputs pinned (6dp probs, 4dp signed weights)."""
+    s = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < _BQ_SAMPLE_KEYS)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pr = a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey")).select(
+        F.when(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4, 1
+        ).otherwise(0).alias("m"),
+        F.when(F.col("a.p_brand") == F.col("b.p_brand"), 1)
+        .otherwise(0)
+        .alias("ab"),
+        F.when(F.col("a.p_type") == F.col("b.p_type"), 1)
+        .otherwise(0)
+        .alias("at"),
+        F.when(F.col("a.p_size") == F.col("b.p_size"), 1)
+        .otherwise(0)
+        .alias("asz"),
+    )
+    c = pr.agg(
+        F.sum("m").alias("nm"),
+        (F.count(F.lit(1)) - F.sum("m")).alias("nu"),
+        F.sum(F.col("ab") * F.col("m")).alias("ab_m"),
+        F.sum(F.col("ab") * (1 - F.col("m"))).alias("ab_u"),
+        F.sum(F.col("at") * F.col("m")).alias("at_m"),
+        F.sum(F.col("at") * (1 - F.col("m"))).alias("at_u"),
+        F.sum(F.col("asz") * F.col("m")).alias("asz_m"),
+        F.sum(F.col("asz") * (1 - F.col("m"))).alias("asz_u"),
+    )
+    fields = c.select(
+        F.expr(
+            "stack(3, 'brand', ab_m, ab_u, 'type', at_m, at_u, "
+            "'size', asz_m, asz_u)"
+        ).alias("field", "a_m", "a_u"),
+        "nm",
+        "nu",
+    )
+    m_prob = (F.col("a_m") + 0.5) / (F.col("nm") + 1.0)
+    u_prob = (F.col("a_u") + 0.5) / (F.col("nu") + 1.0)
+    from ..operators.textops import signed_round_half_up
+
+    return fields.select(
+        "field",
+        round_half_up(m_prob, 6).alias("m_prob"),
+        round_half_up(u_prob, 6).alias("u_prob"),
+        (signed_round_half_up(F.log(m_prob / u_prob), 4) + F.lit(0.0)).alias(
+            "w_agree"
+        ),
+        (
+            signed_round_half_up(F.log((1 - m_prob) / (1 - u_prob)), 4)
+            + F.lit(0.0)
+        ).alias("w_disagree"),
+    )

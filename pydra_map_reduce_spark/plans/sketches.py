@@ -612,3 +612,88 @@ def bloom_filter_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_pos", "n_false_neg", "fp_rate",
         )
     )
+
+
+_KMV_K = 64
+
+
+@query(
+    "kmv_distinct_sketch",
+    oracle=f"""
+    WITH hx AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM events
+    ), rk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hx
+    ), kmv AS (
+        SELECT event_type, count(*) AS nh, max(h) AS hmax,
+               CASE WHEN count(*) < {_KMV_K} THEN count(*) * 1.0
+                    ELSE ({_KMV_K} - 1) * 4294967296.0 / max(h) END AS est
+        FROM rk WHERE rn <= {_KMV_K} GROUP BY event_type
+    ), ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           floor(k.est * 10000 + 0.5) / 10000 AS n_est,
+           floor(abs(k.est - e.n_exact) / e.n_exact * 10000 + 0.5) / 10000
+               AS rel_err,
+           CAST(k.nh AS BIGINT) AS k_used
+    FROM ex e JOIN kmv k ON k.event_type = e.event_type
+    """,
+    section="2.11 portable KMV/theta distinct sketch (accuracy report vs exact)",
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    the bottom-k/theta-sketch family, public) beside the exact truth —
+    the third portable cardinality structure after the HLL registers
+    and inclusion-exclusion merge: KMV keeps the {_KMV_K} smallest
+    hash values per group and estimates D = (K-1) * 2^32 / h_(K),
+    falling back to the exact hash count when a group has fewer than
+    K distinct hashes (the standard small-set rule). Everything is a
+    pure function of the md5-prefix hash (the portable-sketch
+    convention), so the estimate — not just the report — is
+    oracle-checked bit for bit; hash collisions merge by design and
+    are part of the sketch's error budget. Scale: one distinct
+    shuffle on (group, hash), one per-group bottom-K window over the
+    DISTINCT-HASH frame (at most |users| rows, and mergeable
+    bottom-K at 100 TB), state K values per group."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    hx = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    rk = hx.select(
+        "event_type", "h",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("h"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= _KMV_K)
+    est = F.when(
+        F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)) * F.lit(1.0)
+    ).otherwise(F.lit(_KMV_K - 1) * F.lit(4294967296.0) / F.max("h"))
+    kmv = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"),
+        est.alias("est"),
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return ex.join(kmv, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        round_half_up(F.col("est"), 4).alias("n_est"),
+        round_half_up(
+            F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+        F.col("nh").cast("bigint").alias("k_used"),
+    )

@@ -3619,3 +3619,91 @@ def char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         round_half_up(F.avg("h"), 4).alias("avg_entropy"),
     )
+
+
+@query(
+    "zipf_fit",
+    oracle="""
+    WITH wl AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ), rk AS (
+        SELECT ln(row_number() OVER (ORDER BY c DESC, w)) AS x,
+               ln(c) AS y
+        FROM wl
+    ), s AS (
+        SELECT count(*) * 1.0 AS n,
+               floor(sum(x) * 1000000 + 0.5) / 1000000 AS sx,
+               floor(sum(y) * 1000000 + 0.5) / 1000000 AS sy,
+               floor(sum(x * y) * 1000000 + 0.5) / 1000000 AS sxy,
+               floor(sum(x * x) * 1000000 + 0.5) / 1000000 AS sxx,
+               floor(sum(y * y) * 1000000 + 0.5) / 1000000 AS syy
+        FROM rk
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           sign((n * sxy - sx * sy) / (n * sxx - sx * sx))
+             * floor(abs((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                     * 10000 + 0.5) / 10000 + 0.0 AS slope,
+           sign((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+             * floor(abs((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+                     * 10000 + 0.5) / 10000 + 0.0 AS intercept,
+           floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 10000 + 0.5) / 10000 AS r2
+    FROM s
+    """,
+    section="2.11 Zipf rank-frequency fit (log-log OLS slope, corpus-shape diagnostic)",
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit ln(freq) = slope * ln(rank) + intercept over the full
+    rank-frequency spectrum — the Zipf-law diagnostic (slope near -1
+    for natural language; public corpus-linguistics standard) that
+    complements the count-of-counts spectrum (`token_freq_spectrum`)
+    and Heaps' growth (`vocab_growth`): a corpus whose slope drifts
+    far from its source distribution signals template spam (too
+    steep) or tokenizer damage (too flat). Ranks are deterministic
+    ((freq DESC, word) total order), x/y are ln of exact integers,
+    and each OLS sum is 6dp-pinned BEFORE the closed-form combination
+    (the n*sxy - sx*sy subtraction cancels leading digits, so pinned
+    inputs are what keep both engines on the same double). Scale: one
+    token agg, one vocab-sized window, a 1-row reduction."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    wl = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = wl.select(
+        F.log(
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "w"))
+        ).alias("x"),
+        F.log("c").alias("y"),
+    )
+    s = rk.agg(
+        (F.count(F.lit(1)) * F.lit(1.0)).alias("n"),
+        round_half_up(F.sum("x"), 6).alias("sx"),
+        round_half_up(F.sum("y"), 6).alias("sy"),
+        round_half_up(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+        round_half_up(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        round_half_up(F.sum(F.col("y") * F.col("y")), 6).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (
+        (n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return s.select(
+        n.cast("bigint").alias("n_types"),
+        (textops.signed_round_half_up(slope, 4) + F.lit(0.0)).alias("slope"),
+        (textops.signed_round_half_up(intercept, 4) + F.lit(0.0)).alias(
+            "intercept"
+        ),
+        round_half_up(r2, 4).alias("r2"),
+    )
