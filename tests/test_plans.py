@@ -222,6 +222,21 @@ _GLOBAL_WINDOW_ALLOWED = {
     "shard_pack",
     "corpus_shuffle",
     "vocab_coverage",
+    # LIMIT-bounded: the rank window runs over the TakeOrdered 50-row
+    # sample, never base rows (the rrf_fusion class; docstring)
+    "weighted_sample_aes",
+    # domain-bounded: prefix sums + the bin-grid joins run over the
+    # <=100-row percent-bin aggregate, never base rows (docstring)
+    "isotonic_calibration",
+    # documented global sort: exact equal-frequency binning IS a total
+    # order by definition — the query's docstring names the
+    # approx-boundary broadcast path as the 100 TB twin and certifies
+    # the exact semantics here
+    "quantile_bucketize",
+    # vocab-bounded: the rank-frequency window orders the DISTINCT-word
+    # aggregate (vocab-sized, orders of magnitude below corpus rows;
+    # at extreme vocabs the rank would range-partition — docstring)
+    "zipf_fit",
     # domain-bounded: running max over the DISTINCT p_size aggregate
     # (~50 rows at any corpus scale), not over base rows
     "pareto_frontier",
