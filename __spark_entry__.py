@@ -48,7 +48,8 @@ _DRIVER_PRIORITY = [
     "isotonic_calibration", "mi_feature_ranking",
     "robust_scale_features", "quantile_bucketize",
     "kmv_distinct_sketch", "zipf_fit", "weighted_sample_aes",
-    "fellegi_sunter_scores",
+    "fellegi_sunter_scores", "apriori_triples", "link_prediction_jaccard",
+    "nearest_centroid_classify", "dirichlet_ql_topk",
     # (b) stalest-green fill, oldest driver evidence first
     "vector_quantize",
     "anomaly_zscore", "behavior_profile_topk", "bigram_perplexity",
@@ -60,15 +61,15 @@ _DRIVER_PRIORITY = [
     "mix_apply", "mix_weights", "mr_map_arrow", "mr_partition_map",
     "pagerank", "pii_redact", "pricing_summary", "repetition_ratio",
     "scan_agg_pushdown", "sessionization", "shard_pack",
-    "shard_pack_partitioned", "simhash_portable", "sliding_window",
-    "stratified_sample_hash", "tumbling_window",
+    "shard_pack_partitioned",
 ]
 
 
 # Round-14 rotation queue: compose the r14 window from (1) any r13
 # reds, (2) r14 additions as they land, then (3) the stalest greens
 # oldest-first — the r5 queries this window displaced for r13
-# additions (unicode_normalize, unigram_perplexity, vocab_coverage,
+# additions (simhash_portable, sliding_window, stratified_sample_hash,
+# tumbling_window, unicode_normalize, unigram_perplexity, vocab_coverage,
 # word_cooccurrence), then the r6 cohort (39 queries: ab_test_zscore,
 # compact_small_files, correlated_subquery, dedup_clusters,
 # dedup_clusters_star, distinct_rows, exact_dedup, filter_predicates,

@@ -214,6 +214,10 @@ HEADLINE = [
     "zipf_fit",              # rank-frequency log-log OLS (corpus shape)
     "weighted_sample_aes",   # Efraimidis-Spirakis weighted top-k sample
     "fellegi_sunter_scores", # record-linkage m/u agreement weights
+    "apriori_triples",       # frequent 3-itemsets (monotonicity prune)
+    "link_prediction_jaccard", # neighborhood-Jaccard link candidates
+    "nearest_centroid_classify", # Rocchio centroid classifier (k-NN twin)
+    "dirichlet_ql_topk",     # LM retrieval (Dirichlet-prior smoothing)
 ]
 
 

