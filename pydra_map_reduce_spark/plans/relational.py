@@ -1793,9 +1793,18 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = li.alias("a"), li.alias("b")
     # ONE co-order pair frame feeds everything: the frequent-pair
     # lattice (groupBy) AND both sides of the triple-extension join —
-    # checkpointed so the basket self-join runs once, and so no
-    # corpus-sized broadcast exchange enters the plan (the first-cut
-    # three-way items join built two of them).
+    # pinned so the basket self-join runs once, and so no corpus-sized
+    # broadcast exchange enters the plan (the first-cut three-way
+    # items join built two of them). DISK_ONLY, not localCheckpoint:
+    # the pair frame is corpus-sized (~31M rows on the 10x stress
+    # tier), and heap-pinned checkpoint blocks OOM'd the 1 GB default
+    # driver heap there — serialized disk blocks keep the
+    # compute-once property at any scale while memory stays bounded
+    # (measured on the round-13 stress tier; CacheManager plan-dedup
+    # shares the pin across repeated calls, the shingle-frame
+    # lifecycle rule).
+    from pyspark.storagelevel import StorageLevel
+
     po = (
         a.join(
             b,
@@ -1807,7 +1816,7 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("p_a"),
             F.col("b.l_partkey").alias("p_b"),
         )
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.DISK_ONLY)
     )
     fpairs = (
         po.groupBy("p_a", "p_b")
