@@ -458,3 +458,225 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(j, 4).alias("jaccard"),
         )
     )
+
+
+# Per-center oriented-neighbor cap + candidate support floor
+# (production-tunable pair). CAP=16 bounds candidate generation at
+# C(16,2)·|V| wedge pairs (~2.4M at sf0.1) — sized so the map-side
+# partial-agg hash maps of 32 concurrent tasks fit the 1 GB default
+# driver heap (CAP=32 quadrupled the volume and OOM'd it). SUP=2 is
+# the monotonicity-style prune (the apriori_triples pattern) that
+# bounds the exact-rescore stage: only pairs with >= 2 independent
+# capped wedges are rescored (64k of 2.2M raw candidate pairs at
+# sf0.1).
+_LP_CAP = 16
+_LP_SUP = 2
+
+
+@query(
+    "link_prediction_capped",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), nbr AS (
+        SELECT u AS node, v AS nb FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+        SELECT node, count(*) AS d FROM nbr GROUP BY node
+    ), ornt AS (
+        SELECT n.node AS z, n.nb AS x, dx.d AS dx
+        FROM nbr n
+        JOIN deg dz ON dz.node = n.node
+        JOIN deg dx ON dx.node = n.nb
+        WHERE dz.d < dx.d OR (dz.d = dx.d AND n.node < n.nb)
+    ), capped AS (
+        SELECT z, x FROM (
+            SELECT z, x,
+                   row_number() OVER (PARTITION BY z ORDER BY dx, x) AS rk
+            FROM ornt)
+        WHERE rk <= {_LP_CAP}
+    ), candpairs AS (
+        SELECT a.x AS x, b.x AS y, count(*) AS cc
+        FROM capped a JOIN capped b ON a.z = b.z AND a.x < b.x
+        GROUP BY a.x, b.x
+    ), cand AS (
+        SELECT c.x, c.y FROM candpairs c
+        WHERE cc >= {_LP_SUP}
+          AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.x AND e.v = c.y)
+    ), rescored AS (
+        SELECT c.x, c.y, count(*) AS common
+        FROM cand c
+        JOIN nbr a ON a.node = c.x
+        JOIN nbr b ON b.node = c.y AND b.nb = a.nb
+        GROUP BY c.x, c.y
+    )
+    SELECT x, y, CAST(c.common AS BIGINT) AS common,
+           floor(c.common * 1.0 / (dx.d + dy.d - c.common) * 10000 + 0.5)
+               / 10000 AS jaccard
+    FROM rescored c
+    JOIN deg dx ON dx.node = c.x
+    JOIN deg dy ON dy.node = c.y
+    ORDER BY c.common * 1.0 / (dx.d + dy.d - c.common) DESC, x, y
+    LIMIT 20
+    """,
+    section="2.11 link prediction at scale (oriented capped candidates + exact rescore, full graph)",
+)
+def link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`link_prediction_jaccard`'s production path (r13 verdict next
+    #2), on the FULL co-purchase graph — no node-sample bound. The
+    shape is the engine's standard candidate-generation + exact-verify
+    split (the minhash-band / ngram-inverted-index rule, applied to
+    graphs):
+
+    1. **Candidate generation — degree-oriented capped wedges.** A
+       wedge x–z–y is generated only from centers z with (deg, id)
+       lexicographically below both endpoints, and each center
+       contributes at most _LP_CAP oriented neighbors (deterministic
+       rank: (deg(nb), nb) ascending). Cost is Σ min(|out(z)|, CAP)²
+       ≤ CAP²·|V| — LINEAR in nodes, vs the Σ deg² of exact wedge
+       counting (~3e8 at sf0.1, intractable in the 1 GB local heap
+       and hub-quadratic on power-law graphs).
+    2. **Support prune.** Only pairs with ≥ _LP_SUP independent
+       capped wedges advance (the apriori monotonicity-prune shape) —
+       64k of 2.2M raw candidates at sf0.1.
+    3. **Exact rescore, array-native.** The full adjacency is pinned
+       ONCE as sorted int arrays; each surviving pair's `common` is
+       the EXACT neighborhood intersection (`array_intersect` of two
+       ~120-element lists — exact integer set ops, identical in both
+       engines), degrees are `size(...)` of the same arrays, and
+       existing edges drop via `array_contains` — so the reported
+       scores are never approximate; only the candidate DOMAIN is
+       capped. (A row-level rescore join was tried first: its 8.5M-row
+       sort-merge tripped the 1 GB heap's GCLocker floor; the array
+       form moves three orders of magnitude less data.)
+
+    Completeness is MEASURED, not claimed (tests/test_clusters.py):
+    on a hub-structured (Zipf-popularity) co-purchase graph — the
+    shape the cap exists for, and the realistic 100 TB case — the
+    top-20 matches the exact uncapped ranking 18/20 at CAP=16.
+    On THIS fixture's graph the measured top-20 recall is ~2/20:
+    the fixture is near-uniformly dense (deg ≈ 119 median, 222 max,
+    at every SF — no hub/tail split), so the informative witnesses
+    of top pairs rank ~80-160 in every oriented out-list and no
+    sub-Σdeg² candidate generator can surface them; the exact anchor
+    for this graph shape stays `link_prediction_jaccard` (uncapped
+    semantics on the bounded subgraph). Both measurements are
+    asserted in the suite so a semantics change that degrades either
+    shape fails loudly. Scale: the edge, adjacency, and capped
+    frames are corpus-sized and persist DISK_ONLY (the apriori heap
+    rule); the adjacency joins are hinted MERGE so no corpus-sized
+    broadcast hash relation can enter the plan at any stats estimate
+    (the r13 broadcast-exchange heap gotcha)."""
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.textops import round_half_up
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)  # consumed by both nbr directions
+    )
+    try:
+        nbr = e.select(
+            F.col("u").alias("node"), F.col("v").alias("nb")
+        ).unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+        # ONE corpus-sized pinned frame carries the whole downstream:
+        # the full adjacency as sorted int arrays. Degrees derive from
+        # it (size), the existing-edge filter derives from it
+        # (array_contains), and the exact rescore derives from it
+        # (array_intersect) — no second corpus-wide shuffle.
+        adj = (
+            nbr.groupBy("node")
+            .agg(F.sort_array(F.collect_list("nb")).alias("ns"))
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        try:
+            deg = adj.select("node", F.size("ns").alias("d"))
+            dz = deg.select(F.col("node").alias("z_n"), F.col("d").alias("dz"))
+            dxn = deg.select(F.col("node").alias("x_n"), F.col("d").alias("dx"))
+            ornt = (
+                nbr.join(dz, nbr["node"] == dz["z_n"])
+                .join(dxn, nbr["nb"] == dxn["x_n"])
+                .filter(
+                    (F.col("dz") < F.col("dx"))
+                    | ((F.col("dz") == F.col("dx")) & (F.col("node") < F.col("nb")))
+                )
+                .select(F.col("node").alias("z"), F.col("nb").alias("x"), "dx")
+            )
+            capped = (
+                ornt.withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.partitionBy("z").orderBy("dx", "x")
+                    ),
+                )
+                .filter(F.col("rk") <= _LP_CAP)
+                .select("z", "x")
+                # ≤ CAP·|V| rows, self-joined below — pin once so the
+                # window+joins run once, on disk (corpus-scaling)
+                .persist(StorageLevel.DISK_ONLY)
+            )
+            try:
+                ca, cb = capped.alias("ca"), capped.alias("cb")
+                cand = (
+                    ca.join(
+                        cb,
+                        (F.col("ca.z") == F.col("cb.z"))
+                        & (F.col("ca.x") < F.col("cb.x")),
+                    )
+                    .groupBy(
+                        F.col("ca.x").alias("x"), F.col("cb.x").alias("y")
+                    )
+                    .agg(F.count(F.lit(1)).alias("cc"))
+                    .filter(F.col("cc") >= _LP_SUP)
+                    .select("x", "y")
+                )
+                ax = adj.select(F.col("node").alias("x"), F.col("ns").alias("xs"))
+                ay = adj.select(F.col("node").alias("y"), F.col("ns").alias("ys"))
+                scored = (
+                    cand.join(ax.hint("merge"), "x")
+                    # existing co-purchase pairs drop via adjacency
+                    # membership — the anti-join, for free
+                    .filter(~F.array_contains(F.col("xs"), F.col("y")))
+                    .join(ay.hint("merge"), "y")
+                    .select(
+                        "x",
+                        "y",
+                        F.size(F.array_intersect("xs", "ys")).alias("common"),
+                        F.size("xs").alias("dxd"),
+                        F.size("ys").alias("dyd"),
+                    )
+                )
+                j = (
+                    F.col("common")
+                    * F.lit(1.0)
+                    / (F.col("dxd") + F.col("dyd") - F.col("common"))
+                )
+                return (
+                    scored.orderBy(j.desc(), "x", "y")
+                    .limit(20)
+                    .select(
+                        "x",
+                        "y",
+                        F.col("common").cast("bigint").alias("common"),
+                        round_half_up(j, 4).alias("jaccard"),
+                    )
+                    # 20 rows — pin the result so the corpus-sized
+                    # frames below can be released before returning
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                capped.unpersist()
+        finally:
+            adj.unpersist()
+    finally:
+        e.unpersist()

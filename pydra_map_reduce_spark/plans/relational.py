@@ -1770,7 +1770,7 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The second Apriori layer on top of `basket_pairs`: frequent
     part TRIPLES, generated only where every sub-pair is itself
-    frequent (support >= 3) — Agrawal & Srikant's (1994, public)
+    frequent (support >= 2) — Agrawal & Srikant's (1994, public)
     monotonicity prune, which is the entire reason the algorithm
     scales: the triple join fans out over the FREQUENT-pair lattice,
     not over baskets^3. Candidate enumeration keeps the canonical

@@ -3331,7 +3331,10 @@ def _unigram_trained(spark: SparkSession, sf_dir: str) -> dict:
     )
     hit = session_cache_hit(_UNIGRAM_CACHE, key)
     if hit is None:
-        prune_stale_session_entries(_UNIGRAM_CACHE, key, lambda e: None)
+        # frame_of=None: entries are plain fitted-piece dicts, so the
+        # lifecycle keeps only the stale sweep + LRU bound (r13 advice:
+        # a raising probe marked every entry DEAD and thrashed this)
+        prune_stale_session_entries(_UNIGRAM_CACHE, key, None)
         hit = _unigram_em(spark, sf_dir)
         _UNIGRAM_CACHE[key] = hit
     return hit
@@ -3731,7 +3734,22 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # Degenerate-corpus guard (r13 advice): a single-type vocabulary
+    # makes the OLS denominator exactly 0, where Spark's Divide yields
+    # NULL but DuckDB's IEEE division yields inf/NaN — fail loud (the
+    # bpe exhaustion-guard pattern) instead of diverging silently.
+    # Embedded in the slope expression (not a droppable assert column)
+    # so column pruning can never eliminate it; slope feeds intercept
+    # and r2, so one guard covers all three outputs.
+    den = n * sxx - sx * sx
+    slope = F.when(den != F.lit(0.0), (n * sxy - sx * sy) / den).otherwise(
+        F.raise_error(
+            F.lit(
+                "zipf_fit: degenerate corpus — single-type vocabulary "
+                "(zero ln-rank variance), OLS slope undefined"
+            )
+        ).cast("double")
+    )
     intercept = (sy - slope * sx) / n
     r2 = (
         (n * sxy - sx * sy) * (n * sxy - sx * sy)

@@ -137,15 +137,29 @@ def prune_stale_session_entries(cache, key, frame_of, max_live: int = 3) -> None
     ``max_live - 1`` remain (leaving room for the entry about to be
     inserted). The default 3 covers the local differential's
     sf0.001/0.01/0.1 sweep without thrash; callers hit through
-    ``session_cache_hit`` so dict order is LRU order."""
+    ``session_cache_hit`` so dict order is LRU order.
+
+    ``frame_of=None`` declares the cache holds plain Python values
+    (no pinned DataFrame storage, e.g. _UNIGRAM_CACHE's fitted piece
+    dicts): the dead-session probe and the unpersist calls are
+    skipped, but the stale sweep and the LRU bound still apply — the
+    r13 advice found a raising ``lambda e: None`` probe classified
+    every such entry DEAD, so the LRU never engaged and the 3-SF
+    sweep thrashed the cache."""
     for k2 in list(cache):
         stale = k2[:2] == key[:2]
-        try:
-            dead = frame_of(cache[k2]).sparkSession.sparkContext._jsc is None
-        except Exception:
-            dead = True  # unreachable JVM handle == stopped session
+        if frame_of is None:
+            dead = False
+        else:
+            try:
+                dead = (
+                    frame_of(cache[k2]).sparkSession.sparkContext._jsc
+                    is None
+                )
+            except Exception:
+                dead = True  # unreachable JVM handle == stopped session
         if stale or dead:
-            if stale and not dead:
+            if stale and not dead and frame_of is not None:
                 try:
                     frame_of(cache[k2]).unpersist()
                 except Exception:
@@ -153,10 +167,11 @@ def prune_stale_session_entries(cache, key, frame_of, max_live: int = 3) -> None
             del cache[k2]
     same_app = [k2 for k2 in cache if k2[0] == key[0]]
     for k2 in same_app[: max(0, len(same_app) - (max_live - 1))]:
-        try:
-            frame_of(cache[k2]).unpersist()
-        except Exception:
-            pass
+        if frame_of is not None:
+            try:
+                frame_of(cache[k2]).unpersist()
+            except Exception:
+                pass
         del cache[k2]
 
 

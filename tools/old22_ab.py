@@ -37,8 +37,24 @@ def main() -> None:
     sys.path.insert(0, repo)
     os.chdir(repo)
 
-    bench_src = open(os.path.join(repo, "bench.py")).read()
-    names = re.findall(r'^\s+"([a-z0-9_]+)",\s+#', bench_src, re.M)[:22]
+    # Prefer the named OLD22 anchor exported by bench.py (r13 advice);
+    # fall back to the regex scrape only for historical checkouts that
+    # predate the constant (r13 and earlier).
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ab_bench", os.path.join(repo, "bench.py")
+    )
+    # bench.py triggers a Spark import at module load; that is fine
+    # here (this tool creates a session anyway) but historical
+    # checkouts may fail to import — regex fallback covers them.
+    try:
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        names = list(getattr(mod, "OLD22", mod.HEADLINE[:22]))[:22]
+    except Exception:
+        bench_src = open(os.path.join(repo, "bench.py")).read()
+        names = re.findall(r'^\s+"([a-z0-9_]+)",\s+#', bench_src, re.M)[:22]
 
     from pydra_map_reduce_spark.plans import REGISTRY  # noqa: E402
     from pydra_map_reduce_spark.session import get_spark  # noqa: E402
