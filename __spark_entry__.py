@@ -35,53 +35,42 @@ from pydra_map_reduce_spark.plans import REGISTRY
 # which replays the identical differential over all of them at three
 # SFs.
 _DRIVER_PRIORITY = [
-    # Round-13 window. r12 came back 50/50 green (zero reds), so the
-    # window is (a) round-13 additions as they land, then (b) the
-    # stalest-green rotation fill: the ledger union's oldest stratum is
-    # one r4 query (vector_quantize) + the 40-query r5 cohort — all of
-    # which predate the exact-cents and portable-rounding overhauls, so
-    # their re-certification is real signal. Trim the TAIL as (a)
-    # grows; overflow rolls to the r14 queue below.
-    # (a) round-13 additions — appended here as they land
-    "dedup_clusters_minhash", "unigram_lm_tokens",
-    "tfidf_doc_similarity", "char_entropy_gate", "cond_entropy_profile",
-    "isotonic_calibration", "mi_feature_ranking",
-    "robust_scale_features", "quantile_bucketize",
-    "kmv_distinct_sketch", "zipf_fit", "weighted_sample_aes",
-    "fellegi_sunter_scores", "apriori_triples", "link_prediction_jaccard",
-    "nearest_centroid_classify", "dirichlet_ql_topk",
-    # (b) stalest-green fill, oldest driver evidence first
-    "vector_quantize",
-    "anomaly_zscore", "behavior_profile_topk", "bigram_perplexity",
-    "boilerplate_ngrams", "cohort_retention", "contamination_screen",
-    "corpus_pipeline", "corpus_shuffle", "count_distinct",
-    "dataset_split", "dedup_clusters_exact", "doc_chunks",
-    "embedding_neardup", "funnel", "gap_fill", "heavy_hitters",
-    "histogram", "join_asof", "merge_upsert", "minhash_lsh_portable",
-    "mix_apply", "mix_weights", "mr_map_arrow", "mr_partition_map",
-    "pagerank", "pii_redact", "pricing_summary", "repetition_ratio",
-    "scan_agg_pushdown", "sessionization", "shard_pack",
-    "shard_pack_partitioned",
+    # Round-14 window. r13 came back 50/50 green (zero reds), so the
+    # window is (a) round-14 additions as they land, then (b) the
+    # stalest-green rotation fill, exactly as the r13 queue planned:
+    # the 8 r5 queries the r13 window displaced, then the r6 cohort
+    # (39) — all of whose driver evidence predates the exact-cents
+    # and portable-rounding overhauls, so re-certification is real
+    # signal. Trim the TAIL as (a) grows; overflow rolls to the r15
+    # queue below.
+    # (a) round-14 additions — appended here as they land
+    "link_prediction_capped", "reservoir_sample", "lpa_communities",
+    # (b) displaced-r5 stragglers, oldest driver evidence first
+    "simhash_portable", "sliding_window", "stratified_sample_hash",
+    "tumbling_window", "unicode_normalize", "unigram_perplexity",
+    "vocab_coverage", "word_cooccurrence",
+    # (c) the r6 cohort, stalest-first fill to exactly 50
+    "ab_test_zscore", "compact_small_files", "correlated_subquery",
+    "dedup_clusters", "dedup_clusters_star", "distinct_rows",
+    "exact_dedup", "filter_predicates", "global_sort",
+    "groupby_multi_agg", "inmemory_source", "ivf_ann_topk",
+    "join_anti", "join_asof_forward", "join_cross", "join_full_outer",
+    "join_left_outer", "join_right_outer", "join_semi",
+    "length_deciles", "local_supplier_volume", "mr_flatmap", "mr_map",
+    "mr_reduce_by_key", "mr_udtf_expand", "multimodal_features",
+    "multimodal_frame_sample", "ngram_jaccard_capped",
+    "project_conditional", "promo_revenue", "rename_drop",
+    "returned_items", "rfm_segments", "selective_agg_funcs",
+    "shipping_priority", "text_scan", "transition_matrix",
+    "triangle_count", "udtf_lateral",
 ]
 
 
-# Round-14 rotation queue: compose the r14 window from (1) any r13
-# reds, (2) r14 additions as they land, then (3) the stalest greens
-# oldest-first — the r5 queries this window displaced for r13
-# additions (simhash_portable, sliding_window, stratified_sample_hash,
-# tumbling_window, unicode_normalize, unigram_perplexity, vocab_coverage,
-# word_cooccurrence), then the r6 cohort (39 queries: ab_test_zscore,
-# compact_small_files, correlated_subquery, dedup_clusters,
-# dedup_clusters_star, distinct_rows, exact_dedup, filter_predicates,
-# global_sort, groupby_multi_agg, inmemory_source, ivf_ann_topk,
-# join_anti, join_asof_forward, join_cross, join_full_outer,
-# join_left_outer, join_right_outer, join_semi, length_deciles,
-# local_supplier_volume, mr_flatmap, mr_map, mr_reduce_by_key,
-# mr_udtf_expand, multimodal_features, multimodal_frame_sample,
-# ngram_jaccard_capped, project_conditional, promo_revenue,
-# rename_drop, returned_items, rfm_segments, selective_agg_funcs,
-# shipping_priority, text_scan, transition_matrix, triangle_count,
-# udtf_lateral). Keep rows-only queries out of the window.
+# Round-15 rotation queue: compose the r15 window from (1) any r14
+# reds, (2) r15 additions as they land, then (3) the stalest greens
+# oldest-first — any r6-cohort entries the r14 additions displaced
+# from the tail above, then the r7 cohort. Keep rows-only queries out
+# of the window.
 
 
 def _ordered() -> list[str]:

@@ -223,6 +223,10 @@ HEADLINE = [
     "link_prediction_jaccard", # neighborhood-Jaccard link candidates
     "nearest_centroid_classify", # Rocchio centroid classifier (k-NN twin)
     "dirichlet_ql_topk",     # LM retrieval (Dirichlet-prior smoothing)
+    # round-14 additions
+    "link_prediction_capped", # full-graph link prediction (capped candidates + exact rescore)
+    "reservoir_sample",      # per-stratum uniform k-sample (md5 draws)
+    "lpa_communities",       # synchronous LPA communities (4 rounds)
 ]
 
 # The named cross-round anchor (see the comment above HEADLINE).
