@@ -1095,3 +1095,129 @@ def test_dedup_clusters_minhash_books_balance(spark):
     clusters = REGISTRY["dedup_clusters"].fn(spark, _SF0001_DIR).collect()
     expected = sum(r["n_members"] - 1 for r in clusters)
     assert total_dropped == expected, (total_dropped, expected)
+
+
+# ---------------------------------------------------------------------------
+# Heap-pin audit lint (r13 verdict next #3). localCheckpoint stores
+# MEMORY_AND_DISK-deserialized on the driver-local executors — a HEAP
+# pin. The apriori round-13 incident (a corpus-row-scale pair frame
+# heap-pinned via checkpoint OOM'd the 1 GB default heap at the 10x
+# tier) proved the failure class is real, so every site is audited
+# into the table below with a storage class; a NEW site (or a new
+# site count in an audited function) fails this lint until it is
+# classified — the _GLOBAL_WINDOW_ALLOWED pattern applied to storage.
+#
+# Classes (full table + sf1 sweep evidence in BASELINE.md):
+#   RESULT   — final top-k/report rows (≤ dozens), pinned so
+#              corpus-sized upstream persists can release pre-return
+#   MODEL    — vocab/centroid/bin/weight frames, bounded by model
+#              dims (Heaps-sublinear vocab counts included)
+#   NODE     — per-node/per-doc iterative state, narrow (ids + a few
+#              ints); per-round checkpoint REQUIRED to cut iterative
+#              lineage (pagerank/LPA/CC/GD class)
+#   CORPUS_N — corpus-scaling but NARROW (few int/double columns);
+#              justified in place by a measured reuse win, with the
+#              sf1 sweep as the regression fence. Corpus-scaling
+#              TEXT/array-heavy frames must use persist(DISK_ONLY)
+#              instead (the apriori rule) — none may appear here.
+#   CONSIST  — correctness pin: two consumers MUST observe one
+#              sampled/non-deterministic materialization, and a
+#              persist could silently recompute on block loss where a
+#              checkpoint fails loudly (stable_row_ids class)
+_LOCALCHECKPOINT_AUDIT = {
+    # (module, function): (n_sites, class)
+    ("operators/dedup.py", "dedup_clusters"): (2, "NODE"),
+    ("operators/dedup.py", "dedup_clusters_star"): (3, "NODE"),
+    ("operators/dedup.py", "minhash_lsh_pairs"): (1, "CORPUS_N"),
+    ("operators/graph.py", "pagerank"): (2, "NODE"),
+    ("operators/similarity.py", "ivf_train_distributed"): (2, "MODEL"),
+    ("plans/analytics.py", "chi2_independence"): (1, "MODEL"),
+    ("plans/corpus.py", "dsir_selection"): (1, "RESULT"),
+    ("plans/corpus.py", "stable_row_ids"): (1, "CONSIST"),
+    ("plans/dedup.py", "_minhash_portable_pairs"): (1, "CORPUS_N"),
+    ("plans/dedup.py", "bbit_minhash_error"): (1, "RESULT"),
+    ("plans/dedup.py", "dedup_threshold_sweep"): (1, "CORPUS_N"),
+    ("plans/dedup.py", "lsh_band_sweep"): (1, "CORPUS_N"),
+    ("plans/dedup.py", "lsh_recall"): (1, "CORPUS_N"),
+    ("plans/dedup.py", "minhash_estimate_error"): (1, "RESULT"),
+    ("plans/dedup.py", "span_width_sweep"): (1, "CORPUS_N"),
+    ("plans/events.py", "behavior_profile_topk"): (1, "CORPUS_N"),
+    ("plans/graph.py", "bfs_hops"): (1, "NODE"),
+    ("plans/graph.py", "link_prediction_capped"): (1, "RESULT"),
+    ("plans/graph.py", "link_prediction_jaccard"): (1, "CORPUS_N"),
+    ("plans/graph.py", "lpa_communities"): (3, "NODE"),
+    ("plans/graph.py", "recursive_cte_hops"): (1, "CORPUS_N"),
+    ("plans/graph.py", "triangle_count"): (1, "RESULT"),
+    ("plans/joins.py", "blocking_quality"): (1, "RESULT"),
+    ("plans/mleval.py", "isotonic_calibration"): (1, "MODEL"),
+    ("plans/mleval.py", "lang_id_train"): (3, "CORPUS_N"),
+    ("plans/mleval.py", "platt_scaling"): (2, "MODEL"),
+    ("plans/mleval.py", "quality_classifier_gate"): (2, "MODEL"),
+    ("plans/relational.py", "association_rules"): (1, "RESULT"),
+    ("plans/setops.py", "scd2_dim"): (1, "CORPUS_N"),
+    ("plans/sketches.py", "hll_merge"): (1, "CORPUS_N"),
+    ("plans/streaming.py", "_drain"): (1, "RESULT"),
+    ("plans/streaming.py", "streaming_foreach_batch"): (1, "RESULT"),
+    ("plans/streaming.py", "streaming_late_drop"): (1, "RESULT"),
+    ("plans/streaming.py", "streaming_parquet_sink"): (1, "RESULT"),
+    ("plans/streaming.py", "streaming_rate_source"): (1, "RESULT"),
+    ("plans/text.py", "_bpe_learn"): (2, "MODEL"),
+    ("plans/text.py", "_unigram_em"): (3, "MODEL"),
+    ("plans/text.py", "beam_decode"): (3, "MODEL"),
+    ("plans/text.py", "bigram_greedy_decode"): (2, "MODEL"),
+    ("plans/text.py", "temperature_sample_decode"): (3, "MODEL"),
+    ("plans/text.py", "tfidf_doc_similarity"): (1, "CORPUS_N"),
+    ("plans/vectors.py", "ann_probe_curve"): (2, "CORPUS_N"),
+    ("plans/vectors.py", "logreg_train"): (1, "CORPUS_N"),
+    ("plans/vectors.py", "pca_power_component"): (1, "MODEL"),
+    ("plans/vectors.py", "pca_top2_components"): (2, "MODEL"),
+    ("plans/vectors.py", "power3"): (1, "MODEL"),
+}
+
+
+def test_localcheckpoint_sites_audited():
+    """Every localCheckpoint call site must appear in the audited
+    allowlist above with its exact site count — adding a heap pin
+    without classifying it (corpus-TEXT frames must be DISK_ONLY,
+    the apriori rule) fails here."""
+    import ast
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "pydra_map_reduce_spark",
+    )
+    found: dict[tuple, int] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            tree = ast.parse(open(path).read())
+            funcs = []
+            for node in ast.walk(tree):
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    funcs.append(
+                        (node.lineno, node.end_lineno or node.lineno, node.name)
+                    )
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Attribute)
+                    and node.attr == "localCheckpoint"
+                ):
+                    enc, enc_start = "<module>", -1
+                    for s, e, name in funcs:
+                        if s <= node.lineno <= e and s > enc_start:
+                            enc, enc_start = name, s
+                    found[(rel, enc)] = found.get((rel, enc), 0) + 1
+    audited = {k: v[0] for k, v in _LOCALCHECKPOINT_AUDIT.items()}
+    assert found == audited, (
+        "localCheckpoint heap-pin audit drift — classify new sites in "
+        "_LOCALCHECKPOINT_AUDIT (and BASELINE.md) or remove stale rows: "
+        f"new={sorted(set(found) - set(audited))} "
+        f"stale={sorted(set(audited) - set(found))} "
+        f"count_changed={sorted(k for k in found if k in audited and found[k] != audited[k])}"
+    )

@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """Scale-curve bench: sf0.1 vs the derived ~10x stress tier.
 
-Usage: python tools/stress_bench.py [tier_dir]
+Usage: python tools/stress_bench.py [tier_dir] [--queries a,b,c | --window]
+
+`--queries` overrides the default scale-sensitive list; `--window`
+runs the driver window (the first 50 entries of __spark_entry__'s
+queries()) — the r14 whole-window sweep. SPARK_GRAFT_DRIVER_MEM sets
+the driver heap (default 1g — the driver-parity heap; the r13 GCLocker
+floor measurements used 4g).
 
 Runs the scale-sensitive query families (VERDICT r12 next #4) at
 /root/testdata/sf0.1 AND the derived tier (default /tmp/pydra_sf1,
@@ -61,7 +67,19 @@ def _stage_totals(ui: str) -> dict[str, int]:
 
 
 def main() -> None:
-    tier = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pydra_sf1"
+    args = [a for a in sys.argv[1:]]
+    tier = "/tmp/pydra_sf1"
+    queries = list(STRESS_QUERIES)
+    while args:
+        a = args.pop(0)
+        if a == "--queries":
+            queries = args.pop(0).split(",")
+        elif a == "--window":
+            import __spark_entry__ as entry
+
+            queries = list(entry.queries())[:50]
+        else:
+            tier = a
     from pyspark.sql import SparkSession
 
     spark = (
@@ -76,6 +94,9 @@ def main() -> None:
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "true")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g")
+        )
         .config("spark.driver.host", "127.0.0.1")
         .getOrCreate()
     )
@@ -85,12 +106,15 @@ def main() -> None:
     from pydra_map_reduce_spark.plans import REGISTRY
 
     results: dict[str, dict] = {}
-    for sf_dir, label in (("/root/testdata/sf0.1", "sf0.1"), (tier, "sf1")):
-        # warm the reader path
+    # QUERY-OUTER order (r14): a JVM-killing query loses only its own
+    # remaining tiers, and the resume wrapper (tools/stress_window.py)
+    # can restart from the next query. Reader warmup once per tier.
+    for sf_dir, _label in (("/root/testdata/sf0.1", "sf0.1"), (tier, "sf1")):
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
             "count(*) AS n"
         ).write.mode("overwrite").format("noop").save()
-        for name in STRESS_QUERIES:
+    for name in queries:
+        for sf_dir, label in (("/root/testdata/sf0.1", "sf0.1"), (tier, "sf1")):
             fn = REGISTRY[name].fn
             runs = []
             m0 = m1 = None
@@ -116,7 +140,7 @@ def main() -> None:
                 "input_mb": round((m1["input"] - m0["input"]) / 1e6, 2),
                 "tasks": m1["tasks"] - m0["tasks"],
             }
-            print(json.dumps({"query": name, "tier": label, **row[label]}))
+            print(json.dumps({"query": name, "tier": label, **row[label]}), flush=True)
     summary = {
         name: {
             "ratio_wall": round(
