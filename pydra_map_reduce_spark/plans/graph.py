@@ -153,7 +153,11 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # DISK_ONLY, not MEMORY_AND_DISK: the edge list is
+        # corpus-scaling (~12M rows at the 10x tier) and a heap pin of
+        # it plus the join hash maps below OOM'd even a 4 GB driver
+        # at sf1 (r14 whole-window sweep)
+        .persist(StorageLevel.DISK_ONLY)
     )
     # localCheckpoint the one-row result so the edge cache can be
     # RELEASED before returning (the bfs_hops/pagerank pattern —
@@ -162,10 +166,16 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try opens before the first materializing action
     try:
         e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        # SHUFFLE_HASH, never broadcast: every join side here is the
+        # corpus-sized edge list — at sf1 Catalyst broadcast it (a
+        # ~1.5 GB hashed relation) and killed even a 4 GB heap; the
+        # partitioned build keeps per-task hash maps at |E|/partitions
+        # while the wedge stream (Σ in·out rows) stays pipelined,
+        # never materialized
         tri = (
-            e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+            e1.join(e2.hint("shuffle_hash"), F.col("e1.v") == F.col("e2.u"))
             .join(
-                e3,
+                e3.hint("shuffle_hash"),
                 (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
             )
             .agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -622,7 +632,14 @@ def link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rk") <= _LP_CAP)
                 .select("z", "x")
                 # ≤ CAP·|V| rows, self-joined below — pin once so the
-                # window+joins run once, on disk (corpus-scaling)
+                # window+joins run once, on disk (corpus-scaling).
+                # Repartitioned FINE on z first: the wedge self-join
+                # co-partitions on z and its map-side partial agg holds
+                # one hash map per task — at ~sf1 (24M wedge pairs) 32
+                # fat partitions put ~750k-key maps in 32 concurrent
+                # tasks and blew the 1 GB heap's GCLocker floor; 256
+                # slices keep per-task state bounded at any |V|.
+                .repartition(256, "z")
                 .persist(StorageLevel.DISK_ONLY)
             )
             try:
