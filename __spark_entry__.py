@@ -45,6 +45,7 @@ _DRIVER_PRIORITY = [
     # queue below.
     # (a) round-14 additions — appended here as they land
     "link_prediction_capped", "reservoir_sample", "lpa_communities",
+    "kcore_decompose", "random_walks",
     # (b) displaced-r5 stragglers, oldest driver evidence first
     "simhash_portable", "sliding_window", "stratified_sample_hash",
     "tumbling_window", "unicode_normalize", "unigram_perplexity",
@@ -62,15 +63,16 @@ _DRIVER_PRIORITY = [
     "project_conditional", "promo_revenue", "rename_drop",
     "returned_items", "rfm_segments", "selective_agg_funcs",
     "shipping_priority", "text_scan", "transition_matrix",
-    "triangle_count", "udtf_lateral",
 ]
 
 
 # Round-15 rotation queue: compose the r15 window from (1) any r14
 # reds, (2) r15 additions as they land, then (3) the stalest greens
-# oldest-first — any r6-cohort entries the r14 additions displaced
-# from the tail above, then the r7 cohort. Keep rows-only queries out
-# of the window.
+# oldest-first — the 2 r6-cohort entries the late r14 additions
+# displaced from the tail above (triangle_count — freshly rewritten
+# this round, so its re-certification is real signal — and
+# udtf_lateral), then the r7 cohort. Keep rows-only queries out of
+# the window.
 
 
 def _ordered() -> list[str]:

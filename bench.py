@@ -227,6 +227,8 @@ HEADLINE = [
     "link_prediction_capped", # full-graph link prediction (capped candidates + exact rescore)
     "reservoir_sample",      # per-stratum uniform k-sample (md5 draws)
     "lpa_communities",       # synchronous LPA communities (4 rounds)
+    "kcore_decompose",       # k-core peel profile (data-driven k)
+    "random_walks",          # DeepWalk corpus walks (md5 transitions)
 ]
 
 # The named cross-round anchor (see the comment above HEADLINE).

@@ -803,3 +803,199 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist()
+
+
+_KCORE_ROUNDS = 5  # fixed peeling rounds (unrolled in the oracle)
+
+
+def _kcore_oracle(n_rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled fixed-round k-core peeling as chained CTEs. k is
+    data-driven: floor(|E_sym| / |V|) — the mean degree — so the peel
+    bites at every SF without a per-fixture constant."""
+    steps = []
+    prev = "a0"
+    for r in range(1, n_rounds + 1):
+        steps.append(
+            f"""
+    d{r} AS (
+        SELECT e.src AS node, count(*) AS c
+        FROM edges e
+        JOIN {prev} x ON e.src = x.node
+        JOIN {prev} y ON e.dst = y.node
+        GROUP BY e.src
+    ),
+    a{r} AS (SELECT node FROM d{r}, kv WHERE c >= kv.k)"""
+        )
+        prev = f"a{r}"
+    counts = " UNION ALL ".join(
+        f"SELECT {r} AS round, (SELECT count(*) FROM a{r}) AS n_alive"
+        for r in range(1, n_rounds + 1)
+    )
+    return f"""
+    WITH {_GRAPH_EDGE_CTES},
+    a0 AS (SELECT DISTINCT src AS node FROM edges),
+    kv AS (
+        SELECT CAST((SELECT count(*) FROM edges)
+                    / (SELECT count(*) FROM a0) AS BIGINT) AS k
+    ),{",".join(steps)}
+    SELECT CAST(round AS INT) AS round, CAST(n_alive AS BIGINT) AS n_alive
+    FROM ({counts}) ORDER BY round
+    """
+
+
+@query(
+    "kcore_decompose",
+    oracle=_kcore_oracle(),
+    section="2.11 k-core decomposition (iterative peel, data-driven k, bounded rounds)",
+)
+def kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (Seidman 1983, public) over the supplier↔part
+    graph: repeatedly drop nodes whose degree WITHIN the surviving
+    subgraph falls below k, here k = floor(mean degree) so the
+    threshold is data-driven at every SF instead of a per-fixture
+    constant. The k-core is the standard graph-cleaning gate before
+    embedding training (random-walk corpora over peripheral
+    degree-1 tendrils waste epochs) and the sixth graph kernel.
+    Output: survivors per peel round — the convergence profile, which
+    certifies every intermediate round rather than only the fixpoint.
+    Determinism: k is exact integer division of exact counts; each
+    round is a counting join. Scale: per round one edges⋈alive⋈alive
+    semi-join-shaped count keyed on node ids (the alive frame is
+    node-sized iterative state, localCheckpointed per round —
+    pagerank's NODE class); _KCORE_ROUNDS is fixed so the plan is
+    deterministic, the dedup_clusters 1-row-driver-check pattern
+    being the convergence alternative."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = _supplier_part_edges(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    try:
+        alive = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # bounded driver scalars (exact ints — identical floor division
+        # in the oracle); the ivf seed-collect precedent
+        k = edges.count() // alive.count()
+        out_rows = []
+        for r in range(1, _KCORE_ROUNDS + 1):
+            ax = alive.select(F.col("node").alias("x_n"))
+            ay = alive.select(F.col("node").alias("y_n"))
+            deg = (
+                edges.join(ax, edges["src"] == ax["x_n"])
+                .join(ay, edges["dst"] == ay["y_n"])
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            alive = (
+                deg.filter(F.col("c") >= k)
+                .select(F.col("src").alias("node"))
+                .localCheckpoint(eager=True)
+            )
+            out_rows.append((r, alive.count()))
+        return spark.createDataFrame(
+            out_rows, "round int, n_alive bigint"
+        ).orderBy("round")
+    finally:
+        edges.unpersist()
+
+
+_RW_STEPS = 4  # walk length (unrolled in the oracle)
+
+
+def _random_walks_oracle(n_steps: int = _RW_STEPS) -> str:
+    """Unrolled deterministic random walks: at step t the walk started
+    at `start` moves to the neighbor minimizing md5(start|t|nb) — a
+    reproducible draw per (walk, step), the md5-draw convention."""
+    steps = []
+    prev = "w0"
+    for t in range(1, n_steps + 1):
+        steps.append(
+            f"""
+    w{t} AS (
+        SELECT start, cur FROM (
+            SELECT w.start, e.dst AS cur,
+                   row_number() OVER (
+                       PARTITION BY w.start
+                       ORDER BY md5(w.start || '|{t}|' || e.dst), e.dst
+                   ) AS rk
+            FROM {prev} w JOIN edges e ON e.src = w.cur)
+        WHERE rk = 1
+    )"""
+        )
+        prev = f"w{t}"
+    visits = " UNION ALL ".join(
+        f"SELECT cur FROM w{t}" for t in range(1, n_steps + 1)
+    )
+    return f"""
+    WITH {_GRAPH_EDGE_CTES},
+    w0 AS (SELECT DISTINCT src AS start, src AS cur FROM edges),{",".join(steps)}
+    SELECT cur AS node, CAST(count(*) AS BIGINT) AS visits
+    FROM ({visits})
+    GROUP BY cur
+    ORDER BY visits DESC, node
+    LIMIT 20
+    """
+
+
+@query(
+    "random_walks",
+    oracle=_random_walks_oracle(),
+    section="2.11 random-walk corpus generation (DeepWalk-style, deterministic md5 draws)",
+)
+def random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec-style walk corpus generation (Perozzi et al.
+    2014, public) — the data-prep step that turns a graph into
+    skip-gram training sequences: one walk of _RW_STEPS steps per
+    node over the supplier↔part graph, where step t of the walk
+    started at `start` moves to the neighbor minimizing
+    md5(start|t|nb) — the engine's md5-draw determinism convention
+    (corpus_shuffle/weighted_sample_aes), so the "random" walks are
+    reproducible across engines, epochs, and retries (the property
+    production walk corpora need for resumable jobs). Graded output:
+    the 20 most-visited nodes with visit counts across all walk
+    steps — a Σ-over-walks reduction that certifies every step's
+    transition choice (one wrong step anywhere shifts a count).
+    Scale: each step joins the |V|-row frontier against the adjacency
+    (Σ deg rows) and takes a per-walk argmin window (partitioned by
+    walk id, never global); the frontier is node-sized iterative
+    state, localCheckpointed per step — the NODE class."""
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    edges = _supplier_part_edges(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    try:
+        frontier = (
+            edges.select(F.col("src").alias("start"), F.col("src").alias("cur"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        visited = []
+        for t in range(1, _RW_STEPS + 1):
+            draw = F.md5(
+                F.concat(F.col("start"), F.lit(f"|{t}|"), F.col("dst"))
+            )
+            frontier = (
+                frontier.join(edges, frontier["cur"] == edges["src"])
+                .withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.partitionBy("start").orderBy(draw, "dst")
+                    ),
+                )
+                .filter(F.col("rk") == 1)
+                .select("start", F.col("dst").alias("cur"))
+                .localCheckpoint(eager=True)
+            )
+            visited.append(frontier.select("cur"))
+        allv = visited[0]
+        for v in visited[1:]:
+            allv = allv.unionAll(v)
+        return (
+            allv.groupBy(F.col("cur").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("visits"))
+            .orderBy(F.col("visits").desc(), "node")
+            .limit(20)
+        )
+    finally:
+        edges.unpersist()

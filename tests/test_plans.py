@@ -1143,9 +1143,11 @@ _LOCALCHECKPOINT_AUDIT = {
     ("plans/dedup.py", "span_width_sweep"): (1, "CORPUS_N"),
     ("plans/events.py", "behavior_profile_topk"): (1, "CORPUS_N"),
     ("plans/graph.py", "bfs_hops"): (1, "NODE"),
+    ("plans/graph.py", "kcore_decompose"): (2, "NODE"),
     ("plans/graph.py", "link_prediction_capped"): (1, "RESULT"),
     ("plans/graph.py", "link_prediction_jaccard"): (1, "CORPUS_N"),
     ("plans/graph.py", "lpa_communities"): (3, "NODE"),
+    ("plans/graph.py", "random_walks"): (2, "NODE"),
     ("plans/graph.py", "recursive_cte_hops"): (1, "CORPUS_N"),
     ("plans/graph.py", "triangle_count"): (1, "RESULT"),
     ("plans/joins.py", "blocking_quality"): (1, "RESULT"),
