@@ -84,6 +84,83 @@ def _supplier_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.unionByName(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+# Session caches for the two graph edge frames (the portable-minhash
+# pair-graph discipline, r13): 5 supplier↔part consumers (pagerank,
+# bfs_hops, lpa_communities, kcore_decompose, random_walks) and 2
+# co-purchase consumers (triangle_count, link_prediction_capped) each
+# rebuilt the lineitem scan + self-join + distinct per call. The
+# cached frame is DISK_ONLY (corpus-scaling, the apriori heap rule)
+# and lifecycle-managed by prune_stale_session_entries (stale-fixture
+# sweep + LRU bound + dead-session probe). The driver's vanilla
+# session and every first-per-fixture call still build from scratch,
+# and the oracles always rebuild — the differentials keep certifying
+# the machinery, not the cache.
+_SP_EDGE_CACHE: dict = {}
+_COP_EDGE_CACHE: dict = {}
+
+
+def _sp_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from ..sources.tables import (
+        _fixture_key,
+        prune_stale_session_entries,
+        session_cache_hit,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_key(f"{sf_dir}/lineitem.parquet"),
+    )
+    e = session_cache_hit(_SP_EDGE_CACHE, key)
+    if e is None:
+        prune_stale_session_entries(_SP_EDGE_CACHE, key, lambda x: x)
+        e = _supplier_part_edges(spark, sf_dir).persist(
+            StorageLevel.DISK_ONLY
+        )
+        _SP_EDGE_CACHE[key] = e
+    return e
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) distinct co-purchase part-pair edges."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..sources.tables import (
+        _fixture_key,
+        prune_stale_session_entries,
+        session_cache_hit,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_key(f"{sf_dir}/lineitem.parquet"),
+    )
+    e = session_cache_hit(_COP_EDGE_CACHE, key)
+    if e is None:
+        prune_stale_session_entries(_COP_EDGE_CACHE, key, lambda x: x)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        a, b = li.alias("a"), li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+            )
+            .distinct()
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        _COP_EDGE_CACHE[key] = e
+    return e
+
+
 @query(
     "pagerank",
     oracle=_pagerank_oracle(),  # fixed iterations unrolled as chained CTEs
@@ -106,7 +183,7 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds at 0.85 — relying on the operator's defaults would let a
     # defaults tune silently skew this graded pairing
     ranks = graph_ops.pagerank(
-        _supplier_part_edges(spark, sf_dir), damping=0.85, n_iter=10
+        _sp_edges_cached(spark, sf_dir), damping=0.85, n_iter=10
     )
     return (
         ranks.select("node", round_half_up(F.col("rank"), 6).alias("rank"))
@@ -141,52 +218,32 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ deg². At 100 TB, orient by (degree, id) instead of raw id so
     high-degree hubs sit on the narrow side of every wedge; the edge
     list is persisted once and reused by all three join roles."""
-    from pyspark.storagelevel import StorageLevel
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    # session-cached canonical edge frame (DISK_ONLY — the edge list
+    # is corpus-scaling, ~12M rows at the 10x tier, and a heap pin of
+    # it plus the join hash maps below OOM'd even a 4 GB driver at
+    # sf1 in the r14 whole-window sweep)
+    e = _copurchase_edges(spark, sf_dir)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    # SHUFFLE_HASH, never broadcast: every join side here is the
+    # corpus-sized edge list — at sf1 Catalyst broadcast it (a
+    # ~1.5 GB hashed relation) and killed even a 4 GB heap; the
+    # partitioned build keeps per-task hash maps at |E|/partitions
+    # while the wedge stream (Σ in·out rows) stays pipelined,
+    # never materialized
+    tri = (
+        e1.join(e2.hint("shuffle_hash"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3.hint("shuffle_hash"),
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        # DISK_ONLY, not MEMORY_AND_DISK: the edge list is
-        # corpus-scaling (~12M rows at the 10x tier) and a heap pin of
-        # it plus the join hash maps below OOM'd even a 4 GB driver
-        # at sf1 (r14 whole-window sweep)
-        .persist(StorageLevel.DISK_ONLY)
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    # localCheckpoint the one-row result so the edge cache can be
-    # RELEASED before returning (the bfs_hops/pagerank pattern —
-    # without it every invocation pins a corpus-scale co-purchase
-    # edge copy in the shared session for its whole lifetime); the
-    # try opens before the first materializing action
-    try:
-        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-        # SHUFFLE_HASH, never broadcast: every join side here is the
-        # corpus-sized edge list — at sf1 Catalyst broadcast it (a
-        # ~1.5 GB hashed relation) and killed even a 4 GB heap; the
-        # partitioned build keeps per-task hash maps at |E|/partitions
-        # while the wedge stream (Σ in·out rows) stays pipelined,
-        # never materialized
-        tri = (
-            e1.join(e2.hint("shuffle_hash"), F.col("e1.v") == F.col("e2.u"))
-            .join(
-                e3.hint("shuffle_hash"),
-                (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
-            )
-            .agg(F.count(F.lit(1)).alias("n_triangles"))
-        )
-        return (
-            e.agg(F.count(F.lit(1)).alias("n_edges"))
-            .crossJoin(F.broadcast(tri))
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        e.unpersist()
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(tri))
+        .localCheckpoint(eager=True)
+    )
 
 
 def _bfs_oracle(n_rounds: int = 3) -> str:
@@ -244,37 +301,28 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate of the edge AGGREGATE can fall under the 32 MB
     threshold and broadcast a million-row hash relation per round
     (observed OOM at sf0.1 in a 1 GB driver). Rounds reuse the
-    persisted edge list; the result is localCheckpointed (cutting the
-    lineage back to the small reached set, the pagerank pattern) so
-    the edge cache can be RELEASED before returning — without the
-    unpersist, every invocation pins another corpus-sized edge copy
-    in executor storage for the life of the session."""
-    edges = _supplier_part_edges(spark, sf_dir).persist()
-    # the try opens BEFORE the first materializing action (the
-    # operators/graph.pagerank discipline): a task failure inside the
-    # eager localCheckpoint must still release the corpus-sized edge
-    # cache from the long-lived shared session
-    try:
-        dist = spark.createDataFrame([("s1", 0)], "node string, dist int")
-        for k in range(1, _BFS_ROUNDS + 1):
-            frontier = (
-                F.broadcast(dist).join(edges, dist.node == edges.src)
-                .select(F.col("dst").alias("node"), F.lit(k).alias("dist"))
-            )
-            dist = dist.unionByName(frontier).groupBy("node").agg(
-                F.min("dist").alias("dist")
-            )
-        return (
-            dist.groupBy(F.col("dist").cast("bigint").alias("dist"))
-            .agg(
-                F.count(F.lit(1)).alias("n_nodes"),
-                F.min("node").alias("first_node"),
-                F.max("node").alias("last_node"),
-            )
-            .localCheckpoint(eager=True)
+    session-cached edge frame (`_sp_edges_cached` — DISK_ONLY,
+    lifecycle-managed); the result is localCheckpointed (cutting the
+    lineage back to the small reached set, the pagerank pattern)."""
+    edges = _sp_edges_cached(spark, sf_dir)
+    dist = spark.createDataFrame([("s1", 0)], "node string, dist int")
+    for k in range(1, _BFS_ROUNDS + 1):
+        frontier = (
+            F.broadcast(dist).join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), F.lit(k).alias("dist"))
         )
-    finally:
-        edges.unpersist()
+        dist = dist.unionByName(frontier).groupBy("node").agg(
+            F.min("dist").alias("dist")
+        )
+    return (
+        dist.groupBy(F.col("dist").cast("bigint").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("first_node"),
+            F.max("node").alias("last_node"),
+        )
+        .localCheckpoint(eager=True)
+    )
 
 
 # The recursive-CTE reachability as TWO shared SQL texts: the edge
@@ -583,120 +631,108 @@ def link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.textops import round_half_up
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .persist(StorageLevel.DISK_ONLY)  # consumed by both nbr directions
+    # session-cached canonical edge frame, consumed by both nbr
+    # directions (DISK_ONLY; shared with triangle_count)
+    e = _copurchase_edges(spark, sf_dir)
+    nbr = e.select(
+        F.col("u").alias("node"), F.col("v").alias("nb")
+    ).unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+    # ONE corpus-sized pinned frame carries the whole downstream:
+    # the full adjacency as sorted int arrays. Degrees derive from
+    # it (size), the existing-edge filter derives from it
+    # (array_contains), and the exact rescore derives from it
+    # (array_intersect) — no second corpus-wide shuffle.
+    adj = (
+        nbr.groupBy("node")
+        .agg(F.sort_array(F.collect_list("nb")).alias("ns"))
+        .persist(StorageLevel.DISK_ONLY)
     )
     try:
-        nbr = e.select(
-            F.col("u").alias("node"), F.col("v").alias("nb")
-        ).unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nb")))
-        # ONE corpus-sized pinned frame carries the whole downstream:
-        # the full adjacency as sorted int arrays. Degrees derive from
-        # it (size), the existing-edge filter derives from it
-        # (array_contains), and the exact rescore derives from it
-        # (array_intersect) — no second corpus-wide shuffle.
-        adj = (
-            nbr.groupBy("node")
-            .agg(F.sort_array(F.collect_list("nb")).alias("ns"))
+        deg = adj.select("node", F.size("ns").alias("d"))
+        dz = deg.select(F.col("node").alias("z_n"), F.col("d").alias("dz"))
+        dxn = deg.select(F.col("node").alias("x_n"), F.col("d").alias("dx"))
+        ornt = (
+            nbr.join(dz, nbr["node"] == dz["z_n"])
+            .join(dxn, nbr["nb"] == dxn["x_n"])
+            .filter(
+                (F.col("dz") < F.col("dx"))
+                | ((F.col("dz") == F.col("dx")) & (F.col("node") < F.col("nb")))
+            )
+            .select(F.col("node").alias("z"), F.col("nb").alias("x"), "dx")
+        )
+        capped = (
+            ornt.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("z").orderBy("dx", "x")
+                ),
+            )
+            .filter(F.col("rk") <= _LP_CAP)
+            .select("z", "x")
+            # ≤ CAP·|V| rows, self-joined below — pin once so the
+            # window+joins run once, on disk (corpus-scaling).
+            # Repartitioned FINE on z first: the wedge self-join
+            # co-partitions on z and its map-side partial agg holds
+            # one hash map per task — at ~sf1 (24M wedge pairs) 32
+            # fat partitions put ~750k-key maps in 32 concurrent
+            # tasks and blew the 1 GB heap's GCLocker floor; 256
+            # slices keep per-task state bounded at any |V|.
+            .repartition(256, "z")
             .persist(StorageLevel.DISK_ONLY)
         )
         try:
-            deg = adj.select("node", F.size("ns").alias("d"))
-            dz = deg.select(F.col("node").alias("z_n"), F.col("d").alias("dz"))
-            dxn = deg.select(F.col("node").alias("x_n"), F.col("d").alias("dx"))
-            ornt = (
-                nbr.join(dz, nbr["node"] == dz["z_n"])
-                .join(dxn, nbr["nb"] == dxn["x_n"])
-                .filter(
-                    (F.col("dz") < F.col("dx"))
-                    | ((F.col("dz") == F.col("dx")) & (F.col("node") < F.col("nb")))
+            ca, cb = capped.alias("ca"), capped.alias("cb")
+            cand = (
+                ca.join(
+                    cb,
+                    (F.col("ca.z") == F.col("cb.z"))
+                    & (F.col("ca.x") < F.col("cb.x")),
                 )
-                .select(F.col("node").alias("z"), F.col("nb").alias("x"), "dx")
+                .groupBy(
+                    F.col("ca.x").alias("x"), F.col("cb.x").alias("y")
+                )
+                .agg(F.count(F.lit(1)).alias("cc"))
+                .filter(F.col("cc") >= _LP_SUP)
+                .select("x", "y")
             )
-            capped = (
-                ornt.withColumn(
-                    "rk",
-                    F.row_number().over(
-                        Window.partitionBy("z").orderBy("dx", "x")
-                    ),
+            ax = adj.select(F.col("node").alias("x"), F.col("ns").alias("xs"))
+            ay = adj.select(F.col("node").alias("y"), F.col("ns").alias("ys"))
+            scored = (
+                cand.join(ax.hint("merge"), "x")
+                # existing co-purchase pairs drop via adjacency
+                # membership — the anti-join, for free
+                .filter(~F.array_contains(F.col("xs"), F.col("y")))
+                .join(ay.hint("merge"), "y")
+                .select(
+                    "x",
+                    "y",
+                    F.size(F.array_intersect("xs", "ys")).alias("common"),
+                    F.size("xs").alias("dxd"),
+                    F.size("ys").alias("dyd"),
                 )
-                .filter(F.col("rk") <= _LP_CAP)
-                .select("z", "x")
-                # ≤ CAP·|V| rows, self-joined below — pin once so the
-                # window+joins run once, on disk (corpus-scaling).
-                # Repartitioned FINE on z first: the wedge self-join
-                # co-partitions on z and its map-side partial agg holds
-                # one hash map per task — at ~sf1 (24M wedge pairs) 32
-                # fat partitions put ~750k-key maps in 32 concurrent
-                # tasks and blew the 1 GB heap's GCLocker floor; 256
-                # slices keep per-task state bounded at any |V|.
-                .repartition(256, "z")
-                .persist(StorageLevel.DISK_ONLY)
             )
-            try:
-                ca, cb = capped.alias("ca"), capped.alias("cb")
-                cand = (
-                    ca.join(
-                        cb,
-                        (F.col("ca.z") == F.col("cb.z"))
-                        & (F.col("ca.x") < F.col("cb.x")),
-                    )
-                    .groupBy(
-                        F.col("ca.x").alias("x"), F.col("cb.x").alias("y")
-                    )
-                    .agg(F.count(F.lit(1)).alias("cc"))
-                    .filter(F.col("cc") >= _LP_SUP)
-                    .select("x", "y")
+            j = (
+                F.col("common")
+                * F.lit(1.0)
+                / (F.col("dxd") + F.col("dyd") - F.col("common"))
+            )
+            return (
+                scored.orderBy(j.desc(), "x", "y")
+                .limit(20)
+                .select(
+                    "x",
+                    "y",
+                    F.col("common").cast("bigint").alias("common"),
+                    round_half_up(j, 4).alias("jaccard"),
                 )
-                ax = adj.select(F.col("node").alias("x"), F.col("ns").alias("xs"))
-                ay = adj.select(F.col("node").alias("y"), F.col("ns").alias("ys"))
-                scored = (
-                    cand.join(ax.hint("merge"), "x")
-                    # existing co-purchase pairs drop via adjacency
-                    # membership — the anti-join, for free
-                    .filter(~F.array_contains(F.col("xs"), F.col("y")))
-                    .join(ay.hint("merge"), "y")
-                    .select(
-                        "x",
-                        "y",
-                        F.size(F.array_intersect("xs", "ys")).alias("common"),
-                        F.size("xs").alias("dxd"),
-                        F.size("ys").alias("dyd"),
-                    )
-                )
-                j = (
-                    F.col("common")
-                    * F.lit(1.0)
-                    / (F.col("dxd") + F.col("dyd") - F.col("common"))
-                )
-                return (
-                    scored.orderBy(j.desc(), "x", "y")
-                    .limit(20)
-                    .select(
-                        "x",
-                        "y",
-                        F.col("common").cast("bigint").alias("common"),
-                        round_half_up(j, 4).alias("jaccard"),
-                    )
-                    # 20 rows — pin the result so the corpus-sized
-                    # frames below can be released before returning
-                    .localCheckpoint(eager=True)
-                )
-            finally:
-                capped.unpersist()
+                # 20 rows — pin the result so the corpus-sized
+                # frames below can be released before returning
+                .localCheckpoint(eager=True)
+            )
         finally:
-            adj.unpersist()
+            capped.unpersist()
     finally:
-        e.unpersist()
+        adj.unpersist()
 
 
 _LPA_ROUNDS = 4  # synchronous rounds (unrolled in the oracle)
@@ -761,48 +797,51 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     count shuffle, and one node-partitioned rank window — all keyed
     on node ids; the label frame is node-sized and localCheckpointed
     per round (bounded, model-class state like pagerank's ranks —
-    never corpus-row-sized); the edge frame is pinned once
-    DISK_ONLY and reused by every round."""
+    never corpus-row-sized); the edge frame is the session-cached
+    DISK_ONLY supplier↔part graph (`_sp_edges_cached`)."""
     from pyspark.sql.window import Window
-    from pyspark.storagelevel import StorageLevel
 
-    edges = _supplier_part_edges(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
-    try:
-        # symmetrized graph: every node appears as src
+    edges = _sp_edges_cached(spark, sf_dir)
+    # symmetrized graph: every node appears as src
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_LPA_ROUNDS):
+        # label frame is node-sized — broadcast it (the bfs
+        # reached-set rule) so the corpus-sized edge frame is always
+        # the streamed probe side
+        cnt = (
+            edges.join(F.broadcast(labels), edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax(c) with smallest-label ties as min(struct(-c, lbl))
+        # — field-lexicographic struct comparison ≡ the oracle's
+        # (c DESC, lbl ASC) row_number window, but as a hash agg
+        # with map-side combine instead of a per-node sort (the
+        # random_walks hub lesson)
         labels = (
-            edges.select(F.col("src").alias("node"))
-            .distinct()
-            .select("node", F.col("node").alias("lbl"))
+            cnt.groupBy(F.col("n2").alias("node"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("lbl").alias("lbl")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        for _ in range(_LPA_ROUNDS):
-            cnt = (
-                edges.join(labels, edges["src"] == labels["node"])
-                .groupBy(F.col("dst").alias("n2"), "lbl")
-                .agg(F.count(F.lit(1)).alias("c"))
-            )
-            labels = (
-                cnt.withColumn(
-                    "rk",
-                    F.row_number().over(
-                        Window.partitionBy("n2").orderBy(
-                            F.col("c").desc(), "lbl"
-                        )
-                    ),
-                )
-                .filter(F.col("rk") == 1)
-                .select(F.col("n2").alias("node"), "lbl")
-                .localCheckpoint(eager=True)
-            )
-        return (
-            labels.groupBy(F.col("lbl").alias("community"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-            .orderBy(F.col("n_nodes").desc(), "community")
-            .limit(20)
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        edges.unpersist()
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
 
 
 _KCORE_ROUNDS = 5  # fixed peeling rounds (unrolled in the oracle)
@@ -865,62 +904,62 @@ def kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     pagerank's NODE class); _KCORE_ROUNDS is fixed so the plan is
     deterministic, the dedup_clusters 1-row-driver-check pattern
     being the convergence alternative."""
-    from pyspark.storagelevel import StorageLevel
 
-    edges = _supplier_part_edges(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
-    try:
+    edges = _sp_edges_cached(spark, sf_dir)
+    alive = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # bounded driver scalars (exact ints — identical floor division
+    # in the oracle); the ivf seed-collect precedent
+    k = edges.count() // alive.count()
+    out_rows = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ax = alive.select(F.col("node").alias("x_n"))
+        ay = alive.select(F.col("node").alias("y_n"))
+        # both alive sides are node-sized — broadcast them (the bfs
+        # reached-set rule); the edge frame streams
+        deg = (
+            edges.join(F.broadcast(ax), edges["src"] == ax["x_n"])
+            .join(F.broadcast(ay), edges["dst"] == ay["y_n"])
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
         alive = (
-            edges.select(F.col("src").alias("node"))
-            .distinct()
+            deg.filter(F.col("c") >= k)
+            .select(F.col("src").alias("node"))
             .localCheckpoint(eager=True)
         )
-        # bounded driver scalars (exact ints — identical floor division
-        # in the oracle); the ivf seed-collect precedent
-        k = edges.count() // alive.count()
-        out_rows = []
-        for r in range(1, _KCORE_ROUNDS + 1):
-            ax = alive.select(F.col("node").alias("x_n"))
-            ay = alive.select(F.col("node").alias("y_n"))
-            deg = (
-                edges.join(ax, edges["src"] == ax["x_n"])
-                .join(ay, edges["dst"] == ay["y_n"])
-                .groupBy("src")
-                .agg(F.count(F.lit(1)).alias("c"))
-            )
-            alive = (
-                deg.filter(F.col("c") >= k)
-                .select(F.col("src").alias("node"))
-                .localCheckpoint(eager=True)
-            )
-            out_rows.append((r, alive.count()))
-        return spark.createDataFrame(
-            out_rows, "round int, n_alive bigint"
-        ).orderBy("round")
-    finally:
-        edges.unpersist()
+        out_rows.append((r, alive.count()))
+    return spark.createDataFrame(
+        out_rows, "round int, n_alive bigint"
+    ).orderBy("round")
 
 
 _RW_STEPS = 4  # walk length (unrolled in the oracle)
 
 
 def _random_walks_oracle(n_steps: int = _RW_STEPS) -> str:
-    """Unrolled deterministic random walks: at step t the walk started
-    at `start` moves to the neighbor minimizing md5(start|t|nb) — a
-    reproducible draw per (walk, step), the md5-draw convention."""
+    """Unrolled deterministic random walks, indexed-adjacency form: at
+    step t the walk started at `start` moves to
+    ns[ h(start|t) mod deg(cur) ] where ns is cur's SORTED adjacency
+    list and h is the md5-prefix integer draw — one O(1) pick per
+    walk per step (the alias-table shape distributed node2vec uses),
+    never a per-neighbor candidate set."""
     steps = []
     prev = "w0"
     for t in range(1, n_steps + 1):
         steps.append(
             f"""
     w{t} AS (
-        SELECT start, cur FROM (
-            SELECT w.start, e.dst AS cur,
-                   row_number() OVER (
-                       PARTITION BY w.start
-                       ORDER BY md5(w.start || '|{t}|' || e.dst), e.dst
-                   ) AS rk
-            FROM {prev} w JOIN edges e ON e.src = w.cur)
-        WHERE rk = 1
+        SELECT w.start,
+               list_extract(
+                   a.ns,
+                   CAST(CAST(('0x' || substr(md5(w.start || '|{t}'), 1, 8))
+                             AS BIGINT) % len(a.ns) AS INT) + 1
+               ) AS cur
+        FROM {prev} w JOIN adj a ON a.src = w.cur
     )"""
         )
         prev = f"w{t}"
@@ -929,7 +968,8 @@ def _random_walks_oracle(n_steps: int = _RW_STEPS) -> str:
     )
     return f"""
     WITH {_GRAPH_EDGE_CTES},
-    w0 AS (SELECT DISTINCT src AS start, src AS cur FROM edges),{",".join(steps)}
+    adj AS (SELECT src, list(dst ORDER BY dst) AS ns FROM edges GROUP BY src),
+    w0 AS (SELECT src AS start, src AS cur FROM adj),{",".join(steps)}
     SELECT cur AS node, CAST(count(*) AS BIGINT) AS visits
     FROM ({visits})
     GROUP BY cur
@@ -947,44 +987,56 @@ def random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk/node2vec-style walk corpus generation (Perozzi et al.
     2014, public) — the data-prep step that turns a graph into
     skip-gram training sequences: one walk of _RW_STEPS steps per
-    node over the supplier↔part graph, where step t of the walk
-    started at `start` moves to the neighbor minimizing
-    md5(start|t|nb) — the engine's md5-draw determinism convention
-    (corpus_shuffle/weighted_sample_aes), so the "random" walks are
-    reproducible across engines, epochs, and retries (the property
-    production walk corpora need for resumable jobs). Graded output:
+    node over the supplier↔part graph. Transitions are the
+    INDEXED-ADJACENCY form distributed walk engines use: each node's
+    neighbors are collected ONCE into a sorted array, and step t of
+    the walk started at `start` moves to ns[h(start|t) mod deg(cur)]
+    with h the md5-prefix integer draw (the corpus_shuffle
+    determinism convention) — one O(1) array pick per walk per step,
+    reproducible across engines, epochs, and retries. The first-cut
+    per-neighbor argmin joined every walk against its full neighbor
+    set: on even steps the bipartite walk sits on ~460-degree
+    supplier hubs and that join exploded to ~12M rows at sf0.1
+    (16-22 s/step, and GCLocker-floor pressure at the 1 GB heap);
+    the indexed form does |walks|-row joins per step. Graded output:
     the 20 most-visited nodes with visit counts across all walk
     steps — a Σ-over-walks reduction that certifies every step's
-    transition choice (one wrong step anywhere shifts a count).
-    Scale: each step joins the |V|-row frontier against the adjacency
-    (Σ deg rows) and takes a per-walk argmin window (partitioned by
-    walk id, never global); the frontier is node-sized iterative
-    state, localCheckpointed per step — the NODE class."""
-    from pyspark.sql.window import Window
+    transition choice (one wrong pick anywhere shifts a count).
+    Scale: the adjacency-array frame is corpus-scaling and pinned
+    DISK_ONLY for the step loop (released before return); the walk
+    frontier (one row per walk) carries the broadcast hint — bounded
+    by the chosen walk count, the bfs reached-set rule — so the
+    array frame is always the streamed probe side."""
     from pyspark.storagelevel import StorageLevel
 
-    edges = _supplier_part_edges(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    edges = _sp_edges_cached(spark, sf_dir)
+    adj = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("ns"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
     try:
-        frontier = (
-            edges.select(F.col("src").alias("start"), F.col("src").alias("cur"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        frontier = adj.select(
+            F.col("src").alias("start"), F.col("src").alias("cur")
+        ).localCheckpoint(eager=True)
         visited = []
         for t in range(1, _RW_STEPS + 1):
-            draw = F.md5(
-                F.concat(F.col("start"), F.lit(f"|{t}|"), F.col("dst"))
-            )
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("start"), F.lit(f"|{t}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
             frontier = (
-                frontier.join(edges, frontier["cur"] == edges["src"])
-                .withColumn(
-                    "rk",
-                    F.row_number().over(
-                        Window.partitionBy("start").orderBy(draw, "dst")
-                    ),
+                F.broadcast(frontier)
+                .join(adj, frontier["cur"] == adj["src"])
+                .select(
+                    "start",
+                    F.element_at(
+                        "ns", (h % F.size("ns")).cast("int") + 1
+                    ).alias("cur"),
                 )
-                .filter(F.col("rk") == 1)
-                .select("start", F.col("dst").alias("cur"))
                 .localCheckpoint(eager=True)
             )
             visited.append(frontier.select("cur"))
@@ -996,6 +1048,7 @@ def random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("visits"))
             .orderBy(F.col("visits").desc(), "node")
             .limit(20)
+            .localCheckpoint(eager=True)
         )
     finally:
-        edges.unpersist()
+        adj.unpersist()

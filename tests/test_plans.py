@@ -1147,7 +1147,7 @@ _LOCALCHECKPOINT_AUDIT = {
     ("plans/graph.py", "link_prediction_capped"): (1, "RESULT"),
     ("plans/graph.py", "link_prediction_jaccard"): (1, "CORPUS_N"),
     ("plans/graph.py", "lpa_communities"): (3, "NODE"),
-    ("plans/graph.py", "random_walks"): (2, "NODE"),
+    ("plans/graph.py", "random_walks"): (3, "NODE"),
     ("plans/graph.py", "recursive_cte_hops"): (1, "CORPUS_N"),
     ("plans/graph.py", "triangle_count"): (1, "RESULT"),
     ("plans/joins.py", "blocking_quality"): (1, "RESULT"),
