@@ -45,7 +45,7 @@ _DRIVER_PRIORITY = [
     # queue below.
     # (a) round-14 additions — appended here as they land
     "link_prediction_capped", "reservoir_sample", "lpa_communities",
-    "kcore_decompose", "random_walks",
+    "kcore_decompose", "random_walks", "quantile_sketch",
     # (b) displaced-r5 stragglers, oldest driver evidence first
     "simhash_portable", "sliding_window", "stratified_sample_hash",
     "tumbling_window", "unicode_normalize", "unigram_perplexity",
@@ -62,16 +62,16 @@ _DRIVER_PRIORITY = [
     "multimodal_frame_sample", "ngram_jaccard_capped",
     "project_conditional", "promo_revenue", "rename_drop",
     "returned_items", "rfm_segments", "selective_agg_funcs",
-    "shipping_priority", "text_scan", "transition_matrix",
+    "shipping_priority", "text_scan",
 ]
 
 
 # Round-15 rotation queue: compose the r15 window from (1) any r14
 # reds, (2) r15 additions as they land, then (3) the stalest greens
-# oldest-first — the 2 r6-cohort entries the late r14 additions
+# oldest-first — the 3 r6-cohort entries the late r14 additions
 # displaced from the tail above (triangle_count — freshly rewritten
-# this round, so its re-certification is real signal — and
-# udtf_lateral), then the r7 cohort. Keep rows-only queries out of
+# this round, so its re-certification is real signal —
+# transition_matrix, and udtf_lateral), then the r7 cohort. Keep rows-only queries out of
 # the window.
 
 

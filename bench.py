@@ -229,6 +229,7 @@ HEADLINE = [
     "lpa_communities",       # synchronous LPA communities (4 rounds)
     "kcore_decompose",       # k-core peel profile (data-driven k)
     "random_walks",          # DeepWalk corpus walks (md5 transitions)
+    "quantile_sketch",       # md5-reservoir quantile estimate vs exact
 ]
 
 # The named cross-round anchor (see the comment above HEADLINE).

@@ -697,3 +697,124 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rel_err"),
         F.col("nh").cast("bigint").alias("k_used"),
     )
+
+
+_QSK_K = 512           # sample size (k smallest md5 draws)
+_QSK_PCTS = (25, 50, 75, 90, 99)  # graded percentiles (integer, see below)
+
+
+@query(
+    "quantile_sketch",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_extendedprice AS p,
+               md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                   CAST(l_linenumber AS VARCHAR)) AS u
+        FROM lineitem
+    ), nn AS (SELECT count(*) AS n FROM base),
+    samp AS (SELECT p FROM base ORDER BY u, p LIMIT {_QSK_K}),
+    scdf AS (
+        SELECT p, row_number() OVER (ORDER BY p) AS r FROM samp
+    ), sn AS (SELECT count(*) AS k FROM samp),
+    ecdf AS (
+        SELECT p, sum(c) OVER (ORDER BY p) AS cum
+        FROM (SELECT p, count(*) AS c FROM base GROUP BY p)
+    ), qs AS (
+        SELECT unnest(ARRAY{list(_QSK_PCTS)}) AS pct
+    ), est AS (
+        SELECT q.pct, min(s.p) AS est_p
+        FROM qs q, scdf s, sn
+        WHERE s.r >= (sn.k * q.pct + 99) // 100
+        GROUP BY q.pct
+    ), ex AS (
+        SELECT q.pct, min(e.p) AS exact_p
+        FROM qs q, ecdf e, nn
+        WHERE e.cum >= (nn.n * q.pct + 99) // 100
+        GROUP BY q.pct
+    )
+    SELECT CAST(est.pct AS INT) AS pct,
+           CAST(floor(est_p * 100 + 0.5) AS BIGINT) AS est_cents,
+           CAST(floor(exact_p * 100 + 0.5) AS BIGINT) AS exact_cents,
+           CAST(abs(floor(est_p * 100 + 0.5)
+                    - floor(exact_p * 100 + 0.5)) AS BIGINT) AS err_cents
+    FROM est JOIN ex ON est.pct = ex.pct
+    ORDER BY pct
+    """,
+    section="2.11 sampled quantile sketch vs exact (deterministic md5 reservoir, integer ranks)",
+)
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile member of the portable-sketch family (beside the
+    HLL registers, Count-Min, KMV/theta, Bloom, and b-bit minhash):
+    estimate order statistics of `l_extendedprice` from a bounded
+    uniform sample and price the estimate against the exact
+    quantiles — the evaluation shape every sketch query here uses
+    (kmv_distinct_sketch's rule: the sketch AND its ground truth in
+    one differential). The sample is the _QSK_K rows with the
+    smallest md5(orderkey|linenumber) draws — a true uniform k-subset
+    (the reservoir_sample argument), deterministic across engines and
+    mergeable at scale (per-partition top-k then global top-k, unlike
+    rank-error sketches whose merge order changes the summary).
+    Determinism details: quantiles are DISCRETE (the element at
+    integer rank ceil(q·n), never interpolated — interpolating
+    2dp money lands exactly on .xx5 half-way points where engines
+    disagree), and the rank thresholds are computed in pure integer
+    arithmetic ((n·pct + 99) div 100) because float q·n can be
+    integral exactly at the ceil boundary. Cents surface as BIGINT
+    (the money-family rule). Scale: one scan + TakeOrdered for the
+    sample; the exact side's CDF runs on the distinct-price value
+    grid (the ks_drift/auc_score pattern), not base rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_extendedprice").alias("p"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("u"),
+    )
+    from pyspark.sql.window import Window
+
+    n = base.count()  # bounded driver scalar (exact int; kcore rule)
+    samp = base.orderBy("u", "p").limit(_QSK_K).select("p")
+    k = samp.count()
+    scdf = samp.withColumn("r", F.row_number().over(Window.orderBy("p")))
+    ecdf = (
+        base.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(Window.orderBy("p")))
+    )
+    qs = spark.createDataFrame([(pct,) for pct in _QSK_PCTS], "pct int")
+    est = (
+        F.broadcast(qs)
+        .crossJoin(scdf)
+        .filter(
+            F.col("r")
+            >= F.floor((F.lit(k) * F.col("pct") + F.lit(99)) / F.lit(100))
+        )
+        .groupBy("pct")
+        .agg(F.min("p").alias("est_p"))
+    )
+    ex = (
+        F.broadcast(qs)
+        .crossJoin(ecdf)
+        .filter(
+            F.col("cum")
+            >= F.floor((F.lit(n) * F.col("pct") + F.lit(99)) / F.lit(100))
+        )
+        .groupBy("pct")
+        .agg(F.min("p").alias("exact_p"))
+    )
+    ec = F.floor(F.col("est_p") * 100 + F.lit(0.5)).cast("bigint")
+    xc = F.floor(F.col("exact_p") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        est.join(ex, "pct")
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            ec.alias("est_cents"),
+            xc.alias("exact_cents"),
+            F.abs(ec - xc).cast("bigint").alias("err_cents"),
+        )
+        .orderBy("pct")
+    )

@@ -244,6 +244,11 @@ _GLOBAL_WINDOW_ALLOWED = {
     # grid (2dp-bounded domain), not over base rows — the rank-sum
     # ranks derive from the grid, so the global window is constant-size
     "auc_score",
+    # two windows, both bounded: the sample rank runs over the
+    # LIMIT-bounded 512-row md5 reservoir (weighted_sample_aes class)
+    # and the exact CDF over the DISTINCT 2dp-price value grid
+    # (auc_score class) — never base rows (docstring)
+    "quantile_sketch",
     # domain-bounded: cumulative bin counts over the fixed-width bin
     # table (~value_range/width rows at any corpus scale)
     "percentile_binned",
