@@ -799,7 +799,6 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round (bounded, model-class state like pagerank's ranks —
     never corpus-row-sized); the edge frame is the session-cached
     DISK_ONLY supplier↔part graph (`_sp_edges_cached`)."""
-    from pyspark.sql.window import Window
 
     edges = _sp_edges_cached(spark, sf_dir)
     # symmetrized graph: every node appears as src
