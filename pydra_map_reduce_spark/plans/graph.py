@@ -116,9 +116,29 @@ def _sp_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = session_cache_hit(_SP_EDGE_CACHE, key)
     if e is None:
         prune_stale_session_entries(_SP_EDGE_CACHE, key, lambda x: x)
-        e = _supplier_part_edges(spark, sf_dir).persist(
-            StorageLevel.DISK_ONLY
+        # Hash-partitioned by src BEFORE the persist (guide §2.4: two
+        # operations keyed the same way share one exchange): every
+        # iterative consumer aggregates per-round on the src side —
+        # lpa's neighbor-label counts, kcore's surviving-degree
+        # counts, random_walks' adjacency build, pagerank's
+        # distinct/out-degree — so establishing hashpartitioning(src)
+        # once at cache build removes the per-round Exchange from all
+        # of them (their round joins broadcast the node-sized frame,
+        # which preserves the streamed side's partitioning). Column
+        # form (no explicit N) keeps the partition count at
+        # spark.sql.shuffle.partitions locally and AQE-coalescible,
+        # i.e. scale-adaptive rather than tuned to either tier.
+        e = (
+            _supplier_part_edges(spark, sf_dir)
+            .repartition("src")
+            .persist(StorageLevel.DISK_ONLY)
         )
+        # materialize NOW: until the cached AQE plan is final, its
+        # outputPartitioning reads as unknown and the first consumer
+        # round plans with the very exchanges the repartition exists
+        # to remove (observed: round-1 of a cold lpa call kept both
+        # per-round exchanges; rounds 2+ planned exchange-free)
+        e.count()
         _SP_EDGE_CACHE[key] = e
     return e
 
@@ -811,19 +831,28 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_LPA_ROUNDS):
         # label frame is node-sized — broadcast it (the bfs
         # reached-set rule) so the corpus-sized edge frame is always
-        # the streamed probe side
+        # the streamed probe side. The edge frame is SYMMETRIC (every
+        # (a,b) has its (b,a) twin by construction), so joining the
+        # labels on DST and grouping by SRC is row-for-row identical
+        # to the src-join/dst-group form — and it keys both
+        # aggregations on src, the cached frame's partitioning, so
+        # the whole round plans with ZERO exchanges (guide §2.4;
+        # before: 2 exchanges/round, see plans/r14/
+        # lpa_communities_before.txt).
         cnt = (
-            edges.join(F.broadcast(labels), edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("n2"), "lbl")
+            edges.join(F.broadcast(labels), edges["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
         # argmax(c) with smallest-label ties as min(struct(-c, lbl))
         # — field-lexicographic struct comparison ≡ the oracle's
-        # (c DESC, lbl ASC) row_number window, but as a hash agg
-        # with map-side combine instead of a per-node sort (the
-        # random_walks hub lesson)
+        # (c DESC, lbl ASC) row_number rule. Measured against the
+        # one-shot mode(lbl, deterministic=true) aggregate, which is
+        # semantically identical here: mode's object-hash-agg buffer
+        # (a per-group hash map) was SLOWER (warm 3.3–4.7 s vs
+        # 2.3–2.8 s), so the two-step count+min(struct) form stays.
         labels = (
-            cnt.groupBy(F.col("n2").alias("node"))
+            cnt.groupBy("node")
             .agg(
                 F.min(
                     F.struct(
