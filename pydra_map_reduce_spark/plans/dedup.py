@@ -699,6 +699,60 @@ def _portable_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh
 
 
+# Session-cached (signatures, band-candidates) for the 32-hash/8-band
+# portable pipeline — the SAME lifecycle as _PORTABLE_SH_CACHE one
+# derivation later: minhash_estimate_error and bbit_minhash_error each
+# referenced the signature frame in FOUR subplan instances (cand twice
+# — once under inter's broadcast, once under agree — plus the sga/sgb
+# aliases) and the candidate frame twice, so every call re-ran the
+# 32-min-agg signature build and the explode+self-join banding
+# repeatedly (guide §1.3 duplicated-subtree smell). Persisting both
+# once per (app, dir, fixture) collapses all of it; CacheManager
+# plan-dedup additionally substitutes these entries into
+# minhash_lsh_pairs(portable_hash=True)'s identical sigs/cand
+# subtrees (lsh_recall's found side, dedup_clusters_minhash) and into
+# lsh_band_sweep's shared sigs scan. Two dicts (same key) because the
+# prune helper unpersists exactly one frame per entry.
+_PORTABLE_SIG_CACHE: dict[tuple, DataFrame] = {}
+_PORTABLE_CAND_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _portable_sigs_cand(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.dedup import (
+        minhash_band_candidates,
+        minhash_signatures,
+    )
+    from ..sources.tables import (
+        _fixture_key,
+        prune_stale_session_entries,
+        session_cache_hit,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_key(f"{sf_dir}/documents.parquet"),
+    )
+    sigs = session_cache_hit(_PORTABLE_SIG_CACHE, key)
+    cand = session_cache_hit(_PORTABLE_CAND_CACHE, key)
+    if sigs is not None and cand is not None:
+        return sigs, cand
+    prune_stale_session_entries(_PORTABLE_SIG_CACHE, key, lambda e: e)
+    prune_stale_session_entries(_PORTABLE_CAND_CACHE, key, lambda e: e)
+    sh = _portable_shingle_index(spark, sf_dir)
+    sigs = minhash_signatures(sh, 32).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = minhash_band_candidates(sigs, 32, 8).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PORTABLE_SIG_CACHE[key] = sigs
+    _PORTABLE_CAND_CACHE[key] = cand
+    return sigs, cand
+
+
 @query(
     "lsh_recall",
     oracle=f"""
@@ -780,18 +834,30 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text",
         threshold=_LSH_EVAL_THRESHOLD, n_hashes=32, bands=8, portable_hash=True,
     ).select("doc_a", "doc_b")
-    truth_n = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    found_n = found.agg(F.count(F.lit(1)).alias("n_found"))
-    hits_n = found.join(truth, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
+    # ONE pass for all three counts (guide §1.3 duplicated-subtree
+    # smell): the old three-aggregate form (count(truth),
+    # count(found), count(found⋈truth)) evaluated the quadratic
+    # posting-list self-join TWICE and the full minhash pipeline
+    # TWICE. Both pair frames are key-unique (truth groups by the
+    # pair, found's candidates are distinct), so a full-outer join on
+    # the pair key never multiplies rows and one aggregate reads
+    # n_true / n_found / n_hits off the membership flags — each side
+    # now computes exactly once (warm 7.7 s → see OPTIMIZATION_r14.md).
+    both = truth.withColumn("in_t", F.lit(1)).join(
+        found.withColumn("in_f", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    counts = both.agg(
+        F.count("in_t").alias("n_true"),
+        F.count("in_f").alias("n_found"),
+        F.count(F.when(F.col("in_t").isNotNull() & F.col("in_f").isNotNull(), 1)).alias("n_hits"),
     )
     # the index stays persisted (session cache — see
     # _portable_shingle_index); the one-row report still checkpoints
     # so the wide truth lineage isn't replayed by downstream readers
     return (
-        truth_n.crossJoin(F.broadcast(found_n))
-        .crossJoin(F.broadcast(hits_n))
-        .select(
+        counts.select(
             F.col("n_true").cast("bigint").alias("n_true"),
             F.col("n_found").cast("bigint").alias("n_found"),
             F.col("n_hits").cast("bigint").alias("n_hits"),
@@ -1596,14 +1662,11 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage out from under every later evaluator call; the per-call
     persist/release pair this replaced rebuilt the ~3.5 s index each
     time)."""
-    from ..operators.dedup import (
-        minhash_band_candidates,
-        minhash_signatures,
-    )
-
     sh = _portable_shingle_index(spark, sf_dir)
-    sigs = minhash_signatures(sh, 32)
-    cand = minhash_band_candidates(sigs, 32, 8)
+    # sigs/cand from the session cache (see _portable_sigs_cand):
+    # this plan references sigs four times and cand twice, and the
+    # sibling bbit evaluator repeats the identical build
+    sigs, cand = _portable_sigs_cand(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # intersections ONLY for the candidate pairs: fan the (small,
     # broadcast) pair frame onto doc_a's postings, then match
@@ -2374,14 +2437,10 @@ def bbit_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: identical to minhash_estimate_error — broadcast candidate
     frame, candidate-restricted intersection counting (never the full
     co-shingle self-join)."""
-    from ..operators.dedup import (
-        minhash_band_candidates,
-        minhash_signatures,
-    )
-
     sh = _portable_shingle_index(spark, sf_dir)
-    sigs = minhash_signatures(sh, 32)
-    cand = minhash_band_candidates(sigs, 32, 8)
+    # session-cached sigs/cand shared with minhash_estimate_error —
+    # see _portable_sigs_cand
+    sigs, cand = _portable_sigs_cand(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         F.broadcast(cand.select("doc_a", "doc_b"))

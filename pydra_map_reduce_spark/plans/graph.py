@@ -164,16 +164,29 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
-        a, b = li.alias("a"), li.alias("b")
+        # one groupBy + array pair expansion instead of the orderkey
+        # self-join (guide §2.1: the join shuffled lineitem TWICE and
+        # sort-merged it; this shuffles it once). collect_set + sorted
+        # array + i<j combinations emits exactly the self-join's
+        # distinct-per-order (u < v) pairs: strict < never paired
+        # equal partkeys, and md-order duplicates collapse in the set.
+        # Per-order arrays are order-sized (≤7 lines), never
+        # corpus-sized.
+        parts = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("ps")
+        )
+        pair_arrays = F.flatten(
+            F.transform(
+                "ps",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2, F.size("ps") - i - 1),
+                    lambda y: F.struct(x.alias("u"), y.alias("v")),
+                ),
+            )
+        )
         e = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .select(
-                F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-            )
+            parts.select(F.explode(pair_arrays).alias("p"))
+            .select("p.u", "p.v")
             .distinct()
             .persist(StorageLevel.DISK_ONLY)
         )
@@ -668,89 +681,122 @@ def link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.DISK_ONLY)
     )
     try:
-        deg = adj.select("node", F.size("ns").alias("d"))
-        dz = deg.select(F.col("node").alias("z_n"), F.col("d").alias("dz"))
-        dxn = deg.select(F.col("node").alias("x_n"), F.col("d").alias("dx"))
+        # Scale-adaptive slice count for the capped-wedge stage
+        # (guide §2.6: derive partitioning from input size, not a
+        # constant tuned to one tier). The count also materializes
+        # the adjacency pin it reads anyway one line later. Wedge
+        # pairs ≤ C(CAP,2)·|V|; sizing slices to ~100k pair-keys per
+        # task bounds the (x,y) partial-agg hash map at any |V| (the
+        # old fixed 256 was tuned to ~sf1, where 32 fat partitions
+        # blew the 1 GB heap's GCLocker floor — at sf1's |V|≈200k
+        # this formula reproduces ~240 slices; at sf0.1's |V|≈20k it
+        # stays at defaultParallelism instead of paying 256 tiny
+        # tasks per stage).
+        n_nodes = adj.count()
+        max_pairs = n_nodes * (_LP_CAP * (_LP_CAP - 1) // 2)
+        slices = max(
+            spark.sparkContext.defaultParallelism,
+            min(4096, max_pairs // 100_000 + 1),
+        )
+        # z's degree rides ALONG with the adjacency row (size(ns)) —
+        # exploding the pinned adjacency replaces the old
+        # nbr ⋈ deg(z) join outright (guide §2.1: one less
+        # corpus-sized shuffle); only the NEIGHBOR's degree still
+        # needs a join (node-sized frame, AQE picks broadcast at
+        # fixture scale and sort-merge when deg outgrows the
+        # threshold).
+        dxn = adj.select(
+            F.col("node").alias("x_n"), F.size("ns").alias("dx")
+        )
         ornt = (
-            nbr.join(dz, nbr["node"] == dz["z_n"])
-            .join(dxn, nbr["nb"] == dxn["x_n"])
+            adj.select(
+                F.col("node").alias("z"),
+                F.size("ns").alias("dz"),
+                F.explode("ns").alias("x"),
+            )
+            .join(dxn, F.col("x") == F.col("x_n"))
             .filter(
                 (F.col("dz") < F.col("dx"))
-                | ((F.col("dz") == F.col("dx")) & (F.col("node") < F.col("nb")))
+                | ((F.col("dz") == F.col("dx")) & (F.col("z") < F.col("x")))
             )
-            .select(F.col("node").alias("z"), F.col("nb").alias("x"), "dx")
+            .select("z", "x", "dx")
         )
-        capped = (
-            ornt.withColumn(
+        # Repartitioned FINE on z BEFORE the window: the window's
+        # clusterBy(z) requirement is satisfied by this exchange (no
+        # second shuffle), and the ≤CAP-per-z groupBy below reuses the
+        # same partitioning exchange-free. The wedge pairs are then
+        # expanded IN-ROW from each center's ≤CAP sorted value array
+        # (all i<j combinations ≡ the old capped⋈capped self-join on
+        # a.z=b.z AND a.x<b.x, row for row) — the self-join, its
+        # DISK_ONLY pin of the capped frame, and its per-partition
+        # sort/hash machinery disappear; per-row state is ≤CAP²
+        # structs, bounded at any |V|, and the (x,y) partial agg still
+        # holds one hash map per 256-slice task (at ~sf1, 24M wedge
+        # pairs over 32 fat partitions blew the 1 GB heap's GCLocker
+        # floor; the scale-adaptive slice count above keeps per-task
+        # state bounded).
+        capped_vs = (
+            ornt.repartition(slices, "z")
+            .withColumn(
                 "rk",
                 F.row_number().over(
                     Window.partitionBy("z").orderBy("dx", "x")
                 ),
             )
             .filter(F.col("rk") <= _LP_CAP)
-            .select("z", "x")
-            # ≤ CAP·|V| rows, self-joined below — pin once so the
-            # window+joins run once, on disk (corpus-scaling).
-            # Repartitioned FINE on z first: the wedge self-join
-            # co-partitions on z and its map-side partial agg holds
-            # one hash map per task — at ~sf1 (24M wedge pairs) 32
-            # fat partitions put ~750k-key maps in 32 concurrent
-            # tasks and blew the 1 GB heap's GCLocker floor; 256
-            # slices keep per-task state bounded at any |V|.
-            .repartition(256, "z")
-            .persist(StorageLevel.DISK_ONLY)
+            .groupBy("z")
+            .agg(F.array_sort(F.collect_list("x")).alias("vs"))
         )
-        try:
-            ca, cb = capped.alias("ca"), capped.alias("cb")
-            cand = (
-                ca.join(
-                    cb,
-                    (F.col("ca.z") == F.col("cb.z"))
-                    & (F.col("ca.x") < F.col("cb.x")),
-                )
-                .groupBy(
-                    F.col("ca.x").alias("x"), F.col("cb.x").alias("y")
-                )
-                .agg(F.count(F.lit(1)).alias("cc"))
-                .filter(F.col("cc") >= _LP_SUP)
-                .select("x", "y")
+        wedge_pairs = F.flatten(
+            F.transform(
+                "vs",
+                lambda x, i: F.transform(
+                    F.slice(F.col("vs"), i + 2, F.size("vs") - i - 1),
+                    lambda y: F.struct(x.alias("x"), y.alias("y")),
+                ),
             )
-            ax = adj.select(F.col("node").alias("x"), F.col("ns").alias("xs"))
-            ay = adj.select(F.col("node").alias("y"), F.col("ns").alias("ys"))
-            scored = (
-                cand.join(ax.hint("merge"), "x")
-                # existing co-purchase pairs drop via adjacency
-                # membership — the anti-join, for free
-                .filter(~F.array_contains(F.col("xs"), F.col("y")))
-                .join(ay.hint("merge"), "y")
-                .select(
-                    "x",
-                    "y",
-                    F.size(F.array_intersect("xs", "ys")).alias("common"),
-                    F.size("xs").alias("dxd"),
-                    F.size("ys").alias("dyd"),
-                )
+        )
+        cand = (
+            capped_vs.select(F.explode(wedge_pairs).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.count(F.lit(1)).alias("cc"))
+            .filter(F.col("cc") >= _LP_SUP)
+            .select("x", "y")
+        )
+        ax = adj.select(F.col("node").alias("x"), F.col("ns").alias("xs"))
+        ay = adj.select(F.col("node").alias("y"), F.col("ns").alias("ys"))
+        scored = (
+            cand.join(ax.hint("merge"), "x")
+            # existing co-purchase pairs drop via adjacency
+            # membership — the anti-join, for free
+            .filter(~F.array_contains(F.col("xs"), F.col("y")))
+            .join(ay.hint("merge"), "y")
+            .select(
+                "x",
+                "y",
+                F.size(F.array_intersect("xs", "ys")).alias("common"),
+                F.size("xs").alias("dxd"),
+                F.size("ys").alias("dyd"),
             )
-            j = (
-                F.col("common")
-                * F.lit(1.0)
-                / (F.col("dxd") + F.col("dyd") - F.col("common"))
+        )
+        j = (
+            F.col("common")
+            * F.lit(1.0)
+            / (F.col("dxd") + F.col("dyd") - F.col("common"))
+        )
+        return (
+            scored.orderBy(j.desc(), "x", "y")
+            .limit(20)
+            .select(
+                "x",
+                "y",
+                F.col("common").cast("bigint").alias("common"),
+                round_half_up(j, 4).alias("jaccard"),
             )
-            return (
-                scored.orderBy(j.desc(), "x", "y")
-                .limit(20)
-                .select(
-                    "x",
-                    "y",
-                    F.col("common").cast("bigint").alias("common"),
-                    round_half_up(j, 4).alias("jaccard"),
-                )
-                # 20 rows — pin the result so the corpus-sized
-                # frames below can be released before returning
-                .localCheckpoint(eager=True)
-            )
-        finally:
-            capped.unpersist()
+            # 20 rows — pin the result so the corpus-sized
+            # frames below can be released before returning
+            .localCheckpoint(eager=True)
+        )
     finally:
         adj.unpersist()
 
