@@ -744,6 +744,14 @@ def _portable_sigs_cand(
     prune_stale_session_entries(_PORTABLE_SIG_CACHE, key, lambda e: e)
     prune_stale_session_entries(_PORTABLE_CAND_CACHE, key, lambda e: e)
     sh = _portable_shingle_index(spark, sf_dir)
+    # MEMORY_AND_DISK, measured against DISK_ONLY on an idle host:
+    # the family (recall/bbit/estimate/neardup/band_sweep) summed
+    # 13.8 s warm vs 18.1 s with DISK_ONLY, and both frames are
+    # model-sized (~10 MB at sf0.1: |docs|×32 longs + the distinct
+    # candidate pairs), far too small to pressure the storage pool.
+    # (A full-bench run that seemed to show M&D evicting other
+    # queries' caches turned out to be leftover host load — its
+    # 5-min loadavg was 3.0 at start; the rerun at 0.3 was flat.)
     sigs = minhash_signatures(sh, 32).persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_band_candidates(sigs, 32, 8).persist(
         StorageLevel.MEMORY_AND_DISK
