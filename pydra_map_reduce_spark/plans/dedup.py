@@ -1469,6 +1469,37 @@ def _winnow_selection(d: DataFrame) -> DataFrame:
     )
 
 
+# Session-cached winnowed selection (doc_id, pos, h) — sketch-sized
+# (~2/(w+1) of the k-gram stream) and read by BOTH winnowing queries,
+# which each paid the full tokenize→window→argmin build per call
+# before r14. Same lifecycle as the other session caches.
+_WINNOW_SEL_CACHE: dict = {}
+
+
+def _winnow_selection_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from ..sources.tables import (
+        _fixture_key,
+        prune_stale_session_entries,
+        session_cache_hit,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_key(f"{sf_dir}/documents.parquet"),
+    )
+    sel = session_cache_hit(_WINNOW_SEL_CACHE, key)
+    if sel is None:
+        prune_stale_session_entries(_WINNOW_SEL_CACHE, key, lambda e: e)
+        sel = _winnow_selection(
+            load_table(spark, sf_dir, "documents")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _WINNOW_SEL_CACHE[key] = sel
+    return sel
+
+
 @query(
     "winnowing_fingerprint",
     oracle=f"""
@@ -1505,7 +1536,7 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     and max(0, pos-w+1) <= min(pos, ng-w) holds for every surviving
     pos <= ng-1. Tie-break pos DESC is the paper's rightmost-min rule
     and pins md5-prefix hash collisions identically in both engines."""
-    fps = _winnow_selection(load_table(spark, sf_dir, "documents"))
+    fps = _winnow_selection_cached(spark, sf_dir)
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fp"),
         F.countDistinct("h").alias("n_hashes"),
@@ -1603,7 +1634,7 @@ def winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint has the same unbounded-bucket hazard at lower mass).
     """
     fph = (
-        _winnow_selection(load_table(spark, sf_dir, "documents"))
+        _winnow_selection_cached(spark, sf_dir)
         .select("doc_id", "h")
         .distinct()
     )
@@ -2151,18 +2182,19 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     widest banding; this sweeps the BANDING itself — together they
     bracket the two knobs a dedup deployment tunes).
 
-    Signatures are computed ONCE from the session-cached portable
-    shingle index and materialized (localCheckpoint) before the four
-    bandings read them; each banding is the production
-    minhash_band_candidates definition, so candidate sets — not a
-    re-typed approximation — are what's counted. Counts only, never
+    Signatures come from the SESSION-CACHED frame (_portable_sigs_cand
+    — shared with the estimate-error/bbit evaluators; replacing the
+    per-call rebuild + localCheckpoint of an identical frame); each
+    banding is the production minhash_band_candidates definition, so
+    candidate sets — not a re-typed approximation — are what's
+    counted (the 8-band config's plan is the cached candidate frame
+    itself, which CacheManager substitutes). Counts only, never
     materialized pair lists, so even the (32,1) funnel is one
     keyed-agg pass; at corpus scale the same sample-the-corpus
     posture as dedup_threshold_sweep applies."""
-    from ..operators.dedup import minhash_band_candidates, minhash_signatures
+    from ..operators.dedup import minhash_band_candidates
 
-    sh = _portable_shingle_index(spark, sf_dir)
-    sigs = minhash_signatures(sh, 32).localCheckpoint(eager=True)
+    sigs, _ = _portable_sigs_cand(spark, sf_dir)
     parts = []
     for bands, rows in _BAND_CONFIGS:
         cand = minhash_band_candidates(sigs, 32, bands)

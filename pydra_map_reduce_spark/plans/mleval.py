@@ -264,7 +264,7 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, one scan, one keyed agg; the mean-length
     band compares an exact integer ratio, so the [3,10] cut is
     engine-independent."""
-    flags = _gopher_flags(load_table(spark, sf_dir, "documents"))
+    flags = _gopher_flags_cached(spark, sf_dir)
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ok_nwords").cast("bigint").alias("pass_nwords"),
@@ -328,7 +328,7 @@ def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield NULL there alike (n >= 1 at every fixture SF, so the branch
     is structural, not exercised).
     """
-    flags = _gopher_flags(load_table(spark, sf_dir, "documents"))
+    flags = _gopher_flags_cached(spark, sf_dir)
     agg = flags.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("ok_nwords").cast("bigint").alias("s1"),
@@ -465,6 +465,69 @@ def _linear_scored(d: DataFrame) -> DataFrame:
     return scored.select("doc_id", "n_tokens", "sum_w", quality.alias("quality"))
 
 
+# Session caches for the two most-shared per-document frames: the
+# Gopher gate flags (6 narrow columns, map-only build) and the linear
+# scorer's quality frame (one explode+broadcast-join+agg corpus pass).
+# Eleven call sites across eight queries (gopher_rules, filter_funnel,
+# linear_quality_score, pr_curve, quality_classifier_gate,
+# platt_scaling, isotonic_calibration, ece/calibration consumers)
+# rebuilt them per call before r14. Both frames are doc-sized and
+# narrow (a few MB at sf0.1); lifecycle identical to the other
+# session caches.
+_GOPHER_FLAGS_CACHE: dict = {}
+_LSCORED_CACHE: dict = {}
+
+
+def _gopher_flags_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.dedup import _spread
+    from ..sources.tables import (
+        _fixture_key,
+        prune_stale_session_entries,
+        session_cache_hit,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_key(f"{sf_dir}/documents.parquet"),
+    )
+    fl = session_cache_hit(_GOPHER_FLAGS_CACHE, key)
+    if fl is None:
+        prune_stale_session_entries(_GOPHER_FLAGS_CACHE, key, lambda e: e)
+        fl = _gopher_flags(
+            _spread(load_table(spark, sf_dir, "documents"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _GOPHER_FLAGS_CACHE[key] = fl
+    return fl
+
+
+def _linear_scored_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.dedup import _spread
+    from ..sources.tables import (
+        _fixture_key,
+        prune_stale_session_entries,
+        session_cache_hit,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_key(f"{sf_dir}/documents.parquet"),
+    )
+    sc_ = session_cache_hit(_LSCORED_CACHE, key)
+    if sc_ is None:
+        prune_stale_session_entries(_LSCORED_CACHE, key, lambda e: e)
+        sc_ = _linear_scored(
+            _spread(load_table(spark, sf_dir, "documents"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _LSCORED_CACHE[key] = sc_
+    return sc_
+
+
 @query(
     "linear_quality_score",
     oracle=f"""
@@ -494,7 +557,7 @@ def linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle is the per-doc integer sum. A real trained
     model drops in by replacing the weight frame's formula column
     with loaded parameters; nothing else changes."""
-    scored = _linear_scored(load_table(spark, sf_dir, "documents"))
+    scored = _linear_scored_cached(spark, sf_dir)
     return scored.select(
         "doc_id", "n_tokens", "sum_w", "quality",
         (F.col("quality") >= 0.5).alias("keep"),
@@ -559,13 +622,16 @@ def pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim-sized aggregate — the threshold sweep costs one shuffle of
     N x 9 tiny rows, not nine corpus passes."""
     d = load_table(spark, sf_dir, "documents")
-    flags = _gopher_flags(d).select(
+    flags = _gopher_flags_cached(spark, sf_dir).select(
         "doc_id",
         (
             F.col("ok_nwords") * F.col("ok_meanlen") * F.col("ok_maxlen") * F.col("ok_stop")
         ).alias("pass"),
     )
-    j = flags.join(_linear_scored(d).select("doc_id", "quality"), "doc_id")
+    j = flags.join(
+        _linear_scored_cached(spark, sf_dir).select("doc_id", "quality"),
+        "doc_id",
+    )
     th = F.explode(F.array(*[F.lit(t) for t in _PR_THRESHOLDS])).alias("threshold")
     cm = (
         j.select("pass", "quality", th)
@@ -1533,7 +1599,7 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eta, iters, dim = _QCG_ETA, _QCG_ITERS, _QCG_DIM
     d = _spread(load_table(spark, sf_dir, "documents"))
     lab = (
-        _gopher_flags(d)
+        _gopher_flags_cached(spark, sf_dir)
         .select(
             "doc_id",
             "source",
@@ -1704,7 +1770,7 @@ def platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import gd_scores, unrolled_gd
 
     d = _spread(load_table(spark, sf_dir, "documents"))
-    lab = _gopher_flags(d).select(
+    lab = _gopher_flags_cached(spark, sf_dir).select(
         "doc_id",
         (
             F.col("ok_nwords")
@@ -1715,7 +1781,7 @@ def platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y"),
     ).localCheckpoint(eager=True)
-    s = _linear_scored(d).select("doc_id", "quality")
+    s = _linear_scored_cached(spark, sf_dir).select("doc_id", "quality")
     px = (
         s.select("doc_id", F.lit(0).alias("j"), F.lit(1.0).alias("x"))
         .unionAll(
@@ -1827,7 +1893,7 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    lab = _gopher_flags(d).select(
+    lab = _gopher_flags_cached(spark, sf_dir).select(
         "doc_id",
         (
             F.col("ok_nwords")
@@ -1836,7 +1902,7 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("ok_stop")
         ).alias("y"),
     )
-    s = _linear_scored(d).select("doc_id", "quality")
+    s = _linear_scored_cached(spark, sf_dir).select("doc_id", "quality")
     ib = (
         s.join(lab, "doc_id")
         .groupBy(F.floor(F.col("quality") * 100).cast("bigint").alias("bin"))
@@ -1942,7 +2008,7 @@ def mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln-difference form. Scale: one scan, 4 rows per doc into a
     4-group agg."""
     d = load_table(spark, sf_dir, "documents")
-    lab = _gopher_flags(d).select(
+    lab = _gopher_flags_cached(spark, sf_dir).select(
         "doc_id",
         (
             F.col("ok_nwords")
