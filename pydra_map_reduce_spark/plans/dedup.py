@@ -327,6 +327,13 @@ def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one-frame-per-entry prune reason as the portable caches.
 _XXHASH_SIG_CACHE: dict = {}
 _XXHASH_CAND_CACHE: dict = {}
+# The shingle frame the sigs/cand build persists must be tracked in its
+# own keyed dict (the _PORTABLE_SH_CACHE pattern): untracked, a fixture
+# regeneration left the stale persisted sh pinned forever AND let
+# CacheManager plan-dedup substitute it under the freshly keyed
+# sigs/cand rebuild, poisoning the _fixture_key invalidation
+# (r14 ADVICE, medium).
+_XXHASH_SH_CACHE: dict = {}
 
 
 def _xxhash_sigs_cand(
@@ -357,6 +364,7 @@ def _xxhash_sigs_cand(
         return sigs, cand
     prune_stale_session_entries(_XXHASH_SIG_CACHE, key, lambda e: e)
     prune_stale_session_entries(_XXHASH_CAND_CACHE, key, lambda e: e)
+    prune_stale_session_entries(_XXHASH_SH_CACHE, key, lambda e: e)
     d = load_table(spark, sf_dir, "documents")
     # EXACT plan twin of minhash_lsh_pairs' internal sh_rows (same
     # _spread, same defaults) — the .persist here and the operator's
@@ -364,6 +372,7 @@ def _xxhash_sigs_cand(
     sh = shingle_rows(_spread(d), "doc_id", "text").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _XXHASH_SH_CACHE[key] = sh
     sigs = minhash_signatures(sh, 32).persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_band_candidates(sigs, 32, 8).persist(
         StorageLevel.MEMORY_AND_DISK

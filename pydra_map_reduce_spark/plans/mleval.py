@@ -621,7 +621,6 @@ def pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed join, then a 9x fan-out of the per-doc row into a
     dim-sized aggregate — the threshold sweep costs one shuffle of
     N x 9 tiny rows, not nine corpus passes."""
-    d = load_table(spark, sf_dir, "documents")
     flags = _gopher_flags_cached(spark, sf_dir).select(
         "doc_id",
         (
@@ -1892,7 +1891,6 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (non-decreasing) calibrated rate."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
     lab = _gopher_flags_cached(spark, sf_dir).select(
         "doc_id",
         (

@@ -33,6 +33,21 @@ def _formatted(df) -> str:
     return buf.getvalue()
 
 
+def _final_plan(plan: str) -> str:
+    """The plan text up to the first '== Initial Plan ==' marker.
+
+    A query served from a session cache embeds the cached relation's
+    ALREADY-EXECUTED AdaptiveSparkPlan, which renders its subtree twice
+    (once under '== Final Plan ==', once under '== Initial Plan ==') —
+    so a raw substring count over the full string double-counts every
+    node of the cached build (the r14 driver verify caught
+    test_gopher_rules failing exactly this way once the suite had
+    warmed the flags cache). Counting up to the first Initial-Plan
+    marker sees each operator of the effective plan exactly once, in
+    cold, cache-miss and cache-hit states alike."""
+    return plan.split("== Initial Plan ==", 1)[0]
+
+
 def test_dim_joins_broadcast(spark):
     """customer→nation→region must be two BroadcastHashJoins (the
     fact side never shuffles for the join)."""
@@ -683,7 +698,7 @@ def test_gopher_rules_single_scan_jvm_side(spark):
     documents scan, keyed agg, zero Python evaluation nodes."""
     df = REGISTRY["gopher_rules"].fn(spark, SF_DIR)
     plan = _executed(df)
-    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    assert _final_plan(plan).count("FileScan parquet") == 1, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
 
 
@@ -801,7 +816,7 @@ def test_linear_quality_score_broadcast_weights(spark):
     plan = _executed(df)
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
-    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    assert _final_plan(plan).count("FileScan parquet") == 1, plan[:3000]
 
 
 def test_decimal_running_total_single_keyed_exchange(spark):
@@ -1142,7 +1157,8 @@ _LOCALCHECKPOINT_AUDIT = {
     ("plans/dedup.py", "_minhash_portable_pairs"): (1, "CORPUS_N"),
     ("plans/dedup.py", "bbit_minhash_error"): (1, "RESULT"),
     ("plans/dedup.py", "dedup_threshold_sweep"): (1, "CORPUS_N"),
-    ("plans/dedup.py", "lsh_band_sweep"): (1, "CORPUS_N"),
+    # lsh_band_sweep's own checkpoint was removed in r14 WP5 (it reads
+    # the session-cached signature frame instead); row retired here.
     ("plans/dedup.py", "lsh_recall"): (1, "CORPUS_N"),
     ("plans/dedup.py", "minhash_estimate_error"): (1, "RESULT"),
     ("plans/dedup.py", "span_width_sweep"): (1, "CORPUS_N"),

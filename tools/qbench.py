@@ -45,7 +45,18 @@ def main() -> None:
             print(f"{name}: NOT IN REGISTRY")
             continue
         fn = REGISTRY[name].fn
+        runs = []
+        for i in range(args.reps):
+            spark.sparkContext.setJobDescription(f"qbench:{name}#{i}")
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
         if args.explain:
+            # AFTER the timed reps: building the plan invokes fn(), and
+            # queries with eager work during plan build (session-cache
+            # builds, localCheckpoint(eager=True)) would otherwise run
+            # then, turning the reported 'cold' rep warm (r14 ADVICE).
             os.makedirs(args.explain, exist_ok=True)
             df = fn(spark, sf_dir)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
@@ -54,13 +65,6 @@ def main() -> None:
             path = os.path.join(args.explain, f"{name}_{args.tag}.txt")
             with open(path, "w") as f:
                 f.write(plan)
-        runs = []
-        for i in range(args.reps):
-            spark.sparkContext.setJobDescription(f"qbench:{name}#{i}")
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        spark.sparkContext.setJobDescription(None)
         rs = " ".join(f"{r:.3f}" for r in runs)
         print(f"{name}: cold={runs[0]:.3f} warm_min={min(runs[1:] or runs):.3f} runs=[{rs}]")
 
