@@ -1174,6 +1174,52 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-cached per-order sorted brand sets for association_rules
+# (order-sized rows carrying ≤7-element arrays — doc-sized class, the
+# r14 cache-payoff rule's winning side). One corpus shuffle builds it
+# once per (app, dir, fixture); every association_rules call derives
+# pairs / item counts / the basket total map-side from it. Lifecycle =
+# the standard keyed session-cache (prune on miss, LRU-bounded).
+_BRAND_SETS_CACHE: dict = {}
+
+
+def _brand_sets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from ..sources.tables import (
+        _fixture_key,
+        prune_stale_session_entries,
+        session_cache_hit,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_key(f"{sf_dir}/lineitem.parquet"),
+        _fixture_key(f"{sf_dir}/part.parquet"),
+    )
+    sets = session_cache_hit(_BRAND_SETS_CACHE, key)
+    if sets is not None:
+        return sets
+    prune_stale_session_entries(_BRAND_SETS_CACHE, key, lambda e: e)
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", F.col("p_brand").alias("item"))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _BRAND_SETS_CACHE[key] = sets
+    return sets
+
+
 @query(
     "association_rules",
     oracle="""
@@ -1227,29 +1273,17 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     only float op per rule is ONE division of exact BIGINT products,
     identically associated on both engines, then the standard
     half-up pin."""
-    from pyspark.storagelevel import StorageLevel
-
     # ONE corpus shuffle: baskets materialize as sorted per-order brand
     # sets (collect_set dedups within the order), and pairs, item
     # counts, and the basket total all derive MAP-SIDE from the
     # persisted sets frame — the original distinct + self-join form
     # paid a second corpus shuffle for the pair join plus an exact
     # count-distinct aggregation (measured 3.5 s vs 1.5 s at sf0.1).
-    # Released below once the 20-row result is checkpointed.
-    sets = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .join(
-            F.broadcast(
-                load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-            ),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .select("l_orderkey", F.col("p_brand").alias("item"))
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("item")).alias("items"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # r15: the sets frame is session-cached (order-sized, ≤7-brand
+    # arrays — the winning side of the r14 cache-payoff rule), so
+    # repeated calls skip the lineitem shuffle entirely instead of
+    # rebuilding + unpersisting per call.
+    sets = _brand_sets_cached(spark, sf_dir)
     n = sets.agg(F.count(F.lit(1)).alias("n_baskets"))
     ic = (
         sets.select(F.explode("items").alias("item"))
@@ -1304,10 +1338,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(20)
     )
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        sets.unpersist()
+    return out.localCheckpoint(eager=True)
 
 
 @query(
@@ -1785,51 +1816,68 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a single survivor, which is exactly the lattice collapse the
     algorithm exists to exploit; production min-support rises with
     corpus size)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    # ONE co-order pair frame feeds everything: the frequent-pair
-    # lattice (groupBy) AND both sides of the triple-extension join —
-    # pinned so the basket self-join runs once, and so no corpus-sized
-    # broadcast exchange enters the plan (the first-cut three-way
-    # items join built two of them). DISK_ONLY, not localCheckpoint:
-    # the pair frame is corpus-sized (~31M rows on the 10x stress
-    # tier), and heap-pinned checkpoint blocks OOM'd the 1 GB default
-    # driver heap there — serialized disk blocks keep the
-    # compute-once property at any scale while memory stays bounded
-    # (measured on the round-13 stress tier; CacheManager plan-dedup
-    # shares the pin across repeated calls, the shingle-frame
-    # lifecycle rule).
+    # ONE corpus shuffle total (r15, guide §2.1/§2.4): baskets
+    # materialize as sorted per-order DISTINCT part arrays (collect_set
+    # dedups within the order — the same co-ORDERS rule as
+    # basket_pairs), and BOTH the pair lattice and the raw candidate
+    # triples derive MAP-SIDE from that one frame by in-row i<j / i<j<k
+    # expansion over the sorted array (the association_rules /
+    # _copurchase_edges pattern; per-order work is C(|basket|,3) ≤
+    # C(7,3)=35 structs — baskets are ≤7 lines at every TPC-H SF). The
+    # r14 form paid a lineitem self-join for the pair frame (two
+    # corpus exchanges + a sort-merge join) plus a third exchange for
+    # the p1⋈p2 triple-extension join; all three are gone and the
+    # row-for-row identical pair/triple multisets are generated inside
+    # one projection each. DISK_ONLY, not localCheckpoint: the basket
+    # frame is corpus-sized (one row per order), and the apriori
+    # heap-pin rule (r13 stress tier) keeps corpus-scaling pins off
+    # the heap; CacheManager plan-dedup shares the pin across repeated
+    # calls, the shingle-frame lifecycle rule.
     from pyspark.storagelevel import StorageLevel
 
-    po = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_orderkey").alias("o"),
-            F.col("a.l_partkey").alias("p_a"),
-            F.col("b.l_partkey").alias("p_b"),
-        )
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") >= 2)
         .persist(StorageLevel.DISK_ONLY)
     )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) ->"
+                " transform(slice(items, i + 2, size(items)),"
+                " y -> struct(x AS x, y AS y))))"
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
     fpairs = (
-        po.groupBy("p_a", "p_b")
+        pairs.groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("s"))
         .filter(F.col("s") >= 2)
-        .select("p_a", "p_b")
+        .select("x", "y")
     )
-    p1 = po.select("o", F.col("p_a").alias("x"), F.col("p_b").alias("y"))
-    p2 = po.select("o", F.col("p_a").alias("y"), F.col("p_b").alias("z"))
-    cand = p1.join(p2, ["o", "y"])  # (x<y)&(y<z) => x<y<z, all in order o
-    ab = fpairs.select(F.col("p_a").alias("x"), F.col("p_b").alias("y"))
-    ac = fpairs.select(F.col("p_a").alias("x"), F.col("p_b").alias("z"))
-    bc = fpairs.select(F.col("p_a").alias("y"), F.col("p_b").alias("z"))
+    # raw candidate triples, canonical x<y<z, one row per containing
+    # order (arrays are distinct, so no per-order dedup is needed)
+    cand = (
+        sets.filter(F.size("items") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) ->"
+                    " flatten(transform(slice(items, i + 2, size(items)),"
+                    " (y, j) -> transform("
+                    "slice(items, i + j + 3, size(items)),"
+                    " z -> struct(x AS x, y AS y, z AS z))))))"
+                )
+            ).alias("t")
+        )
+        .select("t.x", "t.y", "t.z")
+    )
+    ab = fpairs
+    ac = fpairs.select("x", F.col("y").alias("z"))
+    bc = fpairs.select(F.col("x").alias("y"), F.col("y").alias("z"))
     pruned = (
         cand.join(ab, ["x", "y"], "left_semi")
         .join(ac, ["x", "z"], "left_semi")

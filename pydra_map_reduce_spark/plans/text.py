@@ -2681,6 +2681,78 @@ def lang_trigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GREEDY_STEPS = 8
 
 
+# Session-cached bigram-LM model tables shared by the three decoders
+# (greedy / beam / temperature): cnt = (w1, w2, n) bigram counts,
+# pre = (w1, np) left-context totals, top1 = the corpus's most frequent
+# token (count desc, token asc — the shared start rule). Before r15
+# every decoder call rebuilt all three per call as eager
+# localCheckpoints (two corpus passes: the window-lead bigram build and
+# the unigram start count); the frames themselves are MODEL-sized
+# (distinct bigrams / distinct tokens / 1 row), i.e. on the winning
+# side of the r14 cache-payoff rule (doc/sketch-sized: cache;
+# token-sized: never). The cached frames are EXACTLY the checkpointed
+# frames each decoder built before — same contents, same step logic,
+# so decode chains are bit-identical. Three dicts, one frame per
+# entry, the _PORTABLE_SIG/CAND lifecycle.
+_BIGRAM_CNT_CACHE: dict = {}
+_BIGRAM_PRE_CACHE: dict = {}
+_BIGRAM_TOP1_CACHE: dict = {}
+
+
+def _bigram_lm_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    from pyspark.sql.window import Window
+
+    from ..sources.tables import (
+        _fixture_key,
+        prune_stale_session_entries,
+        session_cache_hit,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_key(f"{sf_dir}/documents.parquet"),
+    )
+    cnt = session_cache_hit(_BIGRAM_CNT_CACHE, key)
+    pre = session_cache_hit(_BIGRAM_PRE_CACHE, key)
+    top1 = session_cache_hit(_BIGRAM_TOP1_CACHE, key)
+    if cnt is not None and pre is not None and top1 is not None:
+        return cnt, pre, top1
+    for c in (_BIGRAM_CNT_CACHE, _BIGRAM_PRE_CACHE, _BIGRAM_TOP1_CACHE):
+        prune_stale_session_entries(c, key, lambda e: e)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "w1")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select("w1", F.lead("w1", 1).over(wdoc).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    cnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    pre = cnt.groupBy("w1").agg(F.sum("n").alias("np")).localCheckpoint(
+        eager=True
+    )
+    top1 = (
+        toks.groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1")
+        .limit(1)
+        .select("w1")
+        .localCheckpoint(eager=True)
+    )
+    _BIGRAM_CNT_CACHE[key] = cnt
+    _BIGRAM_PRE_CACHE[key] = pre
+    _BIGRAM_TOP1_CACHE[key] = top1
+    return cnt, pre, top1
+
+
 @query(
     "bigram_greedy_decode",
     oracle=f"""
@@ -2732,32 +2804,13 @@ def bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery), so chain identity — start pick, every arg-max, every
     tie-break, the stop rule — is externally verified. At 100 TB the
     model build is the only corpus-scale stage; decoding is dim-sized
-    regardless of corpus."""
-    from pyspark.sql.window import Window
-
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "w1")
-    )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        toks.select("w1", F.lead("w1", 1).over(wdoc).alias("w2"))
-        .filter(F.col("w2").isNotNull())
-    )
-    cnt = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    start = (
-        toks.groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "w1")
-        .limit(1)
-        .select(
-            F.lit(0).cast("bigint").alias("step"), F.col("w1").alias("token")
-        )
-        .localCheckpoint(eager=True)
+    regardless of corpus. The model tables (cnt + the start token)
+    come from the decoder-family session cache `_bigram_lm_frames` —
+    identical checkpointed frames, built once per (app, dir, fixture)
+    instead of per call."""
+    cnt, _pre, top1 = _bigram_lm_frames(spark, sf_dir)
+    start = top1.select(
+        F.lit(0).cast("bigint").alias("step"), F.col("w1").alias("token")
     )
     steps, cur = [start], start
     for k in range(1, _GREEDY_STEPS + 1):
@@ -2970,37 +3023,17 @@ def beam_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows in one unpartitioned window (bounded by the beam fanout, not
     the corpus), and cuts — all steps compose lazily into one job.
     At 100 TB only the model build scales with data; decode cost is
-    width × steps × fanout regardless of corpus."""
+    width × steps × fanout regardless of corpus. The model tables
+    (cnt, pre, start) come from the decoder-family session cache
+    `_bigram_lm_frames` — identical checkpointed frames, built once
+    per (app, dir, fixture) instead of per call."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "w1")
-    )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        toks.select("w1", F.lead("w1", 1).over(wdoc).alias("w2"))
-        .filter(F.col("w2").isNotNull())
-    )
-    cnt = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    pre = cnt.groupBy("w1").agg(F.sum("n").alias("np")).localCheckpoint(
-        eager=True
-    )
-    beams = (
-        toks.groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "w1")
-        .limit(1)
-        .select(
-            F.col("w1").alias("seq"),
-            F.col("w1").alias("last"),
-            F.lit(0.0).alias("lp"),
-        )
-        .localCheckpoint(eager=True)
+    cnt, pre, top1 = _bigram_lm_frames(spark, sf_dir)
+    beams = top1.select(
+        F.col("w1").alias("seq"),
+        F.col("w1").alias("last"),
+        F.lit(0.0).alias("lp"),
     )
     rank_key = (F.floor(F.col("lp") * 1e9 + 0.5) / 1e9).desc()
     wrank = Window.orderBy(rank_key, "seq")
@@ -3117,35 +3150,15 @@ def temperature_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     join into them plus a fanout-bounded window (ordered cumsum over
     one token's continuations), all steps composing lazily into one
     job. The oracle unrolls the same steps as CTEs (MATERIALIZED
-    model tables — the DuckDB inline-doubling guard)."""
+    model tables — the DuckDB inline-doubling guard). The model
+    tables (cnt, pre, start) come from the decoder-family session
+    cache `_bigram_lm_frames` — identical checkpointed frames, built
+    once per (app, dir, fixture) instead of per call."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "w1")
-    )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        toks.select("w1", F.lead("w1", 1).over(wdoc).alias("w2"))
-        .filter(F.col("w2").isNotNull())
-    )
-    cnt = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    pre = cnt.groupBy("w1").agg(F.sum("n").alias("np")).localCheckpoint(
-        eager=True
-    )
-    cur = (
-        toks.groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "w1")
-        .limit(1)
-        .select(
-            F.lit(0).cast("bigint").alias("step"), F.col("w1").alias("token")
-        )
-        .localCheckpoint(eager=True)
+    cnt, pre, top1 = _bigram_lm_frames(spark, sf_dir)
+    cur = top1.select(
+        F.lit(0).cast("bigint").alias("step"), F.col("w1").alias("token")
     )
     wcum = Window.orderBy("w2").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.orderBy(F.lit(1)).rowsBetween(

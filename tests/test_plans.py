@@ -1172,10 +1172,11 @@ _LOCALCHECKPOINT_AUDIT = {
     ("plans/graph.py", "recursive_cte_hops"): (1, "CORPUS_N"),
     ("plans/graph.py", "triangle_count"): (1, "RESULT"),
     ("plans/joins.py", "blocking_quality"): (1, "RESULT"),
+    ("plans/mleval.py", "_langid_features"): (2, "CORPUS_N"),
+    ("plans/mleval.py", "_qcg_features"): (2, "CORPUS_N"),
     ("plans/mleval.py", "isotonic_calibration"): (1, "MODEL"),
-    ("plans/mleval.py", "lang_id_train"): (3, "CORPUS_N"),
+    ("plans/mleval.py", "lang_id_train"): (1, "MODEL"),
     ("plans/mleval.py", "platt_scaling"): (2, "MODEL"),
-    ("plans/mleval.py", "quality_classifier_gate"): (2, "MODEL"),
     ("plans/relational.py", "association_rules"): (1, "RESULT"),
     ("plans/setops.py", "scd2_dim"): (1, "CORPUS_N"),
     ("plans/sketches.py", "hll_merge"): (1, "CORPUS_N"),
@@ -1184,11 +1185,9 @@ _LOCALCHECKPOINT_AUDIT = {
     ("plans/streaming.py", "streaming_late_drop"): (1, "RESULT"),
     ("plans/streaming.py", "streaming_parquet_sink"): (1, "RESULT"),
     ("plans/streaming.py", "streaming_rate_source"): (1, "RESULT"),
+    ("plans/text.py", "_bigram_lm_frames"): (3, "MODEL"),
     ("plans/text.py", "_bpe_learn"): (2, "MODEL"),
     ("plans/text.py", "_unigram_em"): (3, "MODEL"),
-    ("plans/text.py", "beam_decode"): (3, "MODEL"),
-    ("plans/text.py", "bigram_greedy_decode"): (2, "MODEL"),
-    ("plans/text.py", "temperature_sample_decode"): (3, "MODEL"),
     ("plans/text.py", "tfidf_doc_similarity"): (1, "CORPUS_N"),
     ("plans/vectors.py", "ann_probe_curve"): (2, "CORPUS_N"),
     ("plans/vectors.py", "logreg_train"): (1, "CORPUS_N"),
@@ -1244,3 +1243,27 @@ def test_localcheckpoint_sites_audited():
         f"stale={sorted(set(audited) - set(found))} "
         f"count_changed={sorted(k for k in found if k in audited and found[k] != audited[k])}"
     )
+
+
+def test_r15_session_cached_queries_warm_call_identical(spark):
+    """The r15 session caches (bigram-LM decoder model tables, trainer
+    feature frames, association-rule basket sets) must leave every
+    consumer's SECOND call row-identical to its first — the warm path
+    reads the cached frames, the cold path builds them, and both must
+    produce the same result (the differential suite only calls each
+    query once per session, so the hit path needs this explicit
+    cover)."""
+    from pydra_map_reduce_spark.plans import REGISTRY as R
+
+    for name in (
+        "bigram_greedy_decode",
+        "temperature_sample_decode",
+        "lang_id_train",
+        "quality_classifier_gate",
+        "association_rules",
+        "apriori_triples",
+    ):
+        fn = R[name].fn
+        a = sorted([tuple(r) for r in fn(spark, SF_DIR).collect()], key=repr)
+        b = sorted([tuple(r) for r in fn(spark, SF_DIR).collect()], key=repr)
+        assert a and a == b, name
