@@ -1252,12 +1252,17 @@ def negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted_sample scale argument)."""
     from pyspark.sql.window import Window
 
-    from ..operators.similarity import batch_cosine_topk
+    from .vectors import _exact_topk8_cached
 
     e = load_table(spark, sf_dir, "embeddings")
-    pos = batch_cosine_topk(
-        e, "vec_id", "embedding", n_queries=_NEG_NQ, k=_NEG_KPOS
-    ).select("query_id", "vec_id")
+    # _NEG_NQ == the family's 8-query block; positives are the cached
+    # exact frame rank-filtered to _NEG_KPOS (row-identical to a fresh
+    # batch_cosine_topk call — rank is assigned before any k cut)
+    pos = (
+        _exact_topk8_cached(spark, sf_dir)
+        .filter(F.col("rank") <= _NEG_KPOS)
+        .select("query_id", "vec_id")
+    )
     ids = e.select("vec_id")
     q = ids.filter(F.col("vec_id") < _NEG_NQ).select(
         F.col("vec_id").alias("query_id")

@@ -1189,7 +1189,8 @@ _LOCALCHECKPOINT_AUDIT = {
     ("plans/text.py", "_bpe_learn"): (2, "MODEL"),
     ("plans/text.py", "_unigram_em"): (3, "MODEL"),
     ("plans/text.py", "tfidf_doc_similarity"): (1, "CORPUS_N"),
-    ("plans/vectors.py", "ann_probe_curve"): (2, "CORPUS_N"),
+    ("plans/vectors.py", "_exact_topk8_cached"): (1, "MODEL"),
+    ("plans/vectors.py", "ann_probe_curve"): (1, "CORPUS_N"),
     ("plans/vectors.py", "logreg_train"): (1, "CORPUS_N"),
     ("plans/vectors.py", "pca_power_component"): (1, "MODEL"),
     ("plans/vectors.py", "pca_top2_components"): (2, "MODEL"),
@@ -1262,6 +1263,11 @@ def test_r15_session_cached_queries_warm_call_identical(spark):
         "quality_classifier_gate",
         "association_rules",
         "apriori_triples",
+        # _exact_topk8_cached consumers: the k=3 projection contract,
+        # the k=10 full-depth reader, and the cross-module consumer
+        "ann_batch_topk",
+        "ndcg_eval",
+        "negative_sample",
     ):
         fn = R[name].fn
         a = sorted([tuple(r) for r in fn(spark, SF_DIR).collect()], key=repr)
