@@ -2173,10 +2173,15 @@ def span_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # columns per window position)
         .localCheckpoint(eager=True)
     )
+    # "seen in ≥2 distinct docs" as min(doc_id) != max(doc_id): a plain
+    # hash agg with two long partials instead of count(DISTINCT ...)'s
+    # two-phase distinct expansion over the token-scale gid frame
+    # (identical predicate — a (width, s) group has ≥2 distinct doc_ids
+    # iff its min and max differ)
     dup = (
         gid.groupBy("width", "s")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("width", "s")
     )
     dp = gid.join(dup, ["width", "s"], "left_semi").select(

@@ -777,7 +777,15 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     n = base.count()  # bounded driver scalar (exact int; kcore rule)
-    samp = base.orderBy("u", "p").limit(_QSK_K).select("p")
+    # the sample is MODEL-sized (≤ _QSK_K rows) but its build is a full
+    # corpus md5 + TakeOrdered pass; without the checkpoint that pass
+    # executed TWICE per call — eagerly for the k literal below, then
+    # again inside the terminal job when scdf re-evaluated the limit
+    # (r15, guide §1.3 duplicated-subtree smell)
+    samp = (
+        base.orderBy("u", "p").limit(_QSK_K).select("p")
+        .localCheckpoint(eager=True)
+    )
     k = samp.count()
     scdf = samp.withColumn("r", F.row_number().over(Window.orderBy("p")))
     ecdf = (

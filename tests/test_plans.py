@@ -1180,6 +1180,7 @@ _LOCALCHECKPOINT_AUDIT = {
     ("plans/relational.py", "association_rules"): (1, "RESULT"),
     ("plans/setops.py", "scd2_dim"): (1, "CORPUS_N"),
     ("plans/sketches.py", "hll_merge"): (1, "CORPUS_N"),
+    ("plans/sketches.py", "quantile_sketch"): (1, "MODEL"),
     ("plans/streaming.py", "_drain"): (1, "RESULT"),
     ("plans/streaming.py", "streaming_foreach_batch"): (1, "RESULT"),
     ("plans/streaming.py", "streaming_late_drop"): (1, "RESULT"),
