@@ -77,10 +77,15 @@ def _supplier_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Node ids are namespaced strings ('s'||k, 'p'||k) — supplier and
     part key spaces overlap."""
     li = load_table(spark, sf_dir, "lineitem")
-    sp = li.select(
+    # distinct on the RAW ints, strings built after (guide §2.3,
+    # narrower types): the corpus-sized distinct exchange carries two
+    # longs instead of two ~8-char strings; concat is injective over
+    # the namespaced key spaces, so the edge set is row-identical
+    kp = li.select("l_suppkey", "l_partkey").distinct()
+    sp = kp.select(
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
         F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-    ).distinct()
+    )
     return sp.unionByName(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 

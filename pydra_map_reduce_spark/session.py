@@ -121,6 +121,17 @@ def get_spark(
         # 32 MB leaves headroom over the 10 MB default without risking OOM
         # on 4-8 GB executors.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Storage must yield to execution (guide §5): a long session
+        # accumulates MEMORY_AND_DISK session caches (index frames,
+        # shared model tables) that all degrade gracefully to disk,
+        # while an execution-starved hash aggregate dies with a heap
+        # OOM — observed in a 178-query bench session at the 1 GB
+        # default heap (a corpus-pair partial agg OOM'd once pinned
+        # caches filled the default 0.5 protected-storage region).
+        # 0.2 keeps a working set protected but lets execution reclaim
+        # the rest; it is heap-size-relative, so larger deployments
+        # are unaffected in kind.
+        .config("spark.memory.storageFraction", "0.2")
         .config("spark.ui.enabled", "false")
     )
     if not master_given:
